@@ -1,0 +1,173 @@
+"""Public API: the Python mirror of the reference's entry points.
+
+Reference surface (SURVEY.md §2.C):
+    SiddhiCEP.define(streamId, ds, fields...)      SiddhiCEP.java:119-125
+    cep.registerStream / from_ / union             SiddhiCEP.java:134-185
+    stream.cql(text) -> ExecutionSiddhiStream      SiddhiStream.java:116-119
+    execution.returns(outStreamId) -> DataFrame    SiddhiStream.java:287-413
+    cep.registerExtension                          SiddhiCEP.java:201-206
+
+Python shape:
+    cep = SiddhiCEP(spark)
+    cep.define("events", df, "event_id", "ts", ..., ts_field="ts") \\
+       .cql("from events[value > 100] select event_id insert into Out") \\
+       .returns("Out")   # -> DataFrame
+
+Chained queries work by registering outputs back into the catalog
+(reference: SiddhiCEPITCase.java:68-90), and a single ``cql`` text may hold
+multiple queries that feed each other via ``insert into``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .errors import (
+    DuplicatedStreamException,
+    SiddhiPlannerException,
+    UndefinedStreamException,
+)
+from .plans.planner import BatchPlanner
+from .schema import StreamSchema
+from .siddhiql import ast as A
+from .siddhiql.parser import parse
+
+
+class SiddhiCEP:
+    """Engine environment: stream catalog + extensions (SiddhiCEP.java:56-230)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.catalog: dict[str, StreamSchema] = {}
+        self.extensions: dict[str, Callable] = {}
+
+    # -------------------------------------------------------------- registry
+    def register_stream(
+        self,
+        stream_id: str,
+        df: DataFrame,
+        *fields: str,
+        ts_field: Optional[str] = None,
+    ) -> None:
+        if stream_id in self.catalog:
+            raise DuplicatedStreamException(f"stream '{stream_id}' already registered")
+        self.catalog[stream_id] = StreamSchema(
+            stream_id, df, list(fields), ts_field=ts_field
+        )
+
+    registerStream = register_stream
+
+    def register_table(self, table_id: str, df: DataFrame, *fields: str) -> None:
+        if table_id in self.catalog:
+            raise DuplicatedStreamException(f"table '{table_id}' already registered")
+        self.catalog[table_id] = StreamSchema(table_id, df, list(fields), is_table=True)
+
+    def register_extension(self, name: str, builder: Callable) -> None:
+        """Register a scalar extension under 'ns:name' (SiddhiCEP.java:201-206).
+
+        ``builder`` takes Columns and returns a Column (stays JVM-side). For a
+        plain Python function use ``spark.udf.register`` and pass the wrapped
+        ``F.udf`` here — documented slow path.
+        """
+        self.extensions[name] = builder
+
+    registerExtension = register_extension
+
+    def define(self, stream_id: str, df: DataFrame, *fields: str,
+               ts_field: Optional[str] = None) -> "SiddhiStream":
+        self.register_stream(stream_id, df, *fields, ts_field=ts_field)
+        return SiddhiStream(self)
+
+    def from_(self, stream_id: str) -> "SiddhiStream":
+        if stream_id not in self.catalog:
+            raise UndefinedStreamException(f"stream '{stream_id}' is not registered")
+        return SiddhiStream(self)
+
+    def union(self, stream_id: str, df: DataFrame, *fields: str,
+              ts_field: Optional[str] = None) -> "SiddhiStream":
+        return self.define(stream_id, df, *fields, ts_field=ts_field)
+
+    def get_data_stream(self, stream_id: str) -> DataFrame:
+        if stream_id not in self.catalog:
+            raise UndefinedStreamException(f"stream '{stream_id}' is not registered")
+        return self.catalog[stream_id].df
+
+    @staticmethod
+    def get_siddhi_environment(spark: SparkSession) -> "SiddhiCEP":
+        return SiddhiCEP(spark)
+
+
+class SiddhiStream:
+    """Fluent handle (SiddhiStream.java:63-257). ``union`` just registers more
+    streams — per-query DataFrame DAGs make the reference's envelope/union
+    plumbing unnecessary (SURVEY.md §1.5)."""
+
+    def __init__(self, cep: SiddhiCEP):
+        self.cep = cep
+
+    def union(self, stream_id: str, df: DataFrame, *fields: str,
+              ts_field: Optional[str] = None) -> "SiddhiStream":
+        self.cep.register_stream(stream_id, df, *fields, ts_field=ts_field)
+        return self
+
+    def cql(self, execution_plan: str) -> "ExecutionSiddhiStream":
+        return ExecutionSiddhiStream(self.cep, execution_plan)
+
+
+class ExecutionSiddhiStream:
+    """Compiled execution plan (SiddhiStream.java:259-413).
+
+    Eagerly parses and plans every query (fail-fast validation — the
+    reference compiles the plan in a temp Siddhi runtime,
+    AbstractSiddhiOperator.java:292-299; here Catalyst analysis is the
+    validator). Outputs are registered into the catalog so later queries and
+    ``returns`` can reference them.
+    """
+
+    def __init__(self, cep: SiddhiCEP, plan_text: str):
+        self.cep = cep
+        self.plan = parse(plan_text)
+        self.outputs: dict[str, DataFrame] = {}
+        self._build()
+
+    def _build(self) -> None:
+        # apply inline `define stream/table` over already-registered frames is
+        # not needed — definitions validate field lists against the catalog.
+        planner = BatchPlanner(self.cep.catalog, self.cep.extensions)
+        for d in self.plan.definitions:
+            if d.name in self.cep.catalog:
+                declared = [a.name for a in d.attrs]
+                actual = self.cep.catalog[d.name].fields
+                if declared != actual:
+                    raise SiddhiPlannerException(
+                        f"define {d.name}: declared fields {declared} != registered {actual}"
+                    )
+        for q in self.plan.queries:
+            df = planner.compile_query(q)
+            out_id = q.insert_into or "__anonymous__"
+            if q.insert_into:
+                if out_id in self.outputs:
+                    # multi-query fan-in: union into the same output stream
+                    # (reference: SiddhiCEPITCase.java:282-299)
+                    df = self.outputs[out_id].unionByName(df)
+                self.outputs[out_id] = df
+                ts_field = None
+                sch = StreamSchema(out_id, df, list(df.columns), ts_field=ts_field)
+                self.cep.catalog[out_id] = sch
+
+    def returns(self, out_stream_id: str) -> DataFrame:
+        if out_stream_id not in self.outputs:
+            raise UndefinedStreamException(
+                f"no query inserts into '{out_stream_id}' (have: {sorted(self.outputs)})"
+            )
+        return self.outputs[out_stream_id]
+
+    # reference output-shape variants — DataFrames subsume Tuple/Row/POJO
+    def return_as_map(self, out_stream_id: str) -> list[dict]:
+        return [r.asDict(recursive=True) for r in self.returns(out_stream_id).collect()]
+
+    returnAsMap = return_as_map
+    returnAsRow = returns
+    returnsTransformRow = returns

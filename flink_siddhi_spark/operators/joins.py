@@ -1,0 +1,162 @@
+"""Join compilation: windowed stream-stream joins and stream-table joins.
+
+Reference semantics (SiddhiCEPITCase.java:314-319): each arriving event on one
+side probes the *current contents of the other side's window*. Batch-mode
+re-expression: the ordered pair (earlier e, later l) joins iff e is still
+inside its own stream's window at l's arrival time, so each pair is emitted
+exactly once (at the later event's arrival, ties broken right-side-earlier).
+
+Physical strategy:
+- time/time windows -> single equi-join (on-condition keys) with a residual
+  time-range predicate. Catalyst plans a shuffled/broadcast hash join; scales.
+- length (count) windows need "how many right events arrived in (e.ts, l.ts]".
+  We compute a per-row global arrival rank plus an interleaved running count
+  (a union + prefix-sum — one range-partitioned sort, no correlated subquery).
+  Count-window joins are inherently a total-order construct; this matches the
+  reference's single-feed behavior (AbstractSiddhiOperator.java:237-247).
+- stream-table joins broadcast the table side (event-table enrichment,
+  README.md:26 "Event Tables").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..errors import SiddhiPlannerException, UnsupportedFeatureException
+from ..siddhiql import ast as A
+from ..plans.expr import ExprCompiler
+
+TS_COL = "__ts"
+_HOW = {"inner": "inner", "left": "left_outer", "right": "right_outer", "full": "full_outer"}
+
+
+def _with_arrival_rank(df: DataFrame, ord_cols: list[str], out: str) -> DataFrame:
+    w = Window.orderBy(*[F.col(c) for c in ord_cols])
+    return df.withColumn(out, F.row_number().over(w))
+
+
+def _with_count_of_other(this_df: DataFrame, other_df: DataFrame, out: str) -> DataFrame:
+    """Annotate each row of ``this_df`` with the number of ``other_df`` rows
+    whose event time is <= its own (ties: other first). Implemented as an
+    interleaved prefix sum — one sort, no correlated subquery."""
+    mark = "__mark"
+    a = this_df.withColumn(mark, F.lit(0))
+    null_cols = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in this_df.schema.fields
+        if f.name != TS_COL
+    ]
+    b = other_df.select(F.col(TS_COL), *null_cols).withColumn(mark, F.lit(1))
+    u = a.unionByName(b)
+    w = Window.orderBy(F.col(TS_COL).asc(), F.col(mark).desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    u = u.withColumn(out, F.sum(mark).over(w))
+    return u.filter(F.col(mark) == 0).drop(mark)
+
+
+def _containment(
+    later: str, earlier: str, win: Optional[A.WindowSpec], cnt_col: str, rank_col: str
+) -> Column:
+    """earlier-side event still in its window when the later-side event arrives."""
+    lt = F.col(f"{later}.{TS_COL}")
+    et = F.col(f"{earlier}.{TS_COL}")
+    if win is None:
+        return F.lit(True)  # unbounded (table-like) side
+    name = win.name.lower()
+    if name in ("time", "externaltime"):
+        t = int(win.args[-1].value)
+        return lt - et <= F.lit(t)
+    if name == "length":
+        n = int(win.args[0].value)
+        return F.col(f"{later}.{cnt_col}") - F.col(f"{earlier}.{rank_col}") < F.lit(n)
+    if name == "lengthbatch" or name == "timebatch":
+        raise UnsupportedFeatureException(f"#window.{win.name} join side not supported")
+    raise UnsupportedFeatureException(f"join window #window.{win.name}")
+
+
+def compile_join(planner, q: A.Query):
+    """Returns (joined_df, resolver, visible_fields)."""
+    ji: A.JoinInput = q.input
+    lname, rname = ji.left.name, ji.right.name
+    if lname == rname:
+        raise SiddhiPlannerException("join sides need distinct aliases")
+    ldf, lsch = planner.stream_df(ji.left.stream)
+    rdf, rsch = planner.stream_df(ji.right.stream)
+
+    for side, df_, sch in (("l", ldf, lsch), ("r", rdf, rsch)):
+        pass
+
+    def prep(si: A.SingleInput, df: DataFrame, sch):
+        if si.filter is not None:
+            comp = ExprCompiler(
+                planner._plain_resolver(set(df.columns), {si.stream, si.name}),
+                planner.extensions,
+            )
+            df = df.filter(comp.compile(si.filter))
+        return df
+
+    ldf = prep(ji.left, ldf, lsch)
+    rdf = prep(ji.right, rdf, rsch)
+
+    table_join = lsch.is_table or rsch.is_table
+    lwin, rwin = ji.left.window, ji.right.window
+
+    if not table_join:
+        if lsch.ts_field is None or rsch.ts_field is None:
+            raise SiddhiPlannerException("stream-stream join needs ts_field on both sides")
+        # count-window machinery
+        if rwin is not None and rwin.name.lower() == "length":
+            rdf = _with_arrival_rank(rdf, [TS_COL] + [f for f in rsch.fields if f != rsch.ts_field], "__rank")
+            ldf = _with_count_of_other(ldf, rdf, "__cnt_other")
+        if lwin is not None and lwin.name.lower() == "length":
+            ldf = _with_arrival_rank(ldf, [TS_COL] + [f for f in lsch.fields if f != lsch.ts_field], "__rank")
+            rdf = _with_count_of_other(rdf, ldf, "__cnt_other")
+
+    l_al, r_al = ldf.alias(lname), rdf.alias(rname)
+
+    # resolver over the aliased join
+    lcols, rcols = set(ldf.columns), set(rdf.columns)
+
+    def resolve(ref: A.Ref) -> Column:
+        if ref.stream is not None:
+            side = {lname: lcols, ji.left.stream: lcols, rname: rcols, ji.right.stream: rcols}
+            al = {lname: lname, ji.left.stream: lname, rname: rname, ji.right.stream: rname}
+            if ref.stream not in side:
+                raise SiddhiPlannerException(f"unknown stream qualifier '{ref.stream}'")
+            if ref.name not in side[ref.stream]:
+                raise SiddhiPlannerException(f"no column '{ref.name}' on '{ref.stream}'")
+            return F.col(f"{al[ref.stream]}.{ref.name}")
+        in_l, in_r = ref.name in lcols, ref.name in rcols
+        if in_l and in_r:
+            raise SiddhiPlannerException(f"ambiguous column '{ref.name}' — qualify with alias")
+        if in_l:
+            return F.col(f"{lname}.{ref.name}")
+        if in_r:
+            return F.col(f"{rname}.{ref.name}")
+        raise SiddhiPlannerException(f"unknown column '{ref.name}'")
+
+    comp = ExprCompiler(resolve, planner.extensions)
+    on = comp.compile(ji.on) if ji.on is not None else F.lit(True)
+
+    if table_join:
+        # stream-table enrichment: broadcast the (small, dimension) table side
+        if rsch.is_table:
+            joined = l_al.join(F.broadcast(r_al), on, _HOW[ji.join_type])
+        else:
+            joined = F.broadcast(l_al).join(r_al, on, _HOW[ji.join_type])
+    else:
+        lt, rt = F.col(f"{lname}.{TS_COL}"), F.col(f"{rname}.{TS_COL}")
+        r_earlier = (rt <= lt) & _containment(lname, rname, rwin, "__cnt_other", "__rank")
+        l_earlier = (lt < rt) & _containment(rname, lname, lwin, "__cnt_other", "__rank")
+        cond = on & (r_earlier | l_earlier)
+        if ji.within_ms is not None:
+            cond = cond & (F.abs(lt - rt) <= F.lit(ji.within_ms))
+        joined = l_al.join(r_al, cond, _HOW[ji.join_type])
+
+    fields = [f for f in lsch.fields] + [f for f in rsch.fields]
+    return joined, resolve, fields

@@ -1,0 +1,436 @@
+"""Pattern & sequence matching (CEP core) as an Arrow-batched NFA operator.
+
+Covers the constructs exercised by the reference (SiddhiCEPITCase.java:333-382
+and README.md:87-90): followed-by ``A -> B``, ``every``, strict sequences
+``A , B``, quantifiers ``+ * ? <n:m>``, ``within <t>``, absence
+``not X [for t]``, and per-key partitioned matching (``partition with``).
+
+Spark-first design: there is no Catalyst primitive for NFA matching, so this
+is the one operator implemented with ``applyInPandas`` (SURVEY.md §7.2). The
+input streams are unioned by name, tagged, *pre-filtered to candidate rows
+when semantics allow* (relaxed '->' patterns only look at matching events, so
+non-candidates are dropped before the shuffle — at 100 TB this predicate
+pushdown is what makes the operator feasible), hash-partitioned by the
+``partition with`` key, sorted by event time within each key, and matched by
+a per-key NFA whose filters are evaluated as vectorized pandas masks (one
+pass per element, not per row).
+
+Un-partitioned patterns collapse to a single task by necessity (a global
+total-order match is sequential by definition — same as the reference's
+single-feed operator); partitioned patterns scale with key cardinality.
+
+Batch-mode semantics (the oracle-checked contract):
+- events are totally ordered by (event-time, declared fields);
+- without ``every`` only the first match is emitted; with ``every`` a new
+  match attempt starts at every event and all concurrent partials complete;
+- quantified elements are greedy; a partial advances past an element once an
+  event cannot extend it but can start the next element;
+- trailing optional/absence elements complete at the first event past them
+  (or at end-of-data, which batch mode treats as stream close);
+- ``within t`` requires last.ts - first.ts <= t.
+"""
+
+from __future__ import annotations
+
+import operator
+from dataclasses import dataclass, field as dc_field
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import SiddhiPlannerException, UnsupportedFeatureException
+from ..siddhiql import ast as A
+
+TS_COL = "__ts"
+STREAM_COL = "__stream"
+PK_COL = "__pk"
+
+_BIN = {
+    "==": operator.eq, "!=": operator.ne, "<": operator.lt, "<=": operator.le,
+    ">": operator.gt, ">=": operator.ge, "+": operator.add, "-": operator.sub,
+    "*": operator.mul, "/": operator.truediv, "%": operator.mod,
+}
+
+
+def _vec(e: A.Expr, pdf: pd.DataFrame):
+    """Vectorized filter evaluation over a pandas frame (no per-row Python)."""
+    if isinstance(e, A.Literal):
+        return e.value
+    if isinstance(e, A.Ref):
+        if e.stream is not None or e.index is not None:
+            raise SiddhiPlannerException(
+                f"pattern element filters use bare attributes, got {e.stream}.{e.name}"
+            )
+        if e.name not in pdf.columns:
+            raise SiddhiPlannerException(f"unknown attribute '{e.name}' in pattern filter")
+        return pdf[e.name]
+    if isinstance(e, A.Binary):
+        l, r = _vec(e.left, pdf), _vec(e.right, pdf)
+        if e.op == "and":
+            return l & r
+        if e.op == "or":
+            return l | r
+        return _BIN[e.op](l, r)
+    if isinstance(e, A.Unary):
+        v = _vec(e.expr, pdf)
+        return ~v if e.op == "not" else -v
+    if isinstance(e, A.IsNull):
+        v = _vec(e.expr, pdf)
+        isna = v.isna() if hasattr(v, "isna") else pd.isna(v)
+        return ~isna if e.negated else isna
+    raise UnsupportedFeatureException(
+        f"expression {type(e).__name__} not supported in pattern filters"
+    )
+
+
+@dataclass
+class _Partial:
+    pos: int
+    captured: list[list[int]]  # per elem: row indices
+    first_ts: int | None = None
+    neg_deadline: int | None = None
+
+
+def _run_nfa(
+    rows: pd.DataFrame,
+    masks: list,
+    elems: list[A.PatternElem],
+    strict_after: list[bool],
+    every: bool,
+    within_ms: int | None,
+) -> list[list[list[int]]]:
+    """Run the NFA over one partition; returns captured row-index lists."""
+    n_elems = len(elems)
+    ts_vals = rows[TS_COL].to_numpy()
+    matches: list[list[list[int]]] = []
+    partials: list[_Partial] = []
+    started = False
+    done = False
+
+    def first_nonneg(pos: int) -> int:
+        return pos
+
+    def completes(p: _Partial) -> bool:
+        """All elements from p.pos (exclusive of un-met mins) are satisfiable empty."""
+        for j in range(p.pos, n_elems):
+            cnt = len(p.captured[j])
+            e = elems[j]
+            if e.negated:
+                continue
+            if cnt < e.min_count:
+                return False
+        return True
+
+    def emit(p: _Partial):
+        matches.append([list(c) for c in p.captured])
+
+    n_rows = len(rows)
+    for i in range(n_rows):
+        if done:
+            break
+        ts = int(ts_vals[i])
+        survivors: list[_Partial] = []
+        emitted_now = False
+        # fresh attempt for this event (pattern start)
+        attempt_pool = list(partials)
+        if every or not started:
+            attempt_pool.append(_Partial(0, [[] for _ in range(n_elems)]))
+        for p in attempt_pool:
+            is_fresh = p.first_ts is None
+            if (
+                within_ms is not None
+                and p.first_ts is not None
+                and ts - p.first_ts > within_ms
+            ):
+                continue  # evict stale partial
+            res = _step(p, i, ts, rows, masks, elems, strict_after, completes, emit)
+            if res == "consumed":
+                if p.first_ts is None:
+                    p.first_ts = ts
+                    started = True
+                # completion check: at last elem with min satisfied and
+                # (no further extension possible is decided greedily later) —
+                # emit as soon as the pattern *can* complete and nothing
+                # mandatory remains.
+                if p.pos == n_elems - 1 and len(p.captured[-1]) >= (elems[-1].min_count or 0) and not elems[-1].is_collection and not elems[-1].negated:
+                    if within_ms is None or ts - p.first_ts <= within_ms:
+                        emit(p)
+                        emitted_now = True
+                        if not every:
+                            done = True
+                        continue
+                survivors.append(p)
+            elif res == "completed":
+                # advanced through trailing optionals without consuming
+                if within_ms is None or (p.first_ts is not None):
+                    emit(p)
+                    emitted_now = True
+                    if not every:
+                        done = True
+            elif res == "kept":
+                if not is_fresh:
+                    survivors.append(p)
+            # 'died' -> dropped
+        partials = survivors
+        if emitted_now and not every:
+            done = True
+    # end of data: complete partials whose remaining elements are optional or
+    # negated (absence confirmed by stream close) — only if they captured
+    # something and are past all mandatory elements.
+    if not done:
+        for p in partials:
+            if p.first_ts is not None and _can_close(p, elems):
+                emit(p)
+                if not every:
+                    break
+    return matches
+
+
+def _can_close(p: _Partial, elems: list[A.PatternElem]) -> bool:
+    if len(p.captured[p.pos]) < elems[p.pos].min_count and not elems[p.pos].negated:
+        return False
+    for j in range(p.pos + 1, len(elems)):
+        e = elems[j]
+        if not e.negated and e.min_count > 0:
+            return False
+    # at least one real capture and the last non-negated mandatory capture done
+    return any(p.captured)
+
+
+def _step(p, i, ts, rows, masks, elems, strict_after, completes, emit) -> str:
+    """Try to consume row i with partial p. Returns consumed|completed|kept|died."""
+    n = len(elems)
+    pos = p.pos
+    e = elems[pos]
+    cnt = len(p.captured[pos])
+    # negated guard element at current position
+    if e.negated:
+        deadline = p.neg_deadline
+        if bool(masks[pos][i]) and (deadline is None or ts <= deadline):
+            return "died"
+        if deadline is not None and ts > deadline:
+            # absence confirmed; advance and retry this event
+            p.pos += 1
+            p.neg_deadline = None
+            if p.pos >= n:
+                return "completed"
+            return _step(p, i, ts, rows, masks, elems, strict_after, completes, emit)
+        if deadline is None:
+            # 'not A -> B': guard holds while waiting; try next element
+            j = pos + 1
+            if j < n and bool(masks[j][i]) and not elems[j].negated:
+                p.pos = j
+                p.captured[j].append(i)
+                return "consumed"
+            return "kept"
+        return "kept"
+    mx = e.max_count
+    # (a) greedy extend of current element
+    if (mx is None or cnt < mx) and bool(masks[pos][i]):
+        p.captured[pos].append(i)
+        return "consumed"
+    # (b) advance if minimum met
+    if cnt >= e.min_count:
+        j = pos + 1
+        while j < n:
+            ej = elems[j]
+            if ej.negated:
+                if bool(masks[j][i]) and ej.for_ms is None:
+                    return "died"
+                if ej.for_ms is not None:
+                    # arm the absence window from the previous capture's ts
+                    prev_ts = ts  # conservative: arm from now
+                    p.pos = j
+                    p.neg_deadline = int(rows[TS_COL].iloc[p.captured[pos][-1]]) + ej.for_ms if p.captured[pos] else ts + ej.for_ms
+                    return _step(p, i, ts, rows, masks, elems, strict_after, completes, emit)
+                j += 1
+                continue
+            if bool(masks[j][i]):
+                p.pos = j
+                p.captured[j].append(i)
+                return "consumed"
+            if ej.min_count == 0:
+                j += 1
+                continue
+            break
+        if j >= n:
+            return "completed"
+    # (c) not consumed: strictness decides survival
+    if cnt == 0 and pos > 0:
+        strict = strict_after[pos - 1]
+    elif cnt > 0 and pos < n - 1:
+        strict = strict_after[pos]
+    elif cnt > 0 and pos == n - 1:
+        strict = False  # trailing collection: later events just stop extension
+    else:
+        strict = False
+    if strict:
+        return "died"
+    return "kept"
+
+
+def compile_pattern(planner, q: A.Query):
+    """Compile a pattern query input. Returns (df, resolver, fields)."""
+    p: A.PatternInput = q.input
+    elems = p.elems
+    # assign aliases
+    used = set()
+    for i, e in enumerate(elems):
+        if e.alias is None:
+            e.alias = e.stream if e.stream not in used else f"e{i}"
+        used.add(e.alias)
+    strict_after = [c == "," for c in p.connectors]
+
+    streams = []
+    for e in elems:
+        if e.stream not in streams:
+            streams.append(e.stream)
+    schemas = {s: planner.stream_schema(s) for s in streams}
+    dfs = {}
+    for s in streams:
+        df, sch = planner.stream_df(s)
+        if sch.ts_field is None:
+            raise SiddhiPlannerException(f"pattern stream '{s}' needs a ts_field")
+        dfs[s] = df
+
+    # union-by-name with nulls for missing columns
+    union_fields: list[tuple[str, T.DataType]] = []
+    seen: dict[str, T.DataType] = {}
+    for s in streams:
+        for f in dfs[s].schema.fields:
+            if f.name == TS_COL:
+                continue
+            if f.name in seen:
+                if seen[f.name] != f.dataType:
+                    raise SiddhiPlannerException(
+                        f"conflicting types for '{f.name}' across pattern streams"
+                    )
+            else:
+                seen[f.name] = f.dataType
+                union_fields.append((f.name, f.dataType))
+
+    parts = []
+    for s in streams:
+        have = set(dfs[s].columns)
+        cols = [F.lit(s).alias(STREAM_COL), F.col(TS_COL)]
+        for name, dtype in union_fields:
+            cols.append(F.col(name) if name in have else F.lit(None).cast(dtype).alias(name))
+        parts.append(dfs[s].select(*cols))
+    u = parts[0]
+    for part in parts[1:]:
+        u = u.unionByName(part)
+
+    # partition key
+    pk = q.partition_by or {}
+    if pk:
+        cases = None
+        for s in streams:
+            attr = pk.get(s)
+            if attr is None:
+                raise SiddhiPlannerException(f"partition with: missing key for stream '{s}'")
+            branch = F.col(attr)
+            cases = branch if cases is None else F.when(F.col(STREAM_COL) == s, F.col(attr)).otherwise(cases)
+        u = u.withColumn(PK_COL, cases if len(streams) > 1 else F.col(pk[streams[0]]))
+    else:
+        u = u.withColumn(PK_COL, F.lit(0))
+
+    # candidate pre-filter: pure '->' patterns without negation only ever look
+    # at events matching some element — push the disjunction to the scan.
+    relaxed_only = all(not s for s in strict_after) and not any(e.negated for e in elems)
+    if relaxed_only:
+        from ..plans.expr import ExprCompiler
+
+        disj = None
+        for e in elems:
+            comp = ExprCompiler(
+                planner._plain_resolver(set(u.columns), {e.stream}), planner.extensions
+            )
+            c = (F.col(STREAM_COL) == e.stream) & (
+                comp.compile(e.filter) if e.filter is not None else F.lit(True)
+            )
+            disj = c if disj is None else (disj | c)
+        u = u.filter(disj)
+
+    # output schema: per element x per field of its stream
+    out_fields: list[T.StructField] = []
+    col_of: dict[tuple[str, str], str] = {}
+    for e in elems:
+        if e.negated:
+            continue
+        sch = schemas[e.stream]
+        for fname in sch.fields:
+            dtype = dict((f.name, f.dataType) for f in sch.df.schema.fields)[fname]
+            out_name = f"{e.alias}__{fname}"
+            col_of[(e.alias, fname)] = out_name
+            out_fields.append(
+                T.StructField(
+                    out_name,
+                    T.ArrayType(dtype) if e.is_collection else dtype,
+                    True,
+                )
+            )
+    out_schema = T.StructType(out_fields)
+
+    sort_cols = [TS_COL] + [n for n, _ in union_fields]
+    elems_c = elems
+    every = p.every
+    within_ms = p.within_ms
+    field_names = {e.alias: schemas[e.stream].fields for e in elems if not e.negated}
+    collection = {e.alias: e.is_collection for e in elems if not e.negated}
+    filters = [(e.stream, e.filter) for e in elems]
+    out_names = [f.name for f in out_fields]
+
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        masks = []
+        for stream, filt in filters:
+            m = (pdf[STREAM_COL] == stream).to_numpy()
+            if filt is not None:
+                fv = _vec(filt, pdf)
+                m = m & fv.to_numpy(dtype=bool, na_value=False) if hasattr(fv, "to_numpy") else (m & bool(fv))
+            masks.append(m)
+        found = _run_nfa(pdf, masks, elems_c, strict_after, every, within_ms)
+        data: dict[str, list] = {n: [] for n in out_names}
+        for cap in found:
+            for ei, e in enumerate(elems_c):
+                if e.negated:
+                    continue
+                idxs = cap[ei]
+                for fname in field_names[e.alias]:
+                    cname = col_of[(e.alias, fname)]
+                    vals = [pdf[fname].iloc[j] for j in idxs]
+                    if collection[e.alias]:
+                        data[cname].append(vals)
+                    else:
+                        data[cname].append(vals[0] if vals else None)
+        return pd.DataFrame(data, columns=out_names)
+
+    result = u.groupBy(PK_COL).applyInPandas(match_group, schema=out_schema)
+
+    # resolver for select over the match table
+    singles = [e for e in elems if not e.negated]
+
+    def resolve(ref: A.Ref) -> Column:
+        if ref.stream is not None:
+            key = (ref.stream, ref.name)
+            if key not in col_of:
+                raise SiddhiPlannerException(
+                    f"unknown pattern reference {ref.stream}.{ref.name}"
+                )
+            c = F.col(col_of[key])
+            if collection.get(ref.stream, False):
+                idx = ref.index if ref.index is not None else 0
+                return c.getItem(idx)
+            if ref.index is not None:
+                raise SiddhiPlannerException(f"{ref.stream} is not a collection")
+            return c
+        for e in singles:
+            if ref.name in field_names[e.alias]:
+                c = F.col(col_of[(e.alias, ref.name)])
+                return c.getItem(0) if collection[e.alias] else c
+        raise SiddhiPlannerException(f"unknown column '{ref.name}' after pattern")
+
+    return result, resolve, out_names

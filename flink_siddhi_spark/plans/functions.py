@@ -1,0 +1,93 @@
+"""Siddhi built-in function surface -> native Spark SQL functions.
+
+The reference exposes siddhi-core 5.1 built-ins through `cql()` (SURVEY.md §2.B
+"Scalar functions"); its own code only exercises the custom-extension path
+(reference: SiddhiCEPITCase.java:403, extension/CustomPlusFunctionExtension.java).
+Everything here compiles to JVM-side Catalyst expressions — no Python UDFs in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..errors import SiddhiPlannerException
+
+# aggregate function names (lower-cased)
+AGG_FNS = {
+    "sum", "count", "avg", "min", "max", "distinctcount", "stddev",
+    "minforever", "maxforever", "first", "last",
+}
+
+_TYPE_ALIASES = {
+    "int": "int", "integer": "int", "long": "bigint", "float": "float",
+    "double": "double", "string": "string", "bool": "boolean",
+}
+
+
+def _cast(args: list[Column], raw_args: list) -> Column:
+    if len(args) != 2:
+        raise SiddhiPlannerException("convert/cast take (value, 'type')")
+    ty = raw_args[1]
+    if not isinstance(ty, str):
+        raise SiddhiPlannerException("cast type must be a string literal")
+    return args[0].cast(_TYPE_ALIASES.get(ty.lower(), ty.lower()))
+
+
+def _if_then_else(args: list[Column], _raw) -> Column:
+    return F.when(args[0], args[1]).otherwise(args[2])
+
+
+def _simple(fn: Callable[..., Column]):
+    return lambda args, _raw: fn(*args)
+
+
+# (ns, name) -> builder(cols, raw_literal_args) -> Column.  ns=None is the
+# default namespace; Siddhi 4/5 namespaced exts math: str: time: included.
+SCALAR_FNS: dict[tuple[str | None, str], Callable] = {
+    (None, "coalesce"): _simple(F.coalesce),
+    (None, "ifthenelse"): _if_then_else,
+    (None, "convert"): _cast,
+    (None, "cast"): _cast,
+    (None, "uuid"): lambda a, r: F.expr("uuid()"),
+    (None, "currenttimemillis"): lambda a, r: F.unix_millis(F.current_timestamp()),
+    (None, "round"): _simple(F.round),
+    (None, "abs"): _simple(F.abs),
+    (None, "instanceofinteger"): lambda a, r: a[0].cast("int").isNotNull(),
+    (None, "instanceofstring"): lambda a, r: a[0].cast("string").isNotNull(),
+}
+
+for _n in ("abs", "ceil", "floor", "sqrt", "exp", "sin", "cos", "tan",
+           "asin", "acos", "atan", "signum", "log10", "log2"):
+    SCALAR_FNS[("math", _n)] = _simple(getattr(F, _n if _n != "signum" else "signum"))
+SCALAR_FNS[("math", "round")] = _simple(F.round)
+SCALAR_FNS[("math", "ln")] = _simple(F.log)
+SCALAR_FNS[("math", "log")] = _simple(F.log)  # math:log(x) natural log
+SCALAR_FNS[("math", "power")] = _simple(F.pow)
+SCALAR_FNS[("math", "rand")] = lambda a, r: F.rand()
+
+SCALAR_FNS.update({
+    ("str", "concat"): _simple(F.concat),
+    ("str", "length"): _simple(F.length),
+    ("str", "lower"): _simple(F.lower),
+    ("str", "upper"): _simple(F.upper),
+    ("str", "trim"): _simple(F.trim),
+    ("str", "contains"): lambda a, r: a[0].contains(a[1]),
+    ("str", "startswith"): lambda a, r: a[0].startswith(a[1]),
+    ("str", "endswith"): lambda a, r: a[0].endswith(a[1]),
+    ("str", "replaceall"): _simple(F.regexp_replace),
+    ("str", "reverse"): _simple(F.reverse),
+    ("str", "repeat"): _simple(F.repeat),
+    # siddhi str:substr(value, begin_index_0_based, length)
+    ("str", "substr"): lambda a, r: F.substring(a[0], a[1] + F.lit(1), a[2]),
+    ("str", "equalsignorecase"): lambda a, r: F.lower(a[0]) == F.lower(a[1]),
+    ("time", "extract"): lambda a, r: F.date_part(a[0], a[1]),
+    ("time", "currenttimestamp"): lambda a, r: F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss"),
+})
+
+
+def lookup_scalar(ns: str | None, name: str):
+    return SCALAR_FNS.get((ns.lower() if ns else None, name.lower()))

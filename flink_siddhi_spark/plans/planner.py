@@ -1,0 +1,494 @@
+"""Batch planner: SiddhiQL AST -> DataFrame plan (Catalyst does the rest).
+
+This is the compiler described in SURVEY.md §3.1 "Spark re-architecture":
+``cql()`` parses to a small AST, this planner lowers it to declarative
+DataFrame operations (filter/select/groupBy/window-functions/join), and only
+pattern/sequence constructs fall back to an Arrow-batched ``applyInPandas``
+NFA operator (operators/pattern.py). Validation is Catalyst analysis at
+plan-build time — the reference instead compiles the plan in a throwaway
+Siddhi runtime (AbstractSiddhiOperator.java:292-299).
+
+Determinism contract (the DuckDB-oracle gate): floating-point SUM/AVG/STDDEV
+aggregate through DECIMAL so results do not depend on partition/accumulation
+order; count-based orderings use (event-time, declared fields) as a total
+order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import (
+    SiddhiPlannerException,
+    UndefinedStreamException,
+    UnsupportedFeatureException,
+)
+from ..schema import StreamSchema
+from ..siddhiql import ast as A
+from ..operators import windows as W
+from .expr import ExprCompiler, contains_agg
+from .functions import AGG_FNS
+
+TS_COL = "__ts"
+DEC = "decimal(25,6)"
+
+
+def normalize_ref(ref: A.Ref, input_names: set[str]) -> A.Ref:
+    if ref.stream is not None and ref.stream in input_names:
+        return ref
+    return ref
+
+
+@dataclass
+class PreparedSingle:
+    df: DataFrame
+    schema: StreamSchema
+    name: str  # alias
+    ord_cols: list[str] = dc_field(default_factory=list)
+
+
+class BatchPlanner:
+    def __init__(
+        self,
+        catalog: dict[str, StreamSchema],
+        extensions: Optional[dict] = None,
+    ):
+        self.catalog = catalog
+        self.extensions = extensions or {}
+
+    # ------------------------------------------------------------- utilities
+    def stream_schema(self, name: str) -> StreamSchema:
+        if name not in self.catalog:
+            raise UndefinedStreamException(
+                f"stream '{name}' is not registered (known: {sorted(self.catalog)})"
+            )
+        return self.catalog[name]
+
+    def stream_df(self, name: str) -> tuple[DataFrame, StreamSchema]:
+        """DataFrame with a normalized epoch-millis ``__ts`` event-time column."""
+        s = self.stream_schema(name)
+        df = s.df.select(*s.fields)
+        if s.ts_field is not None:
+            dt = dict(df.dtypes).get(s.ts_field, "")
+            if dt.startswith("timestamp"):
+                df = df.withColumn(TS_COL, F.unix_millis(F.col(s.ts_field)))
+            else:
+                df = df.withColumn(TS_COL, F.col(s.ts_field).cast("bigint"))
+        return df, s
+
+    def ord_cols_for(self, s: StreamSchema) -> list[str]:
+        cols = [TS_COL] if s.ts_field is not None else []
+        cols += [f for f in s.fields if f != s.ts_field]
+        return cols
+
+    def _dtype_of(self, df: DataFrame, col: Column) -> T.DataType:
+        return df.select(col.alias("__probe")).schema[0].dataType
+
+    # ----------------------------------------------------------- compile API
+    def compile_query(self, q: A.Query) -> DataFrame:
+        if isinstance(q.input, A.PatternInput):
+            from ..operators.pattern import compile_pattern
+
+            df, resolver, fields = compile_pattern(self, q)
+            return self._finish(df, q, resolver, fields, ts_col=None, ord_cols=None)
+        if isinstance(q.input, A.JoinInput):
+            from ..operators.joins import compile_join
+
+            df, resolver, fields = compile_join(self, q)
+            return self._finish(df, q, resolver, fields, ts_col=None, ord_cols=None)
+        return self._compile_single(q)
+
+    # ------------------------------------------------------------ single input
+    def _compile_single(self, q: A.Query) -> DataFrame:
+        si: A.SingleInput = q.input
+        df, schema = self.stream_df(si.stream)
+        name = si.alias or si.stream
+        names = {si.stream}
+        if si.alias:
+            names.add(si.alias)
+        resolver = self._plain_resolver(set(df.columns), names)
+        comp = self._compiler(resolver, df)
+        if si.filter is not None:
+            df = df.filter(comp.compile(si.filter))
+        has_agg = self._query_has_agg(q)
+        wclass = W.classify(si.window)
+        ord_cols = self.ord_cols_for(schema)
+        if not has_agg:
+            return self._select_rowwise(df, q, resolver, schema.fields)
+        ts_col = TS_COL if schema.ts_field is not None else None
+        if wclass in ("batch", "sliding") and ts_col is None and si.window.name.lower() not in (
+            "lengthbatch",
+        ) and not si.window.name.lower().startswith("external"):
+            raise SiddhiPlannerException(
+                f"stream '{si.stream}' needs ts_field for #window.{si.window.name}"
+            )
+        if wclass == "sliding":
+            return self._select_sliding(df, q, si, ts_col or TS_COL, ord_cols)
+        return self._select_group(df, q, si if wclass == "batch" else None, ts_col, ord_cols)
+
+    # -------------------------------------------------------------- resolvers
+    def _plain_resolver(self, valid: set[str], stream_names: set[str]):
+        def resolve(ref: A.Ref) -> Column:
+            if ref.index is not None:
+                raise SiddhiPlannerException(f"indexed ref {ref.stream}[{ref.index}] only valid after patterns")
+            if ref.stream is not None and ref.stream not in stream_names:
+                raise SiddhiPlannerException(f"unknown stream qualifier '{ref.stream}'")
+            if ref.name not in valid:
+                raise SiddhiPlannerException(f"unknown attribute '{ref.name}'")
+            return F.col(ref.name)
+
+        return resolve
+
+    def _compiler(self, resolver, df: DataFrame, agg_handler=None, ts: Optional[Column] = None):
+        return ExprCompiler(resolver, self.extensions, agg_handler, ts)
+
+    @staticmethod
+    def _query_has_agg(q: A.Query) -> bool:
+        items = q.select or []
+        if any(contains_agg(it.expr) for it in items):
+            return True
+        if q.having is not None and contains_agg(q.having):
+            return True
+        return any(contains_agg(o.expr) for o in q.order_by)
+
+    # --------------------------------------------------------------- agg funcs
+    def _agg_column(self, call: A.Call, comp: ExprCompiler, df: DataFrame,
+                    ord_struct: Optional[Column], frame=None) -> Column:
+        """Compile one aggregate call; ``frame`` (a WindowSpec) turns it into a
+        window function — applied to each raw aggregate BEFORE any outer
+        arithmetic/casts so Catalyst sees a proper OVER clause."""
+        name = call.name.lower()
+        arg = comp.compile(call.args[0]) if call.args else None
+        floating = arg is not None and isinstance(
+            self._dtype_of(df, arg), (T.DoubleType, T.FloatType)
+        )
+        over = (lambda c: c.over(frame)) if frame is not None else (lambda c: c)
+        if name == "count":
+            if arg is None:
+                return over(F.count(F.lit(1)))
+            return over(F.count_distinct(arg)) if call.distinct else over(F.count(arg))
+        if name == "distinctcount":
+            return over(F.count_distinct(arg))
+        if name == "sum":
+            return over(F.sum(arg.cast(DEC))).cast("double") if floating else over(F.sum(arg))
+        if name == "avg":
+            if floating:
+                # exact decimal sum, then double division (deterministic and
+                # identical to DuckDB's CAST(SUM(DECIMAL) AS DOUBLE)/COUNT)
+                return over(F.sum(arg.cast(DEC))).cast("double") / over(F.count(arg))
+            return over(F.avg(arg))
+        if name in ("min", "minforever"):
+            return over(F.min(arg))
+        if name in ("max", "maxforever"):
+            return over(F.max(arg))
+        if name == "stddev":
+            # deterministic population stddev via exact decimal sums
+            n = over(F.count(arg))
+            s = over(F.sum(arg.cast("decimal(27,8)"))).cast("double")
+            s2 = over(F.sum((arg * arg).cast("decimal(27,8)"))).cast("double")
+            return F.sqrt(F.greatest(F.lit(0.0), s2 / n - (s / n) * (s / n)))
+        if name == "first":
+            if frame is not None:
+                return over(F.first(arg))
+            if ord_struct is None:
+                raise SiddhiPlannerException("first() needs an ordered stream")
+            return F.min_by(arg, ord_struct)
+        if name == "last":
+            if frame is not None:
+                return over(F.last(arg))
+            if ord_struct is None:
+                raise SiddhiPlannerException("last() needs an ordered stream")
+            return F.max_by(arg, ord_struct)
+        raise UnsupportedFeatureException(f"aggregate {call.name} not implemented")
+
+    # -------------------------------------------------------- row-wise select
+    def _select_rowwise(self, df: DataFrame, q: A.Query, resolver, fields: list[str]) -> DataFrame:
+        comp = self._compiler(resolver, df)
+        if q.select is None:
+            out = df.select(*fields)
+        else:
+            cols = [comp.compile(it.expr).alias(self._out_name(it)) for it in q.select]
+            out = df.select(*cols)
+        if q.having is not None:
+            hc = ExprCompiler(lambda r: F.col(r.name), self.extensions)
+            out = out.filter(hc.compile(q.having))
+        return self._order_limit(out, q)
+
+    # ------------------------------------------------------------ group select
+    def _select_group(
+        self,
+        df: DataFrame,
+        q: A.Query,
+        windowed: Optional[A.SingleInput],
+        ts_col: Optional[str],
+        ord_cols: list[str],
+    ) -> DataFrame:
+        resolver = self._plain_resolver(set(df.columns), self._input_names(q))
+        # 1. materialize group-key expressions as columns
+        group_cols: list[str] = []
+        key_map: list[tuple[A.Expr, str]] = []
+        comp = self._compiler(resolver, df)
+        for i, ge in enumerate(q.group_by):
+            gname = ge.name if isinstance(ge, A.Ref) else f"__g{i}"
+            if gname not in df.columns:
+                df = df.withColumn(gname, comp.compile(ge))
+            group_cols.append(gname)
+            key_map.append((ge, gname))
+        # 2. window bucket
+        win_start = win_end = None
+        group_all = list(group_cols)
+        if windowed is not None and windowed.window is not None:
+            bw = W.add_bucket(df, windowed.window, ts_col or TS_COL, group_cols, ord_cols)
+            df = bw.df
+            win_start, win_end = bw.win_start, bw.win_end
+            group_all = [W.BUCKET_COL] + group_all
+        # 3. collect aggregate sub-expressions from select/having/order
+        agg_map: dict[int, str] = {}
+        agg_exprs: list[Column] = []
+        ord_struct = F.struct(*[F.col(c) for c in ord_cols]) if ord_cols else None
+
+        def agg_handler(call: A.Call, inner: ExprCompiler) -> Column:
+            raise SiddhiPlannerException("nested aggregate")
+
+        inner_comp = self._compiler(resolver, df)
+
+        def collect(e: A.Expr):
+            if isinstance(e, A.Call) and e.ns is None and e.name.lower() in AGG_FNS:
+                if id(e) not in agg_map:
+                    nm = f"__a{len(agg_map)}"
+                    agg_map[id(e)] = nm
+                    agg_exprs.append(
+                        self._agg_column(e, inner_comp, df, ord_struct).alias(nm)
+                    )
+                return
+            for child in _children(e):
+                collect(child)
+
+        items = q.select or []
+        for it in items:
+            collect(it.expr)
+        if q.having is not None:
+            collect(q.having)
+        for o in q.order_by:
+            collect(o.expr)
+        # 4. aggregate
+        if group_all:
+            agg_df = df.groupBy(*[F.col(c) for c in group_all]).agg(*agg_exprs) if agg_exprs else df.select(*group_all).distinct()
+        else:
+            agg_df = df.agg(*agg_exprs)
+        # 5. post-select: compile items against (group cols + agg placeholders)
+        post_resolver = self._post_agg_resolver(key_map, group_cols, agg_df)
+        post_comp = ExprCompiler(
+            post_resolver,
+            {**self.extensions, **self._window_fns(win_start, win_end)},
+            agg_handler=lambda call, inner: F.col(agg_map[id(call)]),
+        )
+        if q.select is None:
+            raise SiddhiPlannerException("select * not allowed in aggregate queries")
+        out_cols = [post_comp.compile(it.expr).alias(self._out_name(it)) for it in items]
+        keep_names = [self._out_name(it) for it in items]
+        wide = agg_df
+        for c, n in zip(out_cols, keep_names):
+            wide = wide.withColumn(n, c)
+        # 6. having / order on the wide frame (aliases + group cols + placeholders)
+        havord = ExprCompiler(
+            self._wide_resolver(wide, key_map),
+            {**self.extensions, **self._window_fns(win_start, win_end)},
+            agg_handler=lambda call, inner: F.col(agg_map[id(call)]),
+        )
+        if q.having is not None:
+            wide = wide.filter(havord.compile(q.having))
+        wide = self._order_limit(wide, q, havord)
+        return wide.select(*keep_names)
+
+    def _window_fns(self, win_start, win_end) -> dict:
+        fns = {}
+        if win_start is not None:
+            fns["windowStart"] = lambda *a: win_start
+            fns["windowEnd"] = lambda *a: win_end
+        return fns
+
+    def _post_agg_resolver(self, key_map, group_cols, agg_df):
+        def resolve(ref: A.Ref) -> Column:
+            for ge, gname in key_map:
+                if isinstance(ge, A.Ref) and ge.name == ref.name:
+                    return F.col(gname)
+            if ref.name in agg_df.columns:
+                return F.col(ref.name)
+            raise SiddhiPlannerException(
+                f"column '{ref.name}' must be a group-by key or inside an aggregate"
+            )
+
+        return resolve
+
+    def _wide_resolver(self, wide: DataFrame, key_map):
+        cols = set(wide.columns)
+
+        def resolve(ref: A.Ref) -> Column:
+            if ref.name in cols:
+                return F.col(ref.name)
+            for ge, gname in key_map:
+                if isinstance(ge, A.Ref) and ge.name == ref.name:
+                    return F.col(gname)
+            raise SiddhiPlannerException(f"unknown column '{ref.name}' in having/order by")
+
+        return resolve
+
+    # ---------------------------------------------------------- sliding select
+    def _select_sliding(
+        self, df: DataFrame, q: A.Query, si: A.SingleInput, ts_col: str, ord_cols: list[str]
+    ) -> DataFrame:
+        resolver = self._plain_resolver(set(df.columns), self._input_names(q))
+        comp_plain = self._compiler(resolver, df)
+        group_cols: list[str] = []
+        for i, ge in enumerate(q.group_by):
+            gname = ge.name if isinstance(ge, A.Ref) else f"__g{i}"
+            if gname not in df.columns:
+                df = df.withColumn(gname, comp_plain.compile(ge))
+            group_cols.append(gname)
+        frame = W.sliding_frame(si.window, ts_col, group_cols, ord_cols)
+
+        def agg_handler(call: A.Call, inner: ExprCompiler) -> Column:
+            name = call.name.lower()
+            arg = inner.compile(call.args[0]) if call.args else None
+            if name == "distinctcount" or (name == "count" and call.distinct):
+                return F.size(F.collect_set(arg).over(frame))
+            return self._agg_column(call, inner, df, None, frame=frame)
+
+        comp = ExprCompiler(resolver, self.extensions, agg_handler)
+        if q.select is None:
+            raise SiddhiPlannerException("select * not allowed in aggregate queries")
+        cols = [comp.compile(it.expr).alias(self._out_name(it)) for it in q.select]
+        out = df.select(*cols)
+        if q.having is not None:
+            hc = ExprCompiler(lambda r: F.col(r.name), self.extensions)
+            out = out.filter(hc.compile(q.having))
+        return self._order_limit(out, q)
+
+    # ------------------------------------------------------------- join/pattern
+    def _finish(self, df, q, resolver, fields, ts_col, ord_cols) -> DataFrame:
+        if self._query_has_agg(q):
+            return self._select_group_generic(df, q, resolver)
+        return self._select_rowwise(df, q, resolver, fields)
+
+    def _select_group_generic(self, df: DataFrame, q: A.Query, resolver) -> DataFrame:
+        # plain (windowless) aggregation over a join/pattern result
+        comp = self._compiler(resolver, df)
+        group_cols = []
+        key_map = []
+        for i, ge in enumerate(q.group_by):
+            gname = ge.name if isinstance(ge, A.Ref) and ge.stream is None else f"__g{i}"
+            df = df.withColumn(gname, comp.compile(ge))
+            group_cols.append(gname)
+            key_map.append((ge, gname))
+        agg_map: dict[int, str] = {}
+        agg_exprs: list[Column] = []
+        inner_comp = self._compiler(resolver, df)
+
+        def collect(e: A.Expr):
+            if isinstance(e, A.Call) and e.ns is None and e.name.lower() in AGG_FNS:
+                if id(e) not in agg_map:
+                    nm = f"__a{len(agg_map)}"
+                    agg_map[id(e)] = nm
+                    agg_exprs.append(self._agg_column(e, inner_comp, df, None).alias(nm))
+                return
+            for child in _children(e):
+                collect(child)
+
+        items = q.select or []
+        if q.select is None:
+            raise SiddhiPlannerException("select * not allowed in aggregate queries")
+        for it in items:
+            collect(it.expr)
+        if q.having is not None:
+            collect(q.having)
+        for o in q.order_by:
+            collect(o.expr)
+        agg_df = (
+            df.groupBy(*[F.col(c) for c in group_cols]).agg(*agg_exprs)
+            if group_cols
+            else df.agg(*agg_exprs)
+        )
+
+        def post_resolve(ref: A.Ref) -> Column:
+            for ge, gname in key_map:
+                if isinstance(ge, A.Ref) and ge.name == ref.name and (
+                    ref.stream is None or ref.stream == ge.stream
+                ):
+                    return F.col(gname)
+            if ref.name in agg_df.columns:
+                return F.col(ref.name)
+            raise SiddhiPlannerException(
+                f"column '{ref.name}' must be a group-by key or inside an aggregate"
+            )
+
+        post_comp = ExprCompiler(
+            post_resolve, self.extensions,
+            agg_handler=lambda call, inner: F.col(agg_map[id(call)]),
+        )
+        keep = [self._out_name(it) for it in items]
+        wide = agg_df
+        for it, n in zip(items, keep):
+            wide = wide.withColumn(n, post_comp.compile(it.expr))
+        havord = ExprCompiler(
+            lambda r: F.col(r.name) if r.name in wide.columns else post_resolve(r),
+            self.extensions,
+            agg_handler=lambda call, inner: F.col(agg_map[id(call)]),
+        )
+        if q.having is not None:
+            wide = wide.filter(havord.compile(q.having))
+        wide = self._order_limit(wide, q, havord)
+        return wide.select(*keep)
+
+    # ------------------------------------------------------------------ misc
+    @staticmethod
+    def _input_names(q: A.Query) -> set[str]:
+        names: set[str] = set()
+        inp = q.input
+        if isinstance(inp, A.SingleInput):
+            names.add(inp.stream)
+            if inp.alias:
+                names.add(inp.alias)
+        return names
+
+    @staticmethod
+    def _out_name(it: A.SelectItem) -> str:
+        if it.alias:
+            return it.alias
+        if isinstance(it.expr, A.Ref):
+            return it.expr.name
+        raise SiddhiPlannerException(
+            f"computed select column needs an alias: {it.expr!r}"
+        )
+
+    def _order_limit(self, out: DataFrame, q: A.Query, comp: Optional[ExprCompiler] = None) -> DataFrame:
+        if comp is None:
+            comp = ExprCompiler(lambda r: F.col(r.name), self.extensions)
+        if q.order_by:
+            cols = [
+                comp.compile(o.expr).desc() if o.desc else comp.compile(o.expr).asc()
+                for o in q.order_by
+            ]
+            out = out.orderBy(*cols)
+        if q.offset is not None:
+            out = out.offset(q.offset)
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
+
+
+def _children(e: A.Expr):
+    if isinstance(e, A.Binary):
+        return (e.left, e.right)
+    if isinstance(e, (A.Unary, A.IsNull)):
+        return (e.expr,)
+    if isinstance(e, A.Call):
+        return tuple(e.args)
+    if isinstance(e, A.InTable):
+        return (e.expr,)
+    return ()

@@ -1,0 +1,36 @@
+"""Batch table sources for the driver's TPC-H-ish parquet testdata.
+
+Spark 4 rejects parquet TIMESTAMP(NANOS) columns (events.ts) unless
+``spark.sql.legacy.parquet.nanosAsLong`` is set; we set it and normalize the
+nanos-long back to a proper TimestampType column so downstream plans use
+native timestamp semantics (and pushdown still works — the conversion is a
+projection on top of the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-since-epoch long -> TimestampType (micro precision)
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
