@@ -76,7 +76,9 @@ class BatchPlanner:
         if s.ts_field is not None:
             dt = dict(df.dtypes).get(s.ts_field, "")
             if dt.startswith("timestamp"):
-                df = df.withColumn(TS_COL, F.unix_millis(F.col(s.ts_field)))
+                # TIMESTAMP_NTZ needs a cast first; session TZ should be UTC so
+                # NTZ values are interpreted as UTC (matches DuckDB epoch_ms).
+                df = df.withColumn(TS_COL, F.unix_millis(F.col(s.ts_field).cast("timestamp")))
             else:
                 df = df.withColumn(TS_COL, F.col(s.ts_field).cast("bigint"))
         return df, s
