@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator inventoried in SURVEY.md §2 that is implemented gets a
+``queries()`` entry (running through the real engine API — ``SiddhiCEP`` +
+SiddhiQL ``cql`` — or the llm/ operator library) and, where ANSI-SQL can
+express the same semantics, a DuckDB ``oracle_sql()`` entry. Column names and
+value determinism (decimal-summed float aggregates, total orderings, rounded
+cosines) are aligned between both sides — see tests/ for the same checks run
+in CI fashion.
 """
 
 from __future__ import annotations
@@ -12,27 +14,786 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+ORD = "event_id, user_id, event_type, value, props"  # deterministic total order tail
+
+
+def _cep(spark: SparkSession, sf_dir: str):
+    from flink_siddhi_spark import SiddhiCEP
+    from flink_siddhi_spark.sources.tables import load_table
+
+    cep = SiddhiCEP(spark)
+    events = load_table(spark, sf_dir, "events")
+    cep.register_stream(
+        "events", events, "event_id", "ts", "user_id", "event_type", "value", "props",
+        ts_field="ts",
+    )
+    return cep
+
+
+def _cep_tpch(spark: SparkSession, sf_dir: str):
+    from flink_siddhi_spark import SiddhiCEP
+    from flink_siddhi_spark.sources.tables import load_table
+
+    cep = SiddhiCEP(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cep.register_stream(
+        "lineitem", lineitem, "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate", ts_field="l_shipdate",
+    )
+    cep.register_stream(
+        "orders", orders, "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority", ts_field="o_orderdate",
+    )
+    cep.register_table(
+        "customer", load_table(spark, sf_dir, "customer"),
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    cep.register_table(
+        "nation", load_table(spark, sf_dir, "nation"), "n_nationkey", "n_name", "n_regionkey",
+    )
+    return cep
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# engine-path queries (SiddhiQL via SiddhiCEP)
+# --------------------------------------------------------------------------
+
+def q_filter_projection(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events[value > 90.0 and event_type == 'purchase'] "
+        "select event_id, user_id, value insert into Out"
+    ).returns("Out")
+
+
+def q_projection_expressions(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events select event_id, value * 2.0 + 1.0 as v2, "
+        "ifThenElse(value > 50.0, 'hi', 'lo') as band, "
+        "str:concat(event_type, '_x') as tag insert into Out"
+    ).returns("Out")
+
+
+def q_group_agg(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events select event_type, count() as n, sum(value) as total, "
+        "avg(value) as mean, min(value) as lo, max(value) as hi "
+        "group by event_type insert into Out"
+    ).returns("Out")
+
+
+def q_having_filter(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events select user_id, count() as n, sum(value) as total "
+        "group by user_id having n > 30 insert into Out"
+    ).returns("Out")
+
+
+def q_order_limit(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events select user_id, sum(value) as total group by user_id "
+        "order by total desc, user_id limit 10 insert into Out"
+    ).returns("Out")
+
+
+def q_distinct_count(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events select event_type, distinctCount(user_id) as users "
+        "group by event_type insert into Out"
+    ).returns("Out")
+
+
+def q_stddev_agg(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events select event_type, stddev(value) as sd group by event_type "
+        "insert into Out"
+    ).returns("Out")
+
+
+def q_window_time_batch(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.timeBatch(1 hour) "
+        "select windowStart() as w, event_type, count() as n, sum(value) as total "
+        "group by event_type insert into Out"
+    ).returns("Out")
+
+
+def q_window_length_batch(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.lengthBatch(20) "
+        "select user_id, count() as n, sum(value) as total group by user_id "
+        "insert into Out"
+    ).returns("Out")
+
+
+def q_window_session(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.session(30 min) "
+        "select user_id, count() as n, sum(value) as total group by user_id "
+        "insert into Out"
+    ).returns("Out")
+
+
+def q_window_sliding_length(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.length(10) "
+        "select event_id, sum(value) as running group by user_id insert into Out"
+    ).returns("Out")
+
+
+def q_window_sliding_time(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.time(10 min) "
+        "select event_id, count() as n group by user_id insert into Out"
+    ).returns("Out")
+
+
+def q_join_time_time(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events[event_type == 'error']#window.time(10 min) as e "
+        "join events[event_type == 'purchase']#window.time(10 min) as p "
+        "on e.user_id == p.user_id "
+        "select e.event_id as error_id, p.event_id as purchase_id insert into Out"
+    ).returns("Out")
+
+
+def q_join_length_time(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events[event_type == 'error']#window.length(5) as e "
+        "join events[event_type == 'purchase']#window.time(5 min) as p "
+        "on e.user_id == p.user_id "
+        "select e.event_id as error_id, p.event_id as purchase_id insert into Out"
+    ).returns("Out")
+
+
+def q_join_left_outer(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events[event_type == 'signup']#window.time(30 sec) as s "
+        "left outer join events[event_type == 'purchase']#window.time(30 sec) as p "
+        "on s.user_id == p.user_id "
+        "select s.event_id as signup_id, p.event_id as purchase_id insert into Out"
+    ).returns("Out")
+
+
+def q_join_stream_table(spark, sf_dir):
+    return _cep_tpch(spark, sf_dir).from_("orders").cql(
+        "from orders join customer on o_custkey == c_custkey "
+        "select o_orderkey, c_name, c_mktsegment, o_totalprice insert into Out"
+    ).returns("Out")
+
+
+def q_join_theta(spark, sf_dir):
+    return _cep_tpch(spark, sf_dir).from_("orders").cql(
+        "from orders join customer on o_custkey == c_custkey and o_totalprice > c_acctbal "
+        "select o_orderkey, c_name, o_totalprice, c_acctbal insert into Out"
+    ).returns("Out")
+
+
+def q_union_fan_in(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events[event_type == 'click'] select event_id, user_id insert into Out;"
+        "from events[event_type == 'view'] select event_id, user_id insert into Out;"
+    ).returns("Out")
+
+
+def q_chained_queries(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events[value > 50.0] select event_id, user_id, value insert into Mid;"
+        "from Mid[value > 90.0] select event_id, user_id insert into Out;"
+    ).returns("Out")
+
+
+def q_pattern_followed_by(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "partition with (user_id of events) begin "
+        "from every s1 = events[event_type == 'error'] -> s2 = events[event_type == 'purchase'] "
+        "select s1.user_id as user_id, s1.event_id as error_id, s2.event_id as purchase_id "
+        "insert into Out; end"
+    ).returns("Out")
+
+
+def q_pattern_first_match(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "partition with (user_id of events) begin "
+        "from s1 = events[event_type == 'error'] -> s2 = events[event_type == 'purchase'] "
+        "select s1.user_id as user_id, s1.event_id as error_id, s2.event_id as purchase_id "
+        "insert into Out; end"
+    ).returns("Out")
+
+
+def q_pattern_within(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "partition with (user_id of events) begin "
+        "from every s1 = events[event_type == 'error'] -> s2 = events[event_type == 'purchase'] "
+        "within 1 hour "
+        "select s1.user_id as user_id, s1.event_id as error_id, s2.event_id as purchase_id "
+        "insert into Out; end"
+    ).returns("Out")
+
+
+def q_pattern_absence(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "partition with (user_id of events) begin "
+        "from every s1 = events[event_type == 'error'] -> not events[event_type == 'click'] for 5 min "
+        "select s1.user_id as user_id, s1.event_id as error_id insert into Out; end"
+    ).returns("Out")
+
+
+def q_sequence_strict(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "partition with (user_id of events) begin "
+        "from every a = events[value > 95.0] , b = events[value > 95.0] "
+        "select a.user_id as user_id, a.event_id as first_id, b.event_id as second_id "
+        "insert into Out; end"
+    ).returns("Out")
+
+
+def q_sequence_quantifier(spark, sf_dir):
+    # '+' collection with indexed access — no clean ANSI-SQL analogue (rows-only check)
+    return _cep(spark, sf_dir).from_("events").cql(
+        "partition with (user_id of events) begin "
+        "from every a = events[value > 90.0]+ , b = events[value <= 90.0] "
+        "select a.user_id as user_id, a[0].event_id as first_high, b.event_id as breaker "
+        "insert into Out; end"
+    ).returns("Out")
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    return _cep_tpch(spark, sf_dir).from_("lineitem").cql(
+        "from lineitem[l_shipdate <= '1998-09-02 00:00:00'] "
+        "select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty, "
+        "sum(l_extendedprice) as sum_base_price, "
+        "sum(l_extendedprice * (1.0 - l_discount)) as sum_disc_price, "
+        "sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) as sum_charge, "
+        "avg(l_quantity) as avg_qty, avg(l_extendedprice) as avg_price, "
+        "avg(l_discount) as avg_disc, count() as count_order "
+        "group by l_returnflag, l_linestatus insert into Out"
+    ).returns("Out")
+
+
+def q_tpch_q3_shipping(spark, sf_dir):
+    return _cep_tpch(spark, sf_dir).from_("orders").cql(
+        "from orders[o_orderdate < '1997-06-01 00:00:00'] "
+        "join customer[c_mktsegment == 'BUILDING'] on o_custkey == c_custkey "
+        "select o_orderkey, o_orderpriority insert into CO;"
+        "from lineitem[l_shipdate > '1997-06-01 00:00:00'] "
+        "join CO on l_orderkey == o_orderkey "
+        "select l_orderkey, sum(l_extendedprice * (1.0 - l_discount)) as revenue, "
+        "o_orderpriority "
+        "group by l_orderkey, o_orderpriority "
+        "order by revenue desc, l_orderkey limit 10 insert into Out;"
+    ).returns("Out")
+
+
+def q_tpch_q5ish_revenue(spark, sf_dir):
+    return _cep_tpch(spark, sf_dir).from_("orders").cql(
+        "from orders join customer on o_custkey == c_custkey "
+        "select o_orderkey, c_nationkey insert into OC;"
+        "from lineitem join OC on l_orderkey == o_orderkey "
+        "select c_nationkey, l_extendedprice, l_discount insert into OL;"
+        "from OL join nation on c_nationkey == n_nationkey "
+        "select n_name, sum(l_extendedprice * (1.0 - l_discount)) as revenue "
+        "group by n_name insert into Out;"
+    ).returns("Out")
+
+
+# --------------------------------------------------------------------------
+# LLM-pipeline operators (llm/ library)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from flink_siddhi_spark.llm.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from flink_siddhi_spark.llm.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    from flink_siddhi_spark.llm.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=8)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from flink_siddhi_spark.llm.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=8, bands=4, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from flink_siddhi_spark.llm.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from flink_siddhi_spark.llm.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from flink_siddhi_spark.llm.similarity import cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return cosine_topk(embs, queries, k=5)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    # approximate (IVF bucketing) — no exact SQL analogue (rows-only check)
+    from flink_siddhi_spark.llm.similarity import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return ivf_topk(embs, queries, n_centroids=8, n_probe=2, k=5)
+
+
+def q_text_token_count(spark, sf_dir):
+    from flink_siddhi_spark.llm.text import token_count
+
+    return token_count(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "n_subwords_est"
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from flink_siddhi_spark.llm.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_m", "n_words", "mean_word_len", "stopword_ratio", "quality"
+    )
+
+
+def q_text_language_id(spark, sf_dir):
+    from flink_siddhi_spark.llm.text import language_id
+
+    return language_id(_docs(spark, sf_dir)).select(
+        "doc_id", "en_hits", "es_hits", "lang_guess"
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from flink_siddhi_spark.llm.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp")
+
+
+def q_multimodal_metadata(spark, sf_dir):
+    from flink_siddhi_spark.llm.multimodal import media_metadata, with_binary_payload
+
+    return media_metadata(with_binary_payload(_docs(spark, sf_dir))).select(
+        "media_id", "mime",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    # Arrow-batched mapInPandas decode stub — rows-only check
+    from flink_siddhi_spark.llm.multimodal import extract_features, with_binary_payload
+
+    return extract_features(with_binary_payload(_docs(spark, sf_dir)), fake=True)
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: partitioned CEP pattern (error -> purchase per user) through
+    the full parser/planner/NFA path on sf0.001."""
+    return q_pattern_followed_by(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "filter_projection": q_filter_projection,
+        "projection_expressions": q_projection_expressions,
+        "group_agg": q_group_agg,
+        "having_filter": q_having_filter,
+        "order_limit": q_order_limit,
+        "distinct_count": q_distinct_count,
+        "stddev_agg": q_stddev_agg,
+        "window_time_batch": q_window_time_batch,
+        "window_length_batch": q_window_length_batch,
+        "window_session": q_window_session,
+        "window_sliding_length": q_window_sliding_length,
+        "window_sliding_time": q_window_sliding_time,
+        "join_time_time": q_join_time_time,
+        "join_length_time": q_join_length_time,
+        "join_left_outer": q_join_left_outer,
+        "join_stream_table": q_join_stream_table,
+        "join_theta": q_join_theta,
+        "union_fan_in": q_union_fan_in,
+        "chained_queries": q_chained_queries,
+        "pattern_followed_by": q_pattern_followed_by,
+        "pattern_first_match": q_pattern_first_match,
+        "pattern_within": q_pattern_within,
+        "pattern_absence": q_pattern_absence,
+        "sequence_strict": q_sequence_strict,
+        "sequence_quantifier": q_sequence_quantifier,
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q5ish_revenue": q_tpch_q5ish_revenue,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "text_fingerprint": q_text_fingerprint,
+        "multimodal_metadata": q_multimodal_metadata,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---- oracle SQL builders -------------------------------------------------
+
+_EMS = "epoch_ms(ts)"
+_DECSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def _shingle_cte(alias: str = "sh") -> str:
+    return (
+        "d AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents), "
+        f"{alias} AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[]) "
+        "ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END sh FROM d)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, len({a})+1), "
+        "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    return (
+        f"({dot.format(a=a, b=b)} / "
+        f"(sqrt({dot.format(a=a, b=a)}) * sqrt({dot.format(a=b, b=b)})))"
+    )
+
+
+def _simhash_sql() -> str:
+    terms = []
+    for i in range(16):
+        vote = (
+            f"list_sum(list_transform(w, x -> CASE WHEN substring(md5(x), {i + 1}, 1) "
+            "IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {2 ** i} ELSE 0 END)")
+    expr = " + ".join(terms)
+    return (
+        "WITH d AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents) "
+        f"SELECT doc_id, CAST({expr} AS BIGINT) simhash FROM d"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en = "('the','a','and','of','to','in','is','on','for','with')"
+    es = "('el','la','de','que','y','en','un','por','con','una')"
+    sql = {
+        "filter_projection": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE value > 90.0 AND event_type = 'purchase'"
+        ),
+        "projection_expressions": (
+            "SELECT event_id, value * 2.0 + 1.0 AS v2, "
+            "CASE WHEN value > 50.0 THEN 'hi' ELSE 'lo' END AS band, "
+            "event_type || '_x' AS tag FROM events"
+        ),
+        "group_agg": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) n, "
+            + _DECSUM.format(x="value") + " total, "
+            + _DECSUM.format(x="value") + " / COUNT(value) mean, "
+            "min(value) lo, max(value) hi FROM events GROUP BY event_type"
+        ),
+        "having_filter": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) n, "
+            + _DECSUM.format(x="value") + " total FROM events GROUP BY user_id "
+            "HAVING count(*) > 30"
+        ),
+        "order_limit": (
+            "SELECT user_id, " + _DECSUM.format(x="value") + " total FROM events "
+            "GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10"
+        ),
+        "distinct_count": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) users "
+            "FROM events GROUP BY event_type"
+        ),
+        "stddev_agg": (
+            "SELECT event_type, sqrt(greatest(0.0, "
+            "CAST(SUM(CAST(value AS DECIMAL(27,8))) * 0 + SUM(CAST(value*value AS DECIMAL(27,8))) AS DOUBLE) / count(value) "
+            "- (CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / count(value)) "
+            "* (CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / count(value)))) sd "
+            "FROM events GROUP BY event_type"
+        ),
+        "window_time_batch": (
+            f"SELECT CAST(FLOOR({_EMS} / 3600000) AS BIGINT) * 3600000 AS w, event_type, "
+            "CAST(count(*) AS BIGINT) n, " + _DECSUM.format(x="value") + " total "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "window_length_batch": (
+            f"WITH t AS (SELECT user_id, value, row_number() OVER "
+            f"(PARTITION BY user_id ORDER BY {_EMS}, {ORD}) rn FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) n, "
+            + _DECSUM.format(x="value") + " total FROM t "
+            "GROUP BY user_id, CAST(FLOOR((rn - 1) / 20) AS BIGINT)"
+        ),
+        "window_session": (
+            f"WITH t AS (SELECT user_id, value, CASE WHEN lag({_EMS}) OVER w IS NULL "
+            f"OR {_EMS} - lag({_EMS}) OVER w > 1800000 THEN 1 ELSE 0 END ns FROM events "
+            f"WINDOW w AS (PARTITION BY user_id ORDER BY {_EMS}, {ORD})), "
+            "s AS (SELECT user_id, value, SUM(ns) OVER (PARTITION BY user_id "
+            "ORDER BY rowid) sess FROM (SELECT *, row_number() OVER () rowid FROM t)) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) n, "
+            + _DECSUM.format(x="value") + " total FROM s GROUP BY user_id, sess"
+        ),
+        "window_sliding_length": (
+            "SELECT event_id, CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER "
+            f"(PARTITION BY user_id ORDER BY {_EMS}, {ORD} "
+            "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS DOUBLE) running FROM events"
+        ),
+        "window_sliding_time": (
+            f"SELECT event_id, count(*) OVER (PARTITION BY user_id ORDER BY {_EMS} "
+            "RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) n FROM events"
+        ),
+        "join_time_time": (
+            "SELECT e.event_id error_id, p.event_id purchase_id FROM events e "
+            "JOIN events p ON e.user_id = p.user_id AND e.event_type = 'error' "
+            "AND p.event_type = 'purchase' "
+            "AND abs(epoch_ms(e.ts) - epoch_ms(p.ts)) <= 600000"
+        ),
+        "join_length_time": (
+            "WITH e AS (SELECT *, epoch_ms(ts) ems, row_number() OVER "
+            f"(ORDER BY epoch_ms(ts), {ORD}) rn FROM events WHERE event_type = 'error'), "
+            "p AS (SELECT *, epoch_ms(ts) pms FROM events WHERE event_type = 'purchase'), "
+            "pc AS (SELECT p.*, (SELECT count(*) FROM e WHERE e.ems <= p.pms) cnt FROM p) "
+            "SELECT e.event_id error_id, pc.event_id purchase_id FROM e JOIN pc "
+            "ON e.user_id = pc.user_id AND ((pc.pms <= e.ems AND e.ems - pc.pms <= 300000) "
+            "OR (e.ems < pc.pms AND pc.cnt - e.rn < 5))"
+        ),
+        "join_left_outer": (
+            "WITH s AS (SELECT * FROM events WHERE event_type = 'signup'), "
+            "p AS (SELECT * FROM events WHERE event_type = 'purchase') "
+            "SELECT s.event_id signup_id, p.event_id purchase_id FROM s "
+            "LEFT JOIN p ON s.user_id = p.user_id "
+            "AND abs(epoch_ms(s.ts) - epoch_ms(p.ts)) <= 30000"
+        ),
+        "join_stream_table": (
+            "SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "join_theta": (
+            "SELECT o_orderkey, c_name, o_totalprice, c_acctbal FROM orders "
+            "JOIN customer ON o_custkey = c_custkey AND o_totalprice > c_acctbal"
+        ),
+        "union_fan_in": (
+            "SELECT event_id, user_id FROM events WHERE event_type = 'click' "
+            "UNION ALL SELECT event_id, user_id FROM events WHERE event_type = 'view'"
+        ),
+        "chained_queries": (
+            "SELECT event_id, user_id FROM events WHERE value > 50.0 AND value > 90.0"
+        ),
+        "pattern_followed_by": (
+            "SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id "
+            "FROM events e, LATERAL (SELECT event_id FROM events p "
+            "WHERE p.user_id = e.user_id AND p.event_type = 'purchase' "
+            "AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id)) "
+            "ORDER BY p.ts, p.event_id LIMIT 1) p WHERE e.event_type = 'error'"
+        ),
+        "pattern_first_match": (
+            "WITH fe AS (SELECT user_id, event_id, ts FROM (SELECT user_id, event_id, ts, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn "
+            "FROM events WHERE event_type = 'error') t WHERE rn = 1) "
+            "SELECT fe.user_id, fe.event_id AS error_id, p.event_id AS purchase_id "
+            "FROM fe, LATERAL (SELECT event_id FROM events p WHERE p.user_id = fe.user_id "
+            "AND p.event_type = 'purchase' AND (p.ts > fe.ts OR (p.ts = fe.ts AND p.event_id > fe.event_id)) "
+            "ORDER BY p.ts, p.event_id LIMIT 1) p"
+        ),
+        "pattern_within": (
+            "SELECT user_id, error_id, purchase_id FROM ("
+            "SELECT e.user_id, e.event_id AS error_id, p.event_id AS purchase_id, "
+            "epoch_ms(p.pts) - epoch_ms(e.ts) AS delta "
+            "FROM events e, LATERAL (SELECT event_id, ts AS pts FROM events p "
+            "WHERE p.user_id = e.user_id AND p.event_type = 'purchase' "
+            "AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id)) "
+            "ORDER BY p.ts, p.event_id LIMIT 1) p WHERE e.event_type = 'error') t "
+            "WHERE delta <= 3600000"
+        ),
+        "pattern_absence": (
+            "SELECT e.user_id, e.event_id AS error_id FROM events e "
+            "WHERE e.event_type = 'error' AND NOT EXISTS ("
+            "SELECT 1 FROM events c WHERE c.user_id = e.user_id AND c.event_type = 'click' "
+            "AND (c.ts > e.ts OR (c.ts = e.ts AND c.event_id > e.event_id)) "
+            "AND epoch_ms(c.ts) - epoch_ms(e.ts) <= 300000)"
+        ),
+        "sequence_strict": (
+            "WITH t AS (SELECT user_id, event_id, value, "
+            "lag(event_id) OVER w pid, lag(value) OVER w pv FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT user_id, pid AS first_id, event_id AS second_id FROM t "
+            "WHERE value > 95.0 AND pv > 95.0"
+        ),
+        "tpch_q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            + _DECSUM.format(x="l_quantity") + " sum_qty, "
+            + _DECSUM.format(x="l_extendedprice") + " sum_base_price, "
+            + _DECSUM.format(x="l_extendedprice * (1.0 - l_discount)") + " sum_disc_price, "
+            + _DECSUM.format(x="l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)") + " sum_charge, "
+            + _DECSUM.format(x="l_quantity") + " / COUNT(l_quantity) avg_qty, "
+            + _DECSUM.format(x="l_extendedprice") + " / COUNT(l_extendedprice) avg_price, "
+            + _DECSUM.format(x="l_discount") + " / COUNT(l_discount) avg_disc, "
+            "CAST(count(*) AS BIGINT) count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q3_shipping": (
+            "SELECT l_orderkey, "
+            + _DECSUM.format(x="l_extendedprice * (1.0 - l_discount)") + " revenue, "
+            "o_orderpriority FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00' "
+            "AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00' "
+            "GROUP BY l_orderkey, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "tpch_q5ish_revenue": (
+            "SELECT n_name, "
+            + _DECSUM.format(x="l_extendedprice * (1.0 - l_discount)") + " revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) content_hash, CAST(min(doc_id) AS BIGINT) canonical_id, "
+            "CAST(count(*) AS BIGINT) n_copies FROM documents GROUP BY 1"
+        ),
+        "dedup_ngram_jaccard": (
+            "WITH " + _shingle_cte("sh0") + ", "
+            "sh AS (SELECT doc_id, unnest(sh) s FROM sh0), "
+            "cnt AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1), "
+            "pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) common FROM sh a "
+            "JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT id_a, id_b, round(common / (ca.n + cb.n - common), 6) jaccard "
+            "FROM pairs JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b "
+            "WHERE round(common / (ca.n + cb.n - common), 6) >= 0.8"
+        ),
+        "dedup_minhash_sig": (
+            "WITH " + _shingle_cte("s") + " SELECT doc_id, "
+            + ", ".join(
+                (
+                    f"list_min(list_transform(sh, x -> substring(md5(x), {(j % 4) * 8 + 1}, 8))) sig_{j}"
+                    if j < 4
+                    else f"list_min(list_transform(sh, x -> substring(md5('x:' || x), {(j % 4) * 8 + 1}, 8))) sig_{j}"
+                )
+                for j in range(8)
+            )
+            + " FROM s"
+        ),
+        "dedup_minhash_lsh": (
+            "WITH " + _shingle_cte("s") + ", "
+            "sig AS (SELECT doc_id, "
+            + ", ".join(
+                (
+                    f"list_min(list_transform(sh, x -> substring(md5(x), {(j % 4) * 8 + 1}, 8))) sig_{j}"
+                    if j < 4
+                    else f"list_min(list_transform(sh, x -> substring(md5('x:' || x), {(j % 4) * 8 + 1}, 8))) sig_{j}"
+                )
+                for j in range(8)
+            )
+            + " FROM s), banded AS ("
+            + " UNION ALL ".join(
+                f"SELECT doc_id, {b} band, md5(sig_{2*b} || '|' || sig_{2*b+1}) bucket, "
+                + ", ".join(f"sig_{j}" for j in range(8))
+                + " FROM sig"
+                for b in range(4)
+            )
+            + "), cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b, "
+            + " + ".join(
+                f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)" for j in range(8)
+            )
+            + " m FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
+            "AND a.doc_id < b.doc_id) "
+            "SELECT id_a, id_b, round(m / 8.0, 6) est_jaccard FROM cand "
+            "WHERE round(m / 8.0, 6) >= 0.5"
+        ),
+        "dedup_simhash": _simhash_sql(),
+        "dedup_embedding": (
+            "WITH p AS (SELECT a.vec_id id_a, b.vec_id id_b, "
+            "round(" + _cos_sql("a.embedding", "b.embedding") + ", 6) cos "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id < 10), "
+            "scored AS (SELECT q.query_id, c.vec_id neighbor_id, "
+            "round(" + _cos_sql("q.q_emb", "c.embedding") + ", 6) cos "
+            "FROM embeddings c, q WHERE c.vec_id != q.query_id), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neighbor_id) AS INT) rank FROM scored) "
+            "SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5"
+        ),
+        "text_token_count": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens, "
+            "CAST(ceil(length(text) / 4) AS BIGINT) n_subwords_est FROM documents"
+        ),
+        "text_quality": (
+            "WITH t AS (SELECT doc_id, length(text) nc, "
+            "len(string_split(lower(text), ' ')) nw, "
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN {en})) hits "
+            "FROM documents) "
+            "SELECT doc_id, CAST(nc AS BIGINT) n_chars_m, CAST(nw AS BIGINT) n_words, "
+            "round((nc - (nw - 1)) / nw, 6) mean_word_len, "
+            "round(hits / nw, 6) stopword_ratio, "
+            "round(CASE WHEN nw < 5 THEN 0.0 ELSE "
+            "least(1.0, nw / 100.0) * 0.5 + least(1.0, (hits / nw) * 5.0) * 0.5 END, 6) quality "
+            "FROM t"
+        ),
+        "text_language_id": (
+            "WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) n, "
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN {en})) en_h, "
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN {es})) es_h "
+            "FROM documents) "
+            "SELECT doc_id, CAST(en_h AS BIGINT) en_hits, CAST(es_h AS BIGINT) es_hits, "
+            "CASE WHEN en_h * 20 >= n AND en_h >= es_h THEN 'en' "
+            "WHEN es_h * 20 > n THEN 'es' ELSE 'unknown' END lang_guess FROM t"
+        ),
+        "text_fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) fp "
+            "FROM documents"
+        ),
+        "multimodal_metadata": (
+            "SELECT doc_id media_id, 'image/fake' mime, "
+            "CAST(octet_length(encode(text)) AS BIGINT) n_bytes, "
+            "CAST(octet_length(encode(text)) % 640 AS BIGINT) width, "
+            "CAST(octet_length(encode(text)) % 480 AS BIGINT) height FROM documents"
+        ),
+    }
+    return sql

@@ -1,0 +1,268 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash(+LSH), SimHash,
+embedding-cosine near-dup.
+
+Scale design (the point of these at 100 TB):
+- exact dedup: one hash-aggregate on md5(text) — a single shuffle on a short
+  key, map-side partial aggregation.
+- n-gram Jaccard: explode distinct shingles -> self-equi-join on shingle ->
+  pair-count aggregate. The join key is the shingle hash, so co-occurring
+  docs meet without a cross join. (Pre-LSH, this is the exact verifier.)
+- MinHash + LSH: per-doc signature = k independent min-hashes (array ops, no
+  explode); banding buckets candidate pairs so the join is |bucket|-bounded
+  instead of O(n^2) — the standard web-scale near-dup pipeline shape.
+- SimHash: frequency-weighted bitwise majority of word hashes; near-dups =
+  equal fingerprints (or small hamming distance via band rotation).
+- embedding cosine: exact pair threshold (quadratic — the ANN/LSH variant in
+  llm/similarity.py is the scale path).
+
+Everything is Catalyst higher-order-function expressions; md5 is used as the
+hash family (deterministic across engines for oracle checking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism before heavy per-row
+    compute. Small parquet inputs arrive as 1 split; hash pipelines (8x md5
+    per shingle) would otherwise run single-threaded. At real scale the scan
+    already yields many splits and this is a near-no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: canonical (min) id + duplicate count."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lower(text) as an array column."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    return F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        )
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    return df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.8, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3,
+) -> DataFrame:
+    """Doc pairs with shingle-set Jaccard >= threshold (exact, join-based)."""
+    sh = shingle_table(_spread(df), text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    out = (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 8, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3,
+) -> DataFrame:
+    """MinHash signature columns sig_0..sig_{k-1}.
+
+    Hash family: 8-hex-digit chunks of md5(shingle) and md5('x:'+shingle) —
+    two md5 calls yield eight 32-bit hashes per shingle (4x cheaper than one
+    md5 per signature slot); the signature is the lexicographic min chunk over
+    the shingle set (engine-portable: plain substring + min)."""
+    if num_hashes > 8:
+        raise ValueError("minhash_signatures supports up to 8 hashes (2 md5 x 4 chunks)")
+    sh = word_shingles(text_col, n)
+    out = _spread(df).select(F.col(id_col), sh.alias("__sh"))
+    out = out.withColumn("__h1", F.transform(F.col("__sh"), lambda s: F.md5(s)))
+    out = out.withColumn(
+        "__h2", F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit("x:"), s)))
+    )
+
+    def chunk(src: str, j: int):
+        # NOTE: one-arg lambda — PySpark treats a second lambda parameter as
+        # the array index, not a captured default.
+        return F.array_min(
+            F.transform(F.col(src), lambda h: F.substring(h, j * 8 + 1, 8))
+        )
+
+    for j in range(num_hashes):
+        src = "__h1" if j < 4 else "__h2"
+        out = out.withColumn(f"sig_{j}", chunk(src, j % 4))
+    return out.drop("__sh", "__h1", "__h2")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, num_hashes: int = 8, bands: int = 4, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, scored by signature agreement.
+
+    rows-per-band = num_hashes // bands; docs sharing any band bucket become
+    candidates; estimated Jaccard = fraction of matching signature slots."""
+    sig = minhash_signatures(df, num_hashes, text_col, id_col, n)
+    rpb = num_hashes // bands
+    sig_cols = [f"sig_{j}" for j in range(num_hashes)]
+    # compute signatures ONCE and explode the band array — a 4-way union of
+    # selects would recompute the md5 pipeline per band (and again per join
+    # side); at scale, persist/write the signature table instead
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(c) for c in sig_cols[bnd * rpb:(bnd + 1) * rpb]])
+                ).alias("bucket"),
+            )
+            for bnd in range(bands)
+        ]
+    )
+    banded = (
+        sig.withColumn("__b", F.explode(band_structs))
+        .select(
+            F.col(id_col), F.col("__b.band").alias("band"),
+            F.col("__b.bucket").alias("bucket"), *[F.col(c) for c in sig_cols],
+        )
+        .persist()
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[
+                F.when(F.col(f"a.{c}") == F.col(f"b.{c}"), 1).otherwise(0).alias(f"m_{c}")
+                for c in sig_cols
+            ],
+        )
+        .distinct()
+    )
+    est = sum(F.col(f"m_{c}") for c in sig_cols) / F.lit(float(len(sig_cols)))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Frequency-weighted SimHash fingerprint over word hashes.
+
+    Bit i of the fingerprint = majority vote of hex-digit parity i of
+    md5(word) across all words (+1/-1 sum > 0). ``bits`` <= 32 hex digits."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    out = _spread(df).select(F.col(id_col), words.alias("__w"))
+
+    def bit_vote(i: int):
+        # one-arg lambda (see minhash_signatures note on PySpark HOF arity)
+        return lambda w: F.when(
+            F.substring(F.md5(w), i + 1, 1).isin(*ODD_HEX), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    fp = F.lit(0).cast("bigint")
+    for i in range(bits):
+        vote = F.aggregate(
+            F.transform(F.col("__w"), bit_vote(i)), F.lit(0), lambda acc, x: acc + x
+        )
+        fp = fp + F.when(vote > 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("bigint")
+    return out.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, bits: int = 16, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Pairs with identical SimHash fingerprints (bucket join, no cross join)."""
+    s = simhash(df, bits, text_col, id_col)
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.simhash").alias("simhash"),
+    )
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Deterministic left-fold dot product of float arrays (double math)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(x: Column) -> Column:
+    return F.sqrt(dot(x, x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine similarity between float-array columns: left-fold
+    sums of double products — identical results on any engine. Prefer
+    precomputing ``norm`` per side when one side is reused across many pairs
+    (see similarity.cosine_topk)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def embedding_dup_pairs(
+    df: DataFrame, threshold: float = 0.4, emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine near-dup pairs (quadratic verifier; LSH/IVF in
+    llm/similarity.py is the scale path)."""
+    df = _spread(df)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"),
+                  norm(F.col(emb_col)).alias("na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"),
+                  norm(F.col(emb_col)).alias("nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cos", F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,75 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Catalyst expressions (higher-order array functions —
+no Python UDFs), so they whole-stage-codegen and scale linearly with input:
+token counting, quality scoring, n-gram language ID, and document
+fingerprinting over a ``documents(doc_id, text, ...)`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny stopword lists for the n-gram/stopword language heuristic
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+ES_STOPWORDS = ("el", "la", "de", "que", "y", "en", "un", "por", "con", "una")
+
+
+def with_words(df: DataFrame, text_col: str = "text", out: str = "__words") -> DataFrame:
+    return df.withColumn(out, F.split(F.lower(F.col(text_col)), " "))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic)."""
+    words = F.split(F.col(text_col), " ")
+    return df.withColumn("n_tokens", F.size(words)).withColumn(
+        "n_subwords_est", F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("bigint")
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a 0-1 score."""
+    text = F.col(text_col)
+    words = F.split(F.lower(text), " ")
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
+    mean_word_len = (n_chars - (n_words - 1)) / n_words  # spaces removed
+    stop_ratio = stop_hits / n_words
+    score = (
+        F.when(n_words < 5, F.lit(0.0))
+        .otherwise(
+            F.least(F.lit(1.0), n_words / F.lit(100.0)) * F.lit(0.5)
+            + F.least(F.lit(1.0), stop_ratio * F.lit(5.0)) * F.lit(0.5)
+        )
+    )
+    return (
+        df.withColumn("n_chars_m", n_chars.cast("bigint"))
+        .withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality", F.round(score, 6))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic (deterministic; no external models)."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    en = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
+    es = F.size(F.filter(words, lambda w: w.isin(*ES_STOPWORDS)))
+    n = F.size(words)
+    guess = (
+        F.when((en * 20 >= n) & (en >= es), F.lit("en"))
+        .when(es * 20 > n, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.withColumn("en_hits", en.cast("bigint")).withColumn(
+        "es_hits", es.cast("bigint")
+    ).withColumn("lang_guess", guess)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint (md5 of lowercased, space-collapsed text)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn("fp", F.md5(norm))

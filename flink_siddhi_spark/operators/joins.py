@@ -88,9 +88,6 @@ def compile_join(planner, q: A.Query):
     ldf, lsch = planner.stream_df(ji.left.stream)
     rdf, rsch = planner.stream_df(ji.right.stream)
 
-    for side, df_, sch in (("l", ldf, lsch), ("r", rdf, rsch)):
-        pass
-
     def prep(si: A.SingleInput, df: DataFrame, sch):
         if si.filter is not None:
             comp = ExprCompiler(
@@ -103,12 +100,22 @@ def compile_join(planner, q: A.Query):
     ldf = prep(ji.left, ldf, lsch)
     rdf = prep(ji.right, rdf, rsch)
 
-    table_join = lsch.is_table or rsch.is_table
     lwin, rwin = ji.left.window, ji.right.window
-
+    # plain relational join: a table side, or no windows/ts anywhere (Siddhi
+    # proper requires windows on stream joins; windowless stream joins are a
+    # relational extension used for multi-join chains)
+    table_join = (
+        lsch.is_table
+        or rsch.is_table
+        or (lwin is None and rwin is None)
+        or lsch.ts_field is None
+        or rsch.ts_field is None
+    )
+    if (lwin is not None or rwin is not None) and (
+        lsch.ts_field is None or rsch.ts_field is None
+    ) and not (lsch.is_table or rsch.is_table):
+        raise SiddhiPlannerException("windowed stream-stream join needs ts_field on both sides")
     if not table_join:
-        if lsch.ts_field is None or rsch.ts_field is None:
-            raise SiddhiPlannerException("stream-stream join needs ts_field on both sides")
         # count-window machinery
         if rwin is not None and rwin.name.lower() == "length":
             rdf = _with_arrival_rank(rdf, [TS_COL] + [f for f in rsch.fields if f != rsch.ts_field], "__rank")
@@ -144,11 +151,14 @@ def compile_join(planner, q: A.Query):
     on = comp.compile(ji.on) if ji.on is not None else F.lit(True)
 
     if table_join:
-        # stream-table enrichment: broadcast the (small, dimension) table side
-        if rsch.is_table:
+        # stream-table enrichment: broadcast the (small, dimension) table side;
+        # windowless stream-stream joins stay symmetric (AQE picks strategy)
+        if rsch.is_table and not lsch.is_table:
             joined = l_al.join(F.broadcast(r_al), on, _HOW[ji.join_type])
-        else:
+        elif lsch.is_table and not rsch.is_table:
             joined = F.broadcast(l_al).join(r_al, on, _HOW[ji.join_type])
+        else:
+            joined = l_al.join(r_al, on, _HOW[ji.join_type])
     else:
         lt, rt = F.col(f"{lname}.{TS_COL}"), F.col(f"{rname}.{TS_COL}")
         r_earlier = (rt <= lt) & _containment(lname, rname, rwin, "__cnt_other", "__rank")

@@ -272,6 +272,106 @@ def _step(p, i, ts, rows, masks, elems, strict_after, completes, emit) -> str:
     return "kept"
 
 
+def _try_fast_path(planner, q: A.Query, u: DataFrame, elems, strict_after,
+                   schemas, col_of, field_names, collection, sort_cols):
+    """JVM-side (Catalyst window-function) lowering for the common 2-element
+    patterns — no Python in the hot path, scales like any windowed query:
+
+    - ``[every] a=A[pa] -> b=B[pb] [within t]``: first pb-match after each
+      pa-match per key = one row_number + one frame-min + one self-join.
+    - ``a=A[pa] -> not B[pb] for t`` (absence): same machinery, emit when the
+      next pb-match is absent or beyond the deadline.
+    - ``[every] a=A[pa] , b=B[pb]`` (strict): lag() over the full per-key feed.
+
+    Returns the match table or None if the shape needs the general NFA.
+    """
+    from pyspark.sql.window import Window
+    from ..plans.expr import ExprCompiler
+
+    p: A.PatternInput = q.input
+    if len(elems) != 2:
+        return None
+    a, b = elems
+    if a.negated or a.is_collection or a.min_count != 1 or b.is_collection:
+        return None
+    if b.negated and (strict_after[0] or b.for_ms is None):
+        return None
+    if not b.negated and (b.min_count != 1):
+        return None
+
+    def match_col(e: A.PatternElem) -> Column:
+        comp = ExprCompiler(
+            planner._plain_resolver(set(u.columns), {e.stream}), planner.extensions
+        )
+        c = F.col(STREAM_COL) == e.stream
+        if e.filter is not None:
+            c = c & comp.compile(e.filter)
+        return c
+
+    is_a, is_b = match_col(a), match_col(b)
+    wp = Window.partitionBy(PK_COL).orderBy(*[F.col(c) for c in sort_cols])
+
+    if strict_after[0]:
+        # strict sequence over the FULL feed: previous row must be the a-match
+        lagged = u.withColumn("__cur_b", is_b).withColumn("__prev_a", F.lag(is_a).over(wp))
+        for fname in field_names[a.alias]:
+            lagged = lagged.withColumn(col_of[(a.alias, fname)], F.lag(F.col(fname)).over(wp))
+        matches = lagged.filter(F.col("__cur_b") & F.col("__prev_a"))
+        if not p.every:
+            wm = Window.partitionBy(PK_COL).orderBy(*[F.col(c) for c in sort_cols])
+            matches = matches.withColumn("__mr", F.row_number().over(wm)).filter(F.col("__mr") == 1)
+        out_cols = [F.col(col_of[(a.alias, f)]) for f in field_names[a.alias]]
+        out_cols += [F.col(f).alias(col_of[(b.alias, f)]) for f in field_names[b.alias]]
+        return matches.select(*out_cols)
+
+    # relaxed '->': candidate rows only (predicate pushed to the scan)
+    cand = u.filter(is_a | is_b).withColumn("__is_a", is_a).withColumn("__is_b", is_b)
+    cand = cand.withColumn("__pos", F.row_number().over(wp))
+    cand = cand.withColumn("__bpos", F.when(F.col("__is_b"), F.col("__pos")))
+    cand = cand.withColumn(
+        "__next_b",
+        F.min(F.col("__bpos")).over(wp.rowsBetween(1, Window.unboundedFollowing)),
+    )
+    a_rows = cand.filter(F.col("__is_a"))
+    if not p.every:
+        wa = Window.partitionBy(PK_COL).orderBy(*[F.col(c) for c in sort_cols])
+        a_rows = a_rows.withColumn("__ar", F.row_number().over(wa)).filter(F.col("__ar") == 1)
+    a_sel = a_rows.select(
+        F.col(PK_COL), F.col(TS_COL).alias("__a_ts"), F.col("__next_b"),
+        *[F.col(f).alias(col_of[(a.alias, f)]) for f in field_names[a.alias]],
+    )
+    if b.negated:
+        # absence: no b-match within (a_ts, a_ts + for_ms]
+        b_sel = cand.filter(F.col("__is_b")).select(
+            F.col(PK_COL).alias("__bpk"), F.col("__pos").alias("__bpos2"),
+            F.col(TS_COL).alias("__b_ts"),
+        )
+        joined = a_sel.join(
+            b_sel,
+            (F.col(PK_COL) == F.col("__bpk")) & (F.col("__next_b") == F.col("__bpos2")),
+            "left",
+        )
+        absent = joined.filter(
+            F.col("__b_ts").isNull() | (F.col("__b_ts") - F.col("__a_ts") > F.lit(b.for_ms))
+        )
+        return absent.select(*[col_of[(a.alias, f)] for f in field_names[a.alias]])
+    b_sel = cand.filter(F.col("__is_b")).select(
+        F.col(PK_COL).alias("__bpk"), F.col("__pos").alias("__bpos2"),
+        F.col(TS_COL).alias("__b_ts"),
+        *[F.col(f).alias(col_of[(b.alias, f)]) for f in field_names[b.alias]],
+    )
+    joined = a_sel.join(
+        b_sel,
+        (F.col(PK_COL) == F.col("__bpk")) & (F.col("__next_b") == F.col("__bpos2")),
+        "inner",
+    )
+    if p.within_ms is not None:
+        joined = joined.filter(F.col("__b_ts") - F.col("__a_ts") <= F.lit(p.within_ms))
+    keep = [col_of[(a.alias, f)] for f in field_names[a.alias]]
+    keep += [col_of[(b.alias, f)] for f in field_names[b.alias]]
+    return joined.select(*keep)
+
+
 def compile_pattern(planner, q: A.Query):
     """Compile a pattern query input. Returns (df, resolver, fields)."""
     p: A.PatternInput = q.input
@@ -337,23 +437,6 @@ def compile_pattern(planner, q: A.Query):
     else:
         u = u.withColumn(PK_COL, F.lit(0))
 
-    # candidate pre-filter: pure '->' patterns without negation only ever look
-    # at events matching some element — push the disjunction to the scan.
-    relaxed_only = all(not s for s in strict_after) and not any(e.negated for e in elems)
-    if relaxed_only:
-        from ..plans.expr import ExprCompiler
-
-        disj = None
-        for e in elems:
-            comp = ExprCompiler(
-                planner._plain_resolver(set(u.columns), {e.stream}), planner.extensions
-            )
-            c = (F.col(STREAM_COL) == e.stream) & (
-                comp.compile(e.filter) if e.filter is not None else F.lit(True)
-            )
-            disj = c if disj is None else (disj | c)
-        u = u.filter(disj)
-
     # output schema: per element x per field of its stream
     out_fields: list[T.StructField] = []
     col_of: dict[tuple[str, str], str] = {}
@@ -383,6 +466,34 @@ def compile_pattern(planner, q: A.Query):
     filters = [(e.stream, e.filter) for e in elems]
     out_names = [f.name for f in out_fields]
 
+    # absence fast path needs the negated elem's name mapping for nothing —
+    # but the 2-element JVM lowering needs field names for both real elems
+    fp_field_names = dict(field_names)
+    for e in elems:
+        if e.negated:
+            fp_field_names.setdefault(e.alias, schemas[e.stream].fields)
+    fast = _try_fast_path(
+        planner, q, u, elems, strict_after, schemas, col_of, fp_field_names,
+        collection, sort_cols,
+    )
+    if fast is None:
+        # general NFA path: pure '->' patterns without negation only ever look
+        # at events matching some element — push the disjunction to the scan.
+        relaxed_only = all(not s for s in strict_after) and not any(e.negated for e in elems)
+        if relaxed_only:
+            from ..plans.expr import ExprCompiler
+
+            disj = None
+            for e in elems:
+                comp = ExprCompiler(
+                    planner._plain_resolver(set(u.columns), {e.stream}), planner.extensions
+                )
+                c = (F.col(STREAM_COL) == e.stream) & (
+                    comp.compile(e.filter) if e.filter is not None else F.lit(True)
+                )
+                disj = c if disj is None else (disj | c)
+            u = u.filter(disj)
+
     def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         masks = []
@@ -406,9 +517,15 @@ def compile_pattern(planner, q: A.Query):
                         data[cname].append(vals)
                     else:
                         data[cname].append(vals[0] if vals else None)
-        return pd.DataFrame(data, columns=out_names)
+        # dtype=object keeps empty/None-bearing columns Arrow-castable (a
+        # default-constructed empty frame would be float64 -> timestamp cast error)
+        return pd.DataFrame(data, columns=out_names, dtype=object)
 
-    result = u.groupBy(PK_COL).applyInPandas(match_group, schema=out_schema)
+    result = (
+        fast
+        if fast is not None
+        else u.groupBy(PK_COL).applyInPandas(match_group, schema=out_schema)
+    )
 
     # resolver for select over the match table
     singles = [e for e in elems if not e.negated]
