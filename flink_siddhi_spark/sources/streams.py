@@ -1,0 +1,91 @@
+"""Streaming sources/sinks.
+
+Parity targets (SURVEY.md §2.B sources/sinks):
+- reference random generator sources (RandomEventSource.java:47-66) ->
+  ``rate_events`` (rate source + column synthesis, F1 schema)
+- in-memory/bounded test source (SiddhiCEPITCase.java:95-102) ->
+  ``file_stream`` over a temp parquet dir with Trigger.AvailableNow
+- text-file sink (writeAsText) -> ``to_files``; memory sink -> ``to_memory``
+- Kafka source/sink (experimental/CEPPipeline.scala:50-77) -> thin wrappers
+  (gated: no broker in this environment)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def rate_events(spark: SparkSession, rows_per_second: int = 100, id_mod: int = 50,
+                name: str = "test_event") -> DataFrame:
+    """Streaming F1-schema event source: (id, name, price, timestamp).
+
+    Mirrors RandomEventSource (id = n % 50, constant name, random price,
+    1-per-tick timestamps) on top of Spark's rate source."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        (F.col("value") % id_mod).cast("int").alias("id"),
+        F.lit(name).alias("name"),
+        F.rand(seed=42).alias("price"),
+        F.unix_millis(F.col("timestamp")).alias("timestamp"),
+        F.col("timestamp").alias("event_time"),
+    )
+
+
+def file_stream(spark: SparkSession, path: str, schema: T.StructType,
+                fmt: str = "parquet") -> DataFrame:
+    """Bounded replayable test source: stream files from a directory."""
+    return spark.readStream.format(fmt).schema(schema).load(path)
+
+
+def to_memory(df: DataFrame, name: str, checkpoint: Optional[str] = None,
+              output_mode: str = "append"):
+    """Memory sink (test/experimental parity: StreamInMemOutputHandler)."""
+    w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.trigger(availableNow=True).start()
+
+
+def to_files(df: DataFrame, path: str, checkpoint: str, fmt: str = "json",
+             output_mode: str = "append"):
+    """File sink (reference writeAsText parity -> json/csv/parquet)."""
+    return (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kafka_source(spark: SparkSession, brokers: str, topic: str,
+                 value_schema: Optional[str] = None) -> DataFrame:
+    """Kafka JSON source (CEPPipeline.scala:50-56 parity). Requires the
+    spark-sql-kafka package on the cluster; not available in this container."""
+    df = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .load()
+    )
+    value = F.col("value").cast("string")
+    if value_schema is not None:
+        return df.select(F.from_json(value, value_schema).alias("v")).select("v.*")
+    return df.select(value.alias("value"))
+
+
+def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
+    """Kafka sink (CEPPipeline.scala:58-77 parity)."""
+    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        out.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

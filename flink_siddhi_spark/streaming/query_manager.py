@@ -1,0 +1,126 @@
+"""Driver-side dynamic query management.
+
+The reference multiplexes dynamically-added SiddhiQL plans into one Flink
+operator via a broadcast control stream + routing operator
+(AddRouteOperator.java:54-181, AbstractSiddhiOperator.java:399-467). In
+Spark, StreamingQuery objects are independent and cheap, so the idiomatic
+re-architecture (SURVEY.md §3.2) is a driver-side manager that starts/stops
+one query per plan — each with its own checkpoint — controlled by the same
+JSON control events (streaming/control.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+
+from ..errors import SiddhiError
+from .control import MetadataControlEvent, OperationControlEvent, from_json
+
+
+@dataclass
+class ManagedQuery:
+    plan_text: str
+    enabled: bool = True
+    query_handle: object = None  # StreamingQuery when running
+
+
+class QueryManager:
+    """add/update/delete/enable/disable execution plans at runtime.
+
+    ``compile_fn(plan_text)`` -> DataFrame (the compiled plan output);
+    ``sink_fn(query_id, df)`` -> StreamingQuery (starts the sink). For batch
+    DataFrames the manager just tracks the compiled result (used in tests and
+    for batch-mode parity).
+    """
+
+    def __init__(
+        self,
+        compile_fn: Callable[[str], DataFrame],
+        sink_fn: Optional[Callable[[str, DataFrame], object]] = None,
+        checkpoint_root: Optional[str] = None,
+    ):
+        self.compile_fn = compile_fn
+        self.sink_fn = sink_fn
+        self.checkpoint_root = checkpoint_root
+        self.queries: dict[str, ManagedQuery] = {}
+
+    # ------------------------------------------------------------ operations
+    def add(self, query_id: str, plan_text: str) -> None:
+        if query_id in self.queries:
+            raise SiddhiError(f"plan '{query_id}' already exists")
+        df = self.compile_fn(plan_text)  # fail-fast validation
+        mq = ManagedQuery(plan_text)
+        if self.sink_fn is not None and df.isStreaming:
+            mq.query_handle = self.sink_fn(query_id, df)
+        else:
+            mq.query_handle = df
+        self.queries[query_id] = mq
+
+    def update(self, query_id: str, plan_text: str) -> None:
+        self.delete(query_id)
+        self.add(query_id, plan_text)
+
+    def delete(self, query_id: str) -> None:
+        mq = self.queries.pop(query_id, None)
+        if mq is None:
+            return
+        self._stop(mq)
+
+    def disable(self, query_id: str) -> None:
+        mq = self.queries.get(query_id)
+        if mq is None or not mq.enabled:
+            return
+        self._stop(mq)
+        mq.enabled = False
+
+    def enable(self, query_id: str) -> None:
+        mq = self.queries.get(query_id)
+        if mq is None or mq.enabled:
+            return
+        df = self.compile_fn(mq.plan_text)
+        if self.sink_fn is not None and df.isStreaming:
+            mq.query_handle = self.sink_fn(query_id, df)
+        else:
+            mq.query_handle = df
+        mq.enabled = True
+
+    def _stop(self, mq: ManagedQuery) -> None:
+        h = mq.query_handle
+        if h is not None and hasattr(h, "stop") and not isinstance(h, DataFrame):
+            h.stop()
+        mq.query_handle = None
+
+    def stop_all(self) -> None:
+        for qid in list(self.queries):
+            self.delete(qid)
+
+    # ------------------------------------------------------- control routing
+    def on_control_json(self, text: str) -> None:
+        self.on_control_event(from_json(text))
+
+    def on_control_event(self, event) -> None:
+        if isinstance(event, MetadataControlEvent):
+            for qid, plan in event.added_execution_plan_map.items():
+                self.add(qid, plan)
+            for qid, plan in event.updated_execution_plan_map.items():
+                self.update(qid, plan)
+            for qid in event.deleted_execution_plan_id:
+                self.delete(qid)
+        elif isinstance(event, OperationControlEvent):
+            if event.action == "ENABLE_QUERY":
+                self.enable(event.query_id)
+            elif event.action == "DISABLE_QUERY":
+                self.disable(event.query_id)
+            else:
+                raise SiddhiError(f"unknown control action {event.action}")
+        else:
+            raise SiddhiError(f"unknown control event {event!r}")
+
+    def checkpoint_dir(self, query_id: str) -> Optional[str]:
+        if self.checkpoint_root is None:
+            return None
+        return os.path.join(self.checkpoint_root, query_id)

@@ -1,0 +1,315 @@
+"""Streaming compilation: the same SiddhiQL plans over Structured Streaming.
+
+Design (SURVEY.md §3.1 "Spark re-architecture", §7.0 dual-mode): batch mode
+defines the semantics (oracle-checked); this module lowers the same AST onto
+streaming DataFrames where Structured Streaming has a native shape:
+
+- row-wise filter/projection/scalar functions: identical DataFrame ops.
+- windowless group aggregation: streaming agg (update mode).
+- ``#window.timeBatch(t)`` -> ``groupBy(window(ts, t))`` + watermark.
+- ``#window.session(gap)`` -> ``session_window`` + watermark.
+- stream-static (event-table) joins: native.
+- stream-stream time-window joins: watermark + interval condition.
+- pattern/sequence: per-key NFA in ``applyInPandasWithState`` — the same
+  matcher as batch mode (operators/pattern.py) over a state-buffered,
+  event-time-sorted feed, emitting only not-yet-emitted matches per batch.
+  The reference buffers+sorts in a priority queue before feeding its engine
+  (AbstractSiddhiOperator.java:209-247); the state buffer here plays that
+  role, with a configurable retention cap instead of unbounded state.
+
+Count-based sliding windows and order/limit are batch-only (no incremental
+shape in Structured Streaming) — the planner raises a clear error.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..errors import SiddhiPlannerException, UnsupportedFeatureException
+from ..plans.expr import ExprCompiler
+from ..plans.planner import TS_COL, BatchPlanner
+from ..siddhiql import ast as A
+from ..operators import windows as W
+from ..operators.pattern import PK_COL, STREAM_COL, _run_nfa, _vec
+
+
+class StreamingPlanner(BatchPlanner):
+    """Lowers the SiddhiQL AST onto streaming DataFrames.
+
+    ``watermark_delay`` (e.g. "10 seconds") is applied to every event-time
+    stream — the knob the reference lacks (it drains on Flink watermarks,
+    AbstractSiddhiOperator.java:237-247).
+    """
+
+    def __init__(self, catalog, extensions=None, watermark_delay: str = "10 seconds",
+                 max_buffer_per_key: int = 100_000):
+        super().__init__(catalog, extensions)
+        self.watermark_delay = watermark_delay
+        self.max_buffer_per_key = max_buffer_per_key
+
+    # ------------------------------------------------------------------ utils
+    def _event_time_col(self, schema) -> Optional[str]:
+        return schema.ts_field
+
+    def _with_watermark(self, df: DataFrame, schema) -> DataFrame:
+        if schema.ts_field is None or not df.isStreaming:
+            return df
+        dt = dict(df.dtypes).get(schema.ts_field, "")
+        tcol = "__event_time"
+        if dt.startswith("timestamp"):
+            df = df.withColumn(tcol, F.col(schema.ts_field).cast("timestamp"))
+        else:
+            df = df.withColumn(tcol, F.timestamp_millis(F.col(schema.ts_field).cast("bigint")))
+        return df.withWatermark(tcol, self.watermark_delay)
+
+    # --------------------------------------------------------------- override
+    def _compile_single(self, q: A.Query) -> DataFrame:
+        si: A.SingleInput = q.input
+        schema = self.stream_schema(si.stream)
+        df, _ = self.stream_df(si.stream)
+        if not schema.df.isStreaming:
+            return super()._compile_single(q)
+        df = self._with_watermark(df, schema)
+        names = {si.stream, si.alias} if si.alias else {si.stream}
+        resolver = self._plain_resolver(set(df.columns), names)
+        comp = self._compiler(resolver, df)
+        if si.filter is not None:
+            df = df.filter(comp.compile(si.filter))
+        if not self._query_has_agg(q):
+            if q.order_by or q.limit is not None:
+                raise UnsupportedFeatureException("order by / limit need batch mode")
+            return self._select_rowwise(df, q, resolver, schema.fields)
+        return self._streaming_agg(df, q, si, resolver)
+
+    def _streaming_agg(self, df: DataFrame, q: A.Query, si: A.SingleInput, resolver) -> DataFrame:
+        if q.order_by or q.limit is not None:
+            raise UnsupportedFeatureException("order by / limit need batch mode")
+        wclass = W.classify(si.window)
+        comp = self._compiler(resolver, df)
+        group_cols: list[Column] = []
+        key_names: list[str] = []
+        for i, ge in enumerate(q.group_by):
+            gname = ge.name if isinstance(ge, A.Ref) else f"__g{i}"
+            if gname not in df.columns:
+                df = df.withColumn(gname, comp.compile(ge))
+            group_cols.append(F.col(gname))
+            key_names.append(gname)
+        win_start = win_end = None
+        if wclass == "batch":
+            name = si.window.name.lower()
+            if name == "timebatch":
+                size_ms = int(si.window.args[0].value)
+                wcol = F.window(F.col("__event_time"), f"{size_ms} milliseconds")
+            elif name == "session":
+                gap_ms = int(si.window.args[0].value)
+                wcol = F.session_window(F.col("__event_time"), f"{gap_ms} milliseconds")
+            else:
+                raise UnsupportedFeatureException(
+                    f"#window.{si.window.name} has no streaming shape (use batch mode)"
+                )
+            group_cols = [wcol.alias("__w")] + group_cols
+            win_start = F.unix_millis(F.col("__w.start"))
+            win_end = F.unix_millis(F.col("__w.end"))
+        elif wclass == "sliding":
+            raise UnsupportedFeatureException(
+                f"sliding #window.{si.window.name} aggregation is batch-only; "
+                "streaming emits per-window-flush (timeBatch/session)"
+            )
+        # collect aggregates
+        from ..plans.functions import AGG_FNS
+
+        agg_map: dict[int, str] = {}
+        agg_exprs: list[Column] = []
+        inner_comp = self._compiler(resolver, df)
+
+        def collect(e: A.Expr):
+            if isinstance(e, A.Call) and e.ns is None and e.name.lower() in AGG_FNS:
+                if id(e) not in agg_map:
+                    nm = f"__a{len(agg_map)}"
+                    agg_map[id(e)] = nm
+                    agg_exprs.append(self._agg_column(e, inner_comp, df, None).alias(nm))
+                return
+            from ..plans.planner import _children
+
+            for child in _children(e):
+                collect(child)
+
+        items = q.select or []
+        if q.select is None:
+            raise SiddhiPlannerException("select * not allowed in aggregate queries")
+        for it in items:
+            collect(it.expr)
+        if q.having is not None:
+            collect(q.having)
+        agg_df = df.groupBy(*group_cols).agg(*agg_exprs) if group_cols else df.agg(*agg_exprs)
+
+        def post_resolve(ref: A.Ref) -> Column:
+            if ref.name in key_names or ref.name in agg_df.columns:
+                return F.col(ref.name)
+            raise SiddhiPlannerException(
+                f"column '{ref.name}' must be a group-by key or inside an aggregate"
+            )
+
+        fns = {}
+        if win_start is not None:
+            fns["windowStart"] = lambda *a: win_start
+            fns["windowEnd"] = lambda *a: win_end
+        post = ExprCompiler(
+            post_resolve, {**self.extensions, **fns},
+            agg_handler=lambda call, inner: F.col(agg_map[id(call)]),
+        )
+        out_cols = [post.compile(it.expr).alias(self._out_name(it)) for it in items]
+        out = agg_df.select(*out_cols)
+        if q.having is not None:
+            hc = ExprCompiler(lambda r: F.col(r.name), self.extensions)
+            out = out.filter(hc.compile(q.having))
+        return out
+
+    # ------------------------------------------------------- streaming pattern
+    def compile_query(self, q: A.Query) -> DataFrame:
+        if isinstance(q.input, A.PatternInput):
+            streams = {e.stream for e in q.input.elems}
+            if any(self.stream_schema(s).df.isStreaming for s in streams):
+                return self._streaming_pattern(q)
+        return super().compile_query(q)
+
+    def _streaming_pattern(self, q: A.Query) -> DataFrame:
+        """Per-key NFA over state-buffered rows (applyInPandasWithState)."""
+        p: A.PatternInput = q.input
+        elems = p.elems
+        used = set()
+        for i, e in enumerate(elems):
+            if e.alias is None:
+                e.alias = e.stream if e.stream not in used else f"e{i}"
+            used.add(e.alias)
+        strict_after = [c == "," for c in p.connectors]
+        if len({e.stream for e in elems}) != 1:
+            raise UnsupportedFeatureException(
+                "streaming patterns over multiple streams: union the streams first"
+            )
+        stream = elems[0].stream
+        schema = self.stream_schema(stream)
+        if schema.ts_field is None:
+            raise SiddhiPlannerException(f"pattern stream '{stream}' needs a ts_field")
+        df, _ = self.stream_df(stream)
+        df = self._with_watermark(df, schema)
+        pk = q.partition_by or {}
+        if pk:
+            df = df.withColumn(PK_COL, F.col(pk[stream]))
+        else:
+            df = df.withColumn(PK_COL, F.lit(0))
+        df = df.withColumn(STREAM_COL, F.lit(stream))
+
+        fields = list(schema.fields)
+        field_types = {f.name: f.dataType for f in schema.df.schema.fields}
+        out_fields = []
+        col_of = {}
+        for e in elems:
+            if e.negated:
+                continue
+            for fname in fields:
+                out_name = f"{e.alias}__{fname}"
+                col_of[(e.alias, fname)] = out_name
+                out_fields.append(
+                    T.StructField(
+                        out_name,
+                        T.ArrayType(field_types[fname]) if e.is_collection else field_types[fname],
+                        True,
+                    )
+                )
+        out_schema = T.StructType(out_fields)
+        out_names = [f.name for f in out_fields]
+        sort_cols = [TS_COL] + [f for f in fields if f != schema.ts_field]
+        # buffer state serialized as json strings (schema-stable across batches)
+        state_schema = T.StructType(
+            [
+                T.StructField("emitted", T.LongType()),
+                T.StructField("buffer", T.ArrayType(T.StringType())),
+            ]
+        )
+        elems_c = elems
+        every, within_ms = p.every, p.within_ms
+        filters = [(e.stream, e.filter) for e in elems]
+        field_names = {e.alias: fields for e in elems if not e.negated}
+        collection = {e.alias: e.is_collection for e in elems if not e.negated}
+        max_buffer = self.max_buffer_per_key
+        keep_cols = [STREAM_COL, TS_COL] + fields
+        ts_name = schema.ts_field
+
+        def proc(
+            key, pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            import json as _json
+
+            if state.exists:
+                emitted, buffer = state.get
+                buffer = list(buffer)
+            else:
+                emitted, buffer = 0, []
+            for pdf in pdfs:
+                for row in pdf[keep_cols].itertuples(index=False):
+                    d = dict(zip(keep_cols, row))
+                    for k, v in list(d.items()):
+                        if isinstance(v, pd.Timestamp):
+                            d[k] = v.isoformat()
+                    buffer.append(_json.dumps(d, default=str))
+            if len(buffer) > max_buffer:
+                buffer = buffer[-max_buffer:]
+                emitted = 0  # resync after forced eviction
+            rows = pd.DataFrame([_json.loads(b) for b in buffer])
+            if ts_name in rows.columns:
+                rows[ts_name] = pd.to_datetime(rows[ts_name])
+            rows = rows.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+            masks = []
+            for stream_name, filt in filters:
+                m = (rows[STREAM_COL] == stream_name).to_numpy()
+                if filt is not None:
+                    fv = _vec(filt, rows)
+                    m = m & fv.to_numpy(dtype=bool, na_value=False)
+                masks.append(m)
+            found = _run_nfa(rows, masks, elems_c, strict_after, every, within_ms)
+            new = found[emitted:]
+            state.update((emitted + len(new), buffer))
+            data = {n: [] for n in out_names}
+            for cap in new:
+                for ei, e in enumerate(elems_c):
+                    if e.negated:
+                        continue
+                    for fname in field_names[e.alias]:
+                        cname = col_of[(e.alias, fname)]
+                        vals = [rows[fname].iloc[j] for j in cap[ei]]
+                        if collection[e.alias]:
+                            data[cname].append(vals)
+                        else:
+                            data[cname].append(vals[0] if vals else None)
+            yield pd.DataFrame(data, columns=out_names, dtype=object)
+
+        result = df.groupBy(PK_COL).applyInPandasWithState(
+            proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+
+        singles = [e for e in elems if not e.negated]
+
+        def resolve(ref: A.Ref) -> Column:
+            if ref.stream is not None:
+                key = (ref.stream, ref.name)
+                if key not in col_of:
+                    raise SiddhiPlannerException(f"unknown pattern reference {ref.stream}.{ref.name}")
+                c = F.col(col_of[key])
+                if collection.get(ref.stream, False):
+                    return c.getItem(ref.index if ref.index is not None else 0)
+                return c
+            for e in singles:
+                if ref.name in field_names[e.alias]:
+                    c = F.col(col_of[(e.alias, ref.name)])
+                    return c.getItem(0) if collection[e.alias] else c
+            raise SiddhiPlannerException(f"unknown column '{ref.name}' after pattern")
+
+        return self._select_rowwise(result, q, resolve, out_names)

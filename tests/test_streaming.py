@@ -1,0 +1,163 @@
+"""Structured Streaming tests: row-wise queries, windowed aggregation,
+stateful pattern NFA, and the dynamic QueryManager."""
+
+import json
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_siddhi_spark import SiddhiCEP
+from flink_siddhi_spark.streaming.runtime import StreamingPlanner
+from flink_siddhi_spark.sources.streams import file_stream, to_memory
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("timestamp", T.LongType()),
+    ]
+)
+
+
+def write_events(spark, tmpdir, rows):
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmpdir))
+    return str(tmpdir)
+
+
+def run_stream(cep, planner, cql_text, out_name, mem_name, tmp_path, mode="append"):
+    from flink_siddhi_spark.siddhiql.parser import parse
+
+    plan = parse(cql_text)
+    outputs = {}
+    for q in plan.queries:
+        df = planner.compile_query(q)
+        outputs[q.insert_into] = df
+    q = to_memory(
+        outputs[out_name], mem_name,
+        checkpoint=str(tmp_path / f"ck_{mem_name}"), output_mode=mode,
+    )
+    q.awaitTermination(60)
+    return cep.spark.sql(f"SELECT * FROM {mem_name}")
+
+
+def test_streaming_filter_projection(spark, tmp_path):
+    rows = [(i, "e", float(i), 1000 * i) for i in range(20)]
+    path = write_events(spark, tmp_path / "in", rows)
+    cep = SiddhiCEP(spark)
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "from s[id > 15] select id, price * 2.0 as p2 insert into Out",
+        "Out", "m_filter", tmp_path,
+    )
+    got = sorted((r.id, r.p2) for r in out.collect())
+    assert got == [(16, 32.0), (17, 34.0), (18, 36.0), (19, 38.0)]
+
+
+def test_streaming_time_batch_agg(spark, tmp_path):
+    # 1-second tumbling windows over 10 events spaced 300ms
+    rows = [(i % 3, "e", 1.0, 300 * i) for i in range(10)]
+    path = write_events(spark, tmp_path / "in2", rows)
+    cep = SiddhiCEP(spark)
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "from s#window.timeBatch(1 sec) select windowStart() as w, count() as n, "
+        "sum(price) as total insert into Out",
+        "Out", "m_tb", tmp_path, mode="complete",
+    )
+    got = sorted((r.w, r.n, r.total) for r in out.collect())
+    # windows: [0,1000): ts 0,300,600,900; [1000,2000): 1200,1500,1800; [2000,3000): 2100,2400,2700
+    assert got == [(0, 4, 4.0), (1000, 3, 3.0), (2000, 3, 3.0)]
+
+
+def test_streaming_pattern(spark, tmp_path):
+    rows = [
+        (2, "a", 1.0, 1000), (9, "x", 1.0, 2000), (3, "b", 1.0, 3000),
+        (2, "c", 1.0, 4000), (3, "d", 1.0, 5000),
+    ]
+    path = write_events(spark, tmp_path / "in3", rows)
+    cep = SiddhiCEP(spark)
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "from every a = s[id == 2] -> b = s[id == 3] "
+        "select a.name as an, b.name as bn insert into Out",
+        "Out", "m_pat", tmp_path,
+    )
+    got = sorted((r.an, r.bn) for r in out.collect())
+    assert got == [("a", "b"), ("c", "d")]
+
+
+def test_query_manager_lifecycle(spark, sf_dir):
+    from flink_siddhi_spark.sources.tables import load_table
+    from flink_siddhi_spark.streaming.control import (
+        MetadataControlEvent, OperationControlEvent, to_json,
+    )
+    from flink_siddhi_spark.streaming.query_manager import QueryManager
+
+    cep = SiddhiCEP(spark)
+    events = load_table(spark, sf_dir, "events")
+    cep.register_stream(
+        "events", events, "event_id", "ts", "user_id", "event_type", "value", "props",
+        ts_field="ts",
+    )
+
+    def compile_fn(plan_text):
+        from flink_siddhi_spark.plans.planner import BatchPlanner
+        from flink_siddhi_spark.siddhiql.parser import parse_query
+
+        return BatchPlanner(cep.catalog, cep.extensions).compile_query(parse_query(plan_text))
+
+    qm = QueryManager(compile_fn)
+    qm.on_control_json(to_json(MetadataControlEvent(
+        added_execution_plan_map={
+            "p1": "from events[value > 90.0] select event_id insert into O1",
+            "p2": "from events select event_type, count() as n group by event_type insert into O2",
+        }
+    )))
+    assert set(qm.queries) == {"p1", "p2"}
+    assert qm.queries["p1"].query_handle.count() > 0
+    qm.on_control_json(to_json(OperationControlEvent("DISABLE_QUERY", "p1")))
+    assert qm.queries["p1"].enabled is False
+    qm.on_control_json(to_json(OperationControlEvent("ENABLE_QUERY", "p1")))
+    assert qm.queries["p1"].enabled is True
+    qm.on_control_json(to_json(MetadataControlEvent(deleted_execution_plan_id=["p2"])))
+    assert set(qm.queries) == {"p1"}
+    # bad plan fails fast without corrupting state
+    with pytest.raises(Exception):
+        qm.add("bad", "from nosuch select x insert into O3")
+    assert "bad" not in qm.queries
+
+
+def test_streaming_group_agg_update(spark, tmp_path):
+    rows = [(i % 2, "e", float(i), 1000 * i) for i in range(10)]
+    path = write_events(spark, tmp_path / "in4", rows)
+    cep = SiddhiCEP(spark)
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    from flink_siddhi_spark.siddhiql.parser import parse_query
+
+    df = planner.compile_query(parse_query(
+        "from s select id, count() as n, sum(price) as total group by id insert into Out"
+    ))
+    q = (
+        df.writeStream.format("memory").queryName("m_agg").outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_agg"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM m_agg").collect())
+    assert got == [(0, 5, 20.0), (1, 5, 25.0)]
