@@ -20,6 +20,9 @@ TABLE_NAMES = [
 
 def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ->timestamp casts (event-time normalization) use the session zone;
+    # UTC keeps epoch-millis identical to DuckDB's epoch_ms on naive values.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
 
 
