@@ -164,6 +164,10 @@ class ExecutionSiddhiStream:
             )
         return self.outputs[out_stream_id]
 
+    def returns_many(self, out_stream_ids: list[str]) -> dict[str, DataFrame]:
+        """Multi-output queries (reference: returns(List), SiddhiStream.java:301-309)."""
+        return {i: self.returns(i) for i in out_stream_ids}
+
     # reference output-shape variants — DataFrames subsume Tuple/Row/POJO
     def return_as_map(self, out_stream_id: str) -> list[dict]:
         return [r.asDict(recursive=True) for r in self.returns(out_stream_id).collect()]

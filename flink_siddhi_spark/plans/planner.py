@@ -116,7 +116,7 @@ class BatchPlanner:
         resolver = self._plain_resolver(set(df.columns), names)
         comp = self._compiler(resolver, df)
         if si.filter is not None:
-            df = df.filter(comp.compile(si.filter))
+            df = self._apply_filter(df, si.filter, comp)
         has_agg = self._query_has_agg(q)
         wclass = W.classify(si.window)
         ord_cols = self.ord_cols_for(schema)
@@ -132,6 +132,41 @@ class BatchPlanner:
         if wclass == "sliding":
             return self._select_sliding(df, q, si, ts_col or TS_COL, ord_cols)
         return self._select_group(df, q, si if wclass == "batch" else None, ts_col, ord_cols)
+
+    def _apply_filter(self, df: DataFrame, filt: A.Expr, comp: ExprCompiler) -> DataFrame:
+        """Apply a stream filter; top-level `x in Table` conjuncts become
+        broadcast LEFT SEMI joins against the event table (Siddhi 'in table'
+        condition, README.md:26) — the scalable containment check."""
+        conjuncts: list[A.Expr] = []
+
+        def split(e: A.Expr):
+            if isinstance(e, A.Binary) and e.op == "and":
+                split(e.left)
+                split(e.right)
+            else:
+                conjuncts.append(e)
+
+        split(filt)
+        plain: list[A.Expr] = []
+        for c in conjuncts:
+            if isinstance(c, A.InTable):
+                tbl = self.stream_schema(c.table)
+                if not tbl.is_table:
+                    raise SiddhiPlannerException(f"'in {c.table}': not a registered table")
+                probe = comp.compile(c.expr)
+                # match against the table's first (key) column
+                key = tbl.fields[0]
+                side = F.broadcast(tbl.df.select(F.col(key).alias("__in_key")).distinct())
+                df = df.join(side, probe == F.col("__in_key"), "left_semi")
+            elif contains_in_table(c):
+                raise UnsupportedFeatureException(
+                    "'in <table>' must be a top-level AND conjunct of the filter"
+                )
+            else:
+                plain.append(c)
+        for c in plain:
+            df = df.filter(comp.compile(c))
+        return df
 
     # -------------------------------------------------------------- resolvers
     def _plain_resolver(self, valid: set[str], stream_names: set[str]):
@@ -482,6 +517,12 @@ class BatchPlanner:
         if q.limit is not None:
             out = out.limit(q.limit)
         return out
+
+
+def contains_in_table(e: A.Expr) -> bool:
+    if isinstance(e, A.InTable):
+        return True
+    return any(contains_in_table(c) for c in _children(e))
 
 
 def _children(e: A.Expr):
