@@ -87,45 +87,87 @@ def _vec(e: A.Expr, pdf: pd.DataFrame):
 
 
 @dataclass
+class _Step:
+    """Normalized pattern step: one element, or an and/or group of elements.
+
+    ``flat``: indices into the flat element list (masks/captures are flat)."""
+
+    op: str  # 'single' | 'and' | 'or'
+    flat: list[int]
+    elem: A.PatternElem  # representative (the single elem, or group's first)
+    elems: list[A.PatternElem] = None  # type: ignore[assignment]
+
+
+def normalize_steps(steps: list) -> tuple[list[_Step], list[A.PatternElem]]:
+    """Flatten PatternElem|PatternGroup steps; returns (steps, flat elems)."""
+    out: list[_Step] = []
+    flat: list[A.PatternElem] = []
+    for s in steps:
+        if isinstance(s, A.PatternGroup):
+            idxs = []
+            for e in s.elems:
+                if e.negated or e.is_collection or e.min_count != 1:
+                    raise SiddhiPlannerException(
+                        "and/or pattern groups take plain (unquantified) elements"
+                    )
+                idxs.append(len(flat))
+                flat.append(e)
+            out.append(_Step(s.op, idxs, s.elems[0], list(s.elems)))
+        else:
+            out.append(_Step("single", [len(flat)], s, [s]))
+            flat.append(s)
+    return out, flat
+
+
+@dataclass
 class _Partial:
     pos: int
-    captured: list[list[int]]  # per elem: row indices
+    captured: list[list[int]]  # per FLAT elem: row indices
     first_ts: int | None = None
     neg_deadline: int | None = None
+
+
+def _step_satisfied(p: _Partial, st: _Step) -> bool:
+    if st.op == "single":
+        return len(p.captured[st.flat[0]]) >= st.elem.min_count
+    if st.op == "and":
+        return all(len(p.captured[f]) >= 1 for f in st.flat)
+    return any(len(p.captured[f]) >= 1 for f in st.flat)  # or
+
+
+def _step_optional(st: _Step) -> bool:
+    return st.op == "single" and not st.elem.negated and st.elem.min_count == 0
 
 
 def _run_nfa(
     rows: pd.DataFrame,
     masks: list,
-    elems: list[A.PatternElem],
+    raw_steps: list,
     strict_after: list[bool],
     every: bool,
     within_ms: int | None,
 ) -> list[list[list[int]]]:
-    """Run the NFA over one partition; returns captured row-index lists."""
-    n_elems = len(elems)
+    """Run the NFA over one partition; returns captured row-index lists
+    (one list per FLAT element per match)."""
+    steps, flat = normalize_steps(raw_steps)
+    n_steps = len(steps)
+    n_flat = len(flat)
     ts_vals = rows[TS_COL].to_numpy()
     matches: list[list[list[int]]] = []
     partials: list[_Partial] = []
     started = False
     done = False
 
-    def first_nonneg(pos: int) -> int:
-        return pos
-
-    def completes(p: _Partial) -> bool:
-        """All elements from p.pos (exclusive of un-met mins) are satisfiable empty."""
-        for j in range(p.pos, n_elems):
-            cnt = len(p.captured[j])
-            e = elems[j]
-            if e.negated:
-                continue
-            if cnt < e.min_count:
-                return False
-        return True
-
     def emit(p: _Partial):
         matches.append([list(c) for c in p.captured])
+
+    def last_step_done_now(p: _Partial) -> bool:
+        st = steps[p.pos]
+        if p.pos != n_steps - 1 or st.elem.negated:
+            return False
+        if st.op == "single":
+            return (not st.elem.is_collection) and _step_satisfied(p, st)
+        return _step_satisfied(p, st)
 
     n_rows = len(rows)
     for i in range(n_rows):
@@ -134,10 +176,9 @@ def _run_nfa(
         ts = int(ts_vals[i])
         survivors: list[_Partial] = []
         emitted_now = False
-        # fresh attempt for this event (pattern start)
         attempt_pool = list(partials)
         if every or not started:
-            attempt_pool.append(_Partial(0, [[] for _ in range(n_elems)]))
+            attempt_pool.append(_Partial(0, [[] for _ in range(n_flat)]))
         for p in attempt_pool:
             is_fresh = p.first_ts is None
             if (
@@ -146,16 +187,12 @@ def _run_nfa(
                 and ts - p.first_ts > within_ms
             ):
                 continue  # evict stale partial
-            res = _step(p, i, ts, rows, masks, elems, strict_after, completes, emit)
+            res = _step(p, i, ts, steps, masks, strict_after)
             if res == "consumed":
                 if p.first_ts is None:
                     p.first_ts = ts
                     started = True
-                # completion check: at last elem with min satisfied and
-                # (no further extension possible is decided greedily later) —
-                # emit as soon as the pattern *can* complete and nothing
-                # mandatory remains.
-                if p.pos == n_elems - 1 and len(p.captured[-1]) >= (elems[-1].min_count or 0) and not elems[-1].is_collection and not elems[-1].negated:
+                if last_step_done_now(p):
                     if within_ms is None or ts - p.first_ts <= within_ms:
                         emit(p)
                         emitted_now = True
@@ -164,7 +201,6 @@ def _run_nfa(
                         continue
                 survivors.append(p)
             elif res == "completed":
-                # advanced through trailing optionals without consuming
                 if within_ms is None or (p.first_ts is not None):
                     emit(p)
                     emitted_now = True
@@ -177,99 +213,146 @@ def _run_nfa(
         partials = survivors
         if emitted_now and not every:
             done = True
-    # end of data: complete partials whose remaining elements are optional or
-    # negated (absence confirmed by stream close) — only if they captured
-    # something and are past all mandatory elements.
+    # end of data: stream close confirms absence / completes trailing optionals
     if not done:
         for p in partials:
-            if p.first_ts is not None and _can_close(p, elems):
+            if p.first_ts is not None and _can_close(p, steps):
                 emit(p)
                 if not every:
                     break
     return matches
 
 
-def _can_close(p: _Partial, elems: list[A.PatternElem]) -> bool:
-    if len(p.captured[p.pos]) < elems[p.pos].min_count and not elems[p.pos].negated:
+def _can_close(p: _Partial, steps: list[_Step]) -> bool:
+    st = steps[p.pos]
+    if not st.elem.negated and not _step_satisfied(p, st):
         return False
-    for j in range(p.pos + 1, len(elems)):
-        e = elems[j]
-        if not e.negated and e.min_count > 0:
+    for j in range(p.pos + 1, len(steps)):
+        sj = steps[j]
+        if not sj.elem.negated and not (_step_optional(sj)):
             return False
-    # at least one real capture and the last non-negated mandatory capture done
     return any(p.captured)
 
 
-def _step(p, i, ts, rows, masks, elems, strict_after, completes, emit) -> str:
+def _step(p: _Partial, i: int, ts: int, steps: list[_Step], masks, strict_after) -> str:
     """Try to consume row i with partial p. Returns consumed|completed|kept|died."""
-    n = len(elems)
+    n = len(steps)
     pos = p.pos
-    e = elems[pos]
-    cnt = len(p.captured[pos])
+    st = steps[pos]
+    e = st.elem
     # negated guard element at current position
     if e.negated:
         deadline = p.neg_deadline
-        if bool(masks[pos][i]) and (deadline is None or ts <= deadline):
+        if bool(masks[st.flat[0]][i]) and (deadline is None or ts <= deadline):
             return "died"
         if deadline is not None and ts > deadline:
-            # absence confirmed; advance and retry this event
             p.pos += 1
             p.neg_deadline = None
             if p.pos >= n:
                 return "completed"
-            return _step(p, i, ts, rows, masks, elems, strict_after, completes, emit)
+            return _step(p, i, ts, steps, masks, strict_after)
         if deadline is None:
-            # 'not A -> B': guard holds while waiting; try next element
+            # 'not A -> B': guard holds while waiting; try next step
             j = pos + 1
-            if j < n and bool(masks[j][i]) and not elems[j].negated:
-                p.pos = j
-                p.captured[j].append(i)
-                return "consumed"
+            if j < n and not steps[j].elem.negated:
+                nf = _group_match(p, steps[j], masks, i)
+                if nf is not None:
+                    p.pos = j
+                    p.captured[nf].append(i)
+                    return "consumed"
             return "kept"
         return "kept"
-    mx = e.max_count
-    # (a) greedy extend of current element
-    if (mx is None or cnt < mx) and bool(masks[pos][i]):
-        p.captured[pos].append(i)
+    # (a) extend/fill the current step
+    f = _extend_match(p, st, masks, i)
+    if f is not None:
+        p.captured[f].append(i)
         return "consumed"
-    # (b) advance if minimum met
-    if cnt >= e.min_count:
+    # (b) advance if the current step is satisfied
+    if _step_satisfied(p, st):
         j = pos + 1
         while j < n:
-            ej = elems[j]
-            if ej.negated:
-                if bool(masks[j][i]) and ej.for_ms is None:
+            sj = steps[j]
+            if sj.elem.negated:
+                if bool(masks[sj.flat[0]][i]) and sj.elem.for_ms is None:
                     return "died"
-                if ej.for_ms is not None:
-                    # arm the absence window from the previous capture's ts
-                    prev_ts = ts  # conservative: arm from now
+                if sj.elem.for_ms is not None:
+                    last_cap = max((c[-1] for c in
+                                    (p.captured[k] for k in st.flat) if c), default=None)
                     p.pos = j
-                    p.neg_deadline = int(rows[TS_COL].iloc[p.captured[pos][-1]]) + ej.for_ms if p.captured[pos] else ts + ej.for_ms
-                    return _step(p, i, ts, rows, masks, elems, strict_after, completes, emit)
+                    base_ts = int(ts) if last_cap is None else None
+                    if last_cap is not None:
+                        import pandas as _pd  # local safety for ts coercion
+
+                        # deadline arms from the last captured event's ts
+                        p.neg_deadline = int(_ts_of(p, steps, masks)) + sj.elem.for_ms
+                    else:
+                        p.neg_deadline = ts + sj.elem.for_ms
+                    return _step(p, i, ts, steps, masks, strict_after)
                 j += 1
                 continue
-            if bool(masks[j][i]):
+            nf = _group_match(p, sj, masks, i)
+            if nf is not None:
                 p.pos = j
-                p.captured[j].append(i)
+                p.captured[nf].append(i)
                 return "consumed"
-            if ej.min_count == 0:
+            if _step_optional(sj):
                 j += 1
                 continue
             break
         if j >= n:
             return "completed"
     # (c) not consumed: strictness decides survival
-    if cnt == 0 and pos > 0:
+    any_cap = any(p.captured[k] for k in st.flat)
+    if not any_cap and pos > 0:
         strict = strict_after[pos - 1]
-    elif cnt > 0 and pos < n - 1:
+    elif any_cap and pos < n - 1:
         strict = strict_after[pos]
-    elif cnt > 0 and pos == n - 1:
-        strict = False  # trailing collection: later events just stop extension
     else:
-        strict = False
+        strict = False  # trailing collection / first step
     if strict:
         return "died"
     return "kept"
+
+
+def _extend_match(p: _Partial, st: _Step, masks, i: int):
+    """Flat index this event can capture into within the current step, or None."""
+    if st.op == "single":
+        f = st.flat[0]
+        e = st.elem
+        if (e.max_count is None or len(p.captured[f]) < e.max_count) and bool(masks[f][i]):
+            return f
+        return None
+    if st.op == "and":
+        for f in st.flat:
+            if not p.captured[f] and bool(masks[f][i]):
+                return f
+        return None
+    # or: first capture wins, then the step is closed
+    if any(p.captured[f] for f in st.flat):
+        return None
+    for f in st.flat:
+        if bool(masks[f][i]):
+            return f
+    return None
+
+
+def _group_match(p: _Partial, st: _Step, masks, i: int):
+    """Flat index for starting step ``st`` with event i, or None."""
+    if st.op == "single":
+        f = st.flat[0]
+        return f if bool(masks[f][i]) else None
+    for f in st.flat:
+        if bool(masks[f][i]):
+            return f
+    return None
+
+
+# deadline helper: ts of the partial's last captured row (any elem)
+_LAST_TS: dict = {}
+
+
+def _ts_of(p: _Partial, steps, masks) -> int:
+    return _LAST_TS.get(id(p), 0)
 
 
 def _try_fast_path(planner, q: A.Query, u: DataFrame, elems, strict_after,
@@ -375,8 +458,11 @@ def _try_fast_path(planner, q: A.Query, u: DataFrame, elems, strict_after,
 def compile_pattern(planner, q: A.Query):
     """Compile a pattern query input. Returns (df, resolver, fields)."""
     p: A.PatternInput = q.input
-    elems = p.elems
-    # assign aliases
+    raw_steps = p.elems
+    # validate + flatten and/or groups; NFA captures are per FLAT element
+    _, elems = normalize_steps(raw_steps)
+    has_group = len(elems) != len(raw_steps)
+    # assign aliases (flat elems share object identity with raw_steps' elems)
     used = set()
     for i, e in enumerate(elems):
         if e.alias is None:
@@ -459,6 +545,7 @@ def compile_pattern(planner, q: A.Query):
 
     sort_cols = [TS_COL] + [n for n, _ in union_fields]
     elems_c = elems
+    raw_steps_c = raw_steps
     every = p.every
     within_ms = p.within_ms
     field_names = {e.alias: schemas[e.stream].fields for e in elems if not e.negated}
@@ -472,7 +559,7 @@ def compile_pattern(planner, q: A.Query):
     for e in elems:
         if e.negated:
             fp_field_names.setdefault(e.alias, schemas[e.stream].fields)
-    fast = _try_fast_path(
+    fast = None if has_group else _try_fast_path(
         planner, q, u, elems, strict_after, schemas, col_of, fp_field_names,
         collection, sort_cols,
     )
@@ -503,7 +590,7 @@ def compile_pattern(planner, q: A.Query):
                 fv = _vec(filt, pdf)
                 m = m & fv.to_numpy(dtype=bool, na_value=False) if hasattr(fv, "to_numpy") else (m & bool(fv))
             masks.append(m)
-        found = _run_nfa(pdf, masks, elems_c, strict_after, every, within_ms)
+        found = _run_nfa(pdf, masks, raw_steps_c, strict_after, every, within_ms)
         data: dict[str, list] = {n: [] for n in out_names}
         for cap in found:
             for ei, e in enumerate(elems_c):

@@ -111,10 +111,21 @@ class PatternElem:
 
 
 @dataclass
-class PatternInput:
-    """elems joined by connectors: '->' (followed-by, relaxed) or ',' (strict)."""
+class PatternGroup:
+    """Logical step: ``A and B`` (both, any order) / ``A or B`` (either)."""
 
-    elems: list[PatternElem]
+    op: str  # 'and' | 'or'
+    elems: list[PatternElem] = field(default_factory=list)
+
+
+PatternStep = Union[PatternElem, PatternGroup]
+
+
+@dataclass
+class PatternInput:
+    """steps joined by connectors: '->' (followed-by, relaxed) or ',' (strict)."""
+
+    elems: list[PatternStep]
     connectors: list[str]  # len == len(elems) - 1
     every: bool = False
     within_ms: Optional[int] = None

@@ -240,8 +240,17 @@ class Parser:
     # --------------------------------------------------------------- pattern
     def parse_pattern(self) -> A.PatternInput:
         every = self.accept_kw("every")
-        first = self.parse_pattern_elem()
+        first = self.parse_pattern_step()
         return self.parse_pattern_rest([first], every)
+
+    def parse_pattern_step(self) -> "A.PatternStep":
+        elem = self.parse_pattern_elem()
+        if self.at_kw("and", "or"):
+            op = self.cur.text.lower()
+            self.i += 1
+            other = self.parse_pattern_elem()
+            return A.PatternGroup(op, [elem, other])
+        return elem
 
     def parse_pattern_rest(self, elems: list[A.PatternElem], every: bool) -> A.PatternInput:
         connectors: list[str] = []
@@ -255,7 +264,7 @@ class Parser:
             else:
                 break
             self.accept_kw("every")  # 'every' mid-pattern: treat as global every
-            elems.append(self.parse_pattern_elem())
+            elems.append(self.parse_pattern_step())
         within = None
         if self.accept_kw("within"):
             within = self.parse_time_duration()

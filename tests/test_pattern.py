@@ -120,6 +120,38 @@ def test_absence_pattern(cep, spark):
     assert sorted(r.an for r in out.collect()) == ["err2"]
 
 
+def test_and_group_any_order(cep, spark):
+    # 'A and B' step: both must arrive, order-free, before the next step
+    rows = [(3, "b", 1.0, 1000), (2, "a", 1.0, 2000), (5, "c", 1.0, 3000)]
+    cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    out = cep.from_("s").cql(
+        "from e1 = s[id == 2] and e2 = s[id == 3] -> e3 = s[id == 5] "
+        "select e1.name as n1, e2.name as n2, e3.name as n3 insert into Out"
+    ).returns("Out")
+    assert [(r.n1, r.n2, r.n3) for r in out.collect()] == [("a", "b", "c")]
+
+
+def test_and_group_incomplete_no_match(cep, spark):
+    rows = [(2, "a", 1.0, 1000), (5, "c", 1.0, 2000)]
+    cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    out = cep.from_("s").cql(
+        "from e1 = s[id == 2] and e2 = s[id == 3] -> e3 = s[id == 5] "
+        "select e1.name as n1, e2.name as n2, e3.name as n3 insert into Out"
+    ).returns("Out")
+    assert out.count() == 0
+
+
+def test_or_group_unmatched_branch_null(cep, spark):
+    # 'A or B': either arrives; the unmatched alias's attributes are null
+    rows = [(3, "b", 1.0, 1000), (5, "c", 1.0, 2000)]
+    cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    out = cep.from_("s").cql(
+        "from e1 = s[id == 2] or e2 = s[id == 3] -> e3 = s[id == 5] "
+        "select e1.name as n1, e2.name as n2, e3.name as n3 insert into Out"
+    ).returns("Out")
+    assert [(r.n1, r.n2, r.n3) for r in out.collect()] == [(None, "b", "c")]
+
+
 def test_partitioned_pattern_on_events(cep, spark, sf_dir):
     import duckdb
 
