@@ -156,6 +156,41 @@ def q_window_sliding_length(spark, sf_dir):
     ).returns("Out")
 
 
+def q_window_sort(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.sort(100, value, 'desc') "
+        "select event_id, value insert into Out"
+    ).returns("Out")
+
+
+def q_window_frequent(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.frequent(3, event_type) "
+        "select event_type, count() as n group by event_type insert into Out"
+    ).returns("Out")
+
+
+def q_window_unique(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.unique(user_id) "
+        "select user_id, event_id, value insert into Out"
+    ).returns("Out")
+
+
+def q_window_delay(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.delay(60000) "
+        "select event_id, eventTimestamp() as ets insert into Out"
+    ).returns("Out")
+
+
+def q_window_cron(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.cron('0 */10 * * * ?') "
+        "select event_type, count() as n group by event_type insert into Out"
+    ).returns("Out")
+
+
 def q_window_sliding_time(spark, sf_dir):
     return _cep(spark, sf_dir).from_("events").cql(
         "from events#window.time(10 min) "
@@ -441,6 +476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_session": q_window_session,
         "window_sliding_length": q_window_sliding_length,
         "window_sliding_time": q_window_sliding_time,
+        "window_sort": q_window_sort,
+        "window_frequent": q_window_frequent,
+        "window_unique": q_window_unique,
+        "window_delay": q_window_delay,
+        "window_cron": q_window_cron,
         "join_time_time": q_join_time_time,
         "join_length_time": q_join_length_time,
         "join_left_outer": q_join_left_outer,
@@ -582,6 +622,28 @@ def oracle_sql() -> dict[str, str]:
         "window_sliding_time": (
             f"SELECT event_id, count(*) OVER (PARTITION BY user_id ORDER BY {_EMS} "
             "RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) n FROM events"
+        ),
+        "window_sort": (
+            "SELECT event_id, value FROM events "
+            f"ORDER BY value DESC, {_EMS}, event_id LIMIT 100"
+        ),
+        "window_frequent": (
+            "WITH top AS (SELECT event_type FROM events GROUP BY event_type "
+            "ORDER BY count(*) DESC, event_type LIMIT 3) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) n FROM events "
+            "WHERE event_type IN (SELECT event_type FROM top) GROUP BY event_type"
+        ),
+        "window_unique": (
+            "SELECT user_id, event_id, value FROM events QUALIFY "
+            f"row_number() OVER (PARTITION BY user_id ORDER BY {_EMS} DESC, event_id DESC) = 1"
+        ),
+        "window_delay": (
+            f"SELECT event_id, {_EMS} + 60000 AS ets FROM events"
+        ),
+        "window_cron": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) n FROM "
+            f"(SELECT event_type, {_EMS} // 600000 AS w FROM events) "
+            "GROUP BY event_type, w"
         ),
         "join_time_time": (
             "SELECT e.event_id error_id, p.event_id purchase_id FROM events e "

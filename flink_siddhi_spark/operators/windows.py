@@ -16,6 +16,18 @@ contract; streaming adds watermarks on the same shapes):
   order under timestamp ties.
 - Windows with no aggregation in the query are pass-through in batch (every
   event enters and is selected on arrival), matching per-arrival emission.
+- Retention windows — ``sort/frequent/unique/firstUnique/batch/delay`` — retain
+  a subset of the stream; batch-mode contract = the window's FINAL retained
+  contents (the state after all events have been fed). ``sort(n, f [,'desc'])``
+  keeps the n extreme events (distributed top-n: orderBy+limit compiles to
+  TakeOrderedAndProject — no global sort). ``frequent(n[, attrs])`` keeps
+  events whose attr-combo is among the n most frequent (exact counts here,
+  deterministic; Siddhi uses approximate Misra-Gries counting — documented
+  superset). ``unique(attrs)`` keeps the latest event per key,
+  ``firstUnique`` the first. ``batch()`` retains everything (whole stream =
+  one window). ``delay(t)`` shifts emission time by t (attributes unchanged;
+  batch contents identical). ``cron('<expr>')`` with a fixed-period expr
+  (``*/N`` seconds/minutes/hours) lowers to an aligned tumbling bucket.
 """
 
 from __future__ import annotations
@@ -30,8 +42,9 @@ from pyspark.sql.window import Window, WindowSpec
 from ..errors import SiddhiPlannerException, UnsupportedFeatureException
 from ..siddhiql import ast as A
 
-BATCH_WINDOWS = {"timebatch", "lengthbatch", "session", "externaltimebatch"}
+BATCH_WINDOWS = {"timebatch", "lengthbatch", "session", "externaltimebatch", "cron"}
 SLIDING_WINDOWS = {"length", "time", "externaltime"}
+RETAIN_WINDOWS = {"sort", "frequent", "unique", "firstunique", "batch", "delay"}
 
 BUCKET_COL = "__w"
 
@@ -85,6 +98,14 @@ def add_bucket(
         w = part.orderBy(*[F.col(c) for c in ord_cols])
         out = df.withColumn(BUCKET_COL, F.floor((F.row_number().over(w) - 1) / F.lit(n)))
         return BucketedWindow(out, F.lit(None).cast("bigint"), F.lit(None).cast("bigint"))
+    if name == "cron":
+        period = _cron_period_ms(spec)
+        out = df.withColumn(BUCKET_COL, F.floor(F.col(ts_col) / F.lit(period)))
+        return BucketedWindow(
+            out,
+            (F.col(BUCKET_COL) * period).cast("bigint"),
+            (F.col(BUCKET_COL) * period + period).cast("bigint"),
+        )
     if name == "session":
         gap = _arg_ms(spec, 0)
         part = Window.partitionBy(*[F.col(c) for c in group_cols]) if group_cols else Window.partitionBy(F.lit(1))
@@ -121,7 +142,7 @@ def sliding_frame(
 
 
 def classify(spec: Optional[A.WindowSpec]) -> str:
-    """'none' | 'batch' | 'sliding'."""
+    """'none' | 'batch' | 'sliding' | 'retain'."""
     if spec is None:
         return "none"
     n = spec.name.lower()
@@ -129,4 +150,102 @@ def classify(spec: Optional[A.WindowSpec]) -> str:
         return "batch"
     if n in SLIDING_WINDOWS:
         return "sliding"
+    if n in RETAIN_WINDOWS:
+        return "retain"
     raise UnsupportedFeatureException(f"window #window.{spec.name} not implemented")
+
+
+def _cron_period_ms(spec: A.WindowSpec) -> int:
+    """Fixed-period subset of Quartz cron: ``*/N * * * * ?`` (every N sec),
+    ``0 */N * * * ?`` (every N min), ``0 0 */N * * ?`` (every N hours).
+    Arbitrary calendars don't map to a pure bucket function — rejected."""
+    a = spec.args[0]
+    if not (isinstance(a, A.Literal) and a.kind == "string"):
+        raise SiddhiPlannerException("#window.cron takes a cron string literal")
+    parts = str(a.value).split()
+    if len(parts) < 6:
+        raise SiddhiPlannerException(f"#window.cron: bad cron expr {a.value!r}")
+
+    def step(field: str) -> Optional[int]:
+        if field.startswith("*/") or field.startswith("0/"):
+            return int(field[2:])
+        return None
+
+    sec, minute, hour = parts[0], parts[1], parts[2]
+    if (s := step(sec)) is not None:
+        return s * 1000
+    if sec in ("0", "*") and (m := step(minute)) is not None:
+        return m * 60_000
+    if sec in ("0", "*") and minute in ("0", "*") and (h := step(hour)) is not None:
+        return h * 3_600_000
+    raise UnsupportedFeatureException(
+        f"#window.cron: only fixed-period exprs (*/N sec|min|hour) supported, got {a.value!r}"
+    )
+
+
+def _sort_args(spec: A.WindowSpec) -> tuple[int, list[tuple[str, bool]]]:
+    """Parse sort(n, field [,'asc'|'desc'], field2 [, ...]) -> (n, [(field, asc)])."""
+    n = _arg_ms(spec, 0)
+    keys: list[tuple[str, bool]] = []
+    i = 1
+    while i < len(spec.args):
+        a = spec.args[i]
+        if not isinstance(a, A.Ref):
+            raise SiddhiPlannerException("#window.sort: expected attribute name")
+        asc = True
+        if i + 1 < len(spec.args):
+            nxt = spec.args[i + 1]
+            if isinstance(nxt, A.Literal) and nxt.kind == "string" and str(nxt.value).lower() in ("asc", "desc"):
+                asc = str(nxt.value).lower() == "asc"
+                i += 1
+        keys.append((a.name, asc))
+        i += 1
+    if not keys:
+        raise SiddhiPlannerException("#window.sort needs at least one sort attribute")
+    return n, keys
+
+
+def apply_retention(
+    df: DataFrame,
+    spec: A.WindowSpec,
+    ts_col: Optional[str],
+    ord_cols: list[str],
+    fields: list[str],
+) -> DataFrame:
+    """Filter the stream to the window's final retained contents (module
+    docstring has the per-kind contract). All shapes are shuffle-lean:
+    top-n via limit (TakeOrderedAndProject), per-key dedup via one hash
+    shuffle, frequent via count + broadcast semi-join."""
+    name = spec.name.lower()
+    if name == "batch":
+        return df
+    if name == "delay":
+        if ts_col is None:
+            raise SiddhiPlannerException("#window.delay needs an event-time stream")
+        return df.withColumn(ts_col, F.col(ts_col) + F.lit(_arg_ms(spec, 0)))
+    if name == "sort":
+        n, keys = _sort_args(spec)
+        order = [F.col(k).asc() if asc else F.col(k).desc() for k, asc in keys]
+        order += [F.col(c).asc() for c in ord_cols]  # deterministic tie-break
+        return df.orderBy(*order).limit(n)
+    if name in ("unique", "firstunique"):
+        keys = [a.name for a in spec.args if isinstance(a, A.Ref)]
+        if not keys:
+            raise SiddhiPlannerException(f"#window.{spec.name} needs key attribute(s)")
+        ord_struct = F.struct(*[F.col(c) for c in ord_cols])
+        pick = F.max(ord_struct) if name == "unique" else F.min(ord_struct)
+        winners = df.groupBy(*keys).agg(pick.alias("__pick"))
+        cond = [F.col(f"e.{k}").eqNullSafe(F.col(f"w.{k}")) for k in keys]
+        cond.append(
+            F.struct(*[F.col(f"e.{c}") for c in ord_cols]) == F.col("w.__pick")
+        )
+        return df.alias("e").join(winners.alias("w"), cond, "left_semi")
+    if name == "frequent":
+        n = _arg_ms(spec, 0)
+        keys = [a.name for a in spec.args[1:] if isinstance(a, A.Ref)] or list(fields)
+        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+        top = counts.orderBy(
+            F.col("__n").desc(), *[F.col(k).asc() for k in keys]
+        ).limit(n).drop("__n")
+        return df.join(F.broadcast(top), keys, "left_semi")
+    raise UnsupportedFeatureException(f"#window.{spec.name} is not a retention window")

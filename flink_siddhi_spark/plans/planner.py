@@ -120,6 +120,13 @@ class BatchPlanner:
         has_agg = self._query_has_agg(q)
         wclass = W.classify(si.window)
         ord_cols = self.ord_cols_for(schema)
+        if wclass == "retain":
+            df = W.apply_retention(
+                df, si.window,
+                ts_col=TS_COL if schema.ts_field is not None else None,
+                ord_cols=ord_cols, fields=schema.fields,
+            )
+            wclass = "none"  # the retained set is the window's final contents
         if not has_agg:
             return self._select_rowwise(df, q, resolver, schema.fields)
         ts_col = TS_COL if schema.ts_field is not None else None
@@ -245,7 +252,8 @@ class BatchPlanner:
 
     # -------------------------------------------------------- row-wise select
     def _select_rowwise(self, df: DataFrame, q: A.Query, resolver, fields: list[str]) -> DataFrame:
-        comp = self._compiler(resolver, df)
+        ts = F.col(TS_COL) if TS_COL in df.columns else None
+        comp = self._compiler(resolver, df, ts=ts)
         if q.select is None:
             out = df.select(*fields)
         else:

@@ -30,8 +30,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-since-epoch long -> TimestampType (micro precision)
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # nanos-since-epoch long -> TimestampType (micro precision). Integer
+        # `div`, NOT `/1000`: epoch-nanos ≈ 1.7e18 exceeds double's 53-bit
+        # mantissa, so float division is off by ±hundreds of ns and can flip
+        # a millisecond at unix_millis truncation boundaries.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

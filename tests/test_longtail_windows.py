@@ -1,0 +1,148 @@
+"""Long-tail window kinds (SURVEY.md §2.B "Windows", P2 row:
+``#window.sort / frequent / cron / delay`` plus ``unique/firstUnique/batch``)
+checked against DuckDB oracles on the sf0.001 events parquet.
+
+Batch-mode contract (operators/windows.py module docstring): retention
+windows evaluate queries over the window's FINAL retained contents."""
+
+import duckdb
+import pytest
+
+from flink_siddhi_spark import SiddhiCEP
+
+
+@pytest.fixture()
+def cep(spark, sf_dir):
+    from flink_siddhi_spark.sources.tables import load_table
+
+    cep = SiddhiCEP(spark)
+    events = load_table(spark, sf_dir, "events")
+    cep.register_stream(
+        "events", events, "event_id", "ts", "user_id", "event_type", "value", "props",
+        ts_field="ts",
+    )
+    return cep
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    return con
+
+
+def rows_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def duck_set(duck, sql):
+    return sorted(tuple(r) for r in duck.execute(sql).fetchall())
+
+
+def test_sort_window_top_n(cep, duck):
+    out = cep.from_("events").cql(
+        "from events#window.sort(10, value, 'desc') "
+        "select event_id, value insert into Out"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "SELECT event_id, value FROM events "
+        "ORDER BY value DESC, ts, event_id LIMIT 10",
+    )
+    assert rows_set(out) == oracle
+
+
+def test_sort_window_asc_with_agg(cep, duck):
+    out = cep.from_("events").cql(
+        "from events#window.sort(25, value) "
+        "select count() as n, min(value) as lo, max(value) as hi insert into Out"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "SELECT CAST(25 AS BIGINT) n, min(value) lo, max(value) hi FROM "
+        "(SELECT value FROM events ORDER BY value, ts, event_id LIMIT 25)",
+    )
+    assert rows_set(out) == oracle
+
+
+def test_frequent_window(cep, duck):
+    out = cep.from_("events").cql(
+        "from events#window.frequent(2, event_type) "
+        "select event_type, count() as n group by event_type insert into Out"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "WITH top AS (SELECT event_type FROM events GROUP BY event_type "
+        "ORDER BY count(*) DESC, event_type LIMIT 2) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) n FROM events "
+        "WHERE event_type IN (SELECT event_type FROM top) GROUP BY event_type",
+    )
+    assert rows_set(out) == oracle
+
+
+def test_unique_window_latest_per_key(cep, duck):
+    out = cep.from_("events").cql(
+        "from events#window.unique(user_id) "
+        "select user_id, event_id, value insert into Out"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "SELECT user_id, event_id, value FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1",
+    )
+    assert rows_set(out) == oracle
+
+
+def test_first_unique_window(cep, duck):
+    out = cep.from_("events").cql(
+        "from events#window.firstUnique(user_id) "
+        "select user_id, event_id insert into Out"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "SELECT user_id, event_id FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1",
+    )
+    assert rows_set(out) == oracle
+
+
+def test_batch_window_whole_stream(cep, duck):
+    out = cep.from_("events").cql(
+        "from events#window.batch() select count() as n insert into Out"
+    ).returns("Out")
+    assert rows_set(out) == duck_set(duck, "SELECT CAST(count(*) AS BIGINT) n FROM events")
+
+
+def test_delay_window_shifts_event_time(cep, duck):
+    out = cep.from_("events").cql(
+        "from events#window.delay(60000) "
+        "select event_id, eventTimestamp() as ets insert into Out"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "SELECT event_id, epoch_ms(ts) + 60000 AS ets FROM events",
+    )
+    assert rows_set(out) == oracle
+
+
+def test_cron_window_fixed_period(cep, duck):
+    out = cep.from_("events").cql(
+        "from events#window.cron('0 */10 * * * ?') "
+        "select event_type, count() as n group by event_type insert into Out"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "SELECT event_type, CAST(count(*) AS BIGINT) n FROM "
+        "(SELECT event_type, epoch_ms(ts) // 600000 AS w FROM events) "
+        "GROUP BY event_type, w",
+    )
+    assert rows_set(out) == oracle
+
+
+def test_cron_rejects_calendar_exprs(cep):
+    from flink_siddhi_spark.errors import UnsupportedFeatureException
+
+    with pytest.raises(UnsupportedFeatureException):
+        cep.from_("events").cql(
+            "from events#window.cron('0 15 10 * * ?') select count() as n insert into Out"
+        ).returns("Out")
