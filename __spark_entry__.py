@@ -239,6 +239,23 @@ def q_join_theta(spark, sf_dir):
     ).returns("Out")
 
 
+def q_table_upsert_last(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "define table Last (user_id long, v double);"
+        "from events select user_id, value as v "
+        "update or insert into Last on Last.user_id == user_id;"
+    ).returns("Last")
+
+
+def q_table_dml_delete(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "define table Last (user_id long, v double);"
+        "from events select user_id, value as v "
+        "update or insert into Last on Last.user_id == user_id;"
+        "from events[event_type == 'error' and value > 99.0] delete Last on Last.user_id == user_id;"
+    ).returns("Last")
+
+
 def q_union_fan_in(spark, sf_dir):
     return _cep(spark, sf_dir).from_("events").cql(
         "from events[event_type == 'click'] select event_id, user_id insert into Out;"
@@ -486,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_left_outer": q_join_left_outer,
         "join_stream_table": q_join_stream_table,
         "join_theta": q_join_theta,
+        "table_upsert_last": q_table_upsert_last,
+        "table_dml_delete": q_table_dml_delete,
         "union_fan_in": q_union_fan_in,
         "chained_queries": q_chained_queries,
         "pattern_followed_by": q_pattern_followed_by,
@@ -674,6 +693,15 @@ def oracle_sql() -> dict[str, str]:
         "join_theta": (
             "SELECT o_orderkey, c_name, o_totalprice, c_acctbal FROM orders "
             "JOIN customer ON o_custkey = c_custkey AND o_totalprice > c_acctbal"
+        ),
+        "table_upsert_last": (
+            "SELECT user_id, value AS v FROM events QUALIFY "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1"
+        ),
+        "table_dml_delete": (
+            "SELECT user_id, value AS v FROM events QUALIFY "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) = 1 "
+            "AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error' AND value > 99.0)"
         ),
         "union_fan_in": (
             "SELECT event_id, user_id FROM events WHERE event_type = 'click' "

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 from .errors import (
     DuplicatedStreamException,
@@ -133,8 +134,9 @@ class ExecutionSiddhiStream:
         self._build()
 
     def _build(self) -> None:
-        # apply inline `define stream/table` over already-registered frames is
-        # not needed — definitions validate field lists against the catalog.
+        # inline `define stream/table` validates field lists against the
+        # catalog; an unregistered `define table` creates an empty table
+        # (Siddhi tables start empty and are populated by DML queries).
         planner = BatchPlanner(self.cep.catalog, self.cep.extensions)
         for d in self.plan.definitions:
             if d.name in self.cep.catalog:
@@ -144,7 +146,25 @@ class ExecutionSiddhiStream:
                     raise SiddhiPlannerException(
                         f"define {d.name}: declared fields {declared} != registered {actual}"
                     )
+            elif d.is_table:
+                from .schema import spark_type_for
+                from pyspark.sql import types as T
+
+                schema = T.StructType(
+                    [T.StructField(a.name, spark_type_for(a.dtype)) for a in d.attrs]
+                )
+                empty = self.cep.spark.createDataFrame([], schema)
+                self.cep.catalog[d.name] = StreamSchema(
+                    d.name, empty, [a.name for a in d.attrs], is_table=True
+                )
         for q in self.plan.queries:
+            if q.dml is not None or (
+                q.insert_into is not None
+                and q.insert_into in self.cep.catalog
+                and self.cep.catalog[q.insert_into].is_table
+            ):
+                self._apply_table_dml(planner, q)
+                continue
             df = planner.compile_query(q)
             out_id = q.insert_into or "__anonymous__"
             if q.insert_into:
@@ -156,6 +176,51 @@ class ExecutionSiddhiStream:
                 ts_field = None
                 sch = StreamSchema(out_id, df, list(df.columns), ts_field=ts_field)
                 self.cep.catalog[out_id] = sch
+
+    def _apply_table_dml(self, planner: BatchPlanner, q: A.Query) -> None:
+        """Mutate a table's catalog state (batch contract: operators/tables.py).
+        Later queries in this plan — and later plans — see the new state."""
+        from .operators.tables import ORD_COL, apply_dml
+
+        table_id = q.dml.table if q.dml is not None else q.insert_into
+        if table_id not in self.cep.catalog or not self.cep.catalog[table_id].is_table:
+            raise UndefinedStreamException(f"'{table_id}' is not a defined table")
+        tbl = self.cep.catalog[table_id]
+
+        # carry event time into the select output for last-writer-wins order
+        q2 = q
+        if q.dml is not None and isinstance(q.input, A.SingleInput):
+            src = self.cep.catalog.get(q.input.stream)
+            if (
+                src is not None
+                and src.ts_field is not None
+                and not BatchPlanner._query_has_agg(q)
+            ):
+                sel = q.select or [
+                    A.SelectItem(A.Ref(None, f)) for f in src.fields
+                ]
+                sel = sel + [A.SelectItem(A.Call(None, "eventTimestamp", []), ORD_COL)]
+                import dataclasses
+
+                q2 = dataclasses.replace(q, select=sel)
+        stream_df = planner.compile_query(q2)
+        if q.dml is None:
+            # `insert into <table>`: append, casting to the table's types
+            ins = stream_df
+            ttypes = dict(tbl.df.dtypes)
+            missing = [c for c in tbl.fields if c not in ins.columns]
+            if missing:
+                raise SiddhiPlannerException(
+                    f"insert into {table_id}: select output lacks columns {missing}"
+                )
+            ins = ins.select(*[F_col(c).cast(ttypes[c]).alias(c) for c in tbl.fields])
+            new_df = tbl.df.unionByName(ins)
+        else:
+            new_df = apply_dml(tbl.df, stream_df, q.dml, self.cep.extensions)
+        self.cep.catalog[table_id] = StreamSchema(
+            table_id, new_df, list(tbl.fields), is_table=True
+        )
+        self.outputs[table_id] = new_df
 
     def returns(self, out_stream_id: str) -> DataFrame:
         if out_stream_id not in self.outputs:

@@ -149,6 +149,20 @@ class OrderItem:
 
 
 @dataclass
+class TableDML:
+    """Event-table mutation clause (Siddhi `update/delete/update or insert`).
+
+    ``on`` references table columns as ``Table.col`` and stream (query output)
+    columns unqualified; ``set_items`` are ``Table.col = <expr over output>``.
+    """
+
+    kind: str  # 'update' | 'delete' | 'upsert'
+    table: str
+    set_items: list[tuple["Ref", "Expr"]] = field(default_factory=list)
+    on: Optional["Expr"] = None
+
+
+@dataclass
 class Query:
     input: InputSpec
     select: Optional[list[SelectItem]]  # None => select *
@@ -158,6 +172,7 @@ class Query:
     limit: Optional[int] = None
     offset: Optional[int] = None
     insert_into: Optional[str] = None
+    dml: Optional[TableDML] = None  # update/delete/upsert into an event table
     output_event_type: str = "current"  # current | all | expired
     partition_by: dict[str, str] = field(default_factory=dict)  # stream -> attr
 

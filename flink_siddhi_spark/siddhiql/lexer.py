@@ -40,6 +40,7 @@ KEYWORDS = {
     "in", "is", "null", "asc", "desc", "current", "expired", "all",
     "partition", "with", "begin", "end", "for", "of", "true", "false",
     "unidirectional", "window", "output", "snapshot", "delete", "update",
+    "set",
 }
 
 

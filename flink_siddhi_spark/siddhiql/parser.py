@@ -168,7 +168,37 @@ class Parser:
                     break
             self.expect_kw("into")
             q.insert_into = self.ident()
+        elif self.at_kw("update", "delete"):
+            q.dml = self.parse_table_dml()
         return q
+
+    def parse_table_dml(self) -> A.TableDML:
+        """`delete T on cond` | `update T [set T.c = e, ...] on cond` |
+        `update or insert into T [set ...] on cond` (Siddhi event-table DML,
+        reference README.md:26 "Event Tables")."""
+        if self.accept_kw("delete"):
+            table = self.ident()
+            self.expect_kw("on")
+            return A.TableDML("delete", table, on=self.parse_expr())
+        self.expect_kw("update")
+        kind = "update"
+        if self.accept_kw("or"):
+            self.expect_kw("insert")
+            self.expect_kw("into")
+            kind = "upsert"
+        table = self.ident()
+        set_items: list[tuple[A.Ref, A.Expr]] = []
+        if self.accept_kw("set"):
+            while True:
+                tgt = self.parse_primary()
+                if not isinstance(tgt, A.Ref):
+                    raise self.error("set target must be Table.column")
+                self.expect("OP", "=")
+                set_items.append((tgt, self.parse_expr()))
+                if not self.accept("PUNCT", ","):
+                    break
+        self.expect_kw("on")
+        return A.TableDML(kind, table, set_items=set_items, on=self.parse_expr())
 
     # ----------------------------------------------------------------- input
     def parse_input(self) -> A.InputSpec:
