@@ -239,6 +239,31 @@ def q_join_theta(spark, sf_dir):
     ).returns("Out")
 
 
+_AGG_DEF = (
+    "define aggregation EventAgg "
+    "from events "
+    "select event_type, count() as n, sum(value) as total "
+    "group by event_type "
+    "aggregate every sec...year;"
+)
+
+
+def q_incremental_agg_day(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        _AGG_DEF +
+        "from EventAgg per 'days' "
+        "select AGG_TIMESTAMP, event_type, n, total insert into Out;"
+    ).returns("Out")
+
+
+def q_incremental_agg_within(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        _AGG_DEF +
+        "from EventAgg within '2024-01-01', '2024-01-08' per 'hours' "
+        "select AGG_TIMESTAMP, event_type, n insert into Out;"
+    ).returns("Out")
+
+
 def q_table_upsert_last(spark, sf_dir):
     return _cep(spark, sf_dir).from_("events").cql(
         "define table Last (user_id long, v double);"
@@ -503,6 +528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_left_outer": q_join_left_outer,
         "join_stream_table": q_join_stream_table,
         "join_theta": q_join_theta,
+        "incremental_agg_day": q_incremental_agg_day,
+        "incremental_agg_within": q_incremental_agg_within,
         "table_upsert_last": q_table_upsert_last,
         "table_dml_delete": q_table_dml_delete,
         "union_fan_in": q_union_fan_in,
@@ -693,6 +720,16 @@ def oracle_sql() -> dict[str, str]:
         "join_theta": (
             "SELECT o_orderkey, c_name, o_totalprice, c_acctbal FROM orders "
             "JOIN customer ON o_custkey = c_custkey AND o_totalprice > c_acctbal"
+        ),
+        "incremental_agg_day": (
+            'SELECT epoch_ms(date_trunc(\'day\', ts)) "AGG_TIMESTAMP", event_type, '
+            "CAST(count(*) AS BIGINT) n, "
+            + _DECSUM.format(x="value") + " total FROM events GROUP BY 1, 2"
+        ),
+        "incremental_agg_within": (
+            'SELECT epoch_ms(date_trunc(\'hour\', ts)) "AGG_TIMESTAMP", event_type, '
+            "CAST(count(*) AS BIGINT) n FROM events GROUP BY 1, 2 "
+            'HAVING "AGG_TIMESTAMP" >= 1704067200000 AND "AGG_TIMESTAMP" < 1704672000000'
         ),
         "table_upsert_last": (
             "SELECT user_id, value AS v FROM events QUALIFY "

@@ -43,6 +43,8 @@ class SiddhiCEP:
         self.spark = spark
         self.catalog: dict[str, StreamSchema] = {}
         self.extensions: dict[str, Callable] = {}
+        self.aggregations: dict[str, A.AggregationDef] = {}
+        self.triggers: dict[str, int] = {}  # name -> period_ms
 
     # -------------------------------------------------------------- registry
     def register_stream(
@@ -137,7 +139,25 @@ class ExecutionSiddhiStream:
         # inline `define stream/table` validates field lists against the
         # catalog; an unregistered `define table` creates an empty table
         # (Siddhi tables start empty and are populated by DML queries).
-        planner = BatchPlanner(self.cep.catalog, self.cep.extensions)
+        for adef in self.plan.aggregations:
+            self.cep.aggregations[adef.name] = adef
+        for trig in self.plan.triggers:
+            # batch contract: no wall-clock elapses during a batch computation,
+            # so the tick stream is empty (schema'd); streaming mode swaps in
+            # sources.streams.trigger_stream (a rate source)
+            from pyspark.sql import types as T
+
+            self.cep.triggers[trig.name] = trig.period_ms
+            if trig.name not in self.cep.catalog:
+                empty = self.cep.spark.createDataFrame(
+                    [], T.StructType([T.StructField("triggered_time", T.LongType())])
+                )
+                self.cep.catalog[trig.name] = StreamSchema(
+                    trig.name, empty, ["triggered_time"], ts_field="triggered_time"
+                )
+        planner = BatchPlanner(
+            self.cep.catalog, self.cep.extensions, self.cep.aggregations
+        )
         for d in self.plan.definitions:
             if d.name in self.cep.catalog:
                 declared = [a.name for a in d.attrs]

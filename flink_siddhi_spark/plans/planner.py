@@ -57,9 +57,11 @@ class BatchPlanner:
         self,
         catalog: dict[str, StreamSchema],
         extensions: Optional[dict] = None,
+        aggregations: Optional[dict] = None,
     ):
         self.catalog = catalog
         self.extensions = extensions or {}
+        self.aggregations = aggregations or {}  # name -> A.AggregationDef
 
     # ------------------------------------------------------------- utilities
     def stream_schema(self, name: str) -> StreamSchema:
@@ -93,6 +95,8 @@ class BatchPlanner:
 
     # ----------------------------------------------------------- compile API
     def compile_query(self, q: A.Query) -> DataFrame:
+        if isinstance(q.input, A.SingleInput) and q.input.stream in self.aggregations:
+            return self._compile_agg_read(q)
         if isinstance(q.input, A.PatternInput):
             from ..operators.pattern import compile_pattern
 
@@ -421,6 +425,79 @@ class BatchPlanner:
             return self._select_group_generic(df, q, resolver)
         return self._select_rowwise(df, q, resolver, fields)
 
+    # ------------------------------------------------- incremental aggregation
+    def materialize_aggregation(self, adef: A.AggregationDef, gran: str) -> DataFrame:
+        """One granularity of a `define aggregation` rollup: a bucketed
+        groupBy over the source stream (Siddhi maintains these incrementally
+        per event; the Spark shape is the same single hash aggregation with
+        map-side partials, and at scale each granularity would be persisted
+        — coarser granularities can also fold from finer ones)."""
+        si = adef.input
+        df, schema = self.stream_df(si.stream)
+        names = {si.stream} | ({si.alias} if si.alias else set())
+        resolver = self._plain_resolver(set(df.columns), names)
+        comp = self._compiler(resolver, df)
+        if si.filter is not None:
+            df = self._apply_filter(df, si.filter, comp)
+        if adef.ts_ref is not None:
+            c = adef.ts_ref.name
+            dt = dict(df.dtypes).get(c, "")
+            ts_ms = (
+                F.unix_millis(F.col(c).cast("timestamp"))
+                if dt.startswith("timestamp")
+                else F.col(c).cast("bigint")
+            )
+        elif schema.ts_field is not None:
+            ts_ms = F.col(TS_COL)
+        else:
+            raise SiddhiPlannerException(
+                f"aggregation {adef.name}: no `aggregate by` attribute and "
+                f"stream '{si.stream}' has no ts_field"
+            )
+        bucket = F.unix_millis(F.date_trunc(_GRAN_TRUNC[gran], F.timestamp_millis(ts_ms)))
+        df = df.withColumn(AGG_TS, bucket)
+        synth = A.Query(
+            input=A.SingleInput(si.stream, None, None, si.alias),
+            select=[A.SelectItem(A.Ref(None, AGG_TS), AGG_TS)] + list(adef.select),
+            group_by=[A.Ref(None, AGG_TS)] + list(adef.group_by),
+        )
+        res = self._plain_resolver(set(df.columns), names)
+        return self._select_group_generic(df, synth, res)
+
+    def _compile_agg_read(self, q: A.Query) -> DataFrame:
+        """`from AggName within lo, hi per 'unit' select ...` — query one
+        granularity of an incremental aggregation."""
+        si: A.SingleInput = q.input
+        adef: A.AggregationDef = self.aggregations[si.stream]
+        if q.agg_per is None:
+            raise SiddhiPlannerException(
+                f"reading aggregation '{adef.name}' requires a per 'unit' clause"
+            )
+        gran = _GRAN_ALIASES.get(q.agg_per.lower())
+        if gran is None:
+            raise SiddhiPlannerException(f"per: unknown granularity {q.agg_per!r}")
+        if gran not in adef.granularities:
+            raise SiddhiPlannerException(
+                f"aggregation '{adef.name}' does not maintain granularity "
+                f"'{gran}' (has: {adef.granularities})"
+            )
+        if si.window is not None:
+            raise UnsupportedFeatureException("windows over aggregation reads")
+        df = self.materialize_aggregation(adef, gran)
+        if q.agg_within is not None:
+            lo, hi = q.agg_within
+            lo_ms = _within_bound_ms(lo)
+            df = df.filter(F.col(AGG_TS) >= lo_ms)
+            if hi is not None:
+                df = df.filter(F.col(AGG_TS) < _within_bound_ms(hi))
+        names = {adef.name} | ({si.alias} if si.alias else set())
+        resolver = self._plain_resolver(set(df.columns), names)
+        if si.filter is not None:
+            df = self._apply_filter(df, si.filter, self._compiler(resolver, df))
+        if self._query_has_agg(q):
+            return self._select_group_generic(df, q, resolver)
+        return self._select_rowwise(df, q, resolver, list(df.columns))
+
     def _select_group_generic(self, df: DataFrame, q: A.Query, resolver) -> DataFrame:
         # plain (windowless) aggregation over a join/pattern result
         comp = self._compiler(resolver, df)
@@ -525,6 +602,41 @@ class BatchPlanner:
         if q.limit is not None:
             out = out.limit(q.limit)
         return out
+
+
+AGG_TS = "AGG_TIMESTAMP"
+
+# Siddhi granularity -> Spark date_trunc unit (UTC session timezone pinned at
+# table load, so calendar months/years bucket identically to DuckDB)
+_GRAN_TRUNC = {
+    "sec": "second", "min": "minute", "hour": "hour",
+    "day": "day", "month": "month", "year": "year",
+}
+_GRAN_ALIASES = {
+    "sec": "sec", "second": "sec", "seconds": "sec",
+    "min": "min", "minute": "min", "minutes": "min",
+    "hour": "hour", "hours": "hour", "day": "day", "days": "day",
+    "month": "month", "months": "month", "year": "year", "years": "year",
+}
+
+
+def _within_bound_ms(lit: A.Expr) -> int:
+    """`within` bound -> epoch ms. Accepts epoch-ms numbers or
+    'YYYY-MM-DD[ HH:MM:SS]' string literals (interpreted as UTC)."""
+    from datetime import datetime, timezone
+
+    if isinstance(lit, A.Literal) and lit.kind in ("int", "long", "time"):
+        return int(lit.value)
+    if isinstance(lit, A.Literal) and lit.kind == "string":
+        s = str(lit.value)
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+                return int(dt.timestamp() * 1000)
+            except ValueError:
+                continue
+        raise SiddhiPlannerException(f"within: cannot parse time literal {s!r}")
+    raise SiddhiPlannerException("within bounds must be epoch-ms or datetime string literals")
 
 
 def contains_in_table(e: A.Expr) -> bool:

@@ -173,6 +173,9 @@ class Query:
     offset: Optional[int] = None
     insert_into: Optional[str] = None
     dml: Optional[TableDML] = None  # update/delete/upsert into an event table
+    # aggregation reads: `from AggName within a[, b] per 'unit' select ...`
+    agg_within: Optional[tuple[Expr, Optional[Expr]]] = None
+    agg_per: Optional[str] = None
     output_event_type: str = "current"  # current | all | expired
     partition_by: dict[str, str] = field(default_factory=dict)  # stream -> attr
 
@@ -191,6 +194,32 @@ class StreamDef:
 
 
 @dataclass
+class AggregationDef:
+    """`define aggregation N from S select ... group by ... aggregate by ts
+    every sec...year` — Siddhi incremental aggregation (multi-granularity
+    time rollup)."""
+
+    name: str
+    input: SingleInput
+    select: list[SelectItem]
+    group_by: list[Expr] = field(default_factory=list)
+    ts_ref: Optional[Ref] = None  # `aggregate by <attr>`; None = event time
+    granularities: list[str] = field(default_factory=list)  # 'sec'..'year'
+
+
+@dataclass
+@dataclass
+class TriggerDef:
+    """`define trigger T at every <t>` — synthetic tick stream with one
+    column ``triggered_time`` (epoch ms)."""
+
+    name: str
+    period_ms: int
+
+
+@dataclass
 class Plan:
     definitions: list[StreamDef] = field(default_factory=list)
+    aggregations: list[AggregationDef] = field(default_factory=list)
+    triggers: list[TriggerDef] = field(default_factory=list)
     queries: list[Query] = field(default_factory=list)

@@ -81,7 +81,13 @@ class Parser:
             if self.accept("PUNCT", ";"):
                 continue
             if self.at_kw("define"):
-                plan.definitions.append(self.parse_define())
+                nxt = self.peek().text.lower() if self.peek().kind == "ID" else ""
+                if nxt == "aggregation":
+                    plan.aggregations.append(self.parse_define_aggregation())
+                elif nxt == "trigger":
+                    plan.triggers.append(self.parse_define_trigger())
+                else:
+                    plan.definitions.append(self.parse_define())
             elif self.at_kw("partition"):
                 plan.queries.extend(self.parse_partition_block())
             elif self.at_kw("from"):
@@ -106,6 +112,75 @@ class Parser:
                 break
         self.expect("PUNCT", ")")
         return A.StreamDef(name, attrs, is_table=is_table)
+
+    _GRANS = ["sec", "min", "hour", "day", "month", "year"]
+    _GRAN_ALIASES = {
+        "sec": "sec", "second": "sec", "seconds": "sec",
+        "min": "min", "minute": "min", "minutes": "min",
+        "hour": "hour", "hours": "hour",
+        "day": "day", "days": "day",
+        "month": "month", "months": "month",
+        "year": "year", "years": "year",
+    }
+
+    def _gran(self) -> str:
+        t = self.cur
+        if t.kind in ("ID", "KEYWORD") and t.text.lower() in self._GRAN_ALIASES:
+            self.i += 1
+            return self._GRAN_ALIASES[t.text.lower()]
+        raise self.error("expected a granularity (sec/min/hour/day/month/year)")
+
+    def parse_define_aggregation(self) -> A.AggregationDef:
+        """`define aggregation N from S select ... group by ... aggregate
+        [by ts] every sec...year` (Siddhi incremental aggregation)."""
+        self.expect_kw("define")
+        self.i += 1  # 'aggregation' (lexes as ID)
+        name = self.ident()
+        self.expect_kw("from")
+        inp = self.parse_stream_ref()
+        self.expect_kw("select")
+        select = self.parse_select_list()
+        group_by: list[A.Expr] = []
+        if self.accept_kw("group"):
+            self.expect_kw("by")
+            group_by.append(self.parse_expr())
+            while self.accept("PUNCT", ","):
+                group_by.append(self.parse_expr())
+        if not (self.cur.kind == "ID" and self.cur.text.lower() == "aggregate"):
+            raise self.error("expected 'aggregate'")
+        self.i += 1
+        ts_ref = None
+        if self.accept_kw("by"):
+            e = self.parse_primary()
+            if not isinstance(e, A.Ref):
+                raise self.error("aggregate by: expected an attribute")
+            ts_ref = e
+        self.expect_kw("every")
+        first = self._gran()
+        grans = [first]
+        if self.accept("PUNCT", "."):  # 'sec...year' range
+            self.expect("PUNCT", ".")
+            self.expect("PUNCT", ".")
+            last = self._gran()
+            lo, hi = self._GRANS.index(first), self._GRANS.index(last)
+            if hi < lo:
+                raise self.error("granularity range must be increasing")
+            grans = self._GRANS[lo:hi + 1]
+        else:
+            while self.accept("PUNCT", ","):
+                grans.append(self._gran())
+        return A.AggregationDef(name, inp, select, group_by, ts_ref, grans)
+
+    def parse_define_trigger(self) -> A.TriggerDef:
+        """`define trigger T at every <t>` (Siddhi trigger — tick stream)."""
+        self.expect_kw("define")
+        self.i += 1  # 'trigger' (lexes as ID)
+        name = self.ident()
+        if not (self.cur.kind == "ID" and self.cur.text.lower() == "at"):
+            raise self.error("expected 'at'")
+        self.i += 1
+        self.expect_kw("every")
+        return A.TriggerDef(name, self.parse_time_duration())
 
     def parse_partition_block(self) -> list[A.Query]:
         self.expect_kw("partition")
@@ -135,10 +210,26 @@ class Parser:
     def parse_query(self) -> A.Query:
         self.expect_kw("from")
         inp = self.parse_input()
+        # aggregation read: `from AggName within a[, b] per 'unit'`
+        agg_within = None
+        agg_per = None
+        if isinstance(inp, A.SingleInput) and self.at_kw("within"):
+            self.i += 1
+            lo = self.parse_expr()
+            hi = None
+            if self.accept("PUNCT", ","):
+                hi = self.parse_expr()
+            agg_within = (lo, hi)
+        if isinstance(inp, A.SingleInput) and self.cur.kind == "ID" and self.cur.text.lower() == "per":
+            self.i += 1
+            lit = self.parse_primary()
+            if not (isinstance(lit, A.Literal) and lit.kind == "string"):
+                raise self.error("per: expected a granularity string literal")
+            agg_per = str(lit.value)
         select = None
         if self.accept_kw("select"):
             select = self.parse_select_list()
-        q = A.Query(input=inp, select=select)
+        q = A.Query(input=inp, select=select, agg_within=agg_within, agg_per=agg_per)
         if self.accept_kw("group"):
             self.expect_kw("by")
             q.group_by.append(self.parse_expr())

@@ -35,6 +35,18 @@ def rate_events(spark: SparkSession, rows_per_second: int = 100, id_mod: int = 5
     )
 
 
+def trigger_stream(spark: SparkSession, period_ms: int) -> DataFrame:
+    """`define trigger T at every <t>` -> streaming tick source with schema
+    ``(triggered_time long)`` (epoch ms). Rate source scaled to one row per
+    period (sub-second periods emit rowsPerSecond > 1)."""
+    rows_per_second = max(1, round(1000 / period_ms)) if period_ms < 1000 else 1
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    ticks = rate
+    if period_ms > 1000:
+        ticks = rate.filter((F.col("value") % (period_ms // 1000)) == 0)
+    return ticks.select(F.unix_millis(F.col("timestamp")).alias("triggered_time"))
+
+
 def file_stream(spark: SparkSession, path: str, schema: T.StructType,
                 fmt: str = "parquet") -> DataFrame:
     """Bounded replayable test source: stream files from a directory."""

@@ -139,3 +139,33 @@ def test_absence_pattern():
     )
     p = q.input
     assert p.elems[1].negated and p.elems[1].for_ms == 5000
+
+
+def test_define_trigger_and_aggregation():
+    from flink_siddhi_spark.siddhiql.parser import parse
+
+    p = parse(
+        "define trigger FiveSec at every 5 sec;"
+        "define aggregation A from s select k, sum(v) as t group by k "
+        "aggregate by ts every sec...year;"
+        "from A within 0, 100 per 'days' select k, t insert into Out;"
+    )
+    assert p.triggers[0].name == "FiveSec" and p.triggers[0].period_ms == 5000
+    a = p.aggregations[0]
+    assert a.name == "A" and a.ts_ref.name == "ts"
+    assert a.granularities == ["sec", "min", "hour", "day", "month", "year"]
+    q = p.queries[0]
+    assert q.agg_per == "days" and q.agg_within[0].value == 0
+
+
+def test_table_dml_parsing():
+    from flink_siddhi_spark.siddhiql.parser import parse
+
+    p = parse(
+        "define table T (k string, v double);"
+        "from s select sym as k, price as v update or insert into T "
+        "set T.v = T.v + v on T.k == k;"
+    )
+    dml = p.queries[0].dml
+    assert dml.kind == "upsert" and dml.table == "T"
+    assert dml.set_items[0][0].name == "v"
