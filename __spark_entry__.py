@@ -239,6 +239,20 @@ def q_join_theta(spark, sf_dir):
     ).returns("Out")
 
 
+def q_output_rate_last(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events select event_id output last every 100 events insert into Out"
+    ).returns("Out")
+
+
+def q_scalar_functions(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events select event_id, str:upper(event_type) as ty, "
+        "str:split(props, ':', 1) as ptail, math:sqrt(value) as rt, "
+        "time:date(eventTimestamp()) as d insert into Out"
+    ).returns("Out")
+
+
 _AGG_DEF = (
     "define aggregation EventAgg "
     "from events "
@@ -528,6 +542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_left_outer": q_join_left_outer,
         "join_stream_table": q_join_stream_table,
         "join_theta": q_join_theta,
+        "output_rate_last": q_output_rate_last,
+        "scalar_functions": q_scalar_functions,
         "incremental_agg_day": q_incremental_agg_day,
         "incremental_agg_within": q_incremental_agg_within,
         "table_upsert_last": q_table_upsert_last,
@@ -720,6 +736,15 @@ def oracle_sql() -> dict[str, str]:
         "join_theta": (
             "SELECT o_orderkey, c_name, o_totalprice, c_acctbal FROM orders "
             "JOIN customer ON o_custkey = c_custkey AND o_totalprice > c_acctbal"
+        ),
+        "output_rate_last": (
+            "SELECT event_id FROM (SELECT event_id, row_number() OVER "
+            f"(ORDER BY {_EMS}, {ORD}) rn FROM events) WHERE rn % 100 = 0"
+        ),
+        "scalar_functions": (
+            "SELECT event_id, upper(event_type) ty, "
+            "str_split_regex(props, ':')[2] ptail, sqrt(value) rt, "
+            f"strftime(to_timestamp({_EMS} // 1000), '%Y-%m-%d') d FROM events"
         ),
         "incremental_agg_day": (
             'SELECT epoch_ms(date_trunc(\'day\', ts)) "AGG_TIMESTAMP", event_type, '

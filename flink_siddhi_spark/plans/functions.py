@@ -58,6 +58,14 @@ SCALAR_FNS: dict[tuple[str | None, str], Callable] = {
     (None, "abs"): _simple(F.abs),
     (None, "instanceofinteger"): lambda a, r: a[0].cast("int").isNotNull(),
     (None, "instanceofstring"): lambda a, r: a[0].cast("string").isNotNull(),
+    (None, "instanceoflong"): lambda a, r: a[0].cast("bigint").isNotNull(),
+    (None, "instanceofdouble"): lambda a, r: a[0].cast("double").isNotNull(),
+    (None, "instanceoffloat"): lambda a, r: a[0].cast("float").isNotNull(),
+    (None, "instanceofboolean"): lambda a, r: a[0].cast("boolean").isNotNull(),
+    (None, "maximum"): _simple(F.greatest),
+    (None, "minimum"): _simple(F.least),
+    (None, "default"): lambda a, r: F.coalesce(a[0], a[1]),
+    (None, "sizeofset"): _simple(F.size),
 }
 
 for _n in ("abs", "ceil", "floor", "sqrt", "exp", "sin", "cos", "tan",
@@ -84,9 +92,61 @@ SCALAR_FNS.update({
     # siddhi str:substr(value, begin_index_0_based, length)
     ("str", "substr"): lambda a, r: F.substring(a[0], a[1] + F.lit(1), a[2]),
     ("str", "equalsignorecase"): lambda a, r: F.lower(a[0]) == F.lower(a[1]),
+    ("str", "charat"): lambda a, r: F.substring(a[0], a[1] + F.lit(1), 1),
+    ("str", "ltrim"): _simple(F.ltrim),
+    ("str", "rtrim"): _simple(F.rtrim),
+    ("str", "hex"): _simple(F.hex),
+    ("str", "unhex"): lambda a, r: F.unhex(a[0]).cast("string"),
+    ("str", "regexp"): lambda a, r: _regexp(a, r),
+    ("str", "replacefirst"): lambda a, r: _replace_first(a, r),
+    # siddhi str:split(value, regex, index) -> the index-th token
+    ("str", "split"): lambda a, r: _split_at(a, r),
+    ("str", "strcmp"): lambda a, r: F.when(a[0] < a[1], -1).when(a[0] > a[1], 1).otherwise(0),
+    ("str", "coalesce"): _simple(F.coalesce),
+    ("str", "fillnull"): lambda a, r: F.coalesce(a[0], a[1]),
     ("time", "extract"): lambda a, r: F.date_part(a[0], a[1]),
     ("time", "currenttimestamp"): lambda a, r: F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss"),
+    ("time", "currentdate"): lambda a, r: F.date_format(F.current_date(), "yyyy-MM-dd"),
+    ("time", "timestampinmilliseconds"): lambda a, r: (
+        F.unix_millis(F.current_timestamp()) if not a
+        else F.unix_millis(F.to_timestamp(a[0], r[1] if len(r) > 1 and isinstance(r[1], str)
+                                          else "yyyy-MM-dd HH:mm:ss"))
+    ),
+    ("time", "dayofweek"): lambda a, r: F.date_format(F.timestamp_millis(a[0].cast("bigint")), "EEEE"),
+    ("time", "date"): lambda a, r: F.date_format(F.timestamp_millis(a[0].cast("bigint")), "yyyy-MM-dd"),
+    ("time", "dateformat"): lambda a, r: F.date_format(
+        F.timestamp_millis(a[0].cast("bigint")), r[1] if isinstance(r[1], str) else "yyyy-MM-dd HH:mm:ss"
+    ),
+    ("time", "dateadd"): lambda a, r: a[0].cast("bigint") + a[1].cast("bigint"),
+    ("time", "datesub"): lambda a, r: a[0].cast("bigint") - a[1].cast("bigint"),
+    ("time", "datediff"): lambda a, r: a[0].cast("bigint") - a[1].cast("bigint"),
+    ("time", "utctimestamp"): lambda a, r: F.date_format(
+        F.to_utc_timestamp(F.current_timestamp(), "UTC"), "yyyy-MM-dd HH:mm:ss"
+    ),
 })
+
+
+def _regexp(args: list[Column], raw: list) -> Column:
+    if not isinstance(raw[1], str):
+        raise SiddhiPlannerException("str:regexp needs a literal pattern")
+    return args[0].rlike(raw[1])
+
+
+def _replace_first(args: list[Column], raw: list) -> Column:
+    """Replace only the first regex match (Spark's regexp_replace replaces
+    all, so anchor the pattern to the earliest occurrence)."""
+    pat, rep = raw[1], raw[2]
+    if not isinstance(pat, str) or not isinstance(rep, str):
+        raise SiddhiPlannerException("str:replaceFirst needs literal pattern/replacement")
+    rep_esc = rep.replace("\\", "\\\\").replace("$", "\\$")
+    return F.regexp_replace(args[0], "(?s)^(.*?)(?:" + pat + ")", "$1" + rep_esc)
+
+
+def _split_at(args: list[Column], raw: list) -> Column:
+    if not isinstance(raw[1], str):
+        raise SiddhiPlannerException("str:split needs a literal regex")
+    idx = raw[2] if len(raw) > 2 and isinstance(raw[2], int) else 0
+    return F.split(args[0], raw[1]).getItem(idx)
 
 
 def lookup_scalar(ns: str | None, name: str):

@@ -124,6 +124,8 @@ class BatchPlanner:
         has_agg = self._query_has_agg(q)
         wclass = W.classify(si.window)
         ord_cols = self.ord_cols_for(schema)
+        if q.output_rate is not None:
+            df = self._apply_output_rate(df, q, ord_cols, has_agg)
         if wclass == "retain":
             df = W.apply_retention(
                 df, si.window,
@@ -143,6 +145,42 @@ class BatchPlanner:
         if wclass == "sliding":
             return self._select_sliding(df, q, si, ts_col or TS_COL, ord_cols)
         return self._select_group(df, q, si if wclass == "batch" else None, ts_col, ord_cols)
+
+    def _apply_output_rate(
+        self, df: DataFrame, q: A.Query, ord_cols: list[str], has_agg: bool
+    ) -> DataFrame:
+        """`output first|last every ...` batch contract: the first/last event
+        of each N-event block (a single global sequence — inherently ordered,
+        so this shape doesn't scale and is meant for tap/sampling queries) or
+        of each time bucket (distributed: one keyed aggregation). `all` and
+        `snapshot` only change streaming emission cadence — in batch the
+        result SET is identical, so they are no-ops."""
+        mode, unit, n = q.output_rate
+        if mode in ("all", "snapshot"):
+            return df
+        if has_agg:
+            raise UnsupportedFeatureException(
+                "output first/last with aggregation: emission cadence has no "
+                "batch-mode result-set equivalent"
+            )
+        from pyspark.sql.window import Window
+
+        if unit == "events":
+            w = Window.orderBy(*[F.col(c) for c in ord_cols])
+            df = df.withColumn("__rn", F.row_number().over(w))
+            keep = (F.col("__rn") % n) == (1 if mode == "first" else 0)
+            return df.filter(keep).drop("__rn")
+        if TS_COL not in df.columns:
+            raise SiddhiPlannerException("output every <time> needs an event-time stream")
+        bucket = F.floor(F.col(TS_COL) / F.lit(n))
+        w = Window.partitionBy(bucket).orderBy(
+            *[F.col(c).asc() if mode == "first" else F.col(c).desc() for c in ord_cols]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
 
     def _apply_filter(self, df: DataFrame, filt: A.Expr, comp: ExprCompiler) -> DataFrame:
         """Apply a stream filter; top-level `x in Table` conjuncts become

@@ -176,6 +176,9 @@ class Query:
     # aggregation reads: `from AggName within a[, b] per 'unit' select ...`
     agg_within: Optional[tuple[Expr, Optional[Expr]]] = None
     agg_per: Optional[str] = None
+    # `output [first|last|all|snapshot] every N events | <duration>`:
+    # (mode, 'events'|'ms', n)
+    output_rate: Optional[tuple[str, str, int]] = None
     output_event_type: str = "current"  # current | all | expired
     partition_by: dict[str, str] = field(default_factory=dict)  # stream -> attr
 

@@ -249,6 +249,27 @@ class Parser:
             q.limit = int(self.expect("NUMBER").text)
         if self.accept_kw("offset"):
             q.offset = int(self.expect("NUMBER").text)
+        if self.accept_kw("output"):
+            mode = "all"
+            if self.accept_kw("snapshot"):
+                mode = "snapshot"
+            elif self.accept_kw("all"):
+                mode = "all"
+            elif self.cur.kind == "ID" and self.cur.text.lower() in ("first", "last"):
+                mode = self.cur.text.lower()
+                self.i += 1
+            self.expect_kw("every")
+            n = int(self.expect("NUMBER").text)
+            if self.cur.kind == "ID" and self.cur.text.lower() in ("event", "events"):
+                self.i += 1
+                q.output_rate = (mode, "events", n)
+            else:
+                t = self.cur
+                if t.kind in ("ID", "KEYWORD") and t.text.lower() in TIME_UNITS:
+                    self.i += 1
+                    q.output_rate = (mode, "ms", n * TIME_UNITS[t.text.lower()])
+                else:
+                    raise self.error("expected 'events' or a time unit")
         if self.accept_kw("insert"):
             for kind in ("all", "current", "expired"):
                 if self.accept_kw(kind):
