@@ -28,6 +28,9 @@ HEADLINE = [
     "tpch_q5ish_revenue",
     "pattern_followed_by",
     "sequence_strict",
+    "window_unique",
+    "incremental_agg_day",
+    "table_upsert_last",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
@@ -53,6 +56,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
+
+    # untimed JVM/codegen warmup (does not touch the benched tables'
+    # query paths — just session init and one tiny scan)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

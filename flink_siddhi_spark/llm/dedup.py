@@ -74,7 +74,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id", n: int = 3,
 ) -> DataFrame:
     """Doc pairs with shingle-set Jaccard >= threshold (exact, join-based)."""
-    sh = shingle_table(_spread(df), text_col, id_col, n)
+    sh = shingle_table(_spread(df.select(id_col, text_col)), text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -102,29 +102,34 @@ def minhash_signatures(
     """MinHash signature columns sig_0..sig_{k-1}.
 
     Hash family: 8-hex-digit chunks of md5(shingle) and md5('x:'+shingle) —
-    two md5 calls yield eight 32-bit hashes per shingle (4x cheaper than one
-    md5 per signature slot); the signature is the lexicographic min chunk over
-    the shingle set (engine-portable: plain substring + min)."""
+    two md5 calls yield eight 32-bit hashes per shingle; the signature is the
+    lexicographic min chunk over the shingle set (engine-portable: plain
+    substring + min).
+
+    Shape: explode shingles -> top-level md5/substring (whole-stage codegen —
+    hashing inside array higher-order lambdas runs on the interpreted path,
+    ~10x slower) -> groupBy(doc).min. The min makes shingle de-duplication
+    unnecessary, and partial aggregation shuffles only 8 short strings per
+    doc per map partition."""
     if num_hashes > 8:
         raise ValueError("minhash_signatures supports up to 8 hashes (2 md5 x 4 chunks)")
-    sh = word_shingles(text_col, n)
-    out = _spread(df).select(F.col(id_col), sh.alias("__sh"))
-    out = out.withColumn("__h1", F.transform(F.col("__sh"), lambda s: F.md5(s)))
-    out = out.withColumn(
-        "__h2", F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit("x:"), s)))
+    words = F.split(F.lower(F.col(text_col)), " ")
+    sh_arr = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
     )
-
-    def chunk(src: str, j: int):
-        # NOTE: one-arg lambda — PySpark treats a second lambda parameter as
-        # the array index, not a captured default.
-        return F.array_min(
-            F.transform(F.col(src), lambda h: F.substring(h, j * 8 + 1, 8))
-        )
-
+    # explode_outer + null array keeps shingle-less docs (null signatures)
+    ex = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode_outer(F.when(F.size(words) >= n, sh_arr)).alias("__s"),
+    )
+    h1 = F.md5(F.col("__s"))
+    h2 = F.md5(F.concat(F.lit("x:"), F.col("__s")))
+    aggs = []
     for j in range(num_hashes):
-        src = "__h1" if j < 4 else "__h2"
-        out = out.withColumn(f"sig_{j}", chunk(src, j % 4))
-    return out.drop("__sh", "__h1", "__h2")
+        src = h1 if j < 4 else h2
+        aggs.append(F.min(F.substring(src, (j % 4) * 8 + 1, 8)).alias(f"sig_{j}"))
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -138,9 +143,12 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, num_hashes, text_col, id_col, n)
     rpb = num_hashes // bands
     sig_cols = [f"sig_{j}" for j in range(num_hashes)]
-    # compute signatures ONCE and explode the band array — a 4-way union of
-    # selects would recompute the md5 pipeline per band (and again per join
-    # side); at scale, persist/write the signature table instead
+    # compute signatures ONCE and explode the band array; candidates come
+    # from ONE shuffle: groupBy (band, bucket) + in-bucket pair expansion
+    # (bounded by bucket size — same quadratic as a bucket self-join but
+    # without recomputing the md5 pipeline per join side or persisting).
+    # At real scale, degenerate buckets (mass-duplicated content) should be
+    # salted/capped; kept exact here for oracle parity.
     band_structs = F.array(
         *[
             F.struct(
@@ -152,35 +160,39 @@ def minhash_lsh_pairs(
             for bnd in range(bands)
         ]
     )
-    banded = (
+    member = F.struct(
+        F.col(id_col).alias("id"),
+        F.array(*[F.col(c) for c in sig_cols]).alias("sigs"),
+    )
+    buckets = (
         sig.withColumn("__b", F.explode(band_structs))
-        .select(
-            F.col(id_col), F.col("__b.band").alias("band"),
-            F.col("__b.bucket").alias("bucket"), *[F.col(c) for c in sig_cols],
-        )
-        .persist()
+        .groupBy(F.col("__b.band"), F.col("__b.bucket"))
+        .agg(F.array_sort(F.collect_list(member)).alias("xs"))
+        .filter(F.size("xs") > 1)
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # all i<j pairs inside one bucket (xs sorted by id, so pairs come out
+    # ordered without a comparison filter)
+    pairs = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
+                lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
+                                   x["sigs"].alias("sa"), y["sigs"].alias("sb")),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            *[
-                F.when(F.col(f"a.{c}") == F.col(f"b.{c}"), 1).otherwise(0).alias(f"m_{c}")
-                for c in sig_cols
-            ],
-        )
-        .distinct()
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sa", "p.sb")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    est = sum(F.col(f"m_{c}") for c in sig_cols) / F.lit(float(len(sig_cols)))
+    k = float(len(sig_cols))
+    matches = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda a, b: a == b), lambda v: v)
+    )
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        cand.withColumn("est_jaccard", F.round(matches / F.lit(k), 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -193,7 +205,7 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
     Bit i of the fingerprint = majority vote of hex-digit parity i of
     md5(word) across all words (+1/-1 sum > 0). ``bits`` <= 32 hex digits."""
     words = F.split(F.lower(F.col(text_col)), " ")
-    out = _spread(df).select(F.col(id_col), words.alias("__w"))
+    out = _spread(df.select(id_col, text_col)).select(F.col(id_col), words.alias("__w"))
 
     def bit_vote(i: int):
         # one-arg lambda (see minhash_signatures note on PySpark HOF arity)
