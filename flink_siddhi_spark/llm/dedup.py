@@ -203,23 +203,27 @@ def simhash(df: DataFrame, bits: int = 16, text_col: str = "text",
     """Frequency-weighted SimHash fingerprint over word hashes.
 
     Bit i of the fingerprint = majority vote of hex-digit parity i of
-    md5(word) across all words (+1/-1 sum > 0). ``bits`` <= 32 hex digits."""
+    md5(word) across all words (+1/-1 sum > 0). ``bits`` <= 32 hex digits.
+
+    Shape: explode words -> ONE top-level md5 per word occurrence (whole-stage
+    codegen) -> per-doc partial-aggregated vote sums; hashing each word
+    `bits` times inside interpreted array lambdas would be ~10x slower."""
     words = F.split(F.lower(F.col(text_col)), " ")
-    out = _spread(df.select(id_col, text_col)).select(F.col(id_col), words.alias("__w"))
-
-    def bit_vote(i: int):
-        # one-arg lambda (see minhash_signatures note on PySpark HOF arity)
-        return lambda w: F.when(
-            F.substring(F.md5(w), i + 1, 1).isin(*ODD_HEX), F.lit(1)
-        ).otherwise(F.lit(-1))
-
+    ex = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(words).alias("__word")
+    )
+    h = F.md5(F.col("__word"))
+    votes = [
+        F.sum(
+            F.when(F.substring(h, i + 1, 1).isin(*ODD_HEX), 1).otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
     fp = F.lit(0).cast("bigint")
     for i in range(bits):
-        vote = F.aggregate(
-            F.transform(F.col("__w"), bit_vote(i)), F.lit(0), lambda acc, x: acc + x
-        )
-        fp = fp + F.when(vote > 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("bigint")
-    return out.select(F.col(id_col), fp.alias("simhash"))
+        fp = fp + F.when(F.col(f"__v{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0)).cast("bigint")
+    return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash_dup_pairs(df: DataFrame, bits: int = 16, text_col: str = "text",

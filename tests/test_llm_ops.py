@@ -1,0 +1,63 @@
+"""LLM-pipeline operator regressions (dedup / similarity / text analysis) on
+tiny inline fixtures — the sf0.01 DuckDB oracle gate covers full parity; these
+guard shapes, determinism, and edge cases (empty/short docs)."""
+
+import pytest
+
+from flink_siddhi_spark.llm import dedup as D
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, "completely different text with other words entirely here"),
+         (4, "the quick brown fox jumps over the lazy dog"),
+         (5, "xy")],
+        "doc_id int, text string")
+
+
+def test_exact_dedup_groups(docs):
+    g = {r.content_hash: (r.canonical_id, r.n_copies)
+         for r in D.exact_dedup_groups(docs).collect()}
+    assert len(g) == 4
+    assert (1, 2) in g.values()  # docs 1 and 4 collapse to canonical 1
+
+
+def test_minhash_signature_identity_and_nulls(docs):
+    rows = {r.doc_id: tuple(r)[1:] for r in D.minhash_signatures(docs).collect()}
+    assert len(rows) == 5
+    assert rows[1] == rows[4] != rows[3]
+    assert all(v is None for v in rows[5])  # shingle-less doc retained as null
+
+
+def test_minhash_lsh_finds_duplicates_not_distinct(docs):
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (1, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs  # 5 of 7 shingles shared
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal_fingerprints(docs):
+    fp = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert fp[1] == fp[4]
+    assert fp[1] != fp[3]
+    dup = {(r.id_a, r.id_b) for r in D.simhash_dup_pairs(docs).collect()}
+    assert (1, 4) in dup
+
+
+def test_embedding_cosine_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.99, 0.1, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id int, embedding array<double>")
+    pairs = {(r.id_a, r.id_b): r.cos for r in D.embedding_dup_pairs(
+        df, threshold=0.9, emb_col="embedding", id_col="vec_id").collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
