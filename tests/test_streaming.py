@@ -161,3 +161,32 @@ def test_streaming_group_agg_update(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM m_agg").collect())
     assert got == [(0, 5, 20.0), (1, 5, 25.0)]
+
+
+def test_streaming_table_dml_upsert(spark, tmp_path):
+    """Event-table upsert fed by a stream (streaming/tables.py): final state
+    equals the batch keyed-replay contract."""
+    from flink_siddhi_spark.streaming.tables import StreamingTable
+
+    path = write_events(spark, tmp_path / "src", [
+        (1, "a", 10.0, 1000), (2, "b", 99.0, 2000),
+        (3, "a", 50.0, 3000), (4, "c", 70.0, 4000),
+    ])
+    initial = spark.createDataFrame([], "k string, v double, hits long")
+    table = StreamingTable(initial)
+    stream = file_stream(spark, path, EVENT_SCHEMA).select(
+        F.col("name").alias("k"), F.col("price").alias("v"),
+        F.lit(1).cast("long").alias("hits"), F.col("timestamp"),
+    )
+    sq = table.attach(
+        stream,
+        "from s select k, v, hits update or insert into T "
+        "set T.v = v, T.hits = T.hits + 1 on T.k == k",
+        ts_col="timestamp",
+        checkpoint=str(tmp_path / "ck_tbl"),
+        trigger_available_now=True,
+    )
+    sq.awaitTermination(60)
+    rows = sorted(tuple(r) for r in table.state.collect())
+    assert rows == [("a", 50.0, 2), ("b", 99.0, 1), ("c", 70.0, 1)]
+    table.stop()
