@@ -225,6 +225,30 @@ def q_join_left_outer(spark, sf_dir):
     ).returns("Out")
 
 
+def q_join_full_outer(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events[event_type == 'signup']#window.time(30 sec) as s "
+        "full outer join events[event_type == 'error']#window.time(30 sec) as e "
+        "on s.user_id == e.user_id "
+        "select s.event_id as signup_id, e.event_id as error_id insert into Out"
+    ).returns("Out")
+
+
+def q_window_external_time_batch(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.externalTimeBatch(event_id, 1000) "
+        "select event_type, count() as n, max(value) as hi "
+        "group by event_type insert into Out"
+    ).returns("Out")
+
+
+def q_json_functions(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events[json:isExists(props, 'k')] "
+        "select event_id, json:getInt(props, 'k') as k insert into Out"
+    ).returns("Out")
+
+
 def q_join_stream_table(spark, sf_dir):
     return _cep_tpch(spark, sf_dir).from_("orders").cql(
         "from orders join customer on o_custkey == c_custkey "
@@ -540,6 +564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_time_time": q_join_time_time,
         "join_length_time": q_join_length_time,
         "join_left_outer": q_join_left_outer,
+        "join_full_outer": q_join_full_outer,
+        "window_external_time_batch": q_window_external_time_batch,
+        "json_functions": q_json_functions,
         "join_stream_table": q_join_stream_table,
         "join_theta": q_join_theta,
         "output_rate_last": q_output_rate_last,
@@ -728,6 +755,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.event_id signup_id, p.event_id purchase_id FROM s "
             "LEFT JOIN p ON s.user_id = p.user_id "
             "AND abs(epoch_ms(s.ts) - epoch_ms(p.ts)) <= 30000"
+        ),
+        "join_full_outer": (
+            "WITH s AS (SELECT * FROM events WHERE event_type = 'signup'), "
+            "e AS (SELECT * FROM events WHERE event_type = 'error') "
+            "SELECT s.event_id signup_id, e.event_id error_id FROM s "
+            "FULL JOIN e ON s.user_id = e.user_id "
+            "AND abs(epoch_ms(s.ts) - epoch_ms(e.ts)) <= 30000"
+        ),
+        "window_external_time_batch": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) n, max(value) hi FROM "
+            "(SELECT event_type, value, event_id // 1000 AS w FROM events) "
+            "GROUP BY event_type, w"
+        ),
+        "json_functions": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) k "
+            "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"
         ),
         "join_stream_table": (
             "SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders "

@@ -45,6 +45,7 @@ class SiddhiCEP:
         self.extensions: dict[str, Callable] = {}
         self.aggregations: dict[str, A.AggregationDef] = {}
         self.triggers: dict[str, int] = {}  # name -> period_ms
+        self._agg_cache: dict = {}  # (agg name, gran) -> materialized rollup
 
     # -------------------------------------------------------------- registry
     def register_stream(
@@ -141,6 +142,9 @@ class ExecutionSiddhiStream:
         # (Siddhi tables start empty and are populated by DML queries).
         for adef in self.plan.aggregations:
             self.cep.aggregations[adef.name] = adef
+            self.cep._agg_cache = {
+                k: v for k, v in self.cep._agg_cache.items() if k[0] != adef.name
+            }
         for trig in self.plan.triggers:
             # batch contract: no wall-clock elapses during a batch computation,
             # so the tick stream is empty (schema'd); streaming mode swaps in
@@ -158,6 +162,7 @@ class ExecutionSiddhiStream:
         planner = BatchPlanner(
             self.cep.catalog, self.cep.extensions, self.cep.aggregations
         )
+        planner._agg_cache = self.cep._agg_cache  # share rollups across cql calls
         for d in self.plan.definitions:
             if d.name in self.cep.catalog:
                 declared = [a.name for a in d.attrs]

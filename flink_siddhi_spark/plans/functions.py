@@ -123,7 +123,21 @@ SCALAR_FNS.update({
     ("time", "utctimestamp"): lambda a, r: F.date_format(
         F.to_utc_timestamp(F.current_timestamp(), "UTC"), "yyyy-MM-dd HH:mm:ss"
     ),
+    # siddhi-execution-json surface (json:getString/getInt/... (json, path));
+    # '$.' prefix optional, matching the extension's path convention
+    ("json", "getstring"): lambda a, r: F.get_json_object(a[0], _jpath(r[1])),
+    ("json", "getint"): lambda a, r: F.get_json_object(a[0], _jpath(r[1])).cast("int"),
+    ("json", "getlong"): lambda a, r: F.get_json_object(a[0], _jpath(r[1])).cast("bigint"),
+    ("json", "getdouble"): lambda a, r: F.get_json_object(a[0], _jpath(r[1])).cast("double"),
+    ("json", "getbool"): lambda a, r: F.get_json_object(a[0], _jpath(r[1])).cast("boolean"),
+    ("json", "isexists"): lambda a, r: F.get_json_object(a[0], _jpath(r[1])).isNotNull(),
 })
+
+
+def _jpath(p) -> str:
+    if not isinstance(p, str):
+        raise SiddhiPlannerException("json: path must be a string literal")
+    return p if p.startswith("$") else "$." + p
 
 
 def _regexp(args: list[Column], raw: list) -> Column:

@@ -62,6 +62,10 @@ class BatchPlanner:
         self.catalog = catalog
         self.extensions = extensions or {}
         self.aggregations = aggregations or {}  # name -> A.AggregationDef
+        # (name, gran) -> materialized rollup DataFrame; reads of the same
+        # granularity share one plan (Catalyst reuses the exchange; at scale
+        # this is where a persisted rollup table would slot in)
+        self._agg_cache: dict[tuple[str, str], DataFrame] = {}
 
     # ------------------------------------------------------------- utilities
     def stream_schema(self, name: str) -> StreamSchema:
@@ -521,7 +525,10 @@ class BatchPlanner:
             )
         if si.window is not None:
             raise UnsupportedFeatureException("windows over aggregation reads")
-        df = self.materialize_aggregation(adef, gran)
+        key = (adef.name, gran)
+        if key not in self._agg_cache:
+            self._agg_cache[key] = self.materialize_aggregation(adef, gran)
+        df = self._agg_cache[key]
         if q.agg_within is not None:
             lo, hi = q.agg_within
             lo_ms = _within_bound_ms(lo)
