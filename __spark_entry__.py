@@ -191,6 +191,14 @@ def q_window_cron(spark, sf_dir):
     ).returns("Out")
 
 
+def q_topk_per_group(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "partition with (event_type of events) begin "
+        "from events#window.sort(5, value, 'desc') "
+        "select event_type, event_id, value insert into Out; end"
+    ).returns("Out")
+
+
 def q_window_sliding_time(spark, sf_dir):
     return _cep(spark, sf_dir).from_("events").cql(
         "from events#window.time(10 min) "
@@ -561,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_unique": q_window_unique,
         "window_delay": q_window_delay,
         "window_cron": q_window_cron,
+        "topk_per_group": q_topk_per_group,
         "join_time_time": q_join_time_time,
         "join_length_time": q_join_length_time,
         "join_left_outer": q_join_left_outer,
@@ -733,6 +742,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(*) AS BIGINT) n FROM "
             f"(SELECT event_type, {_EMS} // 600000 AS w FROM events) "
             "GROUP BY event_type, w"
+        ),
+        "topk_per_group": (
+            "SELECT event_type, event_id, value FROM events QUALIFY row_number() "
+            f"OVER (PARTITION BY event_type ORDER BY value DESC, {_EMS}, event_id) <= 5"
         ),
         "join_time_time": (
             "SELECT e.event_id error_id, p.event_id purchase_id FROM events e "

@@ -211,11 +211,14 @@ def apply_retention(
     ts_col: Optional[str],
     ord_cols: list[str],
     fields: list[str],
+    part_cols: Optional[list[str]] = None,
 ) -> DataFrame:
     """Filter the stream to the window's final retained contents (module
     docstring has the per-kind contract). All shapes are shuffle-lean:
-    top-n via limit (TakeOrderedAndProject), per-key dedup via one hash
-    shuffle, frequent via count + broadcast semi-join."""
+    top-n via limit (TakeOrderedAndProject) or, under `partition with`, a
+    per-key rank (one hash shuffle); per-key dedup via one hash shuffle;
+    frequent via count + broadcast semi-join."""
+    part_cols = part_cols or []
     name = spec.name.lower()
     if name == "batch":
         return df
@@ -227,10 +230,20 @@ def apply_retention(
         n, keys = _sort_args(spec)
         order = [F.col(k).asc() if asc else F.col(k).desc() for k, asc in keys]
         order += [F.col(c).asc() for c in ord_cols]  # deterministic tie-break
+        if part_cols:
+            # top-n per partition key (partitioned deployment of the window)
+            w = Window.partitionBy(*[F.col(c) for c in part_cols]).orderBy(*order)
+            return (
+                df.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= n)
+                .drop("__rk")
+            )
         return df.orderBy(*order).limit(n)
     if name in ("unique", "firstunique"):
-        keys = [a.name for a in spec.args if isinstance(a, A.Ref)]
-        if not keys:
+        keys = part_cols + [
+            a.name for a in spec.args if isinstance(a, A.Ref) and a.name not in part_cols
+        ]
+        if not [a for a in spec.args if isinstance(a, A.Ref)]:
             raise SiddhiPlannerException(f"#window.{spec.name} needs key attribute(s)")
         ord_struct = F.struct(*[F.col(c) for c in ord_cols])
         pick = F.max(ord_struct) if name == "unique" else F.min(ord_struct)
@@ -243,9 +256,20 @@ def apply_retention(
     if name == "frequent":
         n = _arg_ms(spec, 0)
         keys = [a.name for a in spec.args[1:] if isinstance(a, A.Ref)] or list(fields)
-        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-        top = counts.orderBy(
-            F.col("__n").desc(), *[F.col(k).asc() for k in keys]
-        ).limit(n).drop("__n")
-        return df.join(F.broadcast(top), keys, "left_semi")
+        counts = df.groupBy(*(part_cols + keys)).agg(F.count(F.lit(1)).alias("__n"))
+        if part_cols:
+            # top-n most frequent combos per partition key
+            w = Window.partitionBy(*[F.col(c) for c in part_cols]).orderBy(
+                F.col("__n").desc(), *[F.col(k).asc() for k in keys]
+            )
+            top = (
+                counts.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= n)
+                .drop("__rk", "__n")
+            )
+        else:
+            top = counts.orderBy(
+                F.col("__n").desc(), *[F.col(k).asc() for k in keys]
+            ).limit(n).drop("__n")
+        return df.join(F.broadcast(top), part_cols + keys, "left_semi")
     raise UnsupportedFeatureException(f"#window.{spec.name} is not a retention window")

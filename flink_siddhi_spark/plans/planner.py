@@ -128,6 +128,9 @@ class BatchPlanner:
         has_agg = self._query_has_agg(q)
         wclass = W.classify(si.window)
         ord_cols = self.ord_cols_for(schema)
+        # `partition with (k of S)` = per-key isolated processing: keyed
+        # retention, and the key joins the aggregation grouping
+        pkey = (q.partition_by or {}).get(si.stream)
         if q.output_rate is not None:
             df = self._apply_output_rate(df, q, ord_cols, has_agg)
         if wclass == "retain":
@@ -135,8 +138,15 @@ class BatchPlanner:
                 df, si.window,
                 ts_col=TS_COL if schema.ts_field is not None else None,
                 ord_cols=ord_cols, fields=schema.fields,
+                part_cols=[pkey] if pkey else [],
             )
             wclass = "none"  # the retained set is the window's final contents
+        if pkey is not None and has_agg and not any(
+            isinstance(g, A.Ref) and g.name == pkey for g in q.group_by
+        ):
+            import dataclasses
+
+            q = dataclasses.replace(q, group_by=[A.Ref(None, pkey)] + list(q.group_by))
         if not has_agg:
             return self._select_rowwise(df, q, resolver, schema.fields)
         ts_col = TS_COL if schema.ts_field is not None else None

@@ -146,3 +146,49 @@ def test_cron_rejects_calendar_exprs(cep):
         cep.from_("events").cql(
             "from events#window.cron('0 15 10 * * ?') select count() as n insert into Out"
         ).returns("Out")
+
+
+def test_partitioned_sort_window_topk_per_key(cep, duck):
+    out = cep.from_("events").cql(
+        "partition with (event_type of events) begin "
+        "from events#window.sort(3, value, 'desc') "
+        "select event_type, event_id, value insert into Out; end"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "SELECT event_type, event_id, value FROM events QUALIFY row_number() "
+        "OVER (PARTITION BY event_type ORDER BY value DESC, ts, event_id) <= 3",
+    )
+    assert rows_set(out) == oracle
+
+
+def test_partitioned_aggregation_groups_by_key(cep, duck):
+    out = cep.from_("events").cql(
+        "partition with (user_id of events) begin "
+        "from events select user_id, count() as n insert into Out; end"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "SELECT user_id, CAST(count(*) AS BIGINT) n FROM events GROUP BY user_id",
+    )
+    assert rows_set(out) == oracle
+
+
+def test_partitioned_frequent_window(cep, duck):
+    out = cep.from_("events").cql(
+        "partition with (event_type of events) begin "
+        "from events#window.frequent(2, user_id) "
+        "select event_type, user_id, count() as n "
+        "group by event_type, user_id insert into Out; end"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "WITH c AS (SELECT event_type, user_id, count(*) n FROM events "
+        "GROUP BY 1, 2), top AS (SELECT event_type, user_id FROM c "
+        "QUALIFY row_number() OVER (PARTITION BY event_type "
+        "ORDER BY n DESC, user_id) <= 2) "
+        "SELECT e.event_type, e.user_id, CAST(count(*) AS BIGINT) n FROM events e "
+        "JOIN top t ON e.event_type = t.event_type AND e.user_id = t.user_id "
+        "GROUP BY e.event_type, e.user_id",
+    )
+    assert rows_set(out) == oracle
