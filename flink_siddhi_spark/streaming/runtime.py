@@ -49,8 +49,8 @@ class StreamingPlanner(BatchPlanner):
     """
 
     def __init__(self, catalog, extensions=None, watermark_delay: str = "10 seconds",
-                 max_buffer_per_key: int = 100_000):
-        super().__init__(catalog, extensions)
+                 max_buffer_per_key: int = 100_000, aggregations=None):
+        super().__init__(catalog, extensions, aggregations)
         self.watermark_delay = watermark_delay
         self.max_buffer_per_key = max_buffer_per_key
 
@@ -76,6 +76,11 @@ class StreamingPlanner(BatchPlanner):
         df, _ = self.stream_df(si.stream)
         if not schema.df.isStreaming:
             return super()._compile_single(q)
+        if W.classify(si.window) == "retain":
+            raise UnsupportedFeatureException(
+                f"#window.{si.window.name}: retention windows follow the "
+                "final-contents contract — batch mode only"
+            )
         df = self._with_watermark(df, schema)
         names = {si.stream, si.alias} if si.alias else {si.stream}
         resolver = self._plain_resolver(set(df.columns), names)
@@ -171,6 +176,61 @@ class StreamingPlanner(BatchPlanner):
             hc = ExprCompiler(lambda r: F.col(r.name), self.extensions)
             out = out.filter(hc.compile(q.having))
         return out
+
+    # ------------------------------------------------- streaming aggregation
+    def _compile_agg_read(self, q: A.Query) -> DataFrame:
+        """`from Agg within ... per 'unit'` on a STREAMING source: the
+        granularity lowers to an aligned tumbling window aggregation
+        (window() buckets align to the epoch in the pinned-UTC session,
+        matching the batch date_trunc contract). Month/year granularities
+        are calendar-sized and stay batch-only."""
+        from ..plans.planner import AGG_TS, _GRAN_ALIASES, _within_bound_ms
+
+        si: A.SingleInput = q.input
+        adef = self.aggregations[si.stream]
+        src = self.stream_schema(adef.input.stream)
+        if not src.df.isStreaming:
+            return super()._compile_agg_read(q)
+        gran = _GRAN_ALIASES.get((q.agg_per or "").lower())
+        if gran is None or gran not in adef.granularities:
+            raise SiddhiPlannerException(
+                f"aggregation '{adef.name}': per granularity {q.agg_per!r} "
+                f"unknown or not maintained (has: {adef.granularities})"
+            )
+        ms = {"sec": 1000, "min": 60_000, "hour": 3_600_000, "day": 86_400_000}.get(gran)
+        if ms is None:
+            raise UnsupportedFeatureException(
+                "month/year granularities are calendar-sized — batch mode only"
+            )
+        if adef.ts_ref is not None and adef.ts_ref.name != src.ts_field:
+            raise UnsupportedFeatureException(
+                "streaming aggregation requires `aggregate by` = the stream's event-time field"
+            )
+        if self._query_has_agg(q):
+            raise UnsupportedFeatureException(
+                "re-aggregating a streaming rollup needs a second stateful agg — read "
+                "the rollup in batch mode or aggregate downstream via foreachBatch"
+            )
+        synth = A.Query(
+            input=A.SingleInput(
+                adef.input.stream, adef.input.filter,
+                A.WindowSpec("timeBatch", [A.Literal(ms, "time")]),
+                adef.input.alias,
+            ),
+            select=[A.SelectItem(A.Call(None, "windowStart", []), AGG_TS)]
+            + list(adef.select),
+            group_by=list(adef.group_by),
+        )
+        df = self._compile_single(synth)
+        if q.agg_within is not None:
+            lo, hi = q.agg_within
+            df = df.filter(F.col(AGG_TS) >= _within_bound_ms(lo))
+            if hi is not None:
+                df = df.filter(F.col(AGG_TS) < _within_bound_ms(hi))
+        resolver = self._plain_resolver(set(df.columns), {adef.name, si.alias or adef.name})
+        if si.filter is not None:
+            df = df.filter(self._compiler(resolver, df).compile(si.filter))
+        return self._select_rowwise(df, q, resolver, list(df.columns))
 
     # ------------------------------------------------------- streaming pattern
     def compile_query(self, q: A.Query) -> DataFrame:

@@ -190,3 +190,30 @@ def test_streaming_table_dml_upsert(spark, tmp_path):
     rows = sorted(tuple(r) for r in table.state.collect())
     assert rows == [("a", 50.0, 2), ("b", 99.0, 1), ("c", 70.0, 1)]
     table.stop()
+
+
+def test_streaming_aggregation_rollup(spark, tmp_path):
+    """`define aggregation` read on a streaming source lowers to an aligned
+    tumbling-window aggregation (streaming/runtime.py _compile_agg_read)."""
+    from flink_siddhi_spark.siddhiql.parser import parse
+    from flink_siddhi_spark.schema import StreamSchema
+
+    path = write_events(spark, tmp_path / "src", [
+        (1, "a", 10.0, 1_000), (2, "b", 20.0, 2_000),
+        (3, "a", 30.0, 61_000), (4, "a", 5.0, 62_000),
+    ])
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    catalog = {"s": StreamSchema("s", stream, ["id", "name", "price", "timestamp"],
+                                 ts_field="timestamp")}
+    plan = parse(
+        "define aggregation PA from s select name, sum(price) as total, count() as n "
+        "group by name aggregate every sec...year;"
+        "from PA per 'min' select AGG_TIMESTAMP, name, total, n insert into Out;"
+    )
+    planner = StreamingPlanner(catalog, watermark_delay="0 seconds",
+                               aggregations={a.name: a for a in plan.aggregations})
+    df = planner.compile_query(plan.queries[0])
+    q = to_memory(df, "agg_roll", checkpoint=str(tmp_path / "ck_roll"), output_mode="update")
+    q.awaitTermination(60)
+    rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM agg_roll").collect())
+    assert rows == [(0, "a", 10.0, 1), (0, "b", 20.0, 1), (60000, "a", 35.0, 2)], rows
