@@ -257,6 +257,37 @@ def q_json_functions(spark, sf_dir):
     ).returns("Out")
 
 
+def q_join_right_outer(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events[event_type == 'purchase']#window.time(30 sec) as p "
+        "right outer join events[event_type == 'signup']#window.time(30 sec) as s "
+        "on p.user_id == s.user_id "
+        "select s.event_id as signup_id, p.event_id as purchase_id insert into Out"
+    ).returns("Out")
+
+
+def q_window_external_time(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.externalTime(event_id, 500) "
+        "select event_id, count() as n, min(value) as lo group by user_id "
+        "insert into Out"
+    ).returns("Out")
+
+
+def q_forever_aggregates(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events select event_type, minForever(value) as lo, "
+        "maxForever(value) as hi group by event_type insert into Out"
+    ).returns("Out")
+
+
+def q_order_limit_offset(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events select user_id, sum(value) as total group by user_id "
+        "order by total desc, user_id limit 10 offset 5 insert into Out"
+    ).returns("Out")
+
+
 def q_join_stream_table(spark, sf_dir):
     return _cep_tpch(spark, sf_dir).from_("orders").cql(
         "from orders join customer on o_custkey == c_custkey "
@@ -574,6 +605,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_length_time": q_join_length_time,
         "join_left_outer": q_join_left_outer,
         "join_full_outer": q_join_full_outer,
+        "join_right_outer": q_join_right_outer,
+        "window_external_time": q_window_external_time,
+        "forever_aggregates": q_forever_aggregates,
+        "order_limit_offset": q_order_limit_offset,
         "window_external_time_batch": q_window_external_time_batch,
         "json_functions": q_json_functions,
         "join_stream_table": q_join_stream_table,
@@ -784,6 +819,26 @@ def oracle_sql() -> dict[str, str]:
         "json_functions": (
             "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) k "
             "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"
+        ),
+        "join_right_outer": (
+            "WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'), "
+            "s AS (SELECT * FROM events WHERE event_type = 'signup') "
+            "SELECT s.event_id signup_id, p.event_id purchase_id FROM p "
+            "RIGHT JOIN s ON p.user_id = s.user_id "
+            "AND abs(epoch_ms(p.ts) - epoch_ms(s.ts)) <= 30000"
+        ),
+        "window_external_time": (
+            "SELECT event_id, CAST(count(*) OVER w AS BIGINT) n, min(value) OVER w lo "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id "
+            "RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)"
+        ),
+        "forever_aggregates": (
+            "SELECT event_type, min(value) lo, max(value) hi FROM events "
+            "GROUP BY event_type"
+        ),
+        "order_limit_offset": (
+            "SELECT user_id, " + _DECSUM.format(x="value") + " total FROM events "
+            "GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10 OFFSET 5"
         ),
         "join_stream_table": (
             "SELECT o_orderkey, c_name, c_mktsegment, o_totalprice FROM orders "
