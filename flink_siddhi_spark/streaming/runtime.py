@@ -109,6 +109,8 @@ class StreamingPlanner(BatchPlanner):
         win_start = win_end = None
         if wclass == "batch":
             name = si.window.name.lower()
+            if name == "lengthbatch":
+                return self._streaming_length_batch(df, q, si, key_names)
             if name == "timebatch":
                 size_ms = int(si.window.args[0].value)
                 wcol = F.window(F.col("__event_time"), f"{size_ms} milliseconds")
@@ -176,6 +178,138 @@ class StreamingPlanner(BatchPlanner):
             hc = ExprCompiler(lambda r: F.col(r.name), self.extensions)
             out = out.filter(hc.compile(q.having))
         return out
+
+    # --------------------------------------------- streaming count window
+    def _streaming_length_batch(
+        self, df: DataFrame, q: A.Query, si: A.SingleInput, key_names: list[str]
+    ) -> DataFrame:
+        """``#window.lengthBatch(n)`` on a streaming source: the custom
+        stateful count window (SURVEY.md §7.2) — per key, buffer arriving
+        rows in the state store and emit one aggregate row per full chunk of
+        n; the remainder carries across micro-batches. Rows are event-time
+        sorted within each batch (same reorder contract as the pattern op).
+
+        Select items must be group-key refs, ``count()``, or
+        ``agg(column)`` — complex expressions stay batch-only."""
+        n = int(si.window.args[0].value)
+        items = q.select or []
+        if not items:
+            raise SiddhiPlannerException("select * not allowed in aggregate queries")
+        if q.having is not None or q.order_by:
+            raise UnsupportedFeatureException(
+                "having/order by over streaming count windows: batch mode only"
+            )
+        field_types = {f.name: f.dataType for f in df.schema.fields}
+
+        # (out_name, kind, col) per item; kind in {'key','count','sum',...}
+        plan: list[tuple[str, str, Optional[str]]] = []
+        value_cols: list[str] = []
+        out_fields: list[T.StructField] = []
+        for it in items:
+            out_name = self._out_name(it)
+            e = it.expr
+            if isinstance(e, A.Ref) and e.name in key_names:
+                plan.append((out_name, "key", e.name))
+                out_fields.append(T.StructField(out_name, field_types[e.name], True))
+                continue
+            if isinstance(e, A.Call) and e.ns is None:
+                fn = e.name.lower()
+                if fn == "count" and not e.args:
+                    plan.append((out_name, "count", None))
+                    out_fields.append(T.StructField(out_name, T.LongType(), True))
+                    continue
+                if fn in ("sum", "min", "max", "avg", "first", "last",
+                          "distinctcount") and len(e.args) == 1 and isinstance(e.args[0], A.Ref):
+                    col = e.args[0].name
+                    if col not in value_cols:
+                        value_cols.append(col)
+                    if fn in ("min", "max", "first", "last"):
+                        ot = field_types[col]
+                    elif fn == "distinctcount":
+                        ot = T.LongType()
+                    elif fn == "sum":
+                        ot = field_types[col] if isinstance(
+                            field_types[col], (T.LongType, T.IntegerType)
+                        ) else T.DoubleType()
+                        if isinstance(ot, T.IntegerType):
+                            ot = T.LongType()
+                    else:  # avg
+                        ot = T.DoubleType()
+                    plan.append((out_name, fn, col))
+                    out_fields.append(T.StructField(out_name, ot, True))
+                    continue
+            raise UnsupportedFeatureException(
+                "streaming lengthBatch select items must be keys, count(), or agg(column)"
+            )
+        out_schema = T.StructType(out_fields)
+        state_schema = T.StructType([T.StructField("buffer", T.ArrayType(T.StringType()))])
+        key_struct = [T.StructField(k, field_types[k]) for k in key_names]
+
+        ts_in_df = TS_COL in df.columns
+        sort_cols = ([TS_COL] if ts_in_df else []) + value_cols
+        carry_cols = sort_cols  # what each buffered row needs
+        plan_c, key_names_c, n_c = plan, key_names, n
+
+        def proc(key, pdfs, state: GroupState):
+            import json as _json
+            import math
+
+            buffer = list(state.get[0]) if state.exists else []
+            rows = []
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                if not carry_cols:  # pure count(): row presence is the datum
+                    rows.extend("[]" for _ in range(len(pdf)))
+                    continue
+                part = pdf[carry_cols].sort_values(by=sort_cols)
+                rows.extend(
+                    _json.dumps([None if (isinstance(v, float) and math.isnan(v)) else v
+                                 for v in r])
+                    for r in part.itertuples(index=False, name=None)
+                )
+            buffer.extend(rows)
+            out = []
+            while len(buffer) >= n_c:
+                chunk = [_json.loads(s) for s in buffer[:n_c]]
+                buffer = buffer[n_c:]
+                vals = {c: [row[carry_cols.index(c)] for row in chunk] for c in value_cols}
+                rec = []
+                for out_name, kind, col in plan_c:
+                    if kind == "key":
+                        rec.append(key[key_names_c.index(col)])
+                    elif kind == "count":
+                        rec.append(n_c)
+                    elif kind == "sum":
+                        rec.append(sum(v for v in vals[col] if v is not None))
+                    elif kind == "avg":
+                        xs = [v for v in vals[col] if v is not None]
+                        rec.append(float(sum(xs)) / len(xs) if xs else None)
+                    elif kind == "min":
+                        xs = [v for v in vals[col] if v is not None]
+                        rec.append(min(xs) if xs else None)
+                    elif kind == "max":
+                        xs = [v for v in vals[col] if v is not None]
+                        rec.append(max(xs) if xs else None)
+                    elif kind == "first":
+                        rec.append(vals[col][0])
+                    elif kind == "last":
+                        rec.append(vals[col][-1])
+                    elif kind == "distinctcount":
+                        rec.append(len({v for v in vals[col] if v is not None}))
+                out.append(rec)
+            state.update((buffer,))
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in out_fields])
+
+        if key_names:
+            grouped = df.groupBy(*[F.col(k) for k in key_names])
+        else:
+            df = df.withColumn("__gk", F.lit(0))
+            grouped = df.groupBy("__gk")
+        return grouped.applyInPandasWithState(
+            proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
 
     # ------------------------------------------------- streaming aggregation
     def _compile_agg_read(self, q: A.Query) -> DataFrame:

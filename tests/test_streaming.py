@@ -217,3 +217,29 @@ def test_streaming_aggregation_rollup(spark, tmp_path):
     q.awaitTermination(60)
     rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM agg_roll").collect())
     assert rows == [(0, "a", 10.0, 1), (0, "b", 20.0, 1), (60000, "a", 35.0, 2)], rows
+
+
+def test_streaming_length_batch_count_window(spark, tmp_path):
+    """#window.lengthBatch(n) on a stream: stateful per-key chunking with
+    remainder carried in state (streaming/runtime.py _streaming_length_batch)."""
+    from flink_siddhi_spark.siddhiql.parser import parse
+    from flink_siddhi_spark.schema import StreamSchema
+
+    path = write_events(spark, tmp_path / "src", [
+        (1, "a", 10.0, 1000), (2, "a", 20.0, 2000), (3, "a", 30.0, 3000),
+        (4, "b", 5.0, 4000), (5, "a", 40.0, 5000), (6, "b", 7.0, 6000),
+    ])
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    catalog = {"s": StreamSchema("s", stream, ["id", "name", "price", "timestamp"],
+                                 ts_field="timestamp")}
+    planner = StreamingPlanner(catalog, watermark_delay="0 seconds")
+    q = parse(
+        "from s#window.lengthBatch(2) select name, count() as n, sum(price) as total, "
+        "avg(price) as mean group by name insert into Out;"
+    ).queries[0]
+    df = planner.compile_query(q)
+    sq = to_memory(df, "lb_out", checkpoint=str(tmp_path / "ck_lb"), output_mode="append")
+    sq.awaitTermination(60)
+    rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM lb_out").collect())
+    # a: chunks (10,20) and (30,40); b: chunk (5,7)
+    assert rows == [("a", 2, 30.0, 15.0), ("a", 2, 70.0, 35.0), ("b", 2, 12.0, 6.0)], rows
