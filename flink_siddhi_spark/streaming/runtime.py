@@ -125,6 +125,8 @@ class StreamingPlanner(BatchPlanner):
             win_start = F.unix_millis(F.col("__w.start"))
             win_end = F.unix_millis(F.col("__w.end"))
         elif wclass == "sliding":
+            if si.window.name.lower() == "length":
+                return self._streaming_sliding_length(df, q, si, key_names)
             raise UnsupportedFeatureException(
                 f"sliding #window.{si.window.name} aggregation is batch-only; "
                 "streaming emits per-window-flush (timeBatch/session)"
@@ -301,6 +303,140 @@ class StreamingPlanner(BatchPlanner):
             state.update((buffer,))
             if out:
                 yield pd.DataFrame(out, columns=[f.name for f in out_fields])
+
+        if key_names:
+            grouped = df.groupBy(*[F.col(k) for k in key_names])
+        else:
+            df = df.withColumn("__gk", F.lit(0))
+            grouped = df.groupBy("__gk")
+        return grouped.applyInPandasWithState(
+            proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+
+    def _streaming_sliding_length(
+        self, df: DataFrame, q: A.Query, si: A.SingleInput, key_names: list[str]
+    ) -> DataFrame:
+        """``#window.length(n)`` on a streaming source: per-arrival aggregate
+        over the trailing n events per key (the reference's exercised P0
+        count window, SiddhiCEPITCase.java:315,427). A per-key ring buffer
+        lives in the state store; every arriving row emits one output row —
+        the same per-arrival emission the embedded engine produces.
+
+        Select items: group-key refs, current-row column refs, ``count()``,
+        or ``agg(column)``; complex expressions stay batch-only."""
+        n = int(si.window.args[0].value)
+        items = q.select or []
+        if not items:
+            raise SiddhiPlannerException("select * not allowed in aggregate queries")
+        if q.having is not None or q.order_by:
+            raise UnsupportedFeatureException(
+                "having/order by over streaming count windows: batch mode only"
+            )
+        field_types = {f.name: f.dataType for f in df.schema.fields}
+        plan: list[tuple[str, str, Optional[str]]] = []
+        carry: list[str] = []
+        out_fields: list[T.StructField] = []
+
+        def need(col: str) -> None:
+            if col not in carry:
+                carry.append(col)
+
+        for it in items:
+            out_name = self._out_name(it)
+            e = it.expr
+            if isinstance(e, A.Ref):
+                if e.name in key_names:
+                    plan.append((out_name, "key", e.name))
+                else:
+                    need(e.name)
+                    plan.append((out_name, "cur", e.name))
+                out_fields.append(T.StructField(out_name, field_types[e.name], True))
+                continue
+            if isinstance(e, A.Call) and e.ns is None:
+                fn = e.name.lower()
+                if fn == "count" and not e.args:
+                    plan.append((out_name, "count", None))
+                    out_fields.append(T.StructField(out_name, T.LongType(), True))
+                    continue
+                if fn in ("sum", "min", "max", "avg", "first", "last",
+                          "distinctcount") and len(e.args) == 1 and isinstance(e.args[0], A.Ref):
+                    col = e.args[0].name
+                    need(col)
+                    if fn in ("min", "max", "first", "last"):
+                        ot = field_types[col]
+                    elif fn == "distinctcount":
+                        ot = T.LongType()
+                    elif fn == "sum":
+                        ot = field_types[col] if isinstance(
+                            field_types[col], (T.LongType, T.IntegerType)
+                        ) else T.DoubleType()
+                        if isinstance(ot, T.IntegerType):
+                            ot = T.LongType()
+                    else:
+                        ot = T.DoubleType()
+                    plan.append((out_name, fn, col))
+                    out_fields.append(T.StructField(out_name, ot, True))
+                    continue
+            raise UnsupportedFeatureException(
+                "streaming length-window select items must be keys, current-row "
+                "columns, count(), or agg(column)"
+            )
+        out_schema = T.StructType(out_fields)
+        state_schema = T.StructType([T.StructField("ring", T.ArrayType(T.StringType()))])
+        ts_in_df = TS_COL in df.columns
+        sort_cols = ([TS_COL] if ts_in_df else []) + carry
+        carry_cols = sort_cols
+        plan_c, key_names_c, n_c = plan, key_names, n
+        out_names = [f.name for f in out_fields]
+
+        def proc(key, pdfs, state: GroupState):
+            import json as _json
+            import math
+
+            ring = list(state.get[0]) if state.exists else []
+            out = []
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                part = pdf[carry_cols].sort_values(by=sort_cols)
+                for r in part.itertuples(index=False, name=None):
+                    row = [None if (isinstance(v, float) and math.isnan(v)) else v
+                           for v in r]
+                    ring.append(_json.dumps(row))
+                    if len(ring) > n_c:
+                        ring.pop(0)
+                    win = [_json.loads(s) for s in ring]
+                    rec = []
+                    for out_name, kind, col in plan_c:
+                        if kind == "key":
+                            rec.append(key[key_names_c.index(col)])
+                            continue
+                        if kind == "cur":
+                            rec.append(row[carry_cols.index(col)])
+                            continue
+                        if kind == "count":
+                            rec.append(len(win))
+                            continue
+                        xs = [w[carry_cols.index(col)] for w in win]
+                        xs = [v for v in xs if v is not None]
+                        if kind == "sum":
+                            rec.append(sum(xs) if xs else None)
+                        elif kind == "avg":
+                            rec.append(float(sum(xs)) / len(xs) if xs else None)
+                        elif kind == "min":
+                            rec.append(min(xs) if xs else None)
+                        elif kind == "max":
+                            rec.append(max(xs) if xs else None)
+                        elif kind == "first":
+                            rec.append(xs[0] if xs else None)
+                        elif kind == "last":
+                            rec.append(xs[-1] if xs else None)
+                        elif kind == "distinctcount":
+                            rec.append(len(set(xs)))
+                    out.append(rec)
+            state.update((ring,))
+            if out:
+                yield pd.DataFrame(out, columns=out_names)
 
         if key_names:
             grouped = df.groupBy(*[F.col(k) for k in key_names])

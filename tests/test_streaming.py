@@ -243,3 +243,29 @@ def test_streaming_length_batch_count_window(spark, tmp_path):
     rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM lb_out").collect())
     # a: chunks (10,20) and (30,40); b: chunk (5,7)
     assert rows == [("a", 2, 30.0, 15.0), ("a", 2, 70.0, 35.0), ("b", 2, 12.0, 6.0)], rows
+
+
+def test_streaming_sliding_length_window(spark, tmp_path):
+    """#window.length(n): per-arrival trailing aggregate via per-key ring
+    buffer in state (reference P0 window, SiddhiCEPITCase.java:315,427)."""
+    from flink_siddhi_spark.siddhiql.parser import parse
+    from flink_siddhi_spark.schema import StreamSchema
+
+    path = write_events(spark, tmp_path / "src", [
+        (1, "a", 10.0, 1000), (2, "a", 20.0, 2000),
+        (3, "a", 30.0, 3000), (4, "b", 5.0, 4000),
+    ])
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    catalog = {"s": StreamSchema("s", stream, ["id", "name", "price", "timestamp"],
+                                 ts_field="timestamp")}
+    planner = StreamingPlanner(catalog, watermark_delay="0 seconds")
+    q = parse(
+        "from s#window.length(2) select id, name, sum(price) as running "
+        "group by name insert into Out;"
+    ).queries[0]
+    df = planner.compile_query(q)
+    sq = to_memory(df, "sl_out", checkpoint=str(tmp_path / "ck_sl"), output_mode="append")
+    sq.awaitTermination(60)
+    rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM sl_out").collect())
+    # a: 10; 10+20; 20+30 — b: 5
+    assert rows == [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 50.0), (4, "b", 5.0)], rows
