@@ -17,8 +17,14 @@ streaming DataFrames where Structured Streaming has a native shape:
   (AbstractSiddhiOperator.java:209-247); the state buffer here plays that
   role, with a configurable retention cap instead of unbounded state.
 
-Count-based sliding windows and order/limit are batch-only (no incremental
-shape in Structured Streaming) — the planner raises a clear error.
+- ``#window.lengthBatch(n)`` / ``#window.length(n)``: custom stateful count
+  windows (applyInPandasWithState) — per-key buffered chunks / ring buffer,
+  per-flush / per-arrival emission (SURVEY.md §7.2 "custom stateful").
+- incremental aggregations (`per 'sec..day'`): aligned tumbling window aggs.
+- event tables: continuous DML via foreachBatch (streaming/tables.py).
+
+Retention windows (final-contents contract), month/year granularities, and
+order/limit are batch-only — the planner raises a clear error.
 """
 
 from __future__ import annotations
