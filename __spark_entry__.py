@@ -418,7 +418,7 @@ def q_sequence_strict(spark, sf_dir):
 
 
 def q_sequence_quantifier(spark, sf_dir):
-    # '+' collection with indexed access — no clean ANSI-SQL analogue (rows-only check)
+    # greedy '+' runs + strict breaker = gaps-and-islands in the oracle
     return _cep(spark, sf_dir).from_("events").cql(
         "partition with (user_id of events) begin "
         "from every a = events[value > 90.0]+ , b = events[value <= 90.0] "
@@ -515,7 +515,8 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    # approximate (IVF bucketing) — no exact SQL analogue (rows-only check)
+    # approximate, but DETERMINISTIC (seeded centroids + rounded-cosine
+    # tiebreaks) — so the DuckDB oracle replicates the same IVF exactly
     from flink_siddhi_spark.llm.similarity import ivf_topk
 
     embs = _embs(spark, sf_dir)
@@ -923,6 +924,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, pid AS first_id, event_id AS second_id FROM t "
             "WHERE value > 95.0 AND pv > 95.0"
         ),
+        "sequence_quantifier": (
+            # maximal runs of value>90 per user (gaps-and-islands), matched
+            # strictly-consecutively by the first value<=90 breaker event
+            f"WITH e AS (SELECT user_id, event_id, value, row_number() OVER "
+            f"(PARTITION BY user_id ORDER BY {_EMS}, event_id) rn FROM events), "
+            "flag AS (SELECT *, CASE WHEN value > 90.0 THEN 1 ELSE 0 END hi FROM e), "
+            "grp AS (SELECT *, rn - row_number() OVER (PARTITION BY user_id, hi "
+            "ORDER BY rn) g FROM flag), "
+            "runs AS (SELECT user_id, g, max(rn) l_rn FROM grp "
+            "WHERE hi = 1 GROUP BY user_id, g) "
+            # `every` starts a new attempt at EVERY high event, so each high
+            # event of a breaker-terminated run is a match's a[0]
+            "SELECT h.user_id, h.event_id first_high, be.event_id breaker "
+            "FROM grp h "
+            "JOIN runs r ON h.user_id = r.user_id AND h.g = r.g AND h.hi = 1 "
+            "JOIN grp be ON be.user_id = r.user_id AND be.rn = r.l_rn + 1 AND be.hi = 0"
+        ),
         "tpch_q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "
             + _DECSUM.format(x="l_quantity") + " sum_qty, "
@@ -1022,6 +1040,24 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
             "ORDER BY cos DESC, neighbor_id) AS INT) rank FROM scored) "
             "SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5"
+        ),
+        "ann_ivf_topk": (
+            "WITH cent AS (SELECT vec_id cid, embedding cemb FROM embeddings "
+            "ORDER BY vec_id LIMIT 8), "
+            "assigned AS (SELECT e.vec_id, e.embedding, cid FROM embeddings e, cent "
+            "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            "round(" + _cos_sql("e.embedding", "cemb") + ", 6) DESC, cid) = 1), "
+            "probes AS (SELECT q.vec_id qid, q.embedding qemb, cid "
+            "FROM embeddings q, cent WHERE q.vec_id < 10 "
+            "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "round(" + _cos_sql("q.embedding", "cemb") + ", 6) DESC, cid) <= 2), "
+            "scored AS (SELECT p.qid query_id, a.vec_id neighbor_id, "
+            "round(" + _cos_sql("p.qemb", "a.embedding") + ", 6) cos "
+            "FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id != p.qid) "
+            "SELECT query_id, neighbor_id, cos, rank FROM "
+            "(SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neighbor_id) AS INT) rank FROM scored) "
+            "WHERE rank <= 5"
         ),
         "text_token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens, "
