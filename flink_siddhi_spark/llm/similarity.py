@@ -19,6 +19,14 @@ from pyspark.sql.window import Window
 from .dedup import _spread, cosine, dot, norm
 
 
+def _dim_of(df: DataFrame, emb_col: str):
+    """Embedding width, probed once at plan time (one tiny driver action) so
+    dot products unroll into codegen'd arithmetic instead of interpreted
+    array folds. None when the table is empty (falls back to the fold)."""
+    row = df.select(F.size(F.col(emb_col)).alias("d")).first()
+    return int(row.d) if row is not None else None
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -29,20 +37,22 @@ def cosine_topk(
     """Exact top-k neighbors per query (excluding self-matches by id).
 
     Deterministic ranking: (rounded cosine desc, neighbor id asc)."""
+    dim = _dim_of(corpus, emb_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
-        norm(F.col(emb_col)).alias("q_norm"),
+        norm(F.col(emb_col), dim).alias("q_norm"),
     )
     corpus = _spread(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"),
-        norm(F.col(emb_col)).alias("c_norm"),
+        norm(F.col(emb_col), dim).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            F.round(dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm")), 6),
+            F.round(dot(F.col("q_emb"), F.col("c_emb"), dim)
+                    / (F.col("q_norm") * F.col("c_norm")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -58,19 +68,28 @@ def assign_centroids(
     centroids: DataFrame,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    dim=None,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast centroids)."""
+    """Assign each vector to its nearest centroid (broadcast centroids).
+
+    Norms are computed ONCE per side before the pair join — the naive
+    inline cosine recomputes both norms per pair (3x the FLOPs and 3x the
+    generated code)."""
     c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("cent_emb")
+        F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("cent_emb"),
+        norm(F.col(emb_col), dim).alias("cent_norm"),
     )
+    corpus = corpus.withColumn("__nrm", norm(F.col(emb_col), dim))
     scored = corpus.join(F.broadcast(c)).withColumn(
-        "cos_c", F.round(cosine(F.col(emb_col), F.col("cent_emb")), 6)
+        "cos_c",
+        F.round(dot(F.col(emb_col), F.col("cent_emb"), dim)
+                / (F.col("__nrm") * F.col("cent_norm")), 6),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cos_c").desc(), F.col("centroid_id").asc())
     return (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
-        .select(F.col(id_col), F.col(emb_col), F.col("centroid_id"))
+        .select(F.col(id_col), F.col(emb_col), F.col("__nrm"), F.col("centroid_id"))
     )
 
 
@@ -88,24 +107,33 @@ def ivf_topk(
     Centroids are the first ``n_centroids`` corpus vectors by id —
     deterministic without an iterative k-means (swap in real centroids for
     production quality; the pruning topology is what matters for scale)."""
+    dim = _dim_of(corpus, emb_col)
     centroids = corpus.orderBy(id_col).limit(n_centroids)
-    assigned = assign_centroids(corpus, centroids, emb_col, id_col)
+    # centroid assignment/probing touch few pairs (n x n_centroids) — the
+    # interpreted fold avoids paying codegen compile for 3 more big exprs;
+    # the unrolled dot goes to the final scoring stage (the big fan-out)
+    assigned = assign_centroids(corpus, centroids, emb_col, id_col, None)
     # probe lists per query
     c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("cent_emb"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"))
+    c = c.withColumn("cent_norm", norm(F.col("cent_emb")))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
+                       norm(F.col(emb_col), dim).alias("q_norm"))
     qprobe = q.join(F.broadcast(c)).withColumn(
-        "cos_c", F.round(cosine(F.col("q_emb"), F.col("cent_emb")), 6)
+        "cos_c",
+        F.round(dot(F.col("q_emb"), F.col("cent_emb"))
+                / (F.col("q_norm") * F.col("cent_norm")), 6),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("centroid_id").asc())
     probes = (
         qprobe.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= n_probe)
-        .select("query_id", "q_emb", "centroid_id")
+        .select("query_id", "q_emb", "q_norm", "centroid_id")
     )
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col(id_col))
-        .withColumn("cos", F.round(cosine(F.col("q_emb"), F.col(emb_col)), 6))
+        .withColumn("cos", F.round(dot(F.col("q_emb"), F.col(emb_col), dim)
+                                   / (F.col("q_norm") * F.col("__nrm")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
