@@ -506,6 +506,18 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    from flink_siddhi_spark.llm.dedup import dedup_clusters, minhash_lsh_pairs
+
+    return dedup_clusters(minhash_lsh_pairs(_docs(spark, sf_dir)))
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    from flink_siddhi_spark.llm.text import pii_scrub
+
+    return pii_scrub(_docs(spark, sf_dir)).select("doc_id", "scrubbed", "n_redactions")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from flink_siddhi_spark.llm.similarity import cosine_topk
 
@@ -637,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_clusters": q_dedup_clusters,
+        "text_pii_scrub": q_text_pii_scrub,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_count": q_text_token_count,
@@ -670,6 +684,36 @@ def _cos_sql(a: str, b: str) -> str:
     return (
         f"({dot.format(a=a, b=b)} / "
         f"(sqrt({dot.format(a=a, b=a)}) * sqrt({dot.format(a=b, b=b)})))"
+    )
+
+
+def _lsh_cand_ctes() -> str:
+    """Shared CTE chain: shingles -> minhash signatures -> LSH bands ->
+    candidate pairs with signature-match counts (mirrors llm/dedup.py)."""
+    return (
+        _shingle_cte("s") + ", "
+        "sig AS (SELECT doc_id, "
+        + ", ".join(
+            (
+                f"list_min(list_transform(sh, x -> substring(md5(x), {(j % 4) * 8 + 1}, 8))) sig_{j}"
+                if j < 4
+                else f"list_min(list_transform(sh, x -> substring(md5('x:' || x), {(j % 4) * 8 + 1}, 8))) sig_{j}"
+            )
+            for j in range(8)
+        )
+        + " FROM s), banded AS ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, {b} band, md5(sig_{2*b} || '|' || sig_{2*b+1}) bucket, "
+            + ", ".join(f"sig_{j}" for j in range(8))
+            + " FROM sig"
+            for b in range(4)
+        )
+        + "), cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b, "
+        + " + ".join(
+            f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)" for j in range(8)
+        )
+        + " m FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.doc_id < b.doc_id)"
     )
 
 
@@ -999,31 +1043,19 @@ def oracle_sql() -> dict[str, str]:
             + " FROM s"
         ),
         "dedup_minhash_lsh": (
-            "WITH " + _shingle_cte("s") + ", "
-            "sig AS (SELECT doc_id, "
-            + ", ".join(
-                (
-                    f"list_min(list_transform(sh, x -> substring(md5(x), {(j % 4) * 8 + 1}, 8))) sig_{j}"
-                    if j < 4
-                    else f"list_min(list_transform(sh, x -> substring(md5('x:' || x), {(j % 4) * 8 + 1}, 8))) sig_{j}"
-                )
-                for j in range(8)
-            )
-            + " FROM s), banded AS ("
-            + " UNION ALL ".join(
-                f"SELECT doc_id, {b} band, md5(sig_{2*b} || '|' || sig_{2*b+1}) bucket, "
-                + ", ".join(f"sig_{j}" for j in range(8))
-                + " FROM sig"
-                for b in range(4)
-            )
-            + "), cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b, "
-            + " + ".join(
-                f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)" for j in range(8)
-            )
-            + " m FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
-            "AND a.doc_id < b.doc_id) "
+            "WITH " + _lsh_cand_ctes() + " "
             "SELECT id_a, id_b, round(m / 8.0, 6) est_jaccard FROM cand "
             "WHERE round(m / 8.0, 6) >= 0.5"
+        ),
+        "dedup_clusters": (
+            # connected components over the LSH pair graph: min reachable id
+            "WITH RECURSIVE " + _lsh_cand_ctes() + ", "
+            "pairs AS (SELECT id_a, id_b FROM cand WHERE round(m / 8.0, 6) >= 0.5), "
+            "edges AS (SELECT id_a src, id_b dst FROM pairs "
+            "UNION ALL SELECT id_b, id_a FROM pairs), "
+            "reach(node, r) AS (SELECT src, src FROM edges "
+            "UNION SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.node) "
+            "SELECT node doc_id, min(r) cluster_id FROM reach GROUP BY node"
         ),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": (
@@ -1058,6 +1090,19 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
             "ORDER BY cos DESC, neighbor_id) AS INT) rank FROM scored) "
             "WHERE rank <= 5"
+        ),
+        "text_pii_scrub": (
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'\\+?\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}', '<PHONE>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'), "
+            "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') scrubbed, "
+            "CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 "
+            "+ len(string_split(scrubbed, '<PHONE>')) - 1 "
+            "+ len(string_split(scrubbed, '<IPV4>')) - 1 "
+            "+ len(string_split(scrubbed, '<SSN>')) - 1 AS BIGINT) n_redactions "
+            "FROM documents"
         ),
         "text_token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens, "

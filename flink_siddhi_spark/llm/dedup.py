@@ -294,3 +294,52 @@ def embedding_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over a duplicate-pair graph: each doc maps to the
+    minimum id reachable through pair edges (the cluster's canonical id).
+
+    Input: (id_a, id_b) pair rows (e.g. from minhash_lsh_pairs). Output:
+    (doc_id, cluster_id).
+
+    Distributed shape: iterative min-label propagation — each round joins
+    labels across edges and keeps the per-node min; converges in O(graph
+    diameter) rounds (near-dup clusters are shallow, so a handful). Each
+    round is ONE groupBy-min plus an edge join; ``localCheckpoint`` truncates
+    lineage so plans don't grow with iterations. This is the standard
+    large-graph CC shape (no driver-side union-find, no collect)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        # candidate labels: own label + the labels of all neighbors
+        neighbor = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

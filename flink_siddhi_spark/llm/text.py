@@ -73,3 +73,28 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint (md5 of lowercased, space-collapsed text)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     return df.withColumn("fp", F.md5(norm))
+
+
+PII_PATTERNS = [
+    # (label, regex) — applied in order; deterministic, engine-portable RE2-free syntax
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("PHONE", r"\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact common PII shapes with typed placeholders (`<EMAIL>` etc.) and
+    count redactions per document. Pure regexp_replace — JVM-side, one pass
+    per pattern, no UDFs; patterns are ANSI-regex so the DuckDB oracle runs
+    the identical replacement."""
+    scrubbed = F.col(text_col)
+    for label, pat in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{label}>")
+    n_hits = F.lit(0)
+    for label, _ in PII_PATTERNS:
+        n_hits = n_hits + F.size(F.split(scrubbed, f"<{label}>")) - 1
+    return df.withColumn("scrubbed", scrubbed).withColumn(
+        "n_redactions", n_hits.cast("bigint")
+    )

@@ -61,3 +61,24 @@ def test_embedding_cosine_pairs(spark):
     pairs = {(r.id_a, r.id_b): r.cos for r in D.embedding_dup_pairs(
         df, threshold=0.9, emb_col="embedding", id_col="vec_id").collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_dedup_clusters_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 8)], "id_a int, id_b int")
+    out = {r.doc_id: r.cluster_id for r in D.dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 8: 4}
+
+
+def test_pii_scrub(spark):
+    from flink_siddhi_spark.llm.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail me at bob@example.com or call +1 555-123-4567 now"),
+         (2, "server 192.168.0.1 ssn 123-45-6789"),
+         (3, "nothing sensitive here")],
+        "doc_id int, text string")
+    rows = {r.doc_id: (r.scrubbed, r.n_redactions) for r in pii_scrub(df).collect()}
+    assert rows[1] == ("mail me at <EMAIL> or call <PHONE> now", 2)
+    assert rows[2] == ("server <IPV4> ssn <SSN>", 2)
+    assert rows[3] == ("nothing sensitive here", 0)
