@@ -588,6 +588,20 @@ def q_multimodal_features(spark, sf_dir):
 # driver contract
 # --------------------------------------------------------------------------
 
+def q_multimodal_resize(spark, sf_dir):
+    # Arrow-batched mapInPandas resize stub — rows-only check
+    from flink_siddhi_spark.llm.multimodal import resize_images, with_binary_payload
+
+    return resize_images(with_binary_payload(_docs(spark, sf_dir)), fake=True)
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    # one-row-in / many-rows-out mapInPandas sampler stub — rows-only check
+    from flink_siddhi_spark.llm.multimodal import sample_frames, with_binary_payload
+
+    return sample_frames(with_binary_payload(_docs(spark, sf_dir)), fake=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: partitioned CEP pattern (error -> purchase per user) through
     the full parser/planner/NFA path on sf0.001."""
@@ -659,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "multimodal_metadata": q_multimodal_metadata,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 

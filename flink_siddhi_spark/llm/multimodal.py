@@ -93,3 +93,81 @@ def media_metadata(df: DataFrame) -> DataFrame:
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("thumb", T.BinaryType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, w: int, h: int, fake: bool = False) -> bytes:
+    """Resize an image payload. STUB: real resizing needs an imaging library;
+    the deterministic fake keeps every (len//(w*h))-th byte."""
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires an imaging library (PIL/opencv); "
+            "run with fake=True for the deterministic test resizer"
+        )
+    stride = max(1, len(payload) // (w * h))
+    return payload[::stride][: w * h]
+
+
+def resize_images(df: DataFrame, width: int = 8, height: int = 8,
+                  fake: bool = True) -> DataFrame:
+    """Arrow-batched thumbnailing over binary payloads (mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb": pdf["payload"].map(
+                        lambda p: resize_stub(bytes(p), width, height, fake=fake)
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 64,
+                  fake: bool = True) -> DataFrame:
+    """Sample every n-th fixed-size "frame" from a (fake) video payload —
+    the one-row-in / many-rows-out mapInPandas shape a real ffmpeg-backed
+    sampler would use. Deterministic fake: frames are consecutive
+    ``frame_bytes`` slices of the payload."""
+    if not fake:
+        raise NotImplementedError(
+            "video decoding requires ffmpeg; run with fake=True for the "
+            "deterministic test sampler"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(payload)
+                n_frames = max(1, len(p) // frame_bytes)
+                for fno in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    nos.append(fno)
+                    frames.append(p[fno * frame_bytes:(fno + 1) * frame_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)

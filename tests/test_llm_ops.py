@@ -82,3 +82,23 @@ def test_pii_scrub(spark):
     assert rows[1] == ("mail me at <EMAIL> or call <PHONE> now", 2)
     assert rows[2] == ("server <IPV4> ssn <SSN>", 2)
     assert rows[3] == ("nothing sensitive here", 0)
+
+
+def test_multimodal_resize_and_frames(spark):
+    from flink_siddhi_spark.llm import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 300), (2, "hello world")], "doc_id long, text string")
+    media = M.with_binary_payload(docs)
+    thumbs = {r.media_id: r for r in M.resize_images(media, 4, 4).collect()}
+    assert len(thumbs[1].thumb) == 16  # capped at w*h
+    assert thumbs[1].width == 4 and thumbs[1].height == 4
+    frames = M.sample_frames(media, every_n=2, frame_bytes=50).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r.frame_no)
+    assert by_id[1] == [0, 2, 4]  # 300 bytes / 50 = 6 frames, every 2nd
+    assert by_id[2] == [0]
+    import pytest as _pytest
+    with _pytest.raises(Exception):  # stub refuses non-fake decode
+        M.resize_images(media, 4, 4, fake=False).collect()
