@@ -191,6 +191,20 @@ def q_window_cron(spark, sf_dir):
     ).returns("Out")
 
 
+def q_window_time_length(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.timeLength(10 min, 10) "
+        "select event_id, sum(value) as running group by user_id insert into Out"
+    ).returns("Out")
+
+
+def q_window_lossy_frequent(spark, sf_dir):
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.lossyFrequent(0.0013, 0.0001, user_id, event_type) "
+        "select event_id, user_id, event_type insert into Out"
+    ).returns("Out")
+
+
 def q_topk_per_group(spark, sf_dir):
     return _cep(spark, sf_dir).from_("events").cql(
         "partition with (event_type of events) begin "
@@ -627,6 +641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_unique": q_window_unique,
         "window_delay": q_window_delay,
         "window_cron": q_window_cron,
+        "window_time_length": q_window_time_length,
+        "window_lossy_frequent": q_window_lossy_frequent,
         "topk_per_group": q_topk_per_group,
         "join_time_time": q_join_time_time,
         "join_length_time": q_join_length_time,
@@ -838,6 +854,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(*) AS BIGINT) n FROM "
             f"(SELECT event_type, {_EMS} // 600000 AS w FROM events) "
             "GROUP BY event_type, w"
+        ),
+        "window_time_length": (
+            f"WITH base AS (SELECT *, {_EMS} AS ems, row_number() OVER "
+            f"(PARTITION BY user_id ORDER BY {_EMS}, {ORD}) AS rn FROM events), "
+            "agg AS (SELECT a.user_id AS u, a.rn AS rn, "
+            "CAST(SUM(CAST(c.value AS DECIMAL(25,6))) AS DOUBLE) AS running "
+            "FROM base a JOIN base c ON c.user_id = a.user_id "
+            "AND c.rn BETWEEN a.rn - 9 AND a.rn AND c.ems > a.ems - 600000 "
+            "GROUP BY a.user_id, a.rn) "
+            "SELECT b.event_id AS event_id, agg.running AS running "
+            "FROM base b JOIN agg ON b.user_id = agg.u AND b.rn = agg.rn"
+        ),
+        "window_lossy_frequent": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events "
+            "GROUP BY 1, 2), tot AS (SELECT count(*) AS total FROM events), "
+            "kept AS (SELECT user_id, event_type FROM c, tot WHERE n >= 0.0012 * total) "
+            "SELECT e.event_id AS event_id, e.user_id AS user_id, "
+            "e.event_type AS event_type FROM events e JOIN kept k "
+            "ON e.user_id = k.user_id AND e.event_type = k.event_type"
         ),
         "topk_per_group": (
             "SELECT event_type, event_id, value FROM events QUALIFY row_number() "

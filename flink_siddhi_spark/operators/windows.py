@@ -28,6 +28,13 @@ contract; streaming adds watermarks on the same shapes):
   one window). ``delay(t)`` shifts emission time by t (attributes unchanged;
   batch contents identical). ``cron('<expr>')`` with a fixed-period expr
   (``*/N`` seconds/minutes/hours) lowers to an aligned tumbling bucket.
+  ``lossyFrequent(support[, error][, attrs])`` keeps events whose attr-combo
+  frequency >= (support - error) x total count (exact counts; Siddhi's
+  lossy-counting sketch approximates the same set within ``error``).
+- ``timeLength(t, n)`` — hybrid sliding window (events of the last t ms,
+  capped at the n most recent): lowered by the planner to a banded self-join
+  (block id = floor(rn/n); each anchor probes exactly two blocks) — bounded
+  2x fan-out on an equi-shuffle, no nested loop, scales linearly.
 """
 
 from __future__ import annotations
@@ -43,8 +50,8 @@ from ..errors import SiddhiPlannerException, UnsupportedFeatureException
 from ..siddhiql import ast as A
 
 BATCH_WINDOWS = {"timebatch", "lengthbatch", "session", "externaltimebatch", "cron"}
-SLIDING_WINDOWS = {"length", "time", "externaltime"}
-RETAIN_WINDOWS = {"sort", "frequent", "unique", "firstunique", "batch", "delay"}
+SLIDING_WINDOWS = {"length", "time", "externaltime", "timelength"}
+RETAIN_WINDOWS = {"sort", "frequent", "lossyfrequent", "unique", "firstunique", "batch", "delay"}
 
 BUCKET_COL = "__w"
 
@@ -61,6 +68,13 @@ def _arg_field(spec: A.WindowSpec, i: int) -> str:
     if isinstance(a, A.Ref):
         return a.name
     raise SiddhiPlannerException(f"#window.{spec.name}: arg {i} must be an attribute")
+
+
+def _arg_num(spec: A.WindowSpec, i: int) -> float:
+    a = spec.args[i]
+    if isinstance(a, A.Literal) and a.kind in ("int", "long", "float", "double"):
+        return float(a.value)
+    raise SiddhiPlannerException(f"#window.{spec.name}: arg {i} must be numeric")
 
 
 @dataclass
@@ -138,6 +152,12 @@ def sliding_frame(
         field = _arg_field(spec, 0)
         t = _arg_ms(spec, 1)
         return part.orderBy(F.col(field).cast("bigint")).rangeBetween(-t, 0)
+    if name == "timelength":
+        # hybrid frame (time AND count bound) is not a fixed Spark frame —
+        # the planner lowers it to a banded self-join (_select_timelength)
+        raise SiddhiPlannerException(
+            "#window.timeLength is lowered via banded self-join, not a frame"
+        )
     raise UnsupportedFeatureException(f"#window.{name} is not a sliding window")
 
 
@@ -272,4 +292,36 @@ def apply_retention(
                 F.col("__n").desc(), *[F.col(k).asc() for k in keys]
             ).limit(n).drop("__n")
         return df.join(F.broadcast(top), part_cols + keys, "left_semi")
+    if name == "lossyfrequent":
+        # lossyFrequent(support [, error] [, attrs...]): retain events whose
+        # attr-combo count >= (support - error) * totalCount. Siddhi runs the
+        # Manku-Motwani lossy-counting sketch (approximate, order-dependent);
+        # the deterministic batch contract here uses exact counts — a
+        # documented superset within the sketch's own error bound. Shape:
+        # one hash aggregation for combo counts, a tiny window over the
+        # (distinct-combo sized) count frame for per-partition totals, then a
+        # broadcast semi-join — no shuffle of the event stream itself.
+        support = _arg_num(spec, 0)
+        idx = 1
+        error = 0.0
+        if len(spec.args) > 1 and isinstance(spec.args[1], A.Literal) and spec.args[1].kind in (
+            "float", "double",
+        ):
+            error = _arg_num(spec, 1)
+            idx = 2
+        keys = [a.name for a in spec.args[idx:] if isinstance(a, A.Ref)] or list(fields)
+        counts = df.groupBy(*(part_cols + keys)).agg(F.count(F.lit(1)).alias("__n"))
+        wtot = (
+            Window.partitionBy(*[F.col(c) for c in part_cols])
+            if part_cols
+            else Window.partitionBy(F.lit(1))
+        )
+        kept = (
+            # note: "__tot", not "__N" — Spark resolves columns
+            # case-insensitively, so "__N" would overwrite "__n"
+            counts.withColumn("__tot", F.sum("__n").over(wtot))
+            .filter(F.col("__n") >= F.lit(support - error) * F.col("__tot"))
+            .drop("__n", "__tot")
+        )
+        return df.join(F.broadcast(kept), part_cols + keys, "left_semi")
     raise UnsupportedFeatureException(f"#window.{spec.name} is not a retention window")

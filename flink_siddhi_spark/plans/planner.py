@@ -444,6 +444,8 @@ class BatchPlanner:
     def _select_sliding(
         self, df: DataFrame, q: A.Query, si: A.SingleInput, ts_col: str, ord_cols: list[str]
     ) -> DataFrame:
+        if si.window.name.lower() == "timelength":
+            return self._select_timelength(df, q, si, ts_col, ord_cols)
         resolver = self._plain_resolver(set(df.columns), self._input_names(q))
         comp_plain = self._compiler(resolver, df)
         group_cols: list[str] = []
@@ -466,6 +468,102 @@ class BatchPlanner:
             raise SiddhiPlannerException("select * not allowed in aggregate queries")
         cols = [comp.compile(it.expr).alias(self._out_name(it)) for it in q.select]
         out = df.select(*cols)
+        if q.having is not None:
+            hc = ExprCompiler(lambda r: F.col(r.name), self.extensions)
+            out = out.filter(hc.compile(q.having))
+        return self._order_limit(out, q)
+
+    def _select_timelength(
+        self, df: DataFrame, q: A.Query, si: A.SingleInput, ts_col: str, ord_cols: list[str]
+    ) -> DataFrame:
+        """``#window.timeLength(t, n)``: per-event aggregate over the trailing
+        frame holding the last n events restricted to the last t ms — the
+        intersection of a ROWS and a RANGE frame, which no single Spark frame
+        expresses. Lowered to a banded self-join: number rows per group
+        (``rn``), block id = ``floor((rn-1)/n)``; every anchor's candidate
+        rows (``rn - n + 1 .. rn``) live in exactly blocks {blk-1, blk}, so
+        the anchor side explodes to two probe blocks and the join is a plain
+        equi-join on (group keys, block) with the row/time bounds as residual
+        predicates. Fan-out is a constant 2x of the stream, the join is a
+        hash shuffle on the same keys the final re-join reuses — no nested
+        loop, linear at scale."""
+        from functools import reduce
+
+        from pyspark.sql.window import Window
+
+        t = W._arg_ms(si.window, 0)
+        n = W._arg_ms(si.window, 1)
+        resolver = self._plain_resolver(set(df.columns), self._input_names(q))
+        comp_plain = self._compiler(resolver, df)
+        group_cols: list[str] = []
+        for i, ge in enumerate(q.group_by):
+            gname = ge.name if isinstance(ge, A.Ref) else f"__g{i}"
+            if gname not in df.columns:
+                df = df.withColumn(gname, comp_plain.compile(ge))
+            group_cols.append(gname)
+        part = (
+            Window.partitionBy(*[F.col(c) for c in group_cols])
+            if group_cols
+            else Window.partitionBy(F.lit(1))
+        )
+        base = df.withColumn(
+            "__rn", F.row_number().over(part.orderBy(*[F.col(c) for c in ord_cols]))
+        ).withColumn("__blk", F.floor((F.col("__rn") - 1) / F.lit(n)))
+        data_cols = [c for c in df.columns]
+        cand = base.select(
+            *[F.col(c).alias(f"__c_{c}") for c in data_cols],
+            F.col("__rn").alias("__crn"),
+            F.col("__blk").alias("__cblk"),
+        )
+        anchors = base.withColumn(
+            "__pblk", F.explode(F.array(F.col("__blk") - 1, F.col("__blk")))
+        )
+        cond = [F.col("__pblk") == F.col("__cblk")]
+        cond += [F.col(k) == F.col(f"__c_{k}") for k in group_cols]
+        cond.append(F.col("__crn").between(F.col("__rn") - (n - 1), F.col("__rn")))
+        cond.append(F.col(f"__c_{ts_col}") > F.col(ts_col) - F.lit(t))
+        pairs = anchors.join(cand, reduce(lambda a, b: a & b, cond))
+
+        # aggregates evaluate over the candidate (__c_) columns
+        def cand_resolve(ref: A.Ref) -> Column:
+            if ref.name not in df.columns:
+                raise SiddhiPlannerException(f"unknown attribute '{ref.name}'")
+            return F.col(f"__c_{ref.name}")
+
+        inner_comp = self._compiler(cand_resolve, pairs)
+        ord_struct = F.struct(*[F.col(f"__c_{c}") for c in ord_cols]) if ord_cols else None
+        agg_map: dict[int, str] = {}
+        agg_exprs: list[Column] = []
+
+        def collect(e: A.Expr):
+            if isinstance(e, A.Call) and e.ns is None and e.name.lower() in AGG_FNS:
+                if id(e) not in agg_map:
+                    nm = f"__a{len(agg_map)}"
+                    agg_map[id(e)] = nm
+                    agg_exprs.append(
+                        self._agg_column(e, inner_comp, pairs, ord_struct).alias(nm)
+                    )
+                return
+            for child in _children(e):
+                collect(child)
+
+        items = q.select or []
+        if q.select is None:
+            raise SiddhiPlannerException("select * not allowed in aggregate queries")
+        for it in items:
+            collect(it.expr)
+        if q.having is not None:
+            collect(q.having)
+        for o in q.order_by:
+            collect(o.expr)
+        agg_df = pairs.groupBy(*[F.col(c) for c in group_cols + ["__rn"]]).agg(*agg_exprs)
+        out = base.join(agg_df, group_cols + ["__rn"])
+        comp = ExprCompiler(
+            resolver, self.extensions,
+            agg_handler=lambda call, inner: F.col(agg_map[id(call)]),
+        )
+        cols = [comp.compile(it.expr).alias(self._out_name(it)) for it in items]
+        out = out.select(*cols)
         if q.having is not None:
             hc = ExprCompiler(lambda r: F.col(r.name), self.extensions)
             out = out.filter(hc.compile(q.having))

@@ -192,3 +192,84 @@ def test_partitioned_frequent_window(cep, duck):
         "GROUP BY e.event_type, e.user_id",
     )
     assert rows_set(out) == oracle
+
+
+def test_time_length_window_hybrid_frame(cep, duck):
+    # last 5 events within 10 min, per user — the count cap and the time cap
+    # must both bind (10-min range alone holds >5 events for active users)
+    out = cep.from_("events").cql(
+        "from events#window.timeLength(10 min, 5) "
+        "select event_id, count() as n group by user_id insert into Out"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "WITH base AS (SELECT *, epoch_ms(ts) ems, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id, user_id, "
+        "event_type, value, props) rn FROM events) "
+        "SELECT b.event_id, agg.n FROM base b JOIN (SELECT a.user_id u, a.rn, "
+        "count(*) n FROM base a JOIN base c ON c.user_id = a.user_id "
+        "AND c.rn BETWEEN a.rn - 4 AND a.rn AND c.ems > a.ems - 600000 "
+        "GROUP BY a.user_id, a.rn) agg ON b.user_id = agg.u AND b.rn = agg.rn",
+    )
+    assert rows_set(out) == oracle
+
+
+def test_time_length_time_cap_binds(spark, cep):
+    # deterministic micro-case: 4 events, count cap 3, time cap 1000 ms.
+    # event at t=5000 only sees itself (others older than 1s); event at
+    # t=2000 sees t=1500 and t=2000 (t=1000 is exactly at the boundary,
+    # excluded: frame is (t-1000, t])
+    df = spark.createDataFrame(
+        [(1, 1000, 1.0), (2, 1500, 2.0), (3, 2000, 4.0), (4, 5000, 8.0)],
+        "id int, ts long, v double",
+    )
+    c2 = SiddhiCEP(spark)
+    c2.register_stream("s", df, "id", "ts", "v", ts_field="ts")
+    out = c2.from_("s").cql(
+        "from s#window.timeLength(1 sec, 3) "
+        "select id, sum(v) as sv insert into Out"
+    ).returns("Out")
+    assert rows_set(out) == [(1, 1.0), (2, 3.0), (3, 6.0), (4, 8.0)]
+
+
+def test_time_length_count_cap_binds(spark):
+    # all events inside the time bound; count cap 2 trims the frame
+    df = spark.createDataFrame(
+        [(1, 100, 1.0), (2, 200, 2.0), (3, 300, 4.0)],
+        "id int, ts long, v double",
+    )
+    c2 = SiddhiCEP(spark)
+    c2.register_stream("s", df, "id", "ts", "v", ts_field="ts")
+    out = c2.from_("s").cql(
+        "from s#window.timeLength(1 min, 2) "
+        "select id, sum(v) as sv insert into Out"
+    ).returns("Out")
+    assert rows_set(out) == [(1, 1.0), (2, 3.0), (3, 6.0)]
+
+
+def test_lossy_frequent_window(cep, duck):
+    out = cep.from_("events").cql(
+        "from events#window.lossyFrequent(0.013, 0.001, user_id, event_type) "
+        "select event_id, user_id, event_type insert into Out"
+    ).returns("Out")
+    oracle = duck_set(
+        duck,
+        "WITH c AS (SELECT user_id, event_type, count(*) n FROM events "
+        "GROUP BY 1, 2), tot AS (SELECT count(*) total FROM events) "
+        "SELECT e.event_id, e.user_id, e.event_type FROM events e JOIN "
+        "(SELECT user_id, event_type FROM c, tot WHERE n >= 0.012 * total) k "
+        "ON e.user_id = k.user_id AND e.event_type = k.event_type",
+    )
+    assert rows_set(out) == oracle
+
+
+def test_lossy_frequent_filters_rare_combo(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 9 else "b") for i in range(10)], "id int, k string"
+    )
+    c2 = SiddhiCEP(spark)
+    c2.register_stream("s", df, "id", "k")
+    out = c2.from_("s").cql(
+        "from s#window.lossyFrequent(0.5, 0.1, k) select id, k insert into Out"
+    ).returns("Out")
+    assert rows_set(out) == [(i, "a") for i in range(9)]
