@@ -244,18 +244,33 @@ def simhash_dup_pairs(df: DataFrame, bits: int = 16, text_col: str = "text",
     )
 
 
-def dot(x: Column, y: Column, dim: Optional[int] = None) -> Column:
+def dot(x, y, dim: Optional[int] = None) -> Column:
     """Deterministic left-fold dot product of float arrays (double math).
 
     With ``dim`` known, the fold unrolls into a left-associated sum of
     indexed products — bit-identical to the fold (0.0 + t0 + t1 + ...)
     but whole-stage-codegen'd; the array higher-order form runs on the
-    interpreted path, ~10x slower per element."""
+    interpreted path, ~10x slower per element.
+
+    ``x``/``y`` may be column *names* (preferred with ``dim``): the unrolled
+    sum is then rendered as ONE SQL string parsed server-side by a single
+    ``F.expr`` call, instead of ~6 py4j round-trips per dimension — at
+    dim=64 that removes ~2s of driver-side plan-construction latency."""
     if dim is not None:
+        if isinstance(x, str) and isinstance(y, str):
+            terms = "".join(
+                f" + CAST({x}[{i}] AS DOUBLE) * CAST({y}[{i}] AS DOUBLE)"
+                for i in range(dim)
+            )
+            return F.expr(f"0.0D{terms}")
         acc = F.lit(0.0)
         for i in range(dim):
             acc = acc + x[i].cast("double") * y[i].cast("double")
         return acc
+    if isinstance(x, str):
+        x = F.col(x)
+    if isinstance(y, str):
+        y = F.col(y)
     return F.aggregate(
         F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
         F.lit(0.0),
@@ -263,7 +278,7 @@ def dot(x: Column, y: Column, dim: Optional[int] = None) -> Column:
     )
 
 
-def norm(x: Column, dim: Optional[int] = None) -> Column:
+def norm(x, dim: Optional[int] = None) -> Column:
     return F.sqrt(dot(x, x, dim))
 
 

@@ -40,18 +40,18 @@ def cosine_topk(
     dim = _dim_of(corpus, emb_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
-        norm(F.col(emb_col), dim).alias("q_norm"),
+        norm(emb_col, dim).alias("q_norm"),
     )
     corpus = _spread(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"),
-        norm(F.col(emb_col), dim).alias("c_norm"),
+        norm(emb_col, dim).alias("c_norm"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            F.round(dot(F.col("q_emb"), F.col("c_emb"), dim)
+            F.round(dot("q_emb", "c_emb", dim)
                     / (F.col("q_norm") * F.col("c_norm")), 6),
         )
     )
@@ -77,12 +77,12 @@ def assign_centroids(
     generated code)."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("cent_emb"),
-        norm(F.col(emb_col), dim).alias("cent_norm"),
+        norm(emb_col, dim).alias("cent_norm"),
     )
-    corpus = corpus.withColumn("__nrm", norm(F.col(emb_col), dim))
+    corpus = corpus.withColumn("__nrm", norm(emb_col, dim))
     scored = corpus.join(F.broadcast(c)).withColumn(
         "cos_c",
-        F.round(dot(F.col(emb_col), F.col("cent_emb"), dim)
+        F.round(dot(emb_col, "cent_emb", dim)
                 / (F.col("__nrm") * F.col("cent_norm")), 6),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("cos_c").desc(), F.col("centroid_id").asc())
@@ -117,7 +117,7 @@ def ivf_topk(
     c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("cent_emb"))
     c = c.withColumn("cent_norm", norm(F.col("cent_emb")))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
-                       norm(F.col(emb_col), dim).alias("q_norm"))
+                       norm(emb_col, dim).alias("q_norm"))
     qprobe = q.join(F.broadcast(c)).withColumn(
         "cos_c",
         F.round(dot(F.col("q_emb"), F.col("cent_emb"))
@@ -132,7 +132,7 @@ def ivf_topk(
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col(id_col))
-        .withColumn("cos", F.round(dot(F.col("q_emb"), F.col(emb_col), dim)
+        .withColumn("cos", F.round(dot("q_emb", emb_col, dim)
                                    / (F.col("q_norm") * F.col("__nrm")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
