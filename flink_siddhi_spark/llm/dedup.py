@@ -295,7 +295,14 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine near-dup pairs (quadratic verifier; LSH/IVF in
-    llm/similarity.py is the scale path)."""
+    llm/similarity.py is the scale path).
+
+    Stays on the interpreted ``aggregate`` fold on purpose: the pair source
+    is a BroadcastNestedLoopJoin, which blocks whole-stage codegen, and in
+    interpreted evaluation the HOF fold's tight array loop is ~2x faster
+    than a 64-term unrolled expression tree (measured at sf0.1). The
+    unrolled/``F.expr`` form only wins inside codegen'd stages — see
+    similarity.cosine_topk."""
     df = _spread(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"),
                   norm(F.col(emb_col)).alias("na"))
