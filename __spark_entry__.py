@@ -810,7 +810,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "window_length_batch": (
             f"WITH t AS (SELECT user_id, value, row_number() OVER "
-            f"(PARTITION BY user_id ORDER BY {_EMS}, {ORD}) rn FROM events) "
+            f"(ORDER BY {_EMS}, {ORD}) rn FROM events) "
             "SELECT user_id, CAST(count(*) AS BIGINT) n, "
             + _DECSUM.format(x="value") + " total FROM t "
             "GROUP BY user_id, CAST(FLOOR((rn - 1) / 20) AS BIGINT)"

@@ -35,14 +35,17 @@ _HOW = {"inner": "inner", "left": "left_outer", "right": "right_outer", "full": 
 
 
 def _with_arrival_rank(df: DataFrame, ord_cols: list[str], out: str) -> DataFrame:
-    w = Window.orderBy(*[F.col(c) for c in ord_cols])
-    return df.withColumn(out, F.row_number().over(w))
+    from .prefix import global_row_number
+
+    return global_row_number(df, ord_cols, out)
 
 
 def _with_count_of_other(this_df: DataFrame, other_df: DataFrame, out: str) -> DataFrame:
     """Annotate each row of ``this_df`` with the number of ``other_df`` rows
     whose event time is <= its own (ties: other first). Implemented as an
-    interleaved prefix sum — one sort, no correlated subquery."""
+    interleaved distributed prefix sum — no single-task global sort."""
+    from .prefix import running_sum
+
     mark = "__mark"
     a = this_df.withColumn(mark, F.lit(0))
     null_cols = [
@@ -52,10 +55,9 @@ def _with_count_of_other(this_df: DataFrame, other_df: DataFrame, out: str) -> D
     ]
     b = other_df.select(F.col(TS_COL), *null_cols).withColumn(mark, F.lit(1))
     u = a.unionByName(b)
-    w = Window.orderBy(F.col(TS_COL).asc(), F.col(mark).desc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    u = running_sum(
+        u, [F.col(TS_COL).asc(), F.col(mark).desc()], F.col(mark), out
     )
-    u = u.withColumn(out, F.sum(mark).over(w))
     return u.filter(F.col(mark) == 0).drop(mark)
 
 
@@ -116,6 +118,18 @@ def compile_join(planner, q: A.Query):
     ) and not (lsch.is_table or rsch.is_table):
         raise SiddhiPlannerException("windowed stream-stream join needs ts_field on both sides")
     if not table_join:
+        # externalTime join-side containment compares __ts (the stream's
+        # ts_field); if the window declares a DIFFERENT timestamp attribute the
+        # comparison would be wrong — and comparing declared attrs across the
+        # two streams is ill-defined. Reject rather than silently mis-join.
+        for win, sch, side in ((lwin, lsch, "left"), (rwin, rsch, "right")):
+            if win is not None and win.name.lower() == "externaltime":
+                attr = getattr(win.args[0], "name", None)
+                if attr is not None and attr != sch.ts_field:
+                    raise UnsupportedFeatureException(
+                        f"externalTime join window on the {side} side must use the "
+                        f"stream's ts_field ('{sch.ts_field}'), got '{attr}'"
+                    )
         # count-window machinery
         if rwin is not None and rwin.name.lower() == "length":
             rdf = _with_arrival_rank(rdf, [TS_COL] + [f for f in rsch.fields if f != rsch.ts_field], "__rank")

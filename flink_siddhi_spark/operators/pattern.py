@@ -124,6 +124,7 @@ class _Partial:
     pos: int
     captured: list[list[int]]  # per FLAT elem: row indices
     first_ts: int | None = None
+    last_ts: int | None = None  # ts of the last captured row (arms 'not X for t')
     neg_deadline: int | None = None
 
 
@@ -146,6 +147,7 @@ def _run_nfa(
     strict_after: list[bool],
     every: bool,
     within_ms: int | None,
+    at_close: bool = True,
 ) -> list[list[list[int]]]:
     """Run the NFA over one partition; returns captured row-index lists
     (one list per FLAT element per match)."""
@@ -192,6 +194,7 @@ def _run_nfa(
                 if p.first_ts is None:
                     p.first_ts = ts
                     started = True
+                p.last_ts = ts
                 if last_step_done_now(p):
                     if within_ms is None or ts - p.first_ts <= within_ms:
                         emit(p)
@@ -213,8 +216,10 @@ def _run_nfa(
         partials = survivors
         if emitted_now and not every:
             done = True
-    # end of data: stream close confirms absence / completes trailing optionals
-    if not done:
+    # end of data: stream close confirms absence / completes trailing optionals.
+    # Streaming callers pass at_close=False — a micro-batch boundary is NOT a
+    # stream close, so trailing absence/optionals must wait for a later event.
+    if not done and at_close:
         for p in partials:
             if p.first_ts is not None and _can_close(p, steps):
                 emit(p)
@@ -276,17 +281,12 @@ def _step(p: _Partial, i: int, ts: int, steps: list[_Step], masks, strict_after)
                 if bool(masks[sj.flat[0]][i]) and sj.elem.for_ms is None:
                     return "died"
                 if sj.elem.for_ms is not None:
-                    last_cap = max((c[-1] for c in
-                                    (p.captured[k] for k in st.flat) if c), default=None)
+                    # deadline arms from the last captured event's ts (the
+                    # event that completed the preceding step); a partial that
+                    # captured nothing yet arms from the current event.
                     p.pos = j
-                    base_ts = int(ts) if last_cap is None else None
-                    if last_cap is not None:
-                        import pandas as _pd  # local safety for ts coercion
-
-                        # deadline arms from the last captured event's ts
-                        p.neg_deadline = int(_ts_of(p, steps, masks)) + sj.elem.for_ms
-                    else:
-                        p.neg_deadline = ts + sj.elem.for_ms
+                    base = p.last_ts if p.last_ts is not None else ts
+                    p.neg_deadline = base + sj.elem.for_ms
                     return _step(p, i, ts, steps, masks, strict_after)
                 j += 1
                 continue
@@ -345,14 +345,6 @@ def _group_match(p: _Partial, st: _Step, masks, i: int):
         if bool(masks[f][i]):
             return f
     return None
-
-
-# deadline helper: ts of the partial's last captured row (any elem)
-_LAST_TS: dict = {}
-
-
-def _ts_of(p: _Partial, steps, masks) -> int:
-    return _LAST_TS.get(id(p), 0)
 
 
 def _try_fast_path(planner, q: A.Query, u: DataFrame, elems, strict_after,

@@ -107,9 +107,12 @@ def add_bucket(
             (F.col(BUCKET_COL) * size + size).cast("bigint"),
         )
     if name == "lengthbatch":
+        # Siddhi buffers n events GLOBALLY and aggregates per key within each
+        # global chunk — the bucket must come from a global row_number even
+        # when the query has `group by` (a per-key chunk is a different result
+        # set). Global total order is single-task by semantic necessity.
         n = _arg_ms(spec, 0)
-        part = Window.partitionBy(*[F.col(c) for c in group_cols]) if group_cols else Window.partitionBy(F.lit(1))
-        w = part.orderBy(*[F.col(c) for c in ord_cols])
+        w = Window.partitionBy(F.lit(1)).orderBy(*[F.col(c) for c in ord_cols])
         out = df.withColumn(BUCKET_COL, F.floor((F.row_number().over(w) - 1) / F.lit(n)))
         return BucketedWindow(out, F.lit(None).cast("bigint"), F.lit(None).cast("bigint"))
     if name == "cron":

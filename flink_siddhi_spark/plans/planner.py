@@ -180,8 +180,9 @@ class BatchPlanner:
         from pyspark.sql.window import Window
 
         if unit == "events":
-            w = Window.orderBy(*[F.col(c) for c in ord_cols])
-            df = df.withColumn("__rn", F.row_number().over(w))
+            from ..operators.prefix import global_row_number
+
+            df = global_row_number(df, ord_cols, "__rn")
             keep = (F.col("__rn") % n) == (1 if mode == "first" else 0)
             return df.filter(keep).drop("__rn")
         if TS_COL not in df.columns:

@@ -13,7 +13,7 @@ Example (reference SiddhiCEPITCase.java:344-347):
 
 from __future__ import annotations
 
-from ..errors import SiddhiParserException
+from ..errors import SiddhiParserException, UnsupportedFeatureException
 from . import ast as A
 from .lexer import TIME_UNITS, Token, tokenize
 
@@ -405,7 +405,14 @@ class Parser:
                 connectors.append(",")
             else:
                 break
-            self.accept_kw("every")  # 'every' mid-pattern: treat as global every
+            if self.accept_kw("every"):
+                # Siddhi's mid-pattern 'every' (restart only the suffix) has no
+                # equivalent here; silently parsing it as plain '->' would
+                # change semantics, so reject it loudly. (The reference's own
+                # tests only use a leading 'every' — SiddhiCEPITCase.java:344.)
+                raise UnsupportedFeatureException(
+                    "mid-pattern 'every' is not supported; use a leading 'every'"
+                )
             elems.append(self.parse_pattern_step())
         within = None
         if self.accept_kw("within"):

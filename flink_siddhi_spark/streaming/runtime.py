@@ -563,10 +563,14 @@ class StreamingPlanner(BatchPlanner):
         out_schema = T.StructType(out_fields)
         out_names = [f.name for f in out_fields]
         sort_cols = [TS_COL] + [f for f in fields if f != schema.ts_field]
-        # buffer state serialized as json strings (schema-stable across batches)
+        # buffer state serialized as json strings (schema-stable across batches).
+        # ``seen`` holds content-hashes of already-emitted matches: a running
+        # count would re-emit old matches (and drop new ones) whenever an
+        # out-of-order arrival inserts a match at an earlier NFA position, and
+        # would replay every still-derivable match after buffer eviction.
         state_schema = T.StructType(
             [
-                T.StructField("emitted", T.LongType()),
+                T.StructField("seen", T.ArrayType(T.StringType())),
                 T.StructField("buffer", T.ArrayType(T.StringType())),
             ]
         )
@@ -582,13 +586,14 @@ class StreamingPlanner(BatchPlanner):
         def proc(
             key, pdfs: Iterator[pd.DataFrame], state: GroupState
         ) -> Iterator[pd.DataFrame]:
+            import hashlib as _hashlib
             import json as _json
 
             if state.exists:
-                emitted, buffer = state.get
-                buffer = list(buffer)
+                seen, buffer = state.get
+                seen, buffer = list(seen), list(buffer)
             else:
-                emitted, buffer = 0, []
+                seen, buffer = [], []
             for pdf in pdfs:
                 for row in pdf[keep_cols].itertuples(index=False):
                     d = dict(zip(keep_cols, row))
@@ -598,7 +603,6 @@ class StreamingPlanner(BatchPlanner):
                     buffer.append(_json.dumps(d, default=str))
             if len(buffer) > max_buffer:
                 buffer = buffer[-max_buffer:]
-                emitted = 0  # resync after forced eviction
             rows = pd.DataFrame([_json.loads(b) for b in buffer])
             if ts_name in rows.columns:
                 rows[ts_name] = pd.to_datetime(rows[ts_name])
@@ -610,9 +614,38 @@ class StreamingPlanner(BatchPlanner):
                     fv = _vec(filt, rows)
                     m = m & fv.to_numpy(dtype=bool, na_value=False)
                 masks.append(m)
-            found = _run_nfa(rows, masks, elems_c, strict_after, every, within_ms)
-            new = found[emitted:]
-            state.update((emitted + len(new), buffer))
+            found = _run_nfa(
+                rows, masks, elems_c, strict_after, every, within_ms, at_close=False
+            )
+
+            def match_key(cap):
+                # identity = the captured rows' CONTENT (buffer positions shift
+                # as rows arrive/evict, so indices are not stable across batches)
+                payload = _json.dumps(
+                    [[buffer_sorted[j] for j in idxs] for idxs in cap]
+                )
+                return _hashlib.md5(payload.encode()).hexdigest()
+
+            # rows was re-sorted; map sorted positions back to serialized rows
+            buffer_sorted = [
+                _json.dumps(
+                    {k: (v.isoformat() if isinstance(v, pd.Timestamp) else v)
+                     for k, v in dict(zip(rows.columns, tup)).items()},
+                    default=str,
+                )
+                for tup in rows.itertuples(index=False)
+            ]
+            seen_set = set(seen)
+            new = []
+            for cap in found:
+                k = match_key(cap)
+                if k not in seen_set:
+                    seen_set.add(k)
+                    seen.append(k)
+                    new.append(cap)
+            if len(seen) > 4 * max_buffer:
+                seen = seen[-4 * max_buffer:]
+            state.update((seen, buffer))
             data = {n: [] for n in out_names}
             for cap in new:
                 for ei, e in enumerate(elems_c):

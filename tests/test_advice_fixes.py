@@ -1,0 +1,122 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md round 1):
+
+1. 'A -> not B for t -> C' armed the absence deadline from epoch 0 instead of
+   the last captured event's timestamp (pattern.py _LAST_TS bug).
+2. Streaming patterns re-emitted matches after out-of-order inserts / buffer
+   eviction (running-count dedup -> content-hash dedup).
+3. Mid-pattern 'every' silently parsed as plain '->'.
+4. lengthBatch(n) with `group by` chunked per key instead of globally.
+5. externalTime join windows silently compared __ts when the declared
+   attribute differed from ts_field.
+"""
+
+import pytest
+
+from flink_siddhi_spark import SiddhiCEP
+from flink_siddhi_spark.errors import UnsupportedFeatureException
+
+
+def make_events(spark, rows):
+    return spark.createDataFrame(rows, "id int, name string, price double, timestamp long")
+
+
+@pytest.fixture()
+def cep(spark):
+    return SiddhiCEP(spark)
+
+
+def _absence_query(cep):
+    return cep.from_("s").cql(
+        "from a = s[id == 1] -> not s[id == 2] for 1 sec -> c = s[id == 3] "
+        "select a.name as an, c.name as cn insert into Out"
+    ).returns("Out")
+
+
+def test_absence_blocked_by_b_within_deadline(cep, spark):
+    # B occurs 500ms after A (inside the 1s absence window) -> NO match,
+    # even though C follows. The old bug armed the deadline at 0+1000ms, so
+    # every event "exceeded" it and absence was confirmed immediately.
+    rows = [(1, "a", 1.0, 1000), (2, "b", 1.0, 1500), (3, "c", 1.0, 2500)]
+    cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    assert _absence_query(cep).count() == 0
+
+
+def test_absence_confirmed_when_b_never_comes(cep, spark):
+    rows = [(1, "a", 1.0, 1000), (3, "c", 1.0, 2500)]
+    cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    out = _absence_query(cep)
+    assert [(r.an, r.cn) for r in out.collect()] == [("a", "c")]
+
+
+def test_absence_confirmed_when_b_arrives_late(cep, spark):
+    # B at +1500ms is PAST the 1s absence window -> match completes on C
+    rows = [(1, "a", 1.0, 1000), (2, "b", 1.0, 2500), (3, "c", 1.0, 3000)]
+    cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    out = _absence_query(cep)
+    assert [(r.an, r.cn) for r in out.collect()] == [("a", "c")]
+
+
+def test_streaming_trailing_absence(spark, tmp_path):
+    # streaming 'every A -> not B for t': the first A is followed by a B
+    # within t (blocked); the second A's absence is confirmed by a later
+    # event past the deadline. Old bug: both As emitted immediately.
+    from flink_siddhi_spark.sources.streams import file_stream
+    from flink_siddhi_spark.streaming.runtime import StreamingPlanner
+    from tests.test_streaming import EVENT_SCHEMA, run_stream, write_events
+
+    rows = [
+        (2, "a", 1.0, 1000), (9, "x", 1.0, 1500),
+        (2, "c", 1.0, 3000), (5, "z", 1.0, 4500),
+    ]
+    path = write_events(spark, tmp_path / "in_abs", rows)
+    cep = SiddhiCEP(spark)
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "from every a = s[id == 2] -> not s[id == 9] for 1 sec "
+        "select a.name as an insert into Out",
+        "Out", "m_abs", tmp_path,
+    )
+    assert sorted(r.an for r in out.collect()) == ["c"]
+
+
+def test_mid_pattern_every_rejected(cep, spark):
+    rows = [(1, "a", 1.0, 1000), (2, "b", 1.0, 2000)]
+    cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    with pytest.raises(UnsupportedFeatureException, match="mid-pattern 'every'"):
+        cep.from_("s").cql(
+            "from a = s[id == 1] -> every b = s[id == 2] "
+            "select a.name as an insert into Out"
+        )
+
+
+def test_length_batch_chunks_globally_with_group_by(cep, spark):
+    # Siddhi buffers n events GLOBALLY; group-by aggregates per key WITHIN
+    # each global chunk. 6 events, lengthBatch(2), users interleaved:
+    # chunks {1,2} {3,4} {5,6} -> (u1,10),(u2,20),(u1,70),(u2,110).
+    # The old per-key chunking gave (u1,40),(u1,40),(u2,70),(u2,60).
+    rows = [
+        (1, "u1", 10.0, 1000), (2, "u2", 20.0, 2000), (3, "u1", 30.0, 3000),
+        (4, "u1", 40.0, 4000), (5, "u2", 50.0, 5000), (6, "u2", 60.0, 6000),
+    ]
+    cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    out = cep.from_("s").cql(
+        "from s#window.lengthBatch(2) select name, sum(price) as total "
+        "group by name insert into Out"
+    ).returns("Out")
+    got = sorted((r.name, r.total) for r in out.collect())
+    assert got == [("u1", 10.0), ("u1", 70.0), ("u2", 20.0), ("u2", 110.0)]
+
+
+def test_external_time_join_attr_mismatch_rejected(cep, spark):
+    rows = [(1, "a", 1.0, 1000)]
+    cep.define("s1", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    cep.register_stream("s2", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    with pytest.raises(UnsupportedFeatureException, match="externalTime"):
+        cep.from_("s1").cql(
+            "from s1#window.time(1 sec) as a "
+            "join s2#window.externalTime(price, 1 sec) as b on a.id == b.id "
+            "select a.name as an insert into Out"
+        ).returns("Out")
