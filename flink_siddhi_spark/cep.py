@@ -68,14 +68,26 @@ class SiddhiCEP:
             raise DuplicatedStreamException(f"table '{table_id}' already registered")
         self.catalog[table_id] = StreamSchema(table_id, df, list(fields), is_table=True)
 
-    def register_extension(self, name: str, builder: Callable) -> None:
-        """Register a scalar extension under 'ns:name' (SiddhiCEP.java:201-206).
+    def register_extension(self, name: str, builder: Callable,
+                           aggregate: bool = False) -> None:
+        """Register an extension under 'ns:name' (SiddhiCEP.java:201-206).
 
         ``builder`` takes Columns and returns a Column (stays JVM-side). For a
         plain Python function use ``spark.udf.register`` and pass the wrapped
         ``F.udf`` here — documented slow path.
-        """
-        self.extensions[name] = builder
+
+        With ``aggregate=True`` the builder is an attribute AGGREGATOR
+        (Siddhi's aggregator extension kind): it must return a Spark
+        aggregate Column, e.g. ``lambda c: F.exp(F.avg(F.log(c)))``, usable
+        wherever built-in aggregates are (group by, having, windowed batch
+        aggregation — not sliding frames)."""
+        if aggregate:
+            from .plans.expr import AGG_EXT_NAMES, AggregateExtension
+
+            AGG_EXT_NAMES.add(name)
+            self.extensions[name] = AggregateExtension(builder)
+        else:
+            self.extensions[name] = builder
 
     registerExtension = register_extension
 

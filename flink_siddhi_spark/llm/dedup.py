@@ -137,11 +137,18 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, num_hashes: int = 8, bands: int = 4, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, scored by signature agreement.
 
     rows-per-band = num_hashes // bands; docs sharing any band bucket become
-    candidates; estimated Jaccard = fraction of matching signature slots."""
+    candidates; estimated Jaccard = fraction of matching signature slots.
+
+    ``max_bucket``: degenerate buckets (mass-duplicated content — one viral
+    page can put millions of docs in one bucket) expand O(m^2) on a single
+    task. Buckets larger than ``max_bucket`` instead emit only the star
+    pairs (min-id member, other) — O(m) — which ``dedup_clusters`` recovers
+    transitively. Default None keeps exact all-pairs output."""
     sig = minhash_signatures(df, num_hashes, text_col, id_col, n)
     rpb = num_hashes // bands
     sig_cols = [f"sig_{j}" for j in range(num_hashes)]
@@ -184,6 +191,15 @@ def minhash_lsh_pairs(
             ),
         )
     )
+    if max_bucket is not None:
+        # star expansion for oversize buckets: (min-id member, other) only
+        head = F.col("xs")[0]
+        star = F.transform(
+            F.slice(F.col("xs"), 2, F.size(F.col("xs"))),
+            lambda y: F.struct(head["id"].alias("id_a"), y["id"].alias("id_b"),
+                               head["sigs"].alias("sa"), y["sigs"].alias("sb")),
+        )
+        pairs = F.when(F.size(F.col("xs")) > max_bucket, star).otherwise(pairs)
     cand = (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b", "p.sa", "p.sb")
@@ -290,29 +306,66 @@ def cosine(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
-def embedding_dup_pairs(
-    df: DataFrame, threshold: float = 0.4, emb_col: str = "embedding",
+def sign_bucket(emb_col: str = "embedding", planes: int = 8) -> Column:
+    """Deterministic sign-projection LSH bucket: the sign bits of the first
+    ``planes`` coordinates. Coordinate axes stand in for random hyperplanes
+    so the bucket is reproducible in ANSI SQL (the oracle); a production
+    deployment would use seeded random projections — the pipeline shape
+    (bucket -> in-bucket verify) is identical."""
+    return F.concat_ws(
+        "", *[F.when(F.col(emb_col)[i] >= 0, "1").otherwise("0") for i in range(planes)]
+    )
+
+
+def embedding_candidates_sign(
+    df: DataFrame, planes: int = 8, emb_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (quadratic verifier; LSH/IVF in
-    llm/similarity.py is the scale path).
+    """Candidate near-dup pairs = docs sharing a sign-projection bucket.
+    One hash-partitioned self-equi-join on the bucket key — no cross join;
+    bucket sizes shrink geometrically with ``planes``."""
+    b = df.select(F.col(id_col).alias("id"), sign_bucket(emb_col, planes).alias("bucket"))
+    l, r = b.alias("l"), b.alias("r")
+    return l.join(
+        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))
+    ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
 
-    Stays on the interpreted ``aggregate`` fold on purpose: the pair source
-    is a BroadcastNestedLoopJoin, which blocks whole-stage codegen, and in
-    interpreted evaluation the HOF fold's tight array loop is ~2x faster
-    than a 64-term unrolled expression tree (measured at sf0.1). The
-    unrolled/``F.expr`` form only wins inside codegen'd stages — see
-    similarity.cosine_topk."""
+
+def embedding_dup_pairs(
+    df: DataFrame, threshold: float = 0.4, emb_col: str = "embedding",
+    id_col: str = "vec_id", candidates: Optional[DataFrame] = None,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Exact cosine near-dup pairs.
+
+    With ``candidates`` (an (id_a, id_b) DataFrame, e.g. from
+    ``embedding_candidates_sign`` or ``minhash_lsh_pairs``), the exact
+    cosine runs only on those pairs via two hash equi-joins — the 100 TB
+    shape (verify is linear in candidate count, never O(n^2)).
+
+    Without candidates this is the quadratic all-pairs verifier
+    (BroadcastNestedLoopJoin) — useful for small-table ground truth only.
+    The all-pairs path stays on the interpreted ``aggregate`` fold on
+    purpose: under BNLJ no whole-stage codegen runs and the HOF fold's
+    tight array loop is ~2x faster than a 64-term unrolled expression tree
+    (measured at sf0.1). The candidate path IS codegen'd, so there the
+    unrolled form wins — pass ``dim`` to unroll."""
     df = _spread(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"),
-                  norm(F.col(emb_col)).alias("na"))
+                  norm(F.col(emb_col), dim).alias("na"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"),
-                  norm(F.col(emb_col)).alias("nb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn(
-            "cos", F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+                  norm(F.col(emb_col), dim).alias("nb"))
+    if candidates is not None:
+        pairs = (
+            candidates.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+            .join(a, "id_a").join(b, "id_b")
         )
+        cos = dot("ea", "eb", dim) if dim is not None else dot(F.col("ea"), F.col("eb"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        cos = dot(F.col("ea"), F.col("eb"))
+    return (
+        pairs.withColumn("cos", F.round(cos / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

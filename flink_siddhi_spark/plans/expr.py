@@ -33,9 +33,33 @@ _BIN_OPS = {
 }
 
 
+class AggregateExtension:
+    """Marks a registered extension as an attribute AGGREGATOR (the reference
+    forwards these to Siddhi's setExtension — SiddhiCEP.java:201-206,
+    exercised for scalars by CustomPlusFunctionExtension.java:38-116).
+
+    The builder receives compiled argument Columns and must return a Spark
+    AGGREGATE Column, e.g. ``lambda c: F.exp(F.avg(F.log(c)))`` — composed of
+    built-in aggregate functions so it stays JVM-side."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+
+# names registered as aggregate extensions (module-level so the parser-side
+# has_agg checks, which are static, can see them)
+AGG_EXT_NAMES: set[str] = set()
+
+
+def ext_key(e: A.Call) -> str:
+    return f"{e.ns}:{e.name}" if e.ns else e.name
+
+
 def contains_agg(e: A.Expr) -> bool:
     if isinstance(e, A.Call):
         if e.ns is None and e.name.lower() in AGG_FNS:
+            return True
+        if ext_key(e) in AGG_EXT_NAMES:
             return True
         return any(contains_agg(a) for a in e.args)
     if isinstance(e, A.Binary):
@@ -106,7 +130,13 @@ class ExprCompiler:
             if self.ts_col is None:
                 raise SiddhiPlannerException("eventTimestamp() needs an event-time column")
             return self.ts_col
-        ext = self.extensions.get(f"{e.ns}:{e.name}" if e.ns else e.name)
+        ext = self.extensions.get(ext_key(e))
+        if isinstance(ext, AggregateExtension):
+            if self.agg_handler is None:
+                raise SiddhiPlannerException(
+                    f"aggregate extension {ext_key(e)}() not allowed in this clause"
+                )
+            return self.agg_handler(e, self)
         if ext is not None:
             return ext(*[self.compile(a) for a in e.args])
         fn = lookup_scalar(e.ns, e.name)

@@ -31,7 +31,7 @@ from ..errors import (
 from ..schema import StreamSchema
 from ..siddhiql import ast as A
 from ..operators import windows as W
-from .expr import ExprCompiler, contains_agg
+from .expr import AggregateExtension, ExprCompiler, contains_agg, ext_key
 from .functions import AGG_FNS
 
 TS_COL = "__ts"
@@ -96,6 +96,14 @@ class BatchPlanner:
 
     def _dtype_of(self, df: DataFrame, col: Column) -> T.DataType:
         return df.select(col.alias("__probe")).schema[0].dataType
+
+    def _is_agg_call(self, e: A.Expr) -> bool:
+        """Built-in aggregate call, or a registered aggregate extension."""
+        if not isinstance(e, A.Call):
+            return False
+        if e.ns is None and e.name.lower() in AGG_FNS:
+            return True
+        return isinstance(self.extensions.get(ext_key(e)), AggregateExtension)
 
     # ----------------------------------------------------------- compile API
     def compile_query(self, q: A.Query) -> DataFrame:
@@ -263,6 +271,13 @@ class BatchPlanner:
         """Compile one aggregate call; ``frame`` (a WindowSpec) turns it into a
         window function — applied to each raw aggregate BEFORE any outer
         arithmetic/casts so Catalyst sees a proper OVER clause."""
+        ext = self.extensions.get(ext_key(call))
+        if isinstance(ext, AggregateExtension):
+            if frame is not None:
+                raise UnsupportedFeatureException(
+                    "aggregate extensions are not supported in sliding windows"
+                )
+            return ext.fn(*[comp.compile(a) for a in call.args])
         name = call.name.lower()
         arg = comp.compile(call.args[0]) if call.args else None
         floating = arg is not None and isinstance(
@@ -360,7 +375,7 @@ class BatchPlanner:
         inner_comp = self._compiler(resolver, df)
 
         def collect(e: A.Expr):
-            if isinstance(e, A.Call) and e.ns is None and e.name.lower() in AGG_FNS:
+            if self._is_agg_call(e):
                 if id(e) not in agg_map:
                     nm = f"__a{len(agg_map)}"
                     agg_map[id(e)] = nm
@@ -537,7 +552,7 @@ class BatchPlanner:
         agg_exprs: list[Column] = []
 
         def collect(e: A.Expr):
-            if isinstance(e, A.Call) and e.ns is None and e.name.lower() in AGG_FNS:
+            if self._is_agg_call(e):
                 if id(e) not in agg_map:
                     nm = f"__a{len(agg_map)}"
                     agg_map[id(e)] = nm
@@ -667,7 +682,7 @@ class BatchPlanner:
         inner_comp = self._compiler(resolver, df)
 
         def collect(e: A.Expr):
-            if isinstance(e, A.Call) and e.ns is None and e.name.lower() in AGG_FNS:
+            if self._is_agg_call(e):
                 if id(e) not in agg_map:
                     nm = f"__a{len(agg_map)}"
                     agg_map[id(e)] = nm

@@ -102,3 +102,65 @@ def test_multimodal_resize_and_frames(spark):
     import pytest as _pytest
     with _pytest.raises(Exception):  # stub refuses non-fake decode
         M.resize_images(media, 4, 4, fake=False).collect()
+
+
+def test_lsh_bucket_cap_bounds_skew(spark):
+    # 60 identical docs (one degenerate LSH bucket per band): capped mode
+    # emits only star pairs (min-id, other) while clustering still recovers
+    # the full duplicate set.
+    rows = [(i, "aa bb cc dd ee ff gg hh") for i in range(60)]
+    rows += [(100, "totally unrelated words appear in this document")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    capped = D.minhash_lsh_pairs(docs, max_bucket=10)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert pairs == {(0, i) for i in range(1, 60)}  # O(m) star, not O(m^2)
+    clusters = {r.doc_id: r.cluster_id for r in D.dedup_clusters(capped).collect()}
+    assert all(clusters[i] == 0 for i in range(60))
+    # exact mode still emits all pairs
+    exact_n = D.minhash_lsh_pairs(docs).count()
+    assert exact_n == 60 * 59 // 2
+
+
+def test_embedding_verifier_candidate_path(spark):
+    # candidate-wired exact verifier: same output as all-pairs for pairs the
+    # bucket keeps together, and NO BroadcastNestedLoopJoin in the plan
+    vecs = [
+        (1, [1.0, 0.5] + [0.0] * 6),
+        (2, [0.9, 0.6] + [0.0] * 6),   # near-dup of 1, same sign bucket
+        (3, [-1.0, 0.5] + [0.0] * 6),  # different sign bucket
+    ]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    cand = D.embedding_candidates_sign(df, planes=2)
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert got == {(1, 2)}
+    verified = D.embedding_dup_pairs(df, threshold=0.9, candidates=cand, dim=8)
+    out = verified.collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    plan = verified._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    # all-pairs path agrees on the surviving pair
+    allp = {(r.id_a, r.id_b): r.cos for r in D.embedding_dup_pairs(df, threshold=0.9).collect()}
+    assert allp[(1, 2)] == out[0].cos
+
+
+def test_custom_aggregate_extension(spark):
+    # attribute-aggregator extension end-to-end through CQL (geometric mean)
+    import math
+
+    from pyspark.sql import functions as F
+
+    from flink_siddhi_spark import SiddhiCEP
+
+    cep = SiddhiCEP(spark)
+    df = spark.createDataFrame(
+        [(1, "a", 2.0, 1000), (2, "a", 8.0, 2000), (3, "b", 5.0, 3000)],
+        "id int, grp string, v double, ts long")
+    cep.register_stream("s", df, "id", "grp", "v", "ts", ts_field="ts")
+    cep.register_extension(
+        "custom:geomean", lambda c: F.exp(F.avg(F.log(c))), aggregate=True)
+    out = cep.from_("s").cql(
+        "from s select grp, custom:geomean(v) as gm group by grp insert into Out"
+    ).returns("Out")
+    got = {r.grp: r.gm for r in out.collect()}
+    assert got["a"] == pytest.approx(math.sqrt(16.0))
+    assert got["b"] == pytest.approx(5.0)
