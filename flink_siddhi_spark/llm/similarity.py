@@ -93,6 +93,50 @@ def assign_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim=None,
+) -> DataFrame:
+    """Spherical k-means (Lloyd) centroids over an embedding column.
+
+    Deterministic: initialized from the first ``n_centroids`` vectors by id
+    (no RNG), assignment ties broken by centroid id. Each iteration is one
+    broadcast-join assignment pass over the corpus plus one per-dimension
+    ``avg`` aggregation; only the k x dim centroid table (tiny) round-trips
+    through the driver — the corpus never does, so this scales to any corpus
+    size. Clusters that lose all members are dropped (k may shrink).
+
+    Returns (centroid_id, cent_emb array<float>)."""
+    if dim is None:
+        dim = _dim_of(corpus, emb_col)
+    spark = corpus.sparkSession
+    cents = corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("cent_emb")
+    )
+    base = corpus.select(id_col, emb_col)
+    for _ in range(n_iter):
+        cent_as_corpus = cents.select(
+            F.col("centroid_id").alias(id_col), F.col("cent_emb").alias(emb_col)
+        )
+        assigned = assign_centroids(base, cent_as_corpus, emb_col, id_col, dim)
+        means = assigned.groupBy("centroid_id").agg(
+            *[F.avg(F.col(emb_col)[i]).alias(f"m{i}") for i in range(dim)]
+        )
+        rows = means.collect()  # k rows — the broadcast-model pattern
+        data = [
+            (int(r["centroid_id"]), [float(r[f"m{i}"]) for i in range(dim)])
+            for r in rows
+        ]
+        cents = spark.createDataFrame(
+            data, "centroid_id bigint, cent_emb array<float>"
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,14 +145,22 @@ def ivf_topk(
     k: int = 5,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: str = "seed",
+    kmeans_iters: int = 5,
 ) -> DataFrame:
     """Approximate top-k: probe only the n_probe closest centroid buckets.
 
-    Centroids are the first ``n_centroids`` corpus vectors by id —
-    deterministic without an iterative k-means (swap in real centroids for
-    production quality; the pruning topology is what matters for scale)."""
+    ``centroids="seed"`` (default): the first ``n_centroids`` corpus vectors
+    by id — deterministic without iteration, kept as the oracle-checkable
+    mode. ``centroids="kmeans"``: spherical k-means via ``kmeans_centroids``
+    — the production-recall path (see tests/test_llm_ops.py recall gate)."""
     dim = _dim_of(corpus, emb_col)
-    centroids = corpus.orderBy(id_col).limit(n_centroids)
+    if centroids == "kmeans":
+        centroids = kmeans_centroids(
+            corpus, n_centroids, kmeans_iters, emb_col, id_col, dim
+        ).select(F.col("centroid_id").alias(id_col), F.col("cent_emb").alias(emb_col))
+    else:
+        centroids = corpus.orderBy(id_col).limit(n_centroids)
     # centroid assignment/probing touch few pairs (n x n_centroids) — the
     # interpreted fold avoids paying codegen compile for 3 more big exprs;
     # the unrolled dot goes to the final scoring stage (the big fan-out)
