@@ -513,6 +513,9 @@ def compile_pattern(planner, q: A.Query):
             cases = branch if cases is None else F.when(F.col(STREAM_COL) == s, F.col(attr)).otherwise(cases)
         u = u.withColumn(PK_COL, cases if len(streams) > 1 else F.col(pk[streams[0]]))
     else:
+        from .windows import warn_global_order
+
+        warn_global_order("un-partitioned pattern matching")
         u = u.withColumn(PK_COL, F.lit(0))
 
     # output schema: per element x per field of its stream

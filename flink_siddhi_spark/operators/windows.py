@@ -39,6 +39,7 @@ contract; streaming adds watermarks on the same shapes):
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 from typing import Optional
 
@@ -48,6 +49,19 @@ from pyspark.sql.window import Window, WindowSpec
 
 from ..errors import SiddhiPlannerException, UnsupportedFeatureException
 from ..siddhiql import ast as A
+
+
+def warn_global_order(what: str) -> None:
+    """Un-keyed global-order constructs funnel the whole stream through ONE
+    task — semantically forced (a global total order is sequential), but a
+    scale cliff the query author should see at compile time."""
+    warnings.warn(
+        f"{what} compiles to a single-task global ordering and cannot "
+        "parallelize beyond one core at scale; add `partition with (key of "
+        "stream)` or `group by` to scale with key cardinality",
+        RuntimeWarning,
+        stacklevel=4,
+    )
 
 BATCH_WINDOWS = {"timebatch", "lengthbatch", "session", "externaltimebatch", "cron"}
 SLIDING_WINDOWS = {"length", "time", "externaltime", "timelength"}
@@ -112,6 +126,7 @@ def add_bucket(
         # when the query has `group by` (a per-key chunk is a different result
         # set). Global total order is single-task by semantic necessity.
         n = _arg_ms(spec, 0)
+        warn_global_order("#window.lengthBatch (global n-event chunks)")
         w = Window.partitionBy(F.lit(1)).orderBy(*[F.col(c) for c in ord_cols])
         out = df.withColumn(BUCKET_COL, F.floor((F.row_number().over(w) - 1) / F.lit(n)))
         return BucketedWindow(out, F.lit(None).cast("bigint"), F.lit(None).cast("bigint"))
@@ -125,6 +140,8 @@ def add_bucket(
         )
     if name == "session":
         gap = _arg_ms(spec, 0)
+        if not group_cols:
+            warn_global_order("un-grouped #window.session")
         part = Window.partitionBy(*[F.col(c) for c in group_cols]) if group_cols else Window.partitionBy(F.lit(1))
         w = part.orderBy(*[F.col(c) for c in ord_cols])
         prev_ts = F.lag(F.col(ts_col)).over(w)
@@ -144,6 +161,8 @@ def sliding_frame(
 ) -> WindowSpec:
     """WindowSpec for the trailing frame of a sliding window."""
     name = spec.name.lower()
+    if not group_cols:
+        warn_global_order(f"un-grouped sliding #window.{spec.name}")
     part = Window.partitionBy(*[F.col(c) for c in group_cols]) if group_cols else Window.partitionBy(F.lit(1))
     if name == "length":
         n = _arg_ms(spec, 0)

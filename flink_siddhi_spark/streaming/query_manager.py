@@ -124,3 +124,37 @@ class QueryManager:
         if self.checkpoint_root is None:
             return None
         return os.path.join(self.checkpoint_root, query_id)
+
+
+def attach_control_stream(
+    manager: QueryManager,
+    control_df: DataFrame,
+    value_col: str = "value",
+    order_col: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+    available_now: bool = False,
+):
+    """Drive the manager from a real control STREAM.
+
+    The reference broadcasts a ``DataStream<ControlEvent>`` into the running
+    job (SiddhiStream.java:126-140, exercised by SiddhiCEPITCase.java:466);
+    here each micro-batch of JSON control lines is applied on the driver via
+    ``foreachBatch`` — the natural Spark seat for control-plane actions,
+    since starting/stopping ``StreamingQuery`` DAGs is a driver operation.
+    Control events are rare and tiny, so collecting a batch of them is not a
+    data-path collect.
+
+    ``order_col`` (e.g. a sequence number) fixes apply order within a batch.
+    Returns the started StreamingQuery managing the control feed."""
+
+    def apply_batch(batch_df, _batch_id):
+        b = batch_df.orderBy(order_col) if order_col is not None else batch_df
+        for row in b.select(value_col).collect():
+            manager.on_control_json(row[0])
+
+    w = control_df.writeStream.foreachBatch(apply_batch)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -82,22 +82,88 @@ class StreamingPlanner(BatchPlanner):
         df, _ = self.stream_df(si.stream)
         if not schema.df.isStreaming:
             return super()._compile_single(q)
-        if W.classify(si.window) == "retain":
-            raise UnsupportedFeatureException(
-                f"#window.{si.window.name}: retention windows follow the "
-                "final-contents contract — batch mode only"
-            )
+        retain = W.classify(si.window) == "retain"
+        if retain:
+            wname = si.window.name.lower()
+            if wname not in ("unique", "firstunique") or self._query_has_agg(q):
+                raise UnsupportedFeatureException(
+                    f"#window.{si.window.name}: retention windows follow the "
+                    "final-contents contract — batch mode only "
+                    "(streaming supports row-wise unique/firstUnique)"
+                )
         df = self._with_watermark(df, schema)
         names = {si.stream, si.alias} if si.alias else {si.stream}
         resolver = self._plain_resolver(set(df.columns), names)
         comp = self._compiler(resolver, df)
         if si.filter is not None:
             df = df.filter(comp.compile(si.filter))
+        if retain:
+            df = self._streaming_unique(df, si, schema)
         if not self._query_has_agg(q):
             if q.order_by or q.limit is not None:
                 raise UnsupportedFeatureException("order by / limit need batch mode")
             return self._select_rowwise(df, q, resolver, schema.fields)
         return self._streaming_agg(df, q, si, resolver)
+
+    def _streaming_unique(self, df: DataFrame, si: A.SingleInput, schema) -> DataFrame:
+        """Keyed last/first-event state for #window.unique / firstUnique.
+
+        firstUnique: only the first event per key is ever emitted (exactly
+        the batch final-contents contract when arrival follows event time).
+        unique: each batch emits the key's new representative iff it is
+        later (by the batch total order) than the stored one — a changelog
+        whose latest row per key IS the batch final-contents result.
+        State per key is one ord-tuple string — O(#keys), no row buffering."""
+        first = si.window.name.lower() == "firstunique"
+        keys = [a.name for a in si.window.args if isinstance(a, A.Ref)]
+        if not keys:
+            raise SiddhiPlannerException(f"#window.{si.window.name} needs key attribute(s)")
+        out_cols = [c for c in df.columns if c != "__event_time"]
+        out_schema = T.StructType([f for f in df.schema.fields if f.name in out_cols])
+        ord_cols = ([TS_COL] if schema.ts_field is not None else []) + [
+            f for f in schema.fields if f != schema.ts_field
+        ]
+        ord_cols = [c for c in ord_cols if c in out_cols]
+        state_schema = T.StructType([T.StructField("ord", T.StringType())])
+
+        def proc(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+            import json as _json
+
+            rows = pd.concat([p[out_cols] for p in pdfs], ignore_index=True)
+            rows = rows.sort_values(ord_cols, kind="mergesort").reset_index(drop=True)
+
+            def ord_of(i):
+                out = []
+                for c in ord_cols:
+                    v = rows[c].iloc[i]
+                    if isinstance(v, pd.Timestamp):
+                        out.append(v.isoformat())
+                    elif hasattr(v, "item"):  # numpy scalar -> python
+                        out.append(v.item())
+                    else:
+                        out.append(v)
+                return out
+
+            if first:
+                if state.exists:
+                    yield rows.iloc[0:0]
+                    return
+                state.update(("1",))
+                yield rows.iloc[[0]]
+                return
+            cand = len(rows) - 1
+            cand_ord = ord_of(cand)
+            if state.exists:
+                (stored,) = state.get
+                if _json.loads(stored) >= cand_ord:
+                    yield rows.iloc[0:0]
+                    return
+            state.update((_json.dumps(cand_ord),))
+            yield rows.iloc[[cand]]
+
+        return df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+            proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
 
     def _streaming_agg(self, df: DataFrame, q: A.Query, si: A.SingleInput, resolver) -> DataFrame:
         if q.order_by or q.limit is not None:

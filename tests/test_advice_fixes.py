@@ -120,3 +120,25 @@ def test_external_time_join_attr_mismatch_rejected(cep, spark):
             "join s2#window.externalTime(price, 1 sec) as b on a.id == b.id "
             "select a.name as an insert into Out"
         ).returns("Out")
+
+
+def test_global_order_warning(cep, spark):
+    # verdict item 9: un-keyed global-order queries warn at compile time
+    rows = [(1, "a", 1.0, 1000), (2, "b", 2.0, 2000)]
+    cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    with pytest.warns(RuntimeWarning, match="single-task global ordering"):
+        cep.from_("s").cql(
+            "from s#window.length(2) select id, sum(price) as t insert into Out"
+        ).returns("Out")
+    with pytest.warns(RuntimeWarning, match="single-task global ordering"):
+        cep.from_("s").cql(
+            "from a = s[id == 1] -> b = s[id == 2] select a.name as an insert into Out"
+        ).returns("Out")
+    # keyed variants stay silent
+    import warnings as W
+
+    with W.catch_warnings():
+        W.simplefilter("error", RuntimeWarning)
+        cep.from_("s").cql(
+            "from s#window.length(2) select id, sum(price) as t group by name insert into Out"
+        ).returns("Out")

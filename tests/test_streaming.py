@@ -269,3 +269,89 @@ def test_streaming_sliding_length_window(spark, tmp_path):
     rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM sl_out").collect())
     # a: 10; 10+20; 20+30 — b: 5
     assert rows == [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 50.0), (4, "b", 5.0)], rows
+
+
+def test_control_events_from_stream(spark, sf_dir, tmp_path):
+    # verdict item 5: control events arrive on a real STREAM (reference:
+    # SiddhiStream.java:126-140 / SiddhiCEPITCase.java:466 dynamic pattern) —
+    # a json file stream drives QueryManager.on_control_json via foreachBatch
+    import os
+
+    from flink_siddhi_spark.sources.tables import load_table
+    from flink_siddhi_spark.streaming.control import (
+        MetadataControlEvent, OperationControlEvent, to_json,
+    )
+    from flink_siddhi_spark.streaming.query_manager import (
+        QueryManager, attach_control_stream,
+    )
+
+    cep = SiddhiCEP(spark)
+    events = load_table(spark, sf_dir, "events")
+    cep.register_stream(
+        "events", events, "event_id", "ts", "user_id", "event_type", "value", "props",
+        ts_field="ts",
+    )
+
+    def compile_fn(plan_text):
+        from flink_siddhi_spark.plans.planner import BatchPlanner
+        from flink_siddhi_spark.siddhiql.parser import parse_query
+
+        return BatchPlanner(cep.catalog, cep.extensions).compile_query(parse_query(plan_text))
+
+    lines = [
+        json.dumps({"seq": 0, "value": to_json(MetadataControlEvent(
+            added_execution_plan_map={
+                "p1": "from events[value > 90.0] select event_id insert into O1",
+                "p2": "from events select event_type, count() as n group by event_type insert into O2",
+            }))}),
+        json.dumps({"seq": 1, "value": to_json(OperationControlEvent("DISABLE_QUERY", "p1"))}),
+    ]
+    src = tmp_path / "control_in"
+    os.makedirs(src)
+    (src / "000.json").write_text("\n".join(lines) + "\n")
+
+    stream = (
+        spark.readStream.schema("seq long, value string").json(str(src))
+    )
+    qm = QueryManager(compile_fn)
+    q = attach_control_stream(
+        qm, stream, order_col="seq",
+        checkpoint=str(tmp_path / "ck_control"), available_now=True,
+    )
+    q.awaitTermination(60)
+    assert set(qm.queries) == {"p1", "p2"}
+    assert qm.queries["p1"].enabled is False
+    assert qm.queries["p2"].enabled is True
+    assert qm.queries["p2"].query_handle.count() > 0
+
+
+def test_streaming_unique_windows(spark, tmp_path):
+    # verdict item 8: streaming unique/firstUnique via keyed state.
+    rows = [
+        (1, "u1", 10.0, 1000), (2, "u2", 20.0, 2000), (3, "u1", 30.0, 3000),
+        (4, "u2", 40.0, 4000), (5, "u3", 50.0, 5000),
+    ]
+    path = write_events(spark, tmp_path / "in_uni", rows)
+    for win, expected in (
+        ("firstUnique", {(1, "u1"), (2, "u2"), (5, "u3")}),   # first per key
+        ("unique", {(3, "u1"), (4, "u2"), (5, "u3")}),        # latest per key
+    ):
+        cep = SiddhiCEP(spark)
+        stream = file_stream(spark, path, EVENT_SCHEMA)
+        cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+        planner = StreamingPlanner(cep.catalog, cep.extensions)
+        out = run_stream(
+            cep, planner,
+            f"from s#window.{win}(name) select id, name insert into Out",
+            "Out", f"m_{win.lower()}", tmp_path,
+        )
+        got = {(r.id, r.name) for r in out.collect()}
+        assert got == expected, (win, got)
+        # matches the batch-mode final-contents contract
+        batch_cep = SiddhiCEP(spark)
+        bdf = spark.createDataFrame(rows, EVENT_SCHEMA)
+        batch_cep.register_stream("s", bdf, "id", "name", "price", "timestamp", ts_field="timestamp")
+        batch_out = batch_cep.from_("s").cql(
+            f"from s#window.{win}(name) select id, name insert into Out"
+        ).returns("Out")
+        assert {(r.id, r.name) for r in batch_out.collect()} == expected
