@@ -556,6 +556,47 @@ def q_custom_udaf(spark, sf_dir):
     ).returns("Out")
 
 
+def q_pipeline_sample(spark, sf_dir):
+    from flink_siddhi_spark.llm.pipeline import sample_hash
+
+    return sample_hash(
+        _docs(spark, sf_dir), rate=0.75, strata={"en": 0.25}, stratum_col="lang"
+    ).select("doc_id", "lang", "source")
+
+
+def q_pipeline_split(spark, sf_dir):
+    from flink_siddhi_spark.llm.pipeline import train_split
+
+    return train_split(_docs(spark, sf_dir)).select("doc_id", "lang", "split")
+
+
+def q_pipeline_domain_quota(spark, sf_dir):
+    from flink_siddhi_spark.llm.pipeline import domain_quota
+
+    return domain_quota(_docs(spark, sf_dir), quota=10).select("doc_id", "source", "qrank")
+
+
+def q_pipeline_contamination(spark, sf_dir):
+    from flink_siddhi_spark.llm.pipeline import contamination_ngram
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return contamination_ngram(corpus, benchmark, n=3)
+
+
+def q_pipeline_pack(spark, sf_dir):
+    from flink_siddhi_spark.llm.pipeline import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512)
+
+
+def q_pipeline_chunk_dedup(spark, sf_dir):
+    from flink_siddhi_spark.llm.pipeline import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir), k=8)
+
+
 def q_text_pii_scrub(spark, sf_dir):
     from flink_siddhi_spark.llm.text import pii_scrub
 
@@ -683,6 +724,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         # --- extension path ---
         "custom_udaf": q_custom_udaf,
+        # --- training-data pipeline construction ---
+        "pipeline_sample": q_pipeline_sample,
+        "pipeline_split": q_pipeline_split,
+        "pipeline_domain_quota": q_pipeline_domain_quota,
+        "pipeline_contamination": q_pipeline_contamination,
+        "pipeline_pack": q_pipeline_pack,
+        "pipeline_chunk_dedup": q_pipeline_chunk_dedup,
         # --- flagship relational/CEP queries ---
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_shipping": q_tpch_q3_shipping,
@@ -743,11 +791,11 @@ _EMS = "epoch_ms(ts)"
 _DECSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
 
 
-def _shingle_cte(alias: str = "sh") -> str:
+def _shingle_cte(alias: str = "sh", where: str = "") -> str:
     return (
-        "d AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents), "
+        f"d{alias} AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents{where}), "
         f"{alias} AS (SELECT doc_id, CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[]) "
-        "ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END sh FROM d)"
+        f"ELSE list_distinct(list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))) END sh FROM d{alias})"
     )
 
 
@@ -1174,6 +1222,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, exp(CAST(SUM(CAST(ln(value) AS DECIMAL(27,18))) "
             "AS DOUBLE) / count(value)) AS gm FROM events WHERE value > 0 "
             "GROUP BY event_type"
+        ),
+        "pipeline_sample": (
+            # strata {'en': 0.25}, default 0.75 -> hex thresholds 0x40 / 0xc0
+            "SELECT doc_id, lang, source FROM documents WHERE CASE WHEN lang = 'en' "
+            "THEN substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < '40' "
+            "ELSE substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' END"
+        ),
+        "pipeline_split": (
+            # weights (0.9, 0.05, 0.05) -> edges int(0.9*256)=230='e6', int(0.95*256)=243='f3'
+            "SELECT doc_id, lang, CASE WHEN h < 'e6' THEN 'train' "
+            "WHEN h < 'f3' THEN 'val' ELSE 'test' END split FROM "
+            "(SELECT doc_id, lang, substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) h "
+            "FROM documents)"
+        ),
+        "pipeline_domain_quota": (
+            "SELECT doc_id, source, qrank FROM (SELECT doc_id, source, "
+            "CAST(row_number() OVER (PARTITION BY source ORDER BY "
+            "substring(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS INT) qrank "
+            "FROM documents) WHERE qrank <= 10"
+        ),
+        "pipeline_contamination": (
+            "WITH " + _shingle_cte("csh0", " WHERE source != 'src0'") + ", "
+            "csh AS (SELECT doc_id, unnest(sh) s FROM csh0), "
+            + _shingle_cte("bsh0", " WHERE source = 'src0'") + ", "
+            "bsh AS (SELECT doc_id bench_id, unnest(sh) s FROM bsh0) "
+            "SELECT c.doc_id doc_id, CAST(count(DISTINCT c.s) AS BIGINT) n_hit_ngrams, "
+            "CAST(count(DISTINCT b.bench_id) AS BIGINT) n_bench_docs "
+            "FROM csh c JOIN bsh b ON c.s = b.s GROUP BY c.doc_id "
+            "HAVING count(DISTINCT c.s) >= 1"
+        ),
+        "pipeline_pack": (
+            "WITH t AS (SELECT doc_id, "
+            "substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 1) shard, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens FROM documents), "
+            "c AS (SELECT doc_id, shard, n_tokens, CAST(SUM(n_tokens) OVER "
+            "(PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS BIGINT) cum_tokens FROM t) "
+            "SELECT doc_id, shard, n_tokens, cum_tokens, "
+            "CAST(FLOOR((cum_tokens - n_tokens) / 512) AS BIGINT) bin_id FROM c"
+        ),
+        "pipeline_chunk_dedup": (
+            "WITH d AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents), "
+            "c AS (SELECT doc_id, unnest(list_transform(range(0, "
+            "CAST(ceil(len(w) / 8.0) AS INT)), i -> array_to_string(w[i*8+1:i*8+8], ' '))) ch "
+            "FROM d) "
+            "SELECT md5(ch) chunk_hash, CAST(min(doc_id) AS BIGINT) canonical_id, "
+            "CAST(count(*) AS BIGINT) n_occurrences FROM c GROUP BY 1"
         ),
         "multimodal_features": (
             # mirrors multimodal.decode_image_stub(fake=True): 16-bin histogram

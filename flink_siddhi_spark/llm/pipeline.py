@@ -1,0 +1,227 @@
+"""Training-data pipeline operators: deterministic sampling & splits, domain
+quotas, benchmark-contamination checks, token-budget sequence packing, and
+sub-document (chunk-level) dedup.
+
+These are the dataset-construction steps a 100 TB pretraining pipeline runs
+after filtering/dedup (llm/dedup.py, llm/text.py):
+
+- hash sampling / train-val-test split: ONE narrow projection + filter, no
+  shuffle, no RNG state — the keep/route decision is a pure function of
+  md5(salt:id), so it is reproducible across runs, engines, and retries
+  (hex-prefix compare; rates quantized to 1/256).
+- domain quota: one shuffle on the domain key, per-domain deterministic
+  hash-ordered row_number — caps any domain at K docs no matter how skewed
+  the crawl is (quota ranking is exactly the "cap per registrable domain"
+  step of web-corpus curation).
+- contamination check: corpus shingles equi-join the (small) benchmark
+  shingle set — broadcast the benchmark side, so the corpus never shuffles
+  for the probe; one groupBy(doc) for the hit counts. This is the standard
+  n-gram decontamination sweep (e.g. GPT-3 appendix-C style).
+- sequence packing: documents are routed to 16 independent shards by id
+  hash; a per-shard running token total assigns contiguous bin ids
+  (floor(exclusive-cumsum / budget)). Per-shard windows parallelize across
+  the cluster — there is deliberately NO global-order cumsum here.
+- chunk dedup: sub-document exact dedup (C4-style "dedup at the line/chunk
+  level"): explode fixed-size word chunks, one hash-aggregate on the chunk
+  hash. Same single-shuffle shape as exact document dedup.
+
+All operators are pure Catalyst expressions (whole-stage codegen, no Python
+UDFs) and use md5 as the hash so a DuckDB oracle can replay them exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _spread, shingle_table
+
+
+def _hash_hex(col: Column, salt: str, nchars: int = 2) -> Column:
+    """First ``nchars`` hex digits of md5('<salt>:' + str(col)) — an engine-
+    portable uniform hash usable with plain lexicographic compares."""
+    return F.substring(F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, nchars)
+
+
+def _keep(h: Column, rate: float) -> Column:
+    """keep-predicate for a sampling ``rate`` quantized to 1/256."""
+    b = int(rate * 256)
+    if b >= 256:
+        return F.lit(True)
+    if b <= 0:
+        return F.lit(False)
+    return h < F.lit(format(b, "02x"))
+
+
+def sample_hash(
+    df: DataFrame,
+    rate: float,
+    strata: Optional[Mapping[str, float]] = None,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic (stratified) hash sampling.
+
+    Keeps a row iff the 2-hex-digit prefix of md5(salt:id) falls below the
+    stratum's rate threshold (``strata`` overrides ``rate`` per stratum
+    value). No shuffle, no RNG — the sample is a pure projection+filter and
+    therefore stable under retries, repartitioning, and engine changes.
+    Rates are quantized to 1/256 (documented contract, not an accident)."""
+    h = _hash_hex(F.col(id_col), salt)
+    keep = _keep(h, rate)
+    if strata:
+        expr = None
+        for value, r in strata.items():
+            cond = F.col(stratum_col) == value
+            expr = F.when(cond, _keep(h, r)) if expr is None else expr.when(cond, _keep(h, r))
+        keep = expr.otherwise(_keep(h, rate))
+    return df.filter(keep)
+
+
+def train_split(
+    df: DataFrame,
+    weights: Sequence[float] = (0.9, 0.05, 0.05),
+    labels: Sequence[str] = ("train", "val", "test"),
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test routing by id hash (quantized to 1/256).
+
+    Adds a ``split`` column; same scale shape as ``sample_hash`` (narrow,
+    shuffle-free, reproducible)."""
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must align")
+    h = _hash_hex(F.col(id_col), salt)
+    edges = []
+    acc = 0.0
+    for w in weights[:-1]:
+        acc += w
+        edges.append(min(255, int(acc * 256)))
+    expr = None
+    for edge, label in zip(edges, labels[:-1]):
+        cond = h < F.lit(format(edge, "02x"))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    expr = expr.otherwise(F.lit(labels[-1])) if expr is not None else F.lit(labels[-1])
+    return df.withColumn("split", expr)
+
+
+def domain_quota(
+    df: DataFrame,
+    quota: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Cap each domain at ``quota`` docs, chosen by deterministic hash order.
+
+    One shuffle on the domain key; within a domain, row_number over
+    (hash(id), id) picks a stable pseudo-random subset. Skewed domains (one
+    host = 10% of the crawl) cost one big partition of ranking, not a
+    cross-join — and AQE skew-split handles the sort spill. Output keeps the
+    rank (``qrank``) so downstream can tighten the quota without re-ranking."""
+    w = Window.partitionBy(domain_col).orderBy(_hash_hex(F.col(id_col), salt, 8), F.col(id_col))
+    return (
+        df.withColumn("qrank", F.row_number().over(w).cast("int"))
+        .filter(F.col("qrank") <= quota)
+    )
+
+
+def contamination_ngram(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag corpus docs sharing >= ``min_hits`` word n-grams with a benchmark
+    set (decontamination sweep before training).
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so its
+    shingle table is BROADCAST — the corpus-side shingle explode never
+    shuffles for the probe; the only shuffle is the per-doc hit-count
+    aggregate. Returns (doc_id, n_hit_ngrams, n_bench_docs)."""
+    c = shingle_table(_spread(corpus.select(id_col, text_col)), text_col, id_col, n)
+    b = (
+        shingle_table(benchmark.select(id_col, text_col), text_col, id_col, n)
+        .withColumnRenamed(id_col, "bench_id")
+    )
+    return (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_hit_ngrams") >= min_hits)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign docs to contiguous token-budget bins for sequence packing.
+
+    Docs are routed to one of ``shards`` independent shards by id hash; each
+    shard packs its docs in id order with a running token total, and
+    bin_id = floor(exclusive_cumsum / budget). The cumsum window partitions
+    by shard, so the work spreads over ``shards`` tasks — packing quality is
+    per-shard greedy (the standard trade: global-order packing would need a
+    single-task global cumsum). Returns (doc_id, shard, n_tokens,
+    cum_tokens, bin_id).
+
+    Note: only shards=16 uses the 1-hex-digit router below; other values
+    would need a wider hash modulus."""
+    if shards != 16:
+        raise ValueError("pack_sequences routes by one hex digit; shards must be 16")
+    shard = F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 1)
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), ntok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("bigint"),
+        )
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup over fixed-size word chunks.
+
+    Splits each doc into consecutive ``k``-word chunks (last chunk may be
+    short), hashes each, and aggregates per chunk hash: canonical (min) doc
+    and occurrence count. One explode + one hash-aggregate — identical
+    single-shuffle shape to exact document dedup, with rows multiplied by
+    chunks/doc (bounded: len/k)."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, k)),
+    )
+    ex = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    )
+    return ex.groupBy(F.md5(F.col("__c")).alias("chunk_hash")).agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )

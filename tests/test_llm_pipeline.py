@@ -1,0 +1,101 @@
+"""Training-data pipeline operator regressions (sampling, splits, quotas,
+contamination, packing, chunk dedup) on tiny inline fixtures — the sf0.01
+DuckDB oracle gate covers full parity; these guard determinism and edges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_siddhi_spark.llm import pipeline as P
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(12)),
+         "en" if i % 3 == 0 else "es", f"src{i % 4}")
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_sample_hash_deterministic_and_stratified(docs):
+    a = sorted(r.doc_id for r in P.sample_hash(docs, rate=0.75, strata={"en": 0.0}).collect())
+    b = sorted(r.doc_id for r in P.sample_hash(docs, rate=0.75, strata={"en": 0.0}).collect())
+    assert a == b  # pure function of id hash
+    kept = docs.filter(F.col("doc_id").isin(a))
+    assert kept.filter(F.col("lang") == "en").count() == 0  # stratum rate 0 drops all
+    assert 0 < len(a) < 40
+
+
+def test_sample_hash_rate_edges(docs):
+    assert P.sample_hash(docs, rate=1.0).count() == 40
+    assert P.sample_hash(docs, rate=0.0).count() == 0
+
+
+def test_train_split_partitions_everything(docs):
+    out = P.train_split(docs).collect()
+    assert len(out) == 40
+    labels = {r.split for r in out}
+    assert labels <= {"train", "val", "test"}
+    assert sum(r.split == "train" for r in out) > 20  # 90% weight dominates
+
+
+def test_domain_quota_caps_each_domain(docs):
+    out = P.domain_quota(docs, quota=3).collect()
+    per = {}
+    for r in out:
+        per[r.source] = per.get(r.source, 0) + 1
+        assert r.qrank <= 3
+    assert all(v == 3 for v in per.values())  # 10 docs/source, capped at 3
+    again = {(r.doc_id, r.qrank) for r in P.domain_quota(docs, quota=3).collect()}
+    assert again == {(r.doc_id, r.qrank) for r in out}  # deterministic ranks
+
+
+def test_contamination_flags_planted_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zz yy xx ww vv")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "beta gamma delta epsilon")], "doc_id long, text string")
+    out = {r.doc_id: (r.n_hit_ngrams, r.n_bench_docs)
+           for r in P.contamination_ngram(corpus, bench, n=3).collect()}
+    # doc 1 shingles {alpha beta gamma, beta gamma delta}; bench doc 100 has
+    # {beta gamma delta, gamma delta epsilon} -> exactly 1 shared shingle
+    assert out == {1: (1, 1)}
+
+
+def test_contamination_hit_counts_exact(spark):
+    corpus = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c d"), (8, "c d e f")], "doc_id long, text string")
+    (row,) = P.contamination_ngram(corpus, bench, n=3).collect()
+    # corpus shingles {abc, bcd, cde}; bench doc 9 has {abc, bcd}, doc 8 has {cde, def}
+    assert (row.n_hit_ngrams, row.n_bench_docs) == (3, 2)
+
+
+def test_pack_sequences_bins_and_cumsum(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * 10)) for i in range(32)], "doc_id long, text string")
+    out = P.pack_sequences(docs, budget=25).collect()
+    assert len(out) == 32
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        cum = 0
+        for r in rows:
+            assert r.bin_id == cum // 25  # exclusive-cumsum binning
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+
+
+def test_chunk_dedup_collapses_shared_chunks(spark):
+    eight = "c1 c2 c3 c4 c5 c6 c7 c8"
+    docs = spark.createDataFrame(
+        [(1, eight + " " + "u1 u2 u3 u4 u5 u6 u7 u8"),
+         (2, eight + " tail"),
+         (3, "totally different words here")],
+        "doc_id long, text string")
+    out = {r.chunk_hash: (r.canonical_id, r.n_occurrences)
+           for r in P.chunk_dedup(docs, k=8).collect()}
+    assert (1, 2) in out.values()  # the shared 8-word chunk, canonical doc 1
+    assert sum(n for _, n in out.values()) == 2 + 2 + 1  # doc1: 2 chunks, doc2: 2, doc3: 1
