@@ -75,27 +75,42 @@ def to_files(df: DataFrame, path: str, checkpoint: str, fmt: str = "json",
     )
 
 
-def kafka_source(spark: SparkSession, brokers: str, topic: str,
-                 value_schema: Optional[str] = None) -> DataFrame:
-    """Kafka JSON source (CEPPipeline.scala:50-56 parity). Requires the
-    spark-sql-kafka package on the cluster; not available in this container."""
-    df = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .load()
-    )
+def encode_kafka_value(df: DataFrame) -> DataFrame:
+    """Sink-side serde: one JSON object per row in a ``value`` column —
+    exactly what the Kafka writer ships. Factored out of ``kafka_sink`` so
+    the serde round-trips in tests without a broker."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
+def decode_kafka_value(df: DataFrame, value_schema: Optional[str] = None) -> DataFrame:
+    """Source-side serde: project a Kafka record batch (binary ``value`` plus
+    topic/partition/offset metadata) to typed columns via ``from_json``.
+    Works on any DataFrame with a ``value`` column, so tests can feed it
+    constructed Kafka-shaped records."""
     value = F.col("value").cast("string")
     if value_schema is not None:
         return df.select(F.from_json(value, value_schema).alias("v")).select("v.*")
     return df.select(value.alias("value"))
 
 
+def kafka_source(spark: SparkSession, brokers: str, topic: str,
+                 value_schema: Optional[str] = None) -> DataFrame:
+    """Kafka JSON source (CEPPipeline.scala:50-56 parity). Requires the
+    spark-sql-kafka package on the cluster; not available in this container —
+    the serde half (``decode_kafka_value``) is broker-independent and tested."""
+    df = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return decode_kafka_value(df, value_schema)
+
+
 def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint: str):
     """Kafka sink (CEPPipeline.scala:58-77 parity)."""
-    out = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
     return (
-        out.writeStream.format("kafka")
+        encode_kafka_value(df).writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
