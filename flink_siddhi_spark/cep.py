@@ -123,8 +123,16 @@ class SiddhiStream:
     def __init__(self, cep: SiddhiCEP):
         self.cep = cep
 
-    def union(self, stream_id: str, df: DataFrame, *fields: str,
+    def union(self, stream_id: str, df: Optional[DataFrame] = None, *fields: str,
               ts_field: Optional[str] = None) -> "SiddhiStream":
+        """With a DataFrame, registers a new stream (reference union-with-
+        definition, SiddhiStream.java:102-110); without one, references an
+        already-registered stream (``from("a").union("b")`` shape,
+        SiddhiCEPITCase.java:424-426) and raises if it isn't registered."""
+        if df is None:
+            if stream_id not in self.cep.catalog:
+                raise UndefinedStreamException(f"stream '{stream_id}' is not registered")
+            return self
         self.cep.register_stream(stream_id, df, *fields, ts_field=ts_field)
         return self
 

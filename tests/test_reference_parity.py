@@ -127,3 +127,72 @@ def test_first_last_aggregates(cep, spark):
     ).returns("Out")
     got = sorted(tuple(r) for r in out.collect())
     assert got == [(1, "a", "b"), (2, "c", "c")]
+
+
+def test_environment_extension_and_join(spark):
+    # testRegisterStreamAndExtensionWithSiddhiCEPEnvironment
+    # (SiddhiCEPITCase.java:413-440): environment factory + extension
+    # registration + registered streams + windowed join through the env.
+    cep = SiddhiCEP.get_siddhi_environment(spark)
+    cep.register_extension("custom:plus", lambda a, b: a + b)
+    r1 = [(i, "e1", float(i), 1000 * i) for i in range(5)]
+    r2 = [(i, "e2", float(i) * 2, 1000 * i + 100) for i in range(5)]
+    cep.register_stream("inputStream1", make_events(spark, r1),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    cep.register_stream("inputStream2", make_events(spark, r2),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    out = cep.from_("inputStream1").union("inputStream2").cql(
+        "from inputStream1#window.length(5) as s1 "
+        "join inputStream2#window.time(500) as s2 "
+        "on s1.id == s2.id "
+        "select s1.timestamp as t, s1.name as n, custom:plus(s1.price, s2.price) as p "
+        "insert into JoinStream"
+    ).returns("JoinStream")
+    rows = {r.t: r.p for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[2000] == 2.0 + 4.0  # extension applied inside the join select
+
+
+def test_bare_insert_and_return_as_row(cep, spark):
+    # testSimplePojoStreamAndReturnPojo / testReturnsTransformRow
+    # (SiddhiCEPITCase.java:85-140): identity query, row-shaped return
+    rows = [(i, "n", float(i), 1000 * i) for i in range(1, 7)]
+    cep.define("inputStream", make_events(spark, rows),
+               "id", "name", "price", "timestamp", ts_field="timestamp")
+    out = cep.from_("inputStream").cql(
+        "from inputStream select * insert into outputStream"
+    ).returnAsRow("outputStream")
+    assert out.count() == 6
+    assert set(out.columns) >= {"id", "name", "price", "timestamp"}
+
+
+def test_returns_undefined_output_stream_raises(cep, spark):
+    from flink_siddhi_spark.errors import UndefinedStreamException
+
+    cep.define("s", make_events(spark, [(1, "a", 1.0, 0)]),
+               "id", "name", "price", "timestamp", ts_field="timestamp")
+    ex = cep.from_("s").cql("from s select id insert into Out")
+    with pytest.raises(UndefinedStreamException):
+        ex.returns("NotAStream")
+
+
+def test_write_and_read_file_sink(spark, tmp_path):
+    # testSimpleWriteAndRead (SiddhiCEPITCase.java:93-114): sink 6 events to
+    # files, read them back, count 6
+    import json as _json
+
+    from flink_siddhi_spark.sources.streams import file_stream, to_files
+
+    src = tmp_path / "in"
+    out_dir = tmp_path / "out"
+    ck = tmp_path / "ck"
+    df = make_events(spark, [(i, "n", float(i), 1000 * i) for i in range(1, 7)])
+    df.write.parquet(str(src))
+    stream = file_stream(spark, str(src), df.schema)
+    q = to_files(stream, str(out_dir), str(ck), fmt="json")
+    q.awaitTermination(120)
+    lines = []
+    for p in out_dir.glob("*.json"):
+        lines += [ln for ln in p.read_text().splitlines() if ln.strip()]
+    assert len(lines) == 6
+    assert {_json.loads(ln)["id"] for ln in lines} == set(range(1, 7))
