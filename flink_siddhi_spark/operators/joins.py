@@ -31,7 +31,18 @@ from ..siddhiql import ast as A
 from ..plans.expr import ExprCompiler
 
 TS_COL = "__ts"
+ET_COL = "__event_time"
 _HOW = {"inner": "inner", "left": "left_outer", "right": "right_outer", "full": "full_outer"}
+
+
+def _time_bound_ms(win: Optional[A.WindowSpec], within_ms: Optional[int]) -> Optional[int]:
+    """Max age (ms) an event on this side stays joinable, or None if unbounded."""
+    t = None
+    if win is not None and win.name.lower() in ("time", "externaltime"):
+        t = int(win.args[-1].value)
+    if within_ms is not None:
+        t = within_ms if t is None else min(t, within_ms)
+    return t
 
 
 def _with_arrival_rank(df: DataFrame, ord_cols: list[str], out: str) -> DataFrame:
@@ -117,6 +128,22 @@ def compile_join(planner, q: A.Query):
         lsch.ts_field is None or rsch.ts_field is None
     ) and not (lsch.is_table or rsch.is_table):
         raise SiddhiPlannerException("windowed stream-stream join needs ts_field on both sides")
+    is_streaming = ldf.isStreaming or rdf.isStreaming
+    if not table_join and is_streaming:
+        # Structured Streaming stream-stream join: time windows only (count
+        # windows need a total arrival order — batch mode). Watermark both
+        # sides so the exact __ts predicates below can be paired with
+        # event-time range bounds that let Spark evict join state.
+        for win, side in ((lwin, "left"), (rwin, "right")):
+            if win is not None and win.name.lower() not in ("time", "externaltime"):
+                raise UnsupportedFeatureException(
+                    f"streaming join: #window.{win.name} on the {side} side needs "
+                    "batch mode (count windows require a total arrival order)"
+                )
+        delay = getattr(planner, "watermark_delay", "10 seconds")
+        ldf = ldf.withColumn(ET_COL, F.timestamp_millis(F.col(TS_COL))).withWatermark(ET_COL, delay)
+        rdf = rdf.withColumn(ET_COL, F.timestamp_millis(F.col(TS_COL))).withWatermark(ET_COL, delay)
+
     if not table_join:
         # externalTime join-side containment compares __ts (the stream's
         # ts_field); if the window declares a DIFFERENT timestamp attribute the
@@ -180,6 +207,18 @@ def compile_join(planner, q: A.Query):
         cond = on & (r_earlier | l_earlier)
         if ji.within_ms is not None:
             cond = cond & (F.abs(lt - rt) <= F.lit(ji.within_ms))
+        if is_streaming:
+            # Event-time range bounds implied by the exact __ts predicates
+            # above, restated on the watermarked columns in the canonical
+            # ``left BETWEEN right - i1 AND right + i2`` shape Spark's
+            # streaming-join state-cleanup analysis recognizes.
+            bl = _time_bound_ms(lwin, ji.within_ms)  # right may trail left by <= bl
+            br = _time_bound_ms(rwin, ji.within_ms)  # left may trail right by <= br
+            let, ret = F.col(f"{lname}.{ET_COL}"), F.col(f"{rname}.{ET_COL}")
+            if bl is not None:
+                cond = cond & (ret <= let + F.expr(f"INTERVAL {bl} MILLISECOND"))
+            if br is not None:
+                cond = cond & (let <= ret + F.expr(f"INTERVAL {br} MILLISECOND"))
         joined = l_al.join(r_al, cond, _HOW[ji.join_type])
 
     fields = [f for f in lsch.fields] + [f for f in rsch.fields]

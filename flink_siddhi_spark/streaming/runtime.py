@@ -9,7 +9,10 @@ streaming DataFrames where Structured Streaming has a native shape:
 - ``#window.timeBatch(t)`` -> ``groupBy(window(ts, t))`` + watermark.
 - ``#window.session(gap)`` -> ``session_window`` + watermark.
 - stream-static (event-table) joins: native.
-- stream-stream time-window joins: watermark + interval condition.
+- stream-stream time-window joins: the batch join predicates plus watermarks
+  and event-time range bounds added in operators/joins.py (compile_join is
+  streaming-aware) so Spark's symmetric hash join can evict state; count
+  (length) window joins are rejected — they need a total arrival order.
 - pattern/sequence: per-key NFA in ``applyInPandasWithState`` — the same
   matcher as batch mode (operators/pattern.py) over a state-buffered,
   event-time-sorted feed, emitting only not-yet-emitted matches per batch.

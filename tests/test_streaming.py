@@ -355,3 +355,74 @@ def test_streaming_unique_windows(spark, tmp_path):
             f"from s#window.{win}(name) select id, name insert into Out"
         ).returns("Out")
         assert {(r.id, r.name) for r in batch_out.collect()} == expected
+
+
+def test_streaming_stream_table_join(spark, tmp_path, sf_dir):
+    # stream-static enrichment join: streaming orders-like events x static table
+    from flink_siddhi_spark.sources.tables import load_table
+
+    rows = [(i % 3 + 1, "e", float(i), 1000 * i) for i in range(9)]
+    path = write_events(spark, tmp_path / "in_stj", rows)
+    cep = SiddhiCEP(spark)
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    region = load_table(spark, sf_dir, "region")
+    cep.register_table("region", region, *region.columns)
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "from s join region on s.id == region.r_regionkey "
+        "select s.id as id, region.r_name as rname, s.price as price insert into Out",
+        "Out", "m_stj", tmp_path,
+    )
+    got = sorted((r.id, r.rname, r.price) for r in out.collect())
+    names = {r.r_regionkey: r.r_name for r in region.collect()}
+    exp = sorted((i % 3 + 1, names[i % 3 + 1], float(i)) for i in range(9))
+    assert got == exp
+
+
+def test_streaming_time_time_join(spark, tmp_path):
+    # stream-stream time-window join; same deltas/query as the batch
+    # test_time_time_join_exact — streaming must match the batch contract.
+    # Timestamps offset from epoch 0: Spark's stream-join state watermark
+    # (watermark - bound) clamps at epoch 0 and evicts an epoch-0 row early.
+    T0 = 3600_000
+    r1 = [(1, "a", 1.0, T0), (1, "b", 2.0, T0 + 1000), (2, "c", 3.0, T0 + 2000)]
+    r2 = [(1, "x", 9.0, T0 + 500), (1, "y", 8.0, T0 + 1500), (2, "z", 7.0, T0 + 2100)]
+    p1 = write_events(spark, tmp_path / "in_j1", r1)
+    p2 = write_events(spark, tmp_path / "in_j2", r2)
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s1", file_stream(spark, p1, EVENT_SCHEMA),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    cep.register_stream("s2", file_stream(spark, p2, EVENT_SCHEMA),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "from s1#window.time(600) as a join s2#window.time(600) as b on a.id == b.id "
+        "select a.name as an, b.name as bn insert into Out",
+        "Out", "m_ssj", tmp_path,
+    )
+    got = sorted((r.an, r.bn) for r in out.collect())
+    assert got == [("a", "x"), ("b", "x"), ("b", "y"), ("c", "z")]
+
+
+def test_streaming_length_window_join_rejected(spark, tmp_path):
+    from flink_siddhi_spark.errors import UnsupportedFeatureException
+    from flink_siddhi_spark.siddhiql.parser import parse
+
+    rows = [(1, "a", 1.0, 0)]
+    p1 = write_events(spark, tmp_path / "in_jr1", rows)
+    p2 = write_events(spark, tmp_path / "in_jr2", rows)
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s1", file_stream(spark, p1, EVENT_SCHEMA),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    cep.register_stream("s2", file_stream(spark, p2, EVENT_SCHEMA),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    plan = parse(
+        "from s1#window.length(5) as a join s2#window.time(600) as b on a.id == b.id "
+        "select a.name as an insert into Out"
+    )
+    with pytest.raises(UnsupportedFeatureException, match="streaming join"):
+        planner.compile_query(plan.queries[0])
