@@ -578,6 +578,41 @@ class StreamingPlanner(BatchPlanner):
         return self._select_rowwise(df, q, resolver, list(df.columns))
 
     # ------------------------------------------------------- streaming pattern
+    def compile_plan(self, plan_text: str) -> dict[str, DataFrame]:
+        """Compile a multi-query execution plan over streaming sources.
+
+        Mirrors the batch ExecutionSiddhiStream chaining contract (cep.py):
+        each ``insert into`` output is registered into the catalog so later
+        queries can consume it, and multi-query fan-in into the same output
+        unions by name. Everything composes into one streaming DAG per
+        terminal output — attach one sink per returned entry. Table DML needs
+        streaming/tables.py (foreachBatch) and is rejected here.
+        """
+        from ..schema import StreamSchema
+        from ..siddhiql.parser import parse
+
+        plan = parse(plan_text)
+        outputs: dict[str, DataFrame] = {}
+        for q in plan.queries:
+            if q.dml is not None or (
+                q.insert_into is not None
+                and q.insert_into in self.catalog
+                and self.catalog[q.insert_into].is_table
+            ):
+                raise UnsupportedFeatureException(
+                    "table DML in a streaming plan: use streaming/tables.py "
+                    "(foreachBatch continuous DML)"
+                )
+            df = self.compile_query(q)
+            if q.insert_into:
+                if q.insert_into in outputs:
+                    df = outputs[q.insert_into].unionByName(df)
+                outputs[q.insert_into] = df
+                self.catalog[q.insert_into] = StreamSchema(
+                    q.insert_into, df, list(df.columns)
+                )
+        return outputs
+
     def compile_query(self, q: A.Query) -> DataFrame:
         if isinstance(q.input, A.PatternInput):
             streams = {e.stream for e in q.input.elems}

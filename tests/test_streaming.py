@@ -426,3 +426,44 @@ def test_streaming_length_window_join_rejected(spark, tmp_path):
     )
     with pytest.raises(UnsupportedFeatureException, match="streaming join"):
         planner.compile_query(plan.queries[0])
+
+
+def test_streaming_chained_queries(spark, tmp_path):
+    # `insert into` chaining: filter feeds a downstream aggregate, composing
+    # into one streaming DAG (batch contract: q:chained_queries).
+    rows = [(i % 3, "e", float(i), 1000 * i) for i in range(12)]
+    path = write_events(spark, tmp_path / "in_chain", rows)
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s", file_stream(spark, path, EVENT_SCHEMA),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    outs = planner.compile_plan(
+        "from s[price >= 3.0] select id, price, timestamp insert into Mid "
+        "from Mid select id, count() as n, sum(price) as total group by id insert into Out"
+    )
+    assert set(outs) == {"Mid", "Out"}
+    q = to_memory(outs["Out"], "m_chain", checkpoint=str(tmp_path / "ck_chain"),
+                  output_mode="complete")
+    q.awaitTermination(60)
+    got = sorted((r.id, r.n, r.total) for r in spark.sql("select * from m_chain").collect())
+    # rows with price >= 3.0: i in 3..11 -> ids 0,1,2 each 3 rows
+    assert got == [(0, 3, 18.0), (1, 3, 21.0), (2, 3, 24.0)]
+
+
+def test_streaming_fan_in(spark, tmp_path):
+    # two queries inserting into the same output union by name (reference
+    # multi-query fan-in, SiddhiCEPITCase.java:282-299) — streaming DAG union.
+    rows = [(i, "e", float(i), 1000 * i) for i in range(10)]
+    path = write_events(spark, tmp_path / "in_fan", rows)
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s", file_stream(spark, path, EVENT_SCHEMA),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    outs = planner.compile_plan(
+        "from s[id < 2] select id, price insert into Out "
+        "from s[id > 7] select id, price insert into Out"
+    )
+    q = to_memory(outs["Out"], "m_fan", checkpoint=str(tmp_path / "ck_fan"))
+    q.awaitTermination(60)
+    got = sorted((r.id, r.price) for r in spark.sql("select * from m_fan").collect())
+    assert got == [(0, 0.0), (1, 1.0), (8, 8.0), (9, 9.0)]
