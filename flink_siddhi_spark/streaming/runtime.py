@@ -200,8 +200,24 @@ class StreamingPlanner(BatchPlanner):
             win_start = F.unix_millis(F.col("__w.start"))
             win_end = F.unix_millis(F.col("__w.end"))
         elif wclass == "sliding":
-            if si.window.name.lower() == "length":
+            wname = si.window.name.lower()
+            if wname == "length":
                 return self._streaming_sliding_length(df, q, si, key_names)
+            if wname == "time":
+                return self._streaming_sliding_time(
+                    df, q, si, key_names, int(si.window.args[0].value)
+                )
+            if wname == "externaltime":
+                field = si.window.args[0]
+                ts_field = self.stream_schema(si.stream).ts_field
+                if isinstance(field, A.Ref) and field.name == ts_field:
+                    return self._streaming_sliding_time(
+                        df, q, si, key_names, int(si.window.args[1].value)
+                    )
+                raise UnsupportedFeatureException(
+                    "streaming #window.externalTime needs its timestamp attribute "
+                    "to be the stream's ts_field (general case: batch mode)"
+                )
             raise UnsupportedFeatureException(
                 f"sliding #window.{si.window.name} aggregation is batch-only; "
                 "streaming emits per-window-flush (timeBatch/session)"
@@ -257,38 +273,45 @@ class StreamingPlanner(BatchPlanner):
         return out
 
     # --------------------------------------------- streaming count window
-    def _streaming_length_batch(
-        self, df: DataFrame, q: A.Query, si: A.SingleInput, key_names: list[str]
-    ) -> DataFrame:
-        """``#window.lengthBatch(n)`` on a streaming source: the custom
-        stateful count window (SURVEY.md §7.2) — per key, buffer arriving
-        rows in the state store and emit one aggregate row per full chunk of
-        n; the remainder carries across micro-batches. Rows are event-time
-        sorted within each batch (same reorder contract as the pattern op).
+    def _plan_stateful_items(
+        self, q: A.Query, key_names: list[str], field_types: dict, allow_cur: bool,
+        what: str,
+    ) -> tuple[list[tuple[str, str, Optional[str]]], list[str], list[T.StructField]]:
+        """Shared select-item planning for the stateful window operators.
 
-        Select items must be group-key refs, ``count()``, or
-        ``agg(column)`` — complex expressions stay batch-only."""
-        n = int(si.window.args[0].value)
+        Returns ``(plan, carry, out_fields)`` where ``plan`` is
+        (out_name, kind, col) per item — kind in {'key','cur','count',agg} —
+        ``carry`` the value columns each buffered row must keep, and
+        ``out_fields`` the output StructFields. Complex expressions stay
+        batch-only (clear rejection)."""
         items = q.select or []
         if not items:
             raise SiddhiPlannerException("select * not allowed in aggregate queries")
         if q.having is not None or q.order_by:
             raise UnsupportedFeatureException(
-                "having/order by over streaming count windows: batch mode only"
+                f"having/order by over streaming {what}: batch mode only"
             )
-        field_types = {f.name: f.dataType for f in df.schema.fields}
-
-        # (out_name, kind, col) per item; kind in {'key','count','sum',...}
         plan: list[tuple[str, str, Optional[str]]] = []
-        value_cols: list[str] = []
+        carry: list[str] = []
         out_fields: list[T.StructField] = []
+
+        def need(col: str) -> None:
+            if col not in carry:
+                carry.append(col)
+
         for it in items:
             out_name = self._out_name(it)
             e = it.expr
-            if isinstance(e, A.Ref) and e.name in key_names:
-                plan.append((out_name, "key", e.name))
-                out_fields.append(T.StructField(out_name, field_types[e.name], True))
-                continue
+            if isinstance(e, A.Ref):
+                if e.name in key_names:
+                    plan.append((out_name, "key", e.name))
+                    out_fields.append(T.StructField(out_name, field_types[e.name], True))
+                    continue
+                if allow_cur:
+                    need(e.name)
+                    plan.append((out_name, "cur", e.name))
+                    out_fields.append(T.StructField(out_name, field_types[e.name], True))
+                    continue
             if isinstance(e, A.Call) and e.ns is None:
                 fn = e.name.lower()
                 if fn == "count" and not e.args:
@@ -298,8 +321,7 @@ class StreamingPlanner(BatchPlanner):
                 if fn in ("sum", "min", "max", "avg", "first", "last",
                           "distinctcount") and len(e.args) == 1 and isinstance(e.args[0], A.Ref):
                     col = e.args[0].name
-                    if col not in value_cols:
-                        value_cols.append(col)
+                    need(col)
                     if fn in ("min", "max", "first", "last"):
                         ot = field_types[col]
                     elif fn == "distinctcount":
@@ -315,9 +337,47 @@ class StreamingPlanner(BatchPlanner):
                     plan.append((out_name, fn, col))
                     out_fields.append(T.StructField(out_name, ot, True))
                     continue
+            kinds = "keys, current-row columns" if allow_cur else "keys"
             raise UnsupportedFeatureException(
-                "streaming lengthBatch select items must be keys, count(), or agg(column)"
+                f"streaming {what} select items must be {kinds}, count(), or agg(column)"
             )
+        return plan, carry, out_fields
+
+    @staticmethod
+    def _agg_over(kind: str, xs: list):
+        """One aggregate value over a window's non-null column values."""
+        if kind == "sum":
+            return sum(xs) if xs else None
+        if kind == "avg":
+            return float(sum(xs)) / len(xs) if xs else None
+        if kind == "min":
+            return min(xs) if xs else None
+        if kind == "max":
+            return max(xs) if xs else None
+        if kind == "first":
+            return xs[0] if xs else None
+        if kind == "last":
+            return xs[-1] if xs else None
+        if kind == "distinctcount":
+            return len(set(xs))
+        raise AssertionError(kind)
+
+    def _streaming_length_batch(
+        self, df: DataFrame, q: A.Query, si: A.SingleInput, key_names: list[str]
+    ) -> DataFrame:
+        """``#window.lengthBatch(n)`` on a streaming source: the custom
+        stateful count window (SURVEY.md §7.2) — per key, buffer arriving
+        rows in the state store and emit one aggregate row per full chunk of
+        n; the remainder carries across micro-batches. Rows are event-time
+        sorted within each batch (same reorder contract as the pattern op).
+
+        Select items must be group-key refs, ``count()``, or
+        ``agg(column)`` — complex expressions stay batch-only."""
+        n = int(si.window.args[0].value)
+        field_types = {f.name: f.dataType for f in df.schema.fields}
+        plan, value_cols, out_fields = self._plan_stateful_items(
+            q, key_names, field_types, allow_cur=False, what="lengthBatch"
+        )
         out_schema = T.StructType(out_fields)
         state_schema = T.StructType([T.StructField("buffer", T.ArrayType(T.StringType()))])
         key_struct = [T.StructField(k, field_types[k]) for k in key_names]
@@ -400,62 +460,10 @@ class StreamingPlanner(BatchPlanner):
         Select items: group-key refs, current-row column refs, ``count()``,
         or ``agg(column)``; complex expressions stay batch-only."""
         n = int(si.window.args[0].value)
-        items = q.select or []
-        if not items:
-            raise SiddhiPlannerException("select * not allowed in aggregate queries")
-        if q.having is not None or q.order_by:
-            raise UnsupportedFeatureException(
-                "having/order by over streaming count windows: batch mode only"
-            )
         field_types = {f.name: f.dataType for f in df.schema.fields}
-        plan: list[tuple[str, str, Optional[str]]] = []
-        carry: list[str] = []
-        out_fields: list[T.StructField] = []
-
-        def need(col: str) -> None:
-            if col not in carry:
-                carry.append(col)
-
-        for it in items:
-            out_name = self._out_name(it)
-            e = it.expr
-            if isinstance(e, A.Ref):
-                if e.name in key_names:
-                    plan.append((out_name, "key", e.name))
-                else:
-                    need(e.name)
-                    plan.append((out_name, "cur", e.name))
-                out_fields.append(T.StructField(out_name, field_types[e.name], True))
-                continue
-            if isinstance(e, A.Call) and e.ns is None:
-                fn = e.name.lower()
-                if fn == "count" and not e.args:
-                    plan.append((out_name, "count", None))
-                    out_fields.append(T.StructField(out_name, T.LongType(), True))
-                    continue
-                if fn in ("sum", "min", "max", "avg", "first", "last",
-                          "distinctcount") and len(e.args) == 1 and isinstance(e.args[0], A.Ref):
-                    col = e.args[0].name
-                    need(col)
-                    if fn in ("min", "max", "first", "last"):
-                        ot = field_types[col]
-                    elif fn == "distinctcount":
-                        ot = T.LongType()
-                    elif fn == "sum":
-                        ot = field_types[col] if isinstance(
-                            field_types[col], (T.LongType, T.IntegerType)
-                        ) else T.DoubleType()
-                        if isinstance(ot, T.IntegerType):
-                            ot = T.LongType()
-                    else:
-                        ot = T.DoubleType()
-                    plan.append((out_name, fn, col))
-                    out_fields.append(T.StructField(out_name, ot, True))
-                    continue
-            raise UnsupportedFeatureException(
-                "streaming length-window select items must be keys, current-row "
-                "columns, count(), or agg(column)"
-            )
+        plan, carry, out_fields = self._plan_stateful_items(
+            q, key_names, field_types, allow_cur=True, what="length window"
+        )
         out_schema = T.StructType(out_fields)
         state_schema = T.StructType([T.StructField("ring", T.ArrayType(T.StringType()))])
         ts_in_df = TS_COL in df.columns
@@ -463,6 +471,7 @@ class StreamingPlanner(BatchPlanner):
         carry_cols = sort_cols
         plan_c, key_names_c, n_c = plan, key_names, n
         out_names = [f.name for f in out_fields]
+        agg_over = StreamingPlanner._agg_over
 
         def proc(key, pdfs, state: GroupState):
             import json as _json
@@ -485,31 +494,104 @@ class StreamingPlanner(BatchPlanner):
                     for out_name, kind, col in plan_c:
                         if kind == "key":
                             rec.append(key[key_names_c.index(col)])
-                            continue
-                        if kind == "cur":
+                        elif kind == "cur":
                             rec.append(row[carry_cols.index(col)])
-                            continue
-                        if kind == "count":
+                        elif kind == "count":
                             rec.append(len(win))
-                            continue
-                        xs = [w[carry_cols.index(col)] for w in win]
-                        xs = [v for v in xs if v is not None]
-                        if kind == "sum":
-                            rec.append(sum(xs) if xs else None)
-                        elif kind == "avg":
-                            rec.append(float(sum(xs)) / len(xs) if xs else None)
-                        elif kind == "min":
-                            rec.append(min(xs) if xs else None)
-                        elif kind == "max":
-                            rec.append(max(xs) if xs else None)
-                        elif kind == "first":
-                            rec.append(xs[0] if xs else None)
-                        elif kind == "last":
-                            rec.append(xs[-1] if xs else None)
-                        elif kind == "distinctcount":
-                            rec.append(len(set(xs)))
+                        else:
+                            xs = [w[carry_cols.index(col)] for w in win]
+                            rec.append(agg_over(kind, [v for v in xs if v is not None]))
                     out.append(rec)
             state.update((ring,))
+            if out:
+                yield pd.DataFrame(out, columns=out_names)
+
+        if key_names:
+            grouped = df.groupBy(*[F.col(k) for k in key_names])
+        else:
+            df = df.withColumn("__gk", F.lit(0))
+            grouped = df.groupBy("__gk")
+        return grouped.applyInPandasWithState(
+            proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+
+    def _streaming_sliding_time(
+        self, df: DataFrame, q: A.Query, si: A.SingleInput, key_names: list[str],
+        t_ms: int,
+    ) -> DataFrame:
+        """``#window.time(t)`` aggregation on a streaming source: per-arrival
+        aggregate over the trailing t-ms window per key — Siddhi's most-used
+        window (events expire t after arrival). Matches the batch contract
+        ``rangeBetween(-t, 0)``: the window of a row at ts holds buffered
+        rows with ts' in [ts - t, ts].
+
+        State per key is the rows of the last t ms (plus a monotone max-ts
+        high watermark for eviction) — bounded by the arrival rate × t, the
+        same bound the reference's in-memory time window carries. Late rows
+        (within the stream watermark) are inserted in event-time order and
+        aggregate over their OWN trailing window, exactly as batch mode
+        would. ``#window.externalTime(f, t)`` routes here too when ``f`` is
+        the stream's event-time field (identical window; the general case is
+        batch-only)."""
+        field_types = {f.name: f.dataType for f in df.schema.fields}
+        plan, carry, out_fields = self._plan_stateful_items(
+            q, key_names, field_types, allow_cur=True, what="time window"
+        )
+        out_schema = T.StructType(out_fields)
+        state_schema = T.StructType([
+            T.StructField("buffer", T.ArrayType(T.StringType())),
+            T.StructField("max_ts", T.LongType()),
+        ])
+        if TS_COL not in df.columns:
+            raise SiddhiPlannerException("#window.time needs the stream's ts_field")
+        sort_cols = [TS_COL] + carry
+        carry_cols = sort_cols  # ts is element 0 of every buffered row
+        plan_c, key_names_c, t_c = plan, key_names, int(t_ms)
+        out_names = [f.name for f in out_fields]
+        agg_over = StreamingPlanner._agg_over
+
+        def proc(key, pdfs, state: GroupState):
+            import json as _json
+            import math
+
+            if state.exists:
+                stored, max_ts = state.get
+                buf = [_json.loads(s) for s in stored]
+            else:
+                buf, max_ts = [], None
+            out = []
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                part = pdf[carry_cols].sort_values(by=sort_cols)
+                for r in part.itertuples(index=False, name=None):
+                    row = [None if (isinstance(v, float) and math.isnan(v)) else v
+                           for v in r]
+                    ts = int(row[0])
+                    max_ts = ts if max_ts is None else max(max_ts, ts)
+                    # insert in event-time order (late rows land mid-buffer)
+                    k = len(buf)
+                    while k > 0 and buf[k - 1][0] > ts:
+                        k -= 1
+                    buf.insert(k, row)
+                    # evict rows that can never appear in a future window
+                    lo = max_ts - t_c
+                    while buf and buf[0][0] < lo:
+                        buf.pop(0)
+                    win = [w for w in buf if ts - t_c <= w[0] <= ts]
+                    rec = []
+                    for out_name, kind, col in plan_c:
+                        if kind == "key":
+                            rec.append(key[key_names_c.index(col)])
+                        elif kind == "cur":
+                            rec.append(row[carry_cols.index(col)])
+                        elif kind == "count":
+                            rec.append(len(win))
+                        else:
+                            xs = [w[carry_cols.index(col)] for w in win]
+                            rec.append(agg_over(kind, [v for v in xs if v is not None]))
+                    out.append(rec)
+            state.update(([_json.dumps(r) for r in buf], max_ts if max_ts is not None else 0))
             if out:
                 yield pd.DataFrame(out, columns=out_names)
 

@@ -271,6 +271,66 @@ def test_streaming_sliding_length_window(spark, tmp_path):
     assert rows == [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 50.0), (4, "b", 5.0)], rows
 
 
+def test_streaming_sliding_time_window(spark, tmp_path):
+    """#window.time(t): per-arrival trailing aggregate over the last t ms per
+    key (Siddhi's most-used window) — batch contract rangeBetween(-t, 0)."""
+    from flink_siddhi_spark.siddhiql.parser import parse
+    from flink_siddhi_spark.schema import StreamSchema
+
+    path = write_events(spark, tmp_path / "src_st", [
+        (1, "a", 10.0, 1000), (2, "a", 20.0, 2500),
+        (3, "a", 30.0, 3000), (4, "b", 5.0, 4000),
+    ])
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    catalog = {"s": StreamSchema("s", stream, ["id", "name", "price", "timestamp"],
+                                 ts_field="timestamp")}
+    planner = StreamingPlanner(catalog, watermark_delay="0 seconds")
+    q = parse(
+        "from s#window.time(1500) select id, name, sum(price) as running, "
+        "count() as n group by name insert into Out;"
+    ).queries[0]
+    df = planner.compile_query(q)
+    sq = to_memory(df, "st_out", checkpoint=str(tmp_path / "ck_st"), output_mode="append")
+    sq.awaitTermination(60)
+    rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM st_out").collect())
+    # a@1000: {10}; a@2500: [1000,2500] -> {10,20}; a@3000: [1500,3000] -> {20,30}; b@4000: {5}
+    assert rows == [
+        (1, "a", 10.0, 1), (2, "a", 30.0, 2), (3, "a", 50.0, 2), (4, "b", 5.0, 1),
+    ], rows
+
+
+def test_streaming_external_time_window(spark, tmp_path):
+    """#window.externalTime(ts_field, t) routes to the stateful time window
+    when the attribute IS the event-time field; other attributes reject."""
+    from flink_siddhi_spark.errors import UnsupportedFeatureException
+    from flink_siddhi_spark.siddhiql.parser import parse
+    from flink_siddhi_spark.schema import StreamSchema
+
+    path = write_events(spark, tmp_path / "src_xt", [
+        (1, "a", 10.0, 1000), (2, "a", 20.0, 1800),
+    ])
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    catalog = {"s": StreamSchema("s", stream, ["id", "name", "price", "timestamp"],
+                                 ts_field="timestamp")}
+    planner = StreamingPlanner(catalog, watermark_delay="0 seconds")
+    q = parse(
+        "from s#window.externalTime(timestamp, 1000) "
+        "select name, max(price) as mx group by name insert into Out;"
+    ).queries[0]
+    df = planner.compile_query(q)
+    sq = to_memory(df, "xt_out", checkpoint=str(tmp_path / "ck_xt"), output_mode="append")
+    sq.awaitTermination(60)
+    rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM xt_out").collect())
+    assert rows == [("a", 10.0), ("a", 20.0)], rows
+
+    bad = parse(
+        "from s#window.externalTime(id, 1000) "
+        "select name, max(price) as mx group by name insert into Out;"
+    ).queries[0]
+    with pytest.raises(UnsupportedFeatureException):
+        planner.compile_query(bad)
+
+
 def test_control_events_from_stream(spark, sf_dir, tmp_path):
     # verdict item 5: control events arrive on a real STREAM (reference:
     # SiddhiStream.java:126-140 / SiddhiCEPITCase.java:466 dynamic pattern) —
