@@ -23,6 +23,9 @@ streaming DataFrames where Structured Streaming has a native shape:
 - ``#window.lengthBatch(n)`` / ``#window.length(n)``: custom stateful count
   windows (applyInPandasWithState) — per-key buffered chunks / ring buffer,
   per-flush / per-arrival emission (SURVEY.md §7.2 "custom stateful").
+- ``#window.time(t)`` (and ``externalTime`` on the event-time field):
+  per-arrival trailing time window via a per-key stateful buffer of the
+  last t ms (batch ``rangeBetween(-t, 0)`` contract).
 - incremental aggregations (`per 'sec..day'`): aligned tumbling window aggs.
 - event tables: continuous DML via foreachBatch (streaming/tables.py).
 
