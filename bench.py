@@ -35,6 +35,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_quality",
+    # round 2: training-data pipeline ops as first-class headline entries
+    "dedup_clusters",
+    "ann_ivf_topk",
+    "pipeline_contamination",
+    "pipeline_pack",
+    "pipeline_chunk_dedup",
 ]
 
 
