@@ -93,6 +93,72 @@ def test_random_filter_projection(cep_and_duck, pred):
     assert rows_set(out) == oracle
 
 
+@st.composite
+def int_exprs(draw, depth=2):
+    """(siddhi_expr, sql_expr) integer arithmetic over bigint columns —
+    identical text works in both dialects, so this checks the expression
+    COMPILER (precedence, parentheses, nesting), exact integer compare."""
+    if depth == 0 or draw(st.booleans()):
+        if draw(st.booleans()):
+            c = draw(st.sampled_from(["user_id", "event_id"]))
+            return c, c
+        v = str(draw(st.integers(-20, 20)))
+        return v, v
+    l_s, l_q = draw(int_exprs(depth=depth - 1))
+    r_s, r_q = draw(int_exprs(depth=depth - 1))
+    op = draw(st.sampled_from(["+", "-", "*"]))
+    if draw(st.booleans()):
+        return f"({l_s} {op} {r_s})", f"({l_q} {op} {r_q})"
+    return f"{l_s} {op} {r_s}", f"{l_q} {op} {r_q}"
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(expr=int_exprs(), pred=predicates())
+def test_random_arithmetic_projection(cep_and_duck, expr, pred):
+    cep, con = cep_and_duck
+    sexpr, qexpr = expr
+    spred, qpred = pred
+    out = cep.from_("events").cql(
+        f"from events[{spred}] select event_id, {sexpr} as x insert into Out"
+    ).returns("Out")
+    oracle = duck_set(
+        con,
+        f"SELECT event_id, CAST({qexpr} AS BIGINT) x FROM events WHERE {qpred}",
+    )
+    assert rows_set(out) == oracle
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(mins=st.integers(1, 240), agg=st.sampled_from(["sum", "count", "min", "max"]),
+       pred=predicates())
+def test_random_time_batch_window(cep_and_duck, mins, agg, pred):
+    """timeBatch(t) for arbitrary t must equal DuckDB's floor(ts/t) bucketing
+    for any filter/agg combination — the window bucketing law, not one size."""
+    cep, con = cep_and_duck
+    spred, qpred = pred
+    size = mins * 60_000
+    scall = f"{agg}(value)" if agg != "count" else "count()"
+    out = cep.from_("events").cql(
+        f"from events[{spred}]#window.timeBatch({mins} min) "
+        f"select windowStart() as w, event_type, {scall} as x "
+        "group by event_type insert into Out"
+    ).returns("Out")
+    if agg == "count":
+        sqlagg = "CAST(count(*) AS BIGINT)"
+    elif agg == "sum":
+        sqlagg = "CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)"
+    else:
+        sqlagg = f"{agg}(value)"
+    oracle = duck_set(
+        con,
+        f"SELECT CAST(FLOOR(epoch_ms(ts) / {size}) AS BIGINT) * {size} AS w, "
+        f"event_type, {sqlagg} x FROM events WHERE {qpred} GROUP BY 1, 2",
+    )
+    assert rows_set(out) == oracle
+
+
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(pred=predicates(), agg=st.sampled_from(AGGS),
