@@ -597,6 +597,20 @@ def q_pipeline_chunk_dedup(spark, sf_dir):
     return chunk_dedup(_docs(spark, sf_dir), k=8)
 
 
+def q_pipeline_shuffle(spark, sf_dir):
+    from flink_siddhi_spark.llm.pipeline import training_order
+
+    return training_order(_docs(spark, sf_dir)).select("doc_id", "shuffle_key", "pos")
+
+
+def q_text_repetition(spark, sf_dir):
+    from flink_siddhi_spark.llm.text import repetition_ratio
+
+    return repetition_ratio(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "dup_word_ratio", "dup_2gram_ratio"
+    )
+
+
 def q_text_pii_scrub(spark, sf_dir):
     from flink_siddhi_spark.llm.text import pii_scrub
 
@@ -731,6 +745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_contamination": q_pipeline_contamination,
         "pipeline_pack": q_pipeline_pack,
         "pipeline_chunk_dedup": q_pipeline_chunk_dedup,
+        "pipeline_shuffle": q_pipeline_shuffle,
+        "text_repetition": q_text_repetition,
         # --- flagship relational/CEP queries ---
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "tpch_q3_shipping": q_tpch_q3_shipping,
@@ -1269,6 +1285,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM d) "
             "SELECT md5(ch) chunk_hash, CAST(min(doc_id) AS BIGINT) canonical_id, "
             "CAST(count(*) AS BIGINT) n_occurrences FROM c GROUP BY 1"
+        ),
+        "pipeline_shuffle": (
+            "SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) shuffle_key, "
+            "CAST(row_number() OVER (ORDER BY md5('shuffle:' || CAST(doc_id AS VARCHAR)), "
+            "doc_id) AS BIGINT) pos FROM documents"
+        ),
+        "text_repetition": (
+            "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents), "
+            "g AS (SELECT doc_id, w, len(w) n, list_transform(range(0, len(w) - 1), "
+            "i -> w[i + 1] || ' ' || w[i + 2]) grams FROM t) "
+            "SELECT doc_id, CAST(n AS BIGINT) n_words, "
+            "CASE WHEN n >= 2 THEN round(1 - len(list_distinct(w)) / n, 6) ELSE 0.0 END "
+            "dup_word_ratio, "
+            "CASE WHEN n >= 3 THEN round(1 - len(list_distinct(grams)) / (n - 1), 6) "
+            "ELSE 0.0 END dup_2gram_ratio FROM g"
         ),
         "multimodal_features": (
             # mirrors multimodal.decode_image_stub(fake=True): 16-bin histogram

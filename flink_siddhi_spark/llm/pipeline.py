@@ -36,6 +36,7 @@ from typing import Mapping, Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.prefix import global_row_number
 from .dedup import _spread, shingle_table
 
 
@@ -197,6 +198,25 @@ def pack_sequences(
             F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)).cast("bigint"),
         )
     )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle with materialized positions.
+
+    Orders the corpus by md5(salt:id) — a seeded, reproducible permutation —
+    and assigns each doc its 1-based global position ``pos``. The position is
+    computed with the distributed prefix-sum (operators/prefix.py): range-
+    partition on the hash key, per-partition row_number, tiny broadcast
+    offsets — NOT a single-task global ``Window.orderBy``, so it scales to
+    the full corpus. Changing ``salt`` yields an independent epoch order."""
+    key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    out = df.withColumn("shuffle_key", key)
+    out = global_row_number(out, ["shuffle_key", id_col], "pos")
+    return out.withColumn("pos", F.col("pos").cast("bigint"))
 
 
 def chunk_dedup(

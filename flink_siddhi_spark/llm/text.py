@@ -75,6 +75,33 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", F.md5(norm))
 
 
+def repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (Gopher/RefinedWeb-style quality
+    filters): the fraction of duplicate words and duplicate word-2-grams in
+    each document. High ratios flag boilerplate / template / spam pages.
+
+    Pure Catalyst array expressions (split / array_distinct / transform) —
+    whole-stage codegen, no shuffle, scales linearly with corpus size."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(words)
+    dup_word = F.when(n >= 2, F.round(1 - F.size(F.array_distinct(words)) / n, 6)).otherwise(
+        F.lit(0.0)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    n_grams = n - 1
+    dup_gram = F.when(
+        n >= 3, F.round(1 - F.size(F.array_distinct(grams)) / n_grams, 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("n_words", n.cast("bigint"))
+        .withColumn("dup_word_ratio", dup_word)
+        .withColumn("dup_2gram_ratio", dup_gram)
+    )
+
+
 PII_PATTERNS = [
     # (label, regex) — applied in order; deterministic, engine-portable RE2-free syntax
     ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),

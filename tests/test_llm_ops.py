@@ -184,3 +184,24 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     cents = kmeans_centroids(embs, n_centroids=8, n_iter=2).collect()
     assert 0 < len(cents) <= 8
     assert all(len(r.cent_emb) == 64 for r in cents)
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    from flink_siddhi_spark.llm import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # all-duplicate words and 2-grams
+            (2, "all words here are unique"),    # no repetition
+            (3, "one"),                          # degenerate single word
+            (4, "a b a b a b"),                  # unique-ish words, repeated 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.repetition_ratio(docs).collect()}
+    assert out[1].dup_word_ratio == 0.75      # 1 distinct of 4
+    assert out[1].dup_2gram_ratio == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2].dup_word_ratio == 0.0 and out[2].dup_2gram_ratio == 0.0
+    assert out[3].dup_word_ratio == 0.0 and out[3].dup_2gram_ratio == 0.0
+    assert out[4].dup_word_ratio == pytest.approx(4 / 6, abs=1e-6)
+    assert out[4].dup_2gram_ratio == pytest.approx(3 / 5, abs=1e-6)

@@ -99,3 +99,26 @@ def test_chunk_dedup_collapses_shared_chunks(spark):
            for r in P.chunk_dedup(docs, k=8).collect()}
     assert (1, 2) in out.values()  # the shared 8-word chunk, canonical doc 1
     assert sum(n for _, n in out.values()) == 2 + 2 + 1  # doc1: 2 chunks, doc2: 2, doc3: 1
+
+
+def test_training_order_is_deterministic_permutation(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string")
+    out = P.training_order(docs).select("doc_id", "shuffle_key", "pos").collect()
+    assert sorted(r.pos for r in out) == list(range(1, 51))
+    # positions follow md5 hash order — a real permutation, not id order
+    by_key = sorted(out, key=lambda r: (r.shuffle_key, r.doc_id))
+    assert [r.pos for r in by_key] == list(range(1, 51))
+    assert [r.doc_id for r in by_key] != list(range(50))
+    # re-running yields the identical order (no RNG state)
+    again = P.training_order(docs).select("doc_id", "pos").collect()
+    assert {r.doc_id: r.pos for r in again} == {r.doc_id: r.pos for r in out}
+
+
+def test_training_order_salt_changes_epoch(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string")
+    e0 = {r.doc_id: r.pos for r in P.training_order(docs, salt="epoch0").collect()}
+    e1 = {r.doc_id: r.pos for r in P.training_order(docs, salt="epoch1").collect()}
+    assert e0 != e1
+    assert sorted(e0.values()) == sorted(e1.values())
