@@ -381,12 +381,18 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     Distributed shape: iterative min-label propagation — each round joins
     labels across edges and keeps the per-node min; converges in O(graph
     diameter) rounds (near-dup clusters are shallow, so a handful). Each
-    round is ONE groupBy-min plus an edge join; ``localCheckpoint`` truncates
-    lineage so plans don't grow with iterations. This is the standard
-    large-graph CC shape (no driver-side union-find, no collect)."""
+    round is ONE groupBy-min over (own + neighbor) labels; the previous
+    label rides along as ``__own`` (min ignores the nulls on neighbor rows),
+    so convergence is read off the materialized round with a trivial scan
+    instead of a second join job. ``localCheckpoint`` truncates lineage so
+    plans don't grow with iterations, and the pair input is checkpointed
+    once so the (possibly expensive) candidate pipeline upstream is not
+    recomputed per union branch. This is the standard large-graph CC shape
+    (no driver-side union-find, no collect)."""
+    p = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(p.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
     edges = edges.localCheckpoint(eager=False)
@@ -395,26 +401,26 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_iterations):
-        # candidate labels: own label + the labels of all neighbors
+    label_t = dict(p.dtypes)["id_a"]
+    for it in range(max_iterations):
+        # candidate labels: own label + the labels of all neighbors; the own
+        # row carries the previous label in __own (null on neighbor rows, so
+        # per-node min(__own) = previous label)
+        own = labels.select("node", "label", F.col("label").alias("__own"))
         neighbor = (
             edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .select(F.col("src").alias("node"), F.col("label"))
+            .select(F.col("src").alias("node"), F.col("label"),
+                    F.lit(None).cast(label_t).alias("__own"))
         )
         new_labels = (
-            labels.unionByName(neighbor)
+            own.unionByName(neighbor)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("__own").alias("__own"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "label")
+        # round 1 always relabels the larger endpoint of some edge — skip the
+        # (cheap, checkpoint-scan) convergence probe there
+        if it > 0 and new_labels.filter(F.col("label") != F.col("__own")).limit(1).count() == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
