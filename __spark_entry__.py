@@ -611,6 +611,34 @@ def q_text_repetition(spark, sf_dir):
     )
 
 
+def q_text_boilerplate_ngrams(spark, sf_dir):
+    from flink_siddhi_spark.llm.text import corpus_ngram_stats
+
+    return corpus_ngram_stats(_docs(spark, sf_dir), n=3, top_k=50, min_docs=2)
+
+
+def q_dedup_simhash_hamming(spark, sf_dir):
+    from flink_siddhi_spark.llm.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(_docs(spark, sf_dir), bits=16, max_hamming=2)
+
+
+def q_pipeline_weighted_sample(spark, sf_dir):
+    from flink_siddhi_spark.llm.pipeline import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    w = F.least(F.lit(1.0), F.size(F.split(F.col("text"), " ")) / F.lit(100.0))
+    return weighted_sample(docs.withColumn("w", w), "w", rate=0.8).select(
+        "doc_id", F.round("w", 6).alias("w")
+    )
+
+
+def q_pipeline_chunk_overlap(spark, sf_dir):
+    from flink_siddhi_spark.llm.pipeline import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=16, stride=8)
+
+
 def q_text_pii_scrub(spark, sf_dir):
     from flink_siddhi_spark.llm.text import pii_scrub
 
@@ -726,6 +754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_verified": q_dedup_embedding_verified,
         "dedup_clusters": q_dedup_clusters,
         "text_pii_scrub": q_text_pii_scrub,
+        "text_boilerplate_ngrams": q_text_boilerplate_ngrams,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
+        "pipeline_weighted_sample": q_pipeline_weighted_sample,
+        "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_count": q_text_token_count,
@@ -868,6 +900,27 @@ def _simhash_sql() -> str:
     return (
         "WITH d AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents) "
         f"SELECT doc_id, CAST({expr} AS BIGINT) simhash FROM d"
+    )
+
+
+def _simhash_hamming_sql(bits: int = 16, max_hamming: int = 2) -> str:
+    """Pigeonhole-banded Hamming-distance pairs over the SimHash fingerprints;
+    band layout mirrors llm.dedup.band_layout exactly."""
+    from flink_siddhi_spark.llm.dedup import band_layout
+
+    rows = ", ".join(
+        f"({i}, {start}, {(1 << w) - 1})"
+        for i, (start, w) in enumerate(band_layout(bits, max_hamming + 1))
+    )
+    return (
+        f"WITH ex AS (SELECT doc_id, simhash, b.band, (simhash >> b.s) & b.m AS val "
+        f"FROM ({_simhash_sql()}) fp, (VALUES {rows}) b(band, s, m)) "
+        "SELECT id_a, id_b, hamming FROM ("
+        "SELECT DISTINCT a.doc_id id_a, b.doc_id id_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) hamming "
+        "FROM ex a JOIN ex b ON a.band = b.band AND a.val = b.val "
+        "AND a.doc_id < b.doc_id) "
+        f"WHERE hamming <= {max_hamming}"
     )
 
 
@@ -1285,6 +1338,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM d) "
             "SELECT md5(ch) chunk_hash, CAST(min(doc_id) AS BIGINT) canonical_id, "
             "CAST(count(*) AS BIGINT) n_occurrences FROM c GROUP BY 1"
+        ),
+        "text_boilerplate_ngrams": (
+            "WITH " + _shingle_cte("hh") + ", "
+            "ex AS (SELECT doc_id, unnest(sh) ngram FROM hh) "
+            "SELECT ngram, CAST(count(*) AS BIGINT) n_docs FROM ex GROUP BY ngram "
+            "HAVING count(*) >= 2 ORDER BY n_docs DESC, ngram LIMIT 50"
+        ),
+        "dedup_simhash_hamming": _simhash_hamming_sql(),
+        "pipeline_weighted_sample": (
+            "WITH d AS (SELECT doc_id, least(CAST(1.0 AS DOUBLE), "
+            "CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) w FROM documents) "
+            "SELECT doc_id, round(w, 6) w FROM d WHERE "
+            "CAST(concat('0x', substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) / 4294967296.0 < w * 0.8"
+        ),
+        "pipeline_chunk_overlap": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents), "
+            "c AS (SELECT doc_id, w, len(w) n, CASE WHEN len(w) <= 16 THEN 1 "
+            "ELSE CAST(ceil((len(w) - 16) / 8.0) AS INT) + 1 END k FROM d), "
+            "e AS (SELECT doc_id, n, w, unnest(range(0, k)) i FROM c) "
+            "SELECT doc_id, CAST(i AS INT) chunk_idx, "
+            "array_to_string(w[i*8+1:i*8+16], ' ') chunk_text, "
+            "CAST(least(16, n - i*8) AS INT) n_words FROM e"
         ),
         "pipeline_shuffle": (
             "SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) shuffle_key, "

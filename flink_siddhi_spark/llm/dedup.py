@@ -260,6 +260,71 @@ def simhash_dup_pairs(df: DataFrame, bits: int = 16, text_col: str = "text",
     )
 
 
+def band_layout(bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Contiguous (start_bit, width) bands covering [0, bits); the first
+    ``bits % n_bands`` bands are one bit wider. Shared by the Spark operator
+    and the SQL oracle so both engines bucket identically."""
+    base, rem = divmod(bits, n_bands)
+    out, start = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < rem else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
+def simhash_hamming_pairs(
+    df: DataFrame, bits: int = 16, max_hamming: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs whose SimHash fingerprints differ in <= ``max_hamming``
+    bits — the standard web-scale fuzzy-dedup refinement over exact-equality
+    SimHash matching.
+
+    Scale shape (pigeonhole banding): split the ``bits``-bit fingerprint into
+    ``max_hamming + 1`` contiguous bit bands. Any pair within Hamming
+    distance d differs in at most d bands, so it agrees EXACTLY on at least
+    one band — candidates are a per-band bucket equi-join (hash shuffle on
+    (band, band_value), bucket-bounded like LSH), never a cross join. The
+    exact distance check is one codegen'd ``bit_count(a ^ b)`` per candidate.
+    """
+    nb = max_hamming + 1
+    if nb > bits:
+        raise ValueError("max_hamming + 1 bands need at least that many bits")
+    s = simhash(df, bits, text_col, id_col)
+    bands_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"shiftright(simhash, {start}) & {(1 << w) - 1}").alias("val"),
+            )
+            for i, (start, w) in enumerate(band_layout(bits, nb))
+        ]
+    )
+    ex = s.select(F.col(id_col), F.col("simhash"), F.explode(bands_arr).alias("b"))
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b.band") == F.col("b.b.band"))
+            & (F.col("a.b.val") == F.col("b.b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(__sa ^ __sb)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def dot(x, y, dim: Optional[int] = None) -> Column:
     """Deterministic left-fold dot product of float arrays (double math).
 

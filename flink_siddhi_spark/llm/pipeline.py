@@ -245,3 +245,65 @@ def chunk_dedup(
         F.min(id_col).alias("canonical_id"),
         F.count(F.lit(1)).alias("n_occurrences"),
     )
+
+
+def _uniform01(col: Column, salt: str) -> Column:
+    """Deterministic uniform(0,1) from md5(salt:id): the first 8 hex digits
+    parsed as an integer, divided by 16^8 — engine-portable (DuckDB:
+    CAST(concat('0x', substring(md5(..),1,8)) AS BIGINT) / 4294967296.0)."""
+    h8 = F.substring(F.md5(F.concat(F.lit(salt + ":"), col.cast("string"))), 1, 8)
+    return F.conv(h8, 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a row iff
+    uniform01(md5(salt:id)) < rate * weight — quality-weighted corpus
+    downsampling (keep high-quality docs with higher probability) that is
+    reproducible across runs, engines, retries, and repartitioning.
+
+    Same 100 TB shape as ``sample_hash``: a narrow projection + filter, no
+    shuffle, no RNG state. ``weight_col`` should be in [0, 1]; the effective
+    keep probability is clamped to 1."""
+    u = _uniform01(F.col(id_col), salt)
+    return df.filter(u < F.col(weight_col).cast("double") * F.lit(float(rate)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping sliding-window chunks for training-sequence construction:
+    ``size``-word chunks every ``stride`` words (the last window may be
+    short; a doc shorter than ``size`` yields one chunk).
+
+    Returns (doc_id, chunk_idx, chunk_text, n_words). Pure array expressions
+    (sequence/transform/slice + ONE explode) — whole-stage codegen, rows
+    bounded by ceil(len/stride) per doc, no shuffle at all: chunking stays
+    partition-local, so a downstream per-chunk operator (tokenize, hash,
+    embed) runs on co-located data."""
+    words = F.split(F.col(text_col), " ")
+    nw = F.size(words)
+    n_chunks = F.when(nw <= size, F.lit(1)).otherwise(
+        F.ceil((nw - size) / F.lit(stride)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(words, i * stride + 1, size)).alias("chunk_text"),
+            F.least(F.lit(size), nw - i * stride).cast("int").alias("n_words"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(id_col, "__c.chunk_idx", "__c.chunk_text", "__c.n_words")
+    )

@@ -125,3 +125,28 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("scrubbed", scrubbed).withColumn(
         "n_redactions", n_hits.cast("bigint")
     )
+
+
+def corpus_ngram_stats(
+    df: DataFrame, n: int = 3, top_k: int = 50, min_docs: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide heavy-hitter word n-grams by document frequency —
+    boilerplate detection ("all rights reserved" headers/footers show up in
+    a large fraction of a web crawl and should be stripped before training).
+
+    Scale shape: explode doc-DISTINCT shingles (dedup.shingle_table) -> ONE
+    hash-aggregate on the shingle (map-side partial counts, a single shuffle
+    on a short string key) -> deterministic top-k via TakeOrdered on
+    (n_docs DESC, ngram) — never a global sort materialization. Returns
+    (ngram, n_docs) rows, a total order so LIMIT is reproducible."""
+    from .dedup import _spread, shingle_table
+
+    sh = shingle_table(_spread(df.select(id_col, text_col)), text_col, id_col, n)
+    return (
+        sh.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), "ngram")
+        .limit(top_k)
+    )

@@ -205,3 +205,67 @@ def test_repetition_ratio_flags_boilerplate(spark):
     assert out[3].dup_word_ratio == 0.0 and out[3].dup_2gram_ratio == 0.0
     assert out[4].dup_word_ratio == pytest.approx(4 / 6, abs=1e-6)
     assert out[4].dup_2gram_ratio == pytest.approx(3 / 5, abs=1e-6)
+
+
+def test_simhash_hamming_pairs(docs):
+    # identical docs (1, 4) are at hamming 0; doc 2 differs by one word from
+    # doc 1 so its fingerprint is within a small distance; doc 3 is far.
+    out = {(r.id_a, r.id_b): r.hamming for r in
+           D.simhash_hamming_pairs(docs, bits=16, max_hamming=2).collect()}
+    assert out[(1, 4)] == 0
+    assert all(h <= 2 for h in out.values())
+
+
+def test_band_layout_covers_all_bits():
+    for bits, nb in [(16, 3), (16, 4), (64, 4), (7, 3)]:
+        layout = D.band_layout(bits, nb)
+        covered = [b for start, w in layout for b in range(start, start + w)]
+        assert covered == list(range(bits))
+
+
+def test_corpus_ngram_stats_finds_boilerplate(spark):
+    from flink_siddhi_spark.llm.text import corpus_ngram_stats
+    df = spark.createDataFrame(
+        [(1, "all rights reserved foo"), (2, "all rights reserved bar"),
+         (3, "all rights reserved baz"), (4, "nothing shared here at all")],
+        "doc_id int, text string")
+    rows = corpus_ngram_stats(df, n=3, top_k=10, min_docs=2).collect()
+    assert rows[0].ngram == "all rights reserved" and rows[0].n_docs == 3
+    # doc-frequency, not occurrence count: repeated shingle in one doc counts once
+    df2 = spark.createDataFrame(
+        [(1, "x y z x y z"), (2, "x y z only once")], "doc_id int, text string")
+    rows2 = {r.ngram: r.n_docs for r in
+             corpus_ngram_stats(df2, n=3, top_k=10, min_docs=2).collect()}
+    assert rows2["x y z"] == 2
+
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from flink_siddhi_spark.llm.pipeline import weighted_sample
+    from pyspark.sql import functions as F
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    zero = weighted_sample(df.withColumn("w", F.lit(0.0)), "w")
+    full = weighted_sample(df.withColumn("w", F.lit(1.0)), "w")
+    half = weighted_sample(df.withColumn("w", F.lit(0.5)), "w")
+    assert zero.count() == 0 and full.count() == 500
+    n_half = half.count()
+    assert 175 <= n_half <= 325  # ~Binomial(500, .5)
+    # deterministic: same result on re-run, and half-sample ⊂ full-sample
+    assert half.count() == n_half
+    half_ids = {r.doc_id for r in half.collect()}
+    w7 = weighted_sample(df.withColumn("w", F.lit(0.7)), "w")
+    assert half_ids <= {r.doc_id for r in w7.collect()}
+
+
+def test_chunk_documents_overlap_and_short_docs(spark):
+    from flink_siddhi_spark.llm.pipeline import chunk_documents
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))), (2, "tiny doc")],
+        "doc_id int, text string")
+    out = chunk_documents(df, size=8, stride=4)
+    rows = {(r.doc_id, r.chunk_idx): (r.chunk_text, r.n_words) for r in out.collect()}
+    # doc 1: 20 words -> ceil((20-8)/4)+1 = 4 chunks; windows overlap by 4
+    assert {i for d, i in rows if d == 1} == {0, 1, 2, 3}
+    assert rows[(1, 0)][0].split(" ")[4:] == rows[(1, 1)][0].split(" ")[:4]
+    assert rows[(1, 3)] == ("w12 w13 w14 w15 w16 w17 w18 w19", 8)
+    # short doc: one (possibly short) chunk
+    assert rows[(2, 0)] == ("tiny doc", 2)
