@@ -26,7 +26,19 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# Loaded-table memo: spark.read.parquet costs ~0.1s of driver time per call
+# (file listing + footer schema read); a query suite touching 4 tables pays
+# that 4x per query without this. DataFrames are immutable logical plans, so
+# handing back the same object is safe; keyed by applicationId so a new
+# session (tests spin several) never sees a stale plan.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -35,6 +47,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # mantissa, so float division is off by ±hundreds of ns and can flip
         # a millisecond at unix_millis truncation boundaries.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
