@@ -639,6 +639,18 @@ def q_pipeline_chunk_overlap(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), size=16, stride=8)
 
 
+def q_text_tfidf_top_terms(spark, sf_dir):
+    from flink_siddhi_spark.llm.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+def q_text_lm_score(spark, sf_dir):
+    from flink_siddhi_spark.llm.text import unigram_lm_score
+
+    return unigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_text_pii_scrub(spark, sf_dir):
     from flink_siddhi_spark.llm.text import pii_scrub
 
@@ -755,6 +767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_pii_scrub": q_text_pii_scrub,
         "text_boilerplate_ngrams": q_text_boilerplate_ngrams,
+        "text_tfidf_top_terms": q_text_tfidf_top_terms,
+        "text_lm_score": q_text_lm_score,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
         "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
@@ -1346,6 +1360,28 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(*) >= 2 ORDER BY n_docs DESC, ngram LIMIT 50"
         ),
         "dedup_simhash_hamming": _simhash_hamming_sql(),
+        "text_tfidf_top_terms": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) term "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) tf FROM w GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, count(*) dfreq FROM tf GROUP BY 1), "
+            "n AS (SELECT count(*) nd FROM documents), "
+            "s AS (SELECT doc_id, term, round(tf * ln((nd + 1.0) / (dfreq + 1.0)), 6) score "
+            "FROM tf JOIN dfreq USING (term), n), "
+            "r AS (SELECT doc_id, term, score, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, term) rn FROM s) "
+            "SELECT doc_id, term, score FROM r WHERE rn <= 5"
+        ),
+        "text_lm_score": (
+            "WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) term "
+            "FROM documents), "
+            "c AS (SELECT term, count(*) c FROM w GROUP BY 1), "
+            "t AS (SELECT sum(c) tot FROM c) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) n_words, "
+            "round(CAST(sum(CAST(round(-log2(c / tot), 6) AS DECIMAL(25,6))) AS DOUBLE) "
+            "/ count(*), 6) avg_neg_log2p "
+            "FROM w JOIN c USING (term), t GROUP BY doc_id"
+        ),
         "pipeline_weighted_sample": (
             "WITH d AS (SELECT doc_id, least(CAST(1.0 AS DOUBLE), "
             "CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) w FROM documents) "

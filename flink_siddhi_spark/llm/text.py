@@ -150,3 +150,70 @@ def corpus_ngram_stats(
         .orderBy(F.desc("n_docs"), "ngram")
         .limit(top_k)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms (keyword extraction / topic
+    signals for corpus curation).
+
+    Scale shape: explode words -> per-(doc, term) TF hash-aggregate (one
+    shuffle) -> per-term document frequency from the SAME aggregated frame
+    (second, smaller shuffle on the term key) -> shuffle equi-join TF x DF on
+    the term (the vocabulary is NOT broadcast — at web scale it is billions
+    of terms) -> per-doc top-k via row_number partitioned by doc (scales
+    with document count; never a global sort). IDF = ln((N+1)/(df+1)),
+    scores rounded to 6 decimals for engine-portable determinism; ties
+    broken by term."""
+    w = df.select(F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+    tf = w.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log((F.col("__nd") + 1.0) / (F.col("dfreq") + 1.0)), 6),
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "score")
+    )
+
+
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: mean -log2 p(word) under the
+    corpus's own unigram distribution (low = common/fluent text, high =
+    rare-token noise; used to bucket web corpora into quality tiers).
+
+    Scale shape: explode words -> global term-count aggregate (one shuffle,
+    map-side partials) -> shuffle equi-join words x counts on the term key
+    (vocabulary-sized side, NOT broadcast at web scale) -> per-doc mean.
+    Per-word -log2 p is rounded to 6 decimals and summed through
+    DECIMAL(25,6), so the result is independent of partition count and
+    accumulation order (the repo-wide deterministic-float contract)."""
+    w = df.select(F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+    counts = w.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.select(F.sum("c").alias("__tot"))
+    nlp = F.round(-F.log2(F.col("c") / F.col("__tot")), 6).cast("decimal(25,6)")
+    return (
+        w.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__nlp", nlp)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum("__nlp").cast("double") / F.count(F.lit(1)), 6).alias("avg_neg_log2p"),
+        )
+    )

@@ -269,3 +269,23 @@ def test_chunk_documents_overlap_and_short_docs(spark):
     assert rows[(1, 3)] == ("w12 w13 w14 w15 w16 w17 w18 w19", 8)
     # short doc: one (possibly short) chunk
     assert rows[(2, 0)] == ("tiny doc", 2)
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from flink_siddhi_spark.llm.text import tfidf_top_terms
+    df = spark.createDataFrame(
+        [(1, "shared shared zebra"), (2, "shared shared yak"), (3, "shared shared yak")],
+        "doc_id int, text string")
+    top = {r.doc_id: r.term for r in tfidf_top_terms(df, k=1).collect()}
+    # 'shared' appears in every doc -> low idf; the rare word wins per doc
+    assert top == {1: "zebra", 2: "yak", 3: "yak"}
+
+
+def test_unigram_lm_score_rare_words_score_higher(spark):
+    from flink_siddhi_spark.llm.text import unigram_lm_score
+    df = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common rareword")],
+        "doc_id int, text string")
+    s = {r.doc_id: (r.n_words, r.avg_neg_log2p) for r in unigram_lm_score(df).collect()}
+    assert s[1][0] == 4 and s[2][0] == 2
+    assert s[2][1] > s[1][1]  # the doc with the rare token is more surprising
