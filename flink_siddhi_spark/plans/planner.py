@@ -323,14 +323,16 @@ class BatchPlanner:
         raise UnsupportedFeatureException(f"aggregate {call.name} not implemented")
 
     # -------------------------------------------------------- row-wise select
-    def _select_rowwise(self, df: DataFrame, q: A.Query, resolver, fields: list[str]) -> DataFrame:
+    def _select_rowwise(self, df: DataFrame, q: A.Query, resolver, fields: list[str],
+                        extra_cols: tuple = ()) -> DataFrame:
         ts = F.col(TS_COL) if TS_COL in df.columns else None
         comp = self._compiler(resolver, df, ts=ts)
+        extras = [F.col(c) for c in extra_cols]
         if q.select is None:
-            out = df.select(*fields)
+            out = df.select(*fields, *extras)
         else:
             cols = [comp.compile(it.expr).alias(self._out_name(it)) for it in q.select]
-            out = df.select(*cols)
+            out = df.select(*cols, *extras)
         if q.having is not None:
             hc = ExprCompiler(lambda r: F.col(r.name), self.extensions)
             out = out.filter(hc.compile(q.having))

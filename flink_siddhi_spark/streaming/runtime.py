@@ -29,8 +29,12 @@ streaming DataFrames where Structured Streaming has a native shape:
 - incremental aggregations (`per 'sec..day'`): aligned tumbling window aggs.
 - event tables: continuous DML via foreachBatch (streaming/tables.py).
 
-Retention windows (final-contents contract), month/year granularities, and
-order/limit are batch-only — the planner raises a clear error.
+Retention windows: row-wise ``unique``/``firstUnique`` stream as keyed
+last/first-event state; ``sort``/``frequent`` stream as per-micro-batch
+SNAPSHOTS of the retained contents (each row tagged ``__snapshot``; max id =
+current contents — PARITY.md §15). The rest of the retention family,
+month/year granularities, and order/limit are batch-only — the planner
+raises a clear error.
 """
 
 from __future__ import annotations
@@ -50,6 +54,11 @@ from ..plans.planner import TS_COL, BatchPlanner
 from ..siddhiql import ast as A
 from ..operators import windows as W
 from ..operators.pattern import PK_COL, STREAM_COL, _run_nfa, _vec
+
+# Streaming #window.sort / #window.frequent emit per-micro-batch SNAPSHOTS of
+# the window's retained contents; each output row carries the snapshot id and
+# the rows with the max id per state key are the current contents (PARITY.md).
+SNAPSHOT_COL = "__snapshot"
 
 
 class StreamingPlanner(BatchPlanner):
@@ -89,13 +98,14 @@ class StreamingPlanner(BatchPlanner):
         if not schema.df.isStreaming:
             return super()._compile_single(q)
         retain = W.classify(si.window) == "retain"
+        wname = si.window.name.lower() if si.window is not None else ""
         if retain:
-            wname = si.window.name.lower()
-            if wname not in ("unique", "firstunique") or self._query_has_agg(q):
+            if wname not in ("unique", "firstunique", "sort", "frequent") \
+                    or self._query_has_agg(q):
                 raise UnsupportedFeatureException(
                     f"#window.{si.window.name}: retention windows follow the "
-                    "final-contents contract — batch mode only "
-                    "(streaming supports row-wise unique/firstUnique)"
+                    "final-contents contract — batch mode only (streaming "
+                    "supports row-wise unique/firstUnique/sort/frequent)"
                 )
         df = self._with_watermark(df, schema)
         names = {si.stream, si.alias} if si.alias else {si.stream}
@@ -103,12 +113,18 @@ class StreamingPlanner(BatchPlanner):
         comp = self._compiler(resolver, df)
         if si.filter is not None:
             df = df.filter(comp.compile(si.filter))
+        extra_cols: tuple = ()
         if retain:
-            df = self._streaming_unique(df, si, schema)
+            if wname in ("unique", "firstunique"):
+                df = self._streaming_unique(df, si, schema)
+            else:
+                pkey = (q.partition_by or {}).get(si.stream)
+                df = self._streaming_retention_snapshot(df, si, schema, pkey)
+                extra_cols = (SNAPSHOT_COL,)
         if not self._query_has_agg(q):
             if q.order_by or q.limit is not None:
                 raise UnsupportedFeatureException("order by / limit need batch mode")
-            return self._select_rowwise(df, q, resolver, schema.fields)
+            return self._select_rowwise(df, q, resolver, schema.fields, extra_cols)
         return self._streaming_agg(df, q, si, resolver)
 
     def _streaming_unique(self, df: DataFrame, si: A.SingleInput, schema) -> DataFrame:
@@ -168,6 +184,103 @@ class StreamingPlanner(BatchPlanner):
             yield rows.iloc[[cand]]
 
         return df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+            proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+
+    def _streaming_retention_snapshot(
+        self, df: DataFrame, si: A.SingleInput, schema, pkey: Optional[str]
+    ) -> DataFrame:
+        """#window.sort / #window.frequent in streaming mode.
+
+        Keyed state holds the window's retained contents; every micro-batch
+        that touches a key emits the key's FULL new contents tagged with a
+        monotonically increasing ``__snapshot`` id — the rows carrying the
+        max id are the current window contents, and after the final batch
+        they equal the batch-mode result (tests assert this contract).
+
+        State: sort keeps at most n rows per key (bounded); frequent keeps
+        every event of the key (exact counts — the same retained-event
+        growth as the reference's frequent window; at corpus scale use the
+        batch path or a ``partition with`` key to shard it). Without
+        ``partition with`` the state lives under one global key —
+        single-task by semantic necessity, mirroring the batch global-order
+        constraint (warn_global_order fires)."""
+        wname = si.window.name.lower()
+        out_cols = [c for c in df.columns if c != "__event_time"]
+        ord_cols = ([TS_COL] if schema.ts_field is not None else []) + [
+            f for f in schema.fields if f != schema.ts_field
+        ]
+        ord_cols = [c for c in ord_cols if c in out_cols]
+        out_schema = T.StructType(
+            [f for f in df.schema.fields if f.name in out_cols]
+            + [T.StructField(SNAPSHOT_COL, T.IntegerType())]
+        )
+        state_schema = T.StructType(
+            [T.StructField("rows", T.StringType()), T.StructField("snap", T.IntegerType())]
+        )
+        if wname == "sort":
+            n, sort_keys = W._sort_args(si.window)
+            by = [k for k, _ in sort_keys] + ord_cols
+            ascending = [asc for _, asc in sort_keys] + [True] * len(ord_cols)
+            top_n: Optional[int] = n
+            combo_keys: list[str] = []
+        else:  # frequent
+            n = W._arg_ms(si.window, 0)
+            combo_keys = [a.name for a in si.window.args[1:] if isinstance(a, A.Ref)]
+            combo_keys = combo_keys or [f for f in schema.fields if f in out_cols]
+            by, ascending, top_n = ord_cols, [True] * len(ord_cols), None
+
+        def _restore(blob: str, like: pd.DataFrame) -> pd.DataFrame:
+            import io as _io
+
+            stored = pd.read_json(_io.StringIO(blob), orient="split")
+            for c in like.columns:
+                t = like[c].dtype
+                if str(t).startswith("datetime"):
+                    stored[c] = pd.to_datetime(stored[c])
+                else:
+                    stored[c] = stored[c].astype(t)
+            return stored[like.columns]
+
+        def proc(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+            new = pd.concat([p[out_cols] for p in pdfs], ignore_index=True)
+            snap = 0
+            if state.exists:
+                blob, snap = state.get
+                rows = pd.concat([_restore(blob, new), new], ignore_index=True)
+            else:
+                rows = new
+            rows = rows.sort_values(by, ascending=ascending, kind="mergesort").reset_index(
+                drop=True
+            )
+            if top_n is not None:  # sort window: retained set = global top-n
+                rows = rows.head(top_n).reset_index(drop=True)
+                retained = rows
+            else:  # frequent window: events of the n most-frequent key combos
+                counts = (
+                    rows.groupby(combo_keys, sort=False, dropna=False)
+                    .size()
+                    .reset_index(name="__n")
+                    .sort_values(["__n"] + combo_keys, ascending=[False] + [True] * len(combo_keys),
+                                 kind="mergesort")
+                )
+                top = counts.head(n)[combo_keys]
+                retained = rows.merge(top, on=combo_keys, how="inner")
+                retained = retained.sort_values(by, ascending=ascending, kind="mergesort")
+            snap += 1
+            state.update((rows.to_json(orient="split", date_format="iso"), snap))
+            out = retained.reset_index(drop=True).copy()
+            out[SNAPSHOT_COL] = snap
+            out[SNAPSHOT_COL] = out[SNAPSHOT_COL].astype("int32")
+            yield out
+
+        if pkey:
+            keys = [pkey]
+        else:
+            W.warn_global_order(f"streaming #window.{si.window.name} (global retained set)")
+            df = df.withColumn("__gk", F.lit(1))
+            keys = ["__gk"]
+        return df.groupBy(*keys).applyInPandasWithState(
             proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
 

@@ -570,3 +570,70 @@ def test_streaming_fan_in(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted((r.id, r.price) for r in spark.sql("select * from m_fan").collect())
     assert got == [(0, 0.0), (1, 1.0), (8, 8.0), (9, 9.0)]
+
+
+def _two_batch_stream(spark, tmpdir, rows1, rows2):
+    """Two parquet files + maxFilesPerTrigger=1 -> two micro-batches."""
+    d = str(tmpdir)
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    return (
+        spark.readStream.format("parquet").schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+
+
+def test_streaming_sort_window_snapshots(spark, tmp_path):
+    # verdict item 8 (round 2): streaming sort window via snapshot state.
+    rows1 = [(1, "a", 30.0, 1000), (2, "b", 10.0, 2000)]
+    rows2 = [(3, "c", 5.0, 3000), (4, "d", 40.0, 4000)]
+    cep = SiddhiCEP(spark)
+    stream = _two_batch_stream(spark, tmp_path / "in_sort", rows1, rows2)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "from s#window.sort(2, price) select id, price insert into Out",
+        "Out", "m_sort_snap", tmp_path,
+    ).collect()
+    snaps = {}
+    for r in out:
+        snaps.setdefault(r["__snapshot"], set()).add((r.id, r.price))
+    # final snapshot == batch-mode final contents (2 cheapest events)
+    assert snaps[max(snaps)] == {(2, 10.0), (3, 5.0)}
+    # the first snapshot saw only batch 1
+    assert snaps[min(snaps)] == {(1, 30.0), (2, 10.0)}
+    bcep = SiddhiCEP(spark)
+    bdf = spark.createDataFrame(rows1 + rows2, EVENT_SCHEMA)
+    bcep.register_stream("s", bdf, "id", "name", "price", "timestamp", ts_field="timestamp")
+    batch = bcep.from_("s").cql(
+        "from s#window.sort(2, price) select id, price insert into Out"
+    ).returns("Out")
+    assert {(r.id, r.price) for r in batch.collect()} == snaps[max(snaps)]
+
+
+def test_streaming_frequent_window_snapshots(spark, tmp_path):
+    rows1 = [(1, "x", 1.0, 1000), (2, "x", 2.0, 2000), (3, "y", 3.0, 3000)]
+    rows2 = [(4, "y", 4.0, 4000), (5, "y", 5.0, 5000), (6, "z", 6.0, 6000)]
+    cep = SiddhiCEP(spark)
+    stream = _two_batch_stream(spark, tmp_path / "in_freq", rows1, rows2)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "from s#window.frequent(1, name) select id, name insert into Out",
+        "Out", "m_freq_snap", tmp_path,
+    ).collect()
+    snaps = {}
+    for r in out:
+        snaps.setdefault(r["__snapshot"], set()).add((r.id, r.name))
+    # batch 1: 'x' leads 2-1; after batch 2: 'y' leads 3-2
+    assert snaps[min(snaps)] == {(1, "x"), (2, "x")}
+    assert snaps[max(snaps)] == {(3, "y"), (4, "y"), (5, "y")}
+    bcep = SiddhiCEP(spark)
+    bdf = spark.createDataFrame(rows1 + rows2, EVENT_SCHEMA)
+    bcep.register_stream("s", bdf, "id", "name", "price", "timestamp", ts_field="timestamp")
+    batch = bcep.from_("s").cql(
+        "from s#window.frequent(1, name) select id, name insert into Out"
+    ).returns("Out")
+    assert {(r.id, r.name) for r in batch.collect()} == snaps[max(snaps)]
