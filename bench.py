@@ -41,6 +41,11 @@ HEADLINE = [
     "pipeline_contamination",
     "pipeline_pack",
     "pipeline_chunk_dedup",
+    # round 2b: corpus statistics + banding dedup additions
+    "text_tfidf_top_terms",
+    "text_lm_score",
+    "dedup_simhash_hamming",
+    "pipeline_chunk_overlap",
 ]
 
 
