@@ -289,3 +289,28 @@ def test_unigram_lm_score_rare_words_score_higher(spark):
     s = {r.doc_id: (r.n_words, r.avg_neg_log2p) for r in unigram_lm_score(df).collect()}
     assert s[1][0] == 4 and s[2][0] == 2
     assert s[2][1] > s[1][1]  # the doc with the rare token is more surprising
+
+
+def test_chunk_documents_partition_property(spark):
+    """stride == size -> chunks partition the doc exactly (no overlap, no loss)."""
+    from flink_siddhi_spark.llm.pipeline import chunk_documents
+    texts = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate([1, 7, 8, 9, 16, 31], start=1)
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    out = chunk_documents(df, size=8, stride=8).collect()
+    rebuilt = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        rebuilt.setdefault(r.doc_id, []).append(r.chunk_text)
+        assert r.n_words == len(r.chunk_text.split(" "))
+    for doc_id, text in texts:
+        assert " ".join(rebuilt[doc_id]) == text
+
+
+def test_simhash_hamming_subsumes_exact_pairs(docs):
+    """hamming<=k output must contain every exact-equality SimHash pair."""
+    exact = {(r.id_a, r.id_b) for r in D.simhash_dup_pairs(docs, bits=16).collect()}
+    banded = {(r.id_a, r.id_b) for r in
+              D.simhash_hamming_pairs(docs, bits=16, max_hamming=2).collect()}
+    assert exact <= banded
