@@ -303,7 +303,11 @@ def simhash_hamming_pairs(
     )
     ex = s.select(F.col(id_col), F.col("simhash"), F.explode(bands_arr).alias("b"))
     a, b = ex.alias("a"), ex.alias("b")
-    cand = (
+    # the hamming filter runs BEFORE dropDuplicates: bit_count is one codegen
+    # instruction per candidate, and filtering first shrinks the dedup
+    # shuffle from |candidates| to |true pairs| (a pair matching in several
+    # bands is deduplicated after it already passed the cheap check)
+    return (
         a.join(
             b,
             (F.col("a.b.band") == F.col("b.b.band"))
@@ -313,14 +317,10 @@ def simhash_hamming_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("__sa"),
-            F.col("b.simhash").alias("__sb"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn("hamming", F.expr("bit_count(__sa ^ __sb)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
 
