@@ -651,6 +651,22 @@ def q_text_lm_score(spark, sf_dir):
     return unigram_lm_score(_docs(spark, sf_dir))
 
 
+def q_pipeline_novelty(spark, sf_dir):
+    from flink_siddhi_spark.llm.pipeline import novel_documents
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("source") == "src0")
+    return novel_documents(docs.filter(F.col("source") != "src0"), seen).select(
+        "doc_id", "source"
+    )
+
+
+def q_text_source_stats(spark, sf_dir):
+    from flink_siddhi_spark.llm.text import corpus_source_stats
+
+    return corpus_source_stats(_docs(spark, sf_dir))
+
+
 def q_text_pii_scrub(spark, sf_dir):
     from flink_siddhi_spark.llm.text import pii_scrub
 
@@ -769,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate_ngrams": q_text_boilerplate_ngrams,
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "text_lm_score": q_text_lm_score,
+        "pipeline_novelty": q_pipeline_novelty,
+        "text_source_stats": q_text_source_stats,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
         "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
@@ -1360,6 +1378,25 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(*) >= 2 ORDER BY n_docs DESC, ngram LIMIT 50"
         ),
         "dedup_simhash_hamming": _simhash_hamming_sql(),
+        "pipeline_novelty": (
+            "SELECT doc_id, source FROM documents d WHERE source != 'src0' "
+            "AND NOT EXISTS (SELECT 1 FROM documents s WHERE s.source = 'src0' "
+            "AND md5(s.text) = md5(d.text))"
+        ),
+        "text_source_stats": (
+            "WITH t AS (SELECT source, lang, len(string_split(text, ' ')) nt "
+            "FROM documents), "
+            "base AS (SELECT source, CAST(count(*) AS BIGINT) n_docs, "
+            "round(CAST(sum(CAST(nt AS DECIMAL(25,6))) AS DOUBLE) / count(*), 6) avg_tokens "
+            "FROM t GROUP BY source), "
+            "lc AS (SELECT source, lang, count(*) c FROM t GROUP BY source, lang), "
+            "tot AS (SELECT source, sum(c) n FROM lc GROUP BY source), "
+            "ent AS (SELECT lc.source, round(CAST(sum(CAST(round(-(c / n) * log2(c / n), 6) "
+            "AS DECIMAL(25,6))) AS DOUBLE), 6) lang_entropy "
+            "FROM lc JOIN tot ON lc.source = tot.source GROUP BY lc.source) "
+            "SELECT base.source, n_docs, avg_tokens, lang_entropy "
+            "FROM base JOIN ent ON base.source = ent.source"
+        ),
         "text_tfidf_top_terms": (
             "WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) term "
             "FROM documents), "

@@ -307,3 +307,28 @@ def chunk_documents(
         df.select(F.col(id_col), F.explode(chunks).alias("__c"))
         .select(id_col, "__c.chunk_idx", "__c.chunk_text", "__c.n_words")
     )
+
+
+def novel_documents(
+    df: DataFrame, seen: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-crawl novelty filter: keep only docs whose content hash is
+    NOT already in the ingested corpus — the per-snapshot dedup step of a
+    continuously refreshed training set.
+
+    Distributed shape: LEFT ANTI hash join on md5(text). The seen side is a
+    hash-only projection (its text column never leaves the scan ungrouped);
+    both sides shuffle on the 32-char hash. For repeated incremental runs at
+    100 TB, persist the seen-hash set as a table bucketed by hash so the
+    anti-join becomes shuffle-free on the (huge) history side; a Bloom
+    filter over seen hashes (~10 bits/key) can pre-drop novel docs before
+    the join. The exact anti-join here is the verifiable contract both
+    optimizations must preserve."""
+    seen_h = (
+        seen.select(F.md5(F.col(text_col)).alias("__h")).dropDuplicates(["__h"])
+    )
+    return (
+        df.withColumn("__h", F.md5(F.col(text_col)))
+        .join(seen_h, "__h", "left_anti")
+        .drop("__h")
+    )

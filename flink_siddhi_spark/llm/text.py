@@ -217,3 +217,39 @@ def unigram_lm_score(
             F.round(F.sum("__nlp").cast("double") / F.count(F.lit(1)), 6).alias("avg_neg_log2p"),
         )
     )
+
+
+def corpus_source_stats(
+    df: DataFrame, source_col: str = "source", text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source corpus health metrics: document count, mean token count,
+    and language entropy (bits) — the dashboard aggregates a curation
+    pipeline watches to catch a crawl source going bad.
+
+    Scale shape: one hash-aggregate per metric tree — (source) for counts
+    and token means, (source, lang) then (source) for the entropy — joined
+    on the (tiny, one row per source) aggregated frames. Float sums go
+    through DECIMAL with per-term rounding so results are independent of
+    partition count (repo-wide determinism contract)."""
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.size(F.split(F.col(text_col), " ")).alias("__nt"),
+    )
+    base = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("__nt").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_tokens"),
+    )
+    lc = toks.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("__c"))
+    tot = lc.groupBy("source").agg(F.sum("__c").alias("__n"))
+    p = F.col("__c") / F.col("__n")
+    ent = (
+        lc.join(tot, "source")
+        .withColumn("__term", F.round(-p * F.log2(p), 6).cast("decimal(25,6)"))
+        .groupBy("source")
+        .agg(F.round(F.sum("__term").cast("double"), 6).alias("lang_entropy"))
+    )
+    return base.join(ent, "source")

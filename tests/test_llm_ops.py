@@ -314,3 +314,26 @@ def test_simhash_hamming_subsumes_exact_pairs(docs):
     banded = {(r.id_a, r.id_b) for r in
               D.simhash_hamming_pairs(docs, bits=16, max_hamming=2).collect()}
     assert exact <= banded
+
+
+def test_novel_documents_anti_join(spark):
+    from flink_siddhi_spark.llm.pipeline import novel_documents
+    seen = spark.createDataFrame([(1, "old text a"), (2, "old text b")],
+                                 "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(10, "old text a"), (11, "fresh text"), (12, "old text b"), (13, "fresh text")],
+        "doc_id int, text string")
+    kept = {r.doc_id for r in novel_documents(new, seen).collect()}
+    assert kept == {11, 13}  # same-hash novel docs both survive (dedup is a later stage)
+
+
+def test_corpus_source_stats_entropy(spark):
+    from flink_siddhi_spark.llm.text import corpus_source_stats
+    df = spark.createDataFrame(
+        [(1, "a b", "en", "s1"), (2, "c d e f", "es", "s1"),
+         (3, "x", "en", "s2"), (4, "y z", "en", "s2")],
+        "doc_id int, text string, lang string, source string")
+    rows = {r.source: r for r in corpus_source_stats(df).collect()}
+    assert rows["s1"].n_docs == 2 and rows["s1"].avg_tokens == 3.0
+    assert rows["s1"].lang_entropy == 1.0   # 50/50 two langs = 1 bit
+    assert rows["s2"].lang_entropy == 0.0   # monolingual = 0 bits
