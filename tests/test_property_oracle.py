@@ -184,3 +184,52 @@ def test_random_group_aggregate(cep_and_duck, pred, agg, key):
         f"SELECT {key}, {sqlagg} x FROM events WHERE {qpred} GROUP BY {key}",
     )
     assert rows_set(out) == oracle
+
+
+# --------------------------------------------------------------------- patterns
+def _brute_followed_by(rows, within_ms=None, every=True):
+    """Reference semantics of `[every] a = s[name=='x'] -> b = s[name=='y']`:
+    each x-event opens a partial (only the first x without `every`); a partial
+    completes on the FIRST later y-event (within the deadline if given)."""
+    out = []
+    for i, (aid, aname, ats) in enumerate(rows):
+        if aname != "x":
+            continue
+        for bid, bname, bts in rows[i + 1:]:
+            if bname == "y" and (within_ms is None or bts - ats <= within_ms):
+                out.append((aid, bid))
+                break
+        if not every:
+            break
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    names=st.lists(st.sampled_from(["x", "y", "z"]), min_size=2, max_size=10),
+    gaps=st.lists(st.integers(1, 4), min_size=10, max_size=10),
+    within_s=st.sampled_from([None, 3, 7]),
+    every=st.booleans(),
+)
+def test_random_followed_by_pattern(spark, names, gaps, within_s, every):
+    # unique, strictly increasing timestamps; odd `within` seconds vs whole-
+    # second gaps so the deadline never lands exactly on an event boundary
+    ts, rows = 0, []
+    for i, nm in enumerate(names):
+        ts += gaps[i % len(gaps)] * 1000
+        rows.append((i, nm, ts))
+    cep = SiddhiCEP(spark)
+    df = spark.createDataFrame(
+        [(i, nm, float(i), t) for i, nm, t in rows],
+        "id int, name string, price double, timestamp long")
+    cep.define("s", df, "id", "name", "price", "timestamp", ts_field="timestamp")
+    w = f" within {within_s}500 milliseconds" if within_s else ""
+    ev = "every " if every else ""
+    out = cep.from_("s").cql(
+        f"from {ev}a = s[name == 'x'] -> b = s[name == 'y']{w} "
+        "select a.id as a_id, b.id as b_id insert into Out"
+    ).returns("Out")
+    got = sorted((r.a_id, r.b_id) for r in out.collect())
+    want = _brute_followed_by(rows, within_s * 1000 + 500 if within_s else None, every)
+    assert got == want, (rows, within_s, every)
