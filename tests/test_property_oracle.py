@@ -233,3 +233,42 @@ def test_random_followed_by_pattern(spark, names, gaps, within_s, every):
     got = sorted((r.a_id, r.b_id) for r in out.collect())
     want = _brute_followed_by(rows, within_s * 1000 + 500 if within_s else None, every)
     assert got == want, (rows, within_s, every)
+
+
+def _brute_strict_seq(rows, every=True):
+    """`[every] a = s[name=='x'] , b = s[name=='y']`: the event IMMEDIATELY
+    after a matching x must be a y, else that partial dies (and the killing
+    event may itself open a new partial). Without `every` the pattern keeps
+    re-arming until its FIRST completed match, then stops."""
+    out = []
+    for i, (aid, aname, _) in enumerate(rows):
+        if aname != "x" or i + 1 >= len(rows):
+            continue
+        bid, bname, _ = rows[i + 1]
+        if bname == "y":
+            out.append((aid, bid))
+            if not every:
+                break
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    names=st.lists(st.sampled_from(["x", "y", "z"]), min_size=2, max_size=10),
+    every=st.booleans(),
+)
+def test_random_strict_sequence(spark, names, every):
+    rows = [(i, nm, (i + 1) * 1000) for i, nm in enumerate(names)]
+    cep = SiddhiCEP(spark)
+    df = spark.createDataFrame(
+        [(i, nm, float(i), t) for i, nm, t in rows],
+        "id int, name string, price double, timestamp long")
+    cep.define("s", df, "id", "name", "price", "timestamp", ts_field="timestamp")
+    ev = "every " if every else ""
+    out = cep.from_("s").cql(
+        f"from {ev}a = s[name == 'x'] , b = s[name == 'y'] "
+        "select a.id as a_id, b.id as b_id insert into Out"
+    ).returns("Out")
+    got = sorted((r.a_id, r.b_id) for r in out.collect())
+    assert got == _brute_strict_seq(rows, every), (rows, every)
