@@ -46,6 +46,8 @@ HEADLINE = [
     "text_lm_score",
     "dedup_simhash_hamming",
     "pipeline_chunk_overlap",
+    "pipeline_novelty",
+    "text_source_stats",
 ]
 
 
