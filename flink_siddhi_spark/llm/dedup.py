@@ -276,6 +276,7 @@ def band_layout(bits: int, n_bands: int) -> list[tuple[int, int]]:
 def simhash_hamming_pairs(
     df: DataFrame, bits: int = 16, max_hamming: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs whose SimHash fingerprints differ in <= ``max_hamming``
     bits — the standard web-scale fuzzy-dedup refinement over exact-equality
@@ -287,6 +288,13 @@ def simhash_hamming_pairs(
     one band — candidates are a per-band bucket equi-join (hash shuffle on
     (band, band_value), bucket-bounded like LSH), never a cross join. The
     exact distance check is one codegen'd ``bit_count(a ^ b)`` per candidate.
+
+    ``max_bucket``: mass-duplicated content puts m docs on one fingerprint —
+    one bucket whose self-join expands O(m^2). Buckets larger than
+    ``max_bucket`` instead emit only the star pairs (bucket-min member,
+    other) — O(m) — which ``dedup_clusters`` recovers transitively (the
+    same treatment as ``minhash_lsh_pairs``). Default None keeps the exact
+    all-pairs output for oracle parity.
     """
     nb = max_hamming + 1
     if nb > bits:
@@ -302,17 +310,31 @@ def simhash_hamming_pairs(
         ]
     )
     ex = s.select(F.col(id_col), F.col("simhash"), F.explode(bands_arr).alias("b"))
+    if max_bucket is not None:
+        # per-(band, value) size + min id: one extra aggregate on the band
+        # key; oversize buckets keep only pairs anchored at the min-id member
+        stats = ex.groupBy("b").agg(
+            F.count(F.lit(1)).alias("__bn"), F.min(id_col).alias("__bmin")
+        )
+        ex = ex.join(stats, "b")
     a, b = ex.alias("a"), ex.alias("b")
     # the hamming filter runs BEFORE dropDuplicates: bit_count is one codegen
     # instruction per candidate, and filtering first shrinks the dedup
     # shuffle from |candidates| to |true pairs| (a pair matching in several
     # bands is deduplicated after it already passed the cheap check)
+    cond = (
+        (F.col("a.b.band") == F.col("b.b.band"))
+        & (F.col("a.b.val") == F.col("b.b.val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    if max_bucket is not None:
+        cond = cond & (
+            (F.col("a.__bn") <= max_bucket) | (F.col(f"a.{id_col}") == F.col("a.__bmin"))
+        )
     return (
         a.join(
             b,
-            (F.col("a.b.band") == F.col("b.b.band"))
-            & (F.col("a.b.val") == F.col("b.b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            cond,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -337,3 +337,20 @@ def test_corpus_source_stats_entropy(spark):
     assert rows["s1"].n_docs == 2 and rows["s1"].avg_tokens == 3.0
     assert rows["s1"].lang_entropy == 1.0   # 50/50 two langs = 1 bit
     assert rows["s2"].lang_entropy == 0.0   # monolingual = 0 bits
+
+
+def test_simhash_hamming_bucket_cap_bounds_skew(spark):
+    """500 identical docs: exact mode emits O(m^2) pairs; max_bucket caps the
+    expansion to star pairs whose closure is the same duplicate group."""
+    docs = spark.createDataFrame(
+        [(i, "the same viral page content repeated everywhere") for i in range(500)]
+        + [(1000, "completely different text")],
+        "doc_id int, text string")
+    capped = D.simhash_hamming_pairs(docs, bits=16, max_hamming=2, max_bucket=50)
+    rows = capped.collect()
+    assert len(rows) == 499  # star only: (min-id, other), not 500*499/2
+    assert {r.id_a for r in rows} == {0}
+    assert all(r.hamming == 0 for r in rows)
+    # transitively equivalent: clustering the star recovers one group of 500
+    clusters = D.dedup_clusters(capped.select("id_a", "id_b")).collect()
+    assert {r.cluster_id for r in clusters} == {0} and len(clusters) == 500
