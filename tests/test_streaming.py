@@ -637,3 +637,47 @@ def test_streaming_frequent_window_snapshots(spark, tmp_path):
         "from s#window.frequent(1, name) select id, name insert into Out"
     ).returns("Out")
     assert {(r.id, r.name) for r in batch.collect()} == snaps[max(snaps)]
+
+
+def test_streaming_sort_snapshot_state_restored_across_restart(spark, tmp_path):
+    """A11 for the snapshot retention windows: the retained top-n must
+    survive a stop + restart from the same checkpoint — batch 2's snapshot
+    has to rank batch 1's rows, which only exist in restored state."""
+    import os
+
+    from flink_siddhi_spark.siddhiql.parser import parse
+    from flink_siddhi_spark.schema import StreamSchema
+
+    src = tmp_path / "src_snap_restart"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a", 30.0, 1000), (2, "b", 10.0, 2000)], EVENT_SCHEMA
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    out = tmp_path / "out_snap_restart"
+
+    def run():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src) + "/*/")
+        catalog = {"s": StreamSchema("s", stream, ["id", "name", "price", "timestamp"],
+                                     ts_field="timestamp")}
+        planner = StreamingPlanner(catalog, watermark_delay="0 seconds")
+        q = parse(
+            "from s#window.sort(2, price) select id, price insert into Out;"
+        ).queries[0]
+        sq = to_files(planner.compile_query(q), str(out),
+                      checkpoint=str(tmp_path / "ck_snap_restart"), fmt="parquet")
+        sq.awaitTermination(60)
+        rows = spark.read.parquet(str(out)).collect()
+        snaps = {}
+        for r in rows:
+            snaps.setdefault(r["__snapshot"], set()).add((r.id, r.price))
+        return snaps
+
+    snaps = run()
+    assert snaps[max(snaps)] == {(1, 30.0), (2, 10.0)}
+    # one cheaper event after shutdown; restart from the same checkpoint
+    spark.createDataFrame([(3, "c", 5.0, 3000)], EVENT_SCHEMA) \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    snaps = run()
+    # new snapshot must evict the RESTORED 30.0 row, keeping {10.0, 5.0};
+    # a state-lost run would emit {(3, 5.0)} alone
+    assert snaps[max(snaps)] == {(2, 10.0), (3, 5.0)}
