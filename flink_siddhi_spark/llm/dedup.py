@@ -511,3 +511,34 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         if it > 0 and new_labels.filter(F.col("label") != F.col("__own")).limit(1).count() == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def streaming_exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    ts_col: Optional[str] = None, within: str = "10 minutes",
+) -> DataFrame:
+    """Exact content dedup for CONTINUOUS ingest: emit only the first doc per
+    content hash. With ``ts_col`` the stream is watermarked and state is
+    bounded to the ``within`` horizon (``dropDuplicatesWithinWatermark`` —
+    one 32-char hash per unique doc inside the horizon, evicted after it);
+    without a timestamp the state is the full hash set (documented
+    unbounded — fine for bounded backfills, use ``within`` for 24/7 ingest).
+
+    Same single-shuffle shape as batch ``exact_dedup_groups``: hash
+    partition on md5(text); works identically on batch DataFrames
+    (plain dropDuplicates) so one pipeline definition serves both modes."""
+    out = df.withColumn("__h", F.md5(F.col(text_col)))
+    if ts_col is not None and df.isStreaming:
+        dt = dict(df.dtypes).get(ts_col, "")
+        tcol = F.col(ts_col) if dt.startswith("timestamp") else F.timestamp_millis(
+            F.col(ts_col).cast("bigint")
+        )
+        out = (
+            out.withColumn("__wm", tcol)
+            .withWatermark("__wm", within)
+            .dropDuplicatesWithinWatermark(["__h"])
+            .drop("__wm")
+        )
+    else:
+        out = out.dropDuplicates(["__h"])
+    return out.drop("__h")

@@ -681,3 +681,33 @@ def test_streaming_sort_snapshot_state_restored_across_restart(spark, tmp_path):
     # new snapshot must evict the RESTORED 30.0 row, keeping {10.0, 5.0};
     # a state-lost run would emit {(3, 5.0)} alone
     assert snaps[max(snaps)] == {(2, 10.0), (3, 5.0)}
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """LLM-pipeline dedup on a continuous ingest stream: a duplicate arriving
+    in a LATER micro-batch is suppressed by the hash state."""
+    from flink_siddhi_spark.llm.dedup import streaming_exact_dedup
+
+    d = str(tmp_path / "in_sdedup")
+    schema = "doc_id long, text string, ts long"
+    spark.createDataFrame(
+        [(1, "alpha doc", 1000), (2, "beta doc", 2000)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(
+        [(3, "alpha doc", 3000), (4, "gamma doc", 4000)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    out = streaming_exact_dedup(stream, ts_col="ts", within="1 minute")
+    q = to_memory(out.select("doc_id", "text"), "m_sdedup",
+                  checkpoint=str(tmp_path / "ck_sdedup"))
+    q.awaitTermination(60)
+    got = {(r.doc_id, r.text) for r in spark.sql("SELECT * FROM m_sdedup").collect()}
+    assert (1, "alpha doc") in got and (2, "beta doc") in got and (4, "gamma doc") in got
+    assert not any(i == 3 for i, _ in got)  # cross-batch duplicate dropped
+    # the same definition works in batch mode
+    bdf = spark.createDataFrame(
+        [(1, "alpha doc", 1000), (3, "alpha doc", 3000)], schema)
+    assert streaming_exact_dedup(bdf).count() == 1
