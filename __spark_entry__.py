@@ -667,6 +667,14 @@ def q_text_source_stats(spark, sf_dir):
     return corpus_source_stats(_docs(spark, sf_dir))
 
 
+def q_pipeline_curate(spark, sf_dir):
+    from flink_siddhi_spark.llm.pipeline import curate
+
+    return curate(_docs(spark, sf_dir), min_quality=0.4, sample_rate=0.5).select(
+        "doc_id", "source", "quality"
+    )
+
+
 def q_text_pii_scrub(spark, sf_dir):
     from flink_siddhi_spark.llm.text import pii_scrub
 
@@ -786,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_top_terms": q_text_tfidf_top_terms,
         "text_lm_score": q_text_lm_score,
         "pipeline_novelty": q_pipeline_novelty,
+        "pipeline_curate": q_pipeline_curate,
         "text_source_stats": q_text_source_stats,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
@@ -1382,6 +1391,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents d WHERE source != 'src0' "
             "AND NOT EXISTS (SELECT 1 FROM documents s WHERE s.source = 'src0' "
             "AND md5(s.text) = md5(d.text))"
+        ),
+        "pipeline_curate": (
+            "WITH t AS (SELECT doc_id, source, text, length(text) nc, "
+            "len(string_split(lower(text), ' ')) nw, "
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN {en})) hits "
+            "FROM documents), "
+            "qd AS (SELECT doc_id, source, md5(text) h, "
+            "round(CASE WHEN nw < 5 THEN 0.0 ELSE least(1.0, nw / 100.0) * 0.5 "
+            "+ least(1.0, (hits / nw) * 5.0) * 0.5 END, 6) quality FROM t), "
+            "c AS (SELECT *, min(doc_id) OVER (PARTITION BY h) cmin FROM qd "
+            "WHERE quality >= 0.4) "
+            "SELECT doc_id, source, quality FROM c WHERE doc_id = cmin AND "
+            "substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'"
         ),
         "text_source_stats": (
             "WITH t AS (SELECT source, lang, len(string_split(text, ' ')) nt "

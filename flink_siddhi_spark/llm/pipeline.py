@@ -332,3 +332,32 @@ def novel_documents(
         .join(seen_h, "__h", "left_anti")
         .drop("__h")
     )
+
+
+def curate(
+    df: DataFrame,
+    min_quality: float = 0.4,
+    sample_rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Composed end-to-end curation slice — the canonical three-stage corpus
+    prep in one call: quality gate (llm.text.quality_score) -> canonical-only
+    exact dedup (keep each content-hash group's min-id doc) -> deterministic
+    hash downsample.
+
+    Scale shape: the quality gate is a codegen'd projection+filter fused into
+    the scan; dedup is ONE window shuffle on md5(text) (min-id per hash —
+    no join back); the sample is again a pure filter. Net: one shuffle for
+    the whole pipeline, and the quality filter runs BEFORE the shuffle so
+    rejected docs never shuffle at all."""
+    from pyspark.sql import Window
+
+    from .text import quality_score
+
+    q = quality_score(df, text_col).filter(F.col("quality") >= min_quality)
+    q = q.withColumn("__h", F.md5(F.col(text_col)))
+    q = q.withColumn("__cmin", F.min(id_col).over(Window.partitionBy("__h")))
+    q = q.filter(F.col(id_col) == F.col("__cmin")).drop("__h", "__cmin")
+    return sample_hash(q, sample_rate, id_col=id_col, salt=salt)

@@ -122,3 +122,19 @@ def test_training_order_salt_changes_epoch(spark):
     e1 = {r.doc_id: r.pos for r in P.training_order(docs, salt="epoch1").collect()}
     assert e0 != e1
     assert sorted(e0.values()) == sorted(e1.values())
+
+
+def test_curate_composes_gate_dedup_sample(spark):
+    from flink_siddhi_spark.llm.pipeline import curate
+    good = "the quick brown fox jumps on the lazy dog with a friend of mine"
+    df = spark.createDataFrame(
+        [(1, good), (2, good), (3, "shrt txt"), (4, good + " extra")],
+        "doc_id int, text string")
+    # no sampling: quality gate drops doc 3 (under 5 words scores 0 -- here
+    # low stopword/short), dedup keeps min-id of the duplicate pair (1, 2)
+    out = {r.doc_id for r in curate(df, min_quality=0.4, sample_rate=1.0).collect()}
+    assert 2 not in out          # duplicate of doc 1 (non-canonical) dropped
+    assert 1 in out and 4 in out
+    assert 3 not in out          # failed the quality gate
+    # rate=0 empties the slice deterministically
+    assert curate(df, min_quality=0.4, sample_rate=0.0).count() == 0
