@@ -48,6 +48,7 @@ HEADLINE = [
     "pipeline_chunk_overlap",
     "pipeline_novelty",
     "text_source_stats",
+    "pipeline_curate",
 ]
 
 
