@@ -675,6 +675,12 @@ def q_pipeline_curate(spark, sf_dir):
     )
 
 
+def q_dedup_containment(spark, sf_dir):
+    from flink_siddhi_spark.llm.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
 def q_text_pii_scrub(spark, sf_dir):
     from flink_siddhi_spark.llm.text import pii_scrub
 
@@ -795,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "pipeline_novelty": q_pipeline_novelty,
         "pipeline_curate": q_pipeline_curate,
+        "dedup_containment": q_dedup_containment,
         "text_source_stats": q_text_source_stats,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "pipeline_weighted_sample": q_pipeline_weighted_sample,
@@ -1391,6 +1398,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents d WHERE source != 'src0' "
             "AND NOT EXISTS (SELECT 1 FROM documents s WHERE s.source = 'src0' "
             "AND md5(s.text) = md5(d.text))"
+        ),
+        "dedup_containment": (
+            "WITH " + _shingle_cte("ct") + ", "
+            "ex AS (SELECT doc_id, unnest(sh) shingle FROM ct), "
+            "sz AS (SELECT doc_id, count(*) n_sh FROM ex GROUP BY 1), "
+            "cm AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) common FROM ex a "
+            "JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "bd AS (SELECT cm.*, sa.n_sh na, sb.n_sh nb FROM cm "
+            "JOIN sz sa ON cm.id_a = sa.doc_id JOIN sz sb ON cm.id_b = sb.doc_id) "
+            "SELECT contained_id, container_id, containment FROM ("
+            "SELECT id_a contained_id, id_b container_id, round(common / na, 6) containment "
+            "FROM bd UNION ALL "
+            "SELECT id_b, id_a, round(common / nb, 6) FROM bd) "
+            "WHERE containment >= 0.6"
         ),
         "pipeline_curate": (
             "WITH t AS (SELECT doc_id, source, text, length(text) nc, "

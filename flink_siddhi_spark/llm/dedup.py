@@ -542,3 +542,40 @@ def streaming_exact_dedup(
     else:
         out = out.dropDuplicates(["__h"])
     return out.drop("__h")
+
+
+def ngram_containment_pairs(
+    df: DataFrame, threshold: float = 0.8, text_col: str = "text",
+    id_col: str = "doc_id", n: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup: containment(A, B) = |sh(A) ∩ sh(B)| / |sh(A)| —
+    flags docs mostly CONTAINED in another (quotes, scraped excerpts,
+    boilerplate-wrapped copies) that symmetric Jaccard under-scores when the
+    container is much longer.
+
+    Same scale shape as ``ngram_jaccard_pairs``: explode distinct shingles →
+    self-equi-join on the shingle (co-occurring docs meet on the join key —
+    no cross join) → pair-count aggregate → both directions emitted from the
+    one undirected pair table. Returns (contained_id, container_id,
+    containment) with containment >= threshold."""
+    sh = shingle_table(_spread(df.select(id_col, text_col)), text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    both = common.join(sa, "id_a").join(sb, "id_b")
+    fwd = both.select(
+        F.col("id_a").alias("contained_id"), F.col("id_b").alias("container_id"),
+        F.round(F.col("common") / F.col("na"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("contained_id"), F.col("id_a").alias("container_id"),
+        F.round(F.col("common") / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)

@@ -354,3 +354,18 @@ def test_simhash_hamming_bucket_cap_bounds_skew(spark):
     # transitively equivalent: clustering the star recovers one group of 500
     clusters = D.dedup_clusters(capped.select("id_a", "id_b")).collect()
     assert {r.cluster_id for r in clusters} == {0} and len(clusters) == 500
+
+
+def test_ngram_containment_asymmetric(spark):
+    from flink_siddhi_spark.llm.dedup import ngram_containment_pairs
+    quote = "to be or not to be that is the question"
+    df = spark.createDataFrame(
+        [(1, quote),
+         (2, "he wrote " + quote + " and then left the stage to thunderous applause"),
+         (3, "unrelated text about something else entirely different")],
+        "doc_id int, text string")
+    out = {(r.contained_id, r.container_id): r.containment
+           for r in ngram_containment_pairs(df, threshold=0.9).collect()}
+    assert out[(1, 2)] == 1.0          # the quote is fully contained in doc 2
+    assert (2, 1) not in out           # but doc 2 is NOT contained in doc 1
+    assert not any(3 in k for k in out)

@@ -711,3 +711,33 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     bdf = spark.createDataFrame(
         [(1, "alpha doc", 1000), (3, "alpha doc", 3000)], schema)
     assert streaming_exact_dedup(bdf).count() == 1
+
+
+def test_streaming_curation_composition(spark, tmp_path):
+    """The LLM curation stages compose on a STREAM: quality gate (pure
+    projection) -> watermark-bounded exact dedup -> sink. One pipeline
+    definition, both modes."""
+    from flink_siddhi_spark.llm.dedup import streaming_exact_dedup
+    from flink_siddhi_spark.llm.text import quality_score
+
+    d = str(tmp_path / "in_scur")
+    schema = "doc_id long, text string, ts long"
+    good = "the quick brown fox jumps on the lazy dog with a friend of mine"
+    spark.createDataFrame(
+        [(1, good, 1000), (2, "shrt txt", 2000)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(
+        [(3, good, 3000), (4, good + " indeed", 4000)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    from pyspark.sql import functions as F
+    gated = quality_score(stream).filter(F.col("quality") >= 0.4)
+    deduped = streaming_exact_dedup(gated, ts_col="ts", within="1 minute")
+    q = to_memory(deduped.select("doc_id"), "m_scur",
+                  checkpoint=str(tmp_path / "ck_scur"))
+    q.awaitTermination(60)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM m_scur").collect()}
+    assert got == {1, 4}  # 2 failed the gate, 3 is a cross-batch duplicate
