@@ -741,3 +741,32 @@ def test_streaming_curation_composition(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.doc_id for r in spark.sql("SELECT * FROM m_scur").collect()}
     assert got == {1, 4}  # 2 failed the gate, 3 is a cross-batch duplicate
+
+
+def test_streaming_partitioned_sort_snapshots(spark, tmp_path):
+    """`partition with` shards the snapshot-window state per key: top-1 by
+    price per NAME, state and snapshots independent per key."""
+    rows1 = [(1, "a", 30.0, 1000), (2, "b", 10.0, 2000)]
+    rows2 = [(3, "a", 5.0, 3000), (4, "b", 40.0, 4000)]
+    cep = SiddhiCEP(spark)
+    stream = _two_batch_stream(spark, tmp_path / "in_psort", rows1, rows2)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "partition with (name of s) begin "
+        "from s#window.sort(1, price) select name, id, price insert into Out; end",
+        "Out", "m_psort", tmp_path,
+    ).collect()
+    latest = {}
+    for r in out:
+        snap = r["__snapshot"]
+        if snap >= latest.get(r.name, (0,))[0]:
+            prev = latest.get(r.name)
+            if prev is None or snap > prev[0]:
+                latest[r.name] = (snap, {(r.id, r.price)})
+            else:
+                latest[r.name][1].add((r.id, r.price))
+    # per-key final contents: cheapest event of each name
+    assert latest["a"][1] == {(3, 5.0)}
+    assert latest["b"][1] == {(2, 10.0)}
