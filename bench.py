@@ -49,6 +49,7 @@ HEADLINE = [
     "pipeline_novelty",
     "text_source_stats",
     "pipeline_curate",
+    "dedup_containment",
 ]
 
 
