@@ -196,3 +196,25 @@ def test_write_and_read_file_sink(spark, tmp_path):
         lines += [ln for ln in p.read_text().splitlines() if ln.strip()]
     assert len(lines) == 6
     assert {_json.loads(ln)["id"] for ln in lines} == set(range(1, 7))
+
+
+def test_unknown_field_rejected(cep, spark):
+    # mirror of StreamSchemaTest.testStreamSchemaWithPojoAndUnknownField:
+    # declaring a field absent from the source schema must fail fast
+    from flink_siddhi_spark.errors import SiddhiPlannerException
+
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    with pytest.raises(SiddhiPlannerException, match="unknownfield"):
+        cep.register_stream("s_unknown", df, "id", "unknownfield")
+    with pytest.raises(SiddhiPlannerException, match="ts_field"):
+        cep.register_stream("s_badts", df, "id", "name", ts_field="nope")
+
+
+def test_duplicate_stream_rejected(cep, spark):
+    # reference raises on re-registering a stream id (SiddhiCEP.registerStream)
+    from flink_siddhi_spark.errors import DuplicatedStreamException
+
+    df = spark.createDataFrame([(1,)], "id int")
+    cep.register_stream("s_dup", df, "id")
+    with pytest.raises(DuplicatedStreamException):
+        cep.register_stream("s_dup", df, "id")
