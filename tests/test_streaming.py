@@ -770,3 +770,23 @@ def test_streaming_partitioned_sort_snapshots(spark, tmp_path):
     # per-key final contents: cheapest event of each name
     assert latest["a"][1] == {(3, 5.0)}
     assert latest["b"][1] == {(2, 10.0)}
+
+
+def test_streaming_retention_with_aggregation_rejected(spark, tmp_path):
+    """Aggregations over streaming retention windows have no incremental
+    shape (the retained set is revised per batch) — clean plan-time error."""
+    from flink_siddhi_spark.errors import UnsupportedFeatureException
+    from flink_siddhi_spark.siddhiql.parser import parse
+
+    rows = [(1, "a", 1.0, 1000)]
+    path = write_events(spark, tmp_path / "in_rej", rows)
+    cep = SiddhiCEP(spark)
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    q = parse("from s#window.sort(2, price) select sum(price) as t insert into Out;").queries[0]
+    with pytest.raises(UnsupportedFeatureException, match="retention"):
+        planner.compile_query(q)
+    q2 = parse("from s#window.lossyFrequent(0.1) select id insert into Out;").queries[0]
+    with pytest.raises(UnsupportedFeatureException, match="retention"):
+        planner.compile_query(q2)
