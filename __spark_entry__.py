@@ -747,10 +747,17 @@ def q_multimodal_metadata(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    # Arrow-batched mapInPandas decode stub — rows-only check
+    # Arrow-batched mapInPandas decode stub. The histogram array is projected
+    # to a CSV string so the driver's pandas canonicalizer (which cannot sort
+    # list cells) gets hashable values — full value-level check, not rows-only.
     from flink_siddhi_spark.llm.multimodal import extract_features, with_binary_payload
 
-    return extract_features(with_binary_payload(_docs(spark, sf_dir)), fake=True)
+    feats = extract_features(with_binary_payload(_docs(spark, sf_dir)), fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.array_join(F.col("histogram").cast("array<string>"), ",").alias("histogram_csv"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -758,17 +765,21 @@ def q_multimodal_features(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_multimodal_resize(spark, sf_dir):
-    # Arrow-batched mapInPandas resize stub — rows-only check
+    # Arrow-batched mapInPandas resize stub. The binary thumb is projected to
+    # its md5 hex digest (canonicalizer-safe; DuckDB md5() reproduces it).
     from flink_siddhi_spark.llm.multimodal import resize_images, with_binary_payload
 
-    return resize_images(with_binary_payload(_docs(spark, sf_dir)), fake=True)
+    thumbs = resize_images(with_binary_payload(_docs(spark, sf_dir)), fake=True)
+    return thumbs.select("media_id", "width", "height", F.md5("thumb").alias("thumb_md5"))
 
 
 def q_multimodal_frame_sample(spark, sf_dir):
-    # one-row-in / many-rows-out mapInPandas sampler stub — rows-only check
+    # one-row-in / many-rows-out mapInPandas sampler stub; binary frames are
+    # projected to md5 hex digests (canonicalizer-safe, DuckDB-reproducible).
     from flink_siddhi_spark.llm.multimodal import sample_frames, with_binary_payload
 
-    return sample_frames(with_binary_payload(_docs(spark, sf_dir)), fake=True)
+    frames = sample_frames(with_binary_payload(_docs(spark, sf_dir)), fake=True)
+    return frames.select("media_id", "frame_no", F.md5("frame").alias("frame_md5"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -779,86 +790,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate evaluates entries in dict
-    # order and round 1 showed it records only a bounded prefix (50 entries).
-    # The LLM-pipeline operators and new round-2 operators go first so they
-    # all land inside the checked window; the tail queries are the ones with
-    # the strongest independent pytest coverage (tests/test_core_queries.py,
-    # tests/test_longtail_windows.py, tests/test_functions_output.py) and
-    # stay verified by scripts/verify_oracle.py locally.
+    # order and records only a bounded prefix (50 entries), so the window is
+    # ROTATED each round (VERDICT r2 ask #2): round 3 puts the 37 core
+    # SiddhiQL window/aggregation/table/scalar queries back at the head
+    # (driver-green in r1, local-mirror-only in r2), followed by the three
+    # multimodal queries whose outputs were made canonicalizer-safe this
+    # round, plus new round-3 operators. The LLM-pipeline set (driver-green
+    # in r2) moves to the tail and stays verified by
+    # scripts/verify_oracle.py + pytest locally this round.
     return {
-        # --- LLM data-pipeline operators ---
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_sig": q_dedup_minhash_sig,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "dedup_embedding_verified": q_dedup_embedding_verified,
-        "dedup_clusters": q_dedup_clusters,
-        "text_pii_scrub": q_text_pii_scrub,
-        "text_boilerplate_ngrams": q_text_boilerplate_ngrams,
-        "text_tfidf_top_terms": q_text_tfidf_top_terms,
-        "text_lm_score": q_text_lm_score,
-        "pipeline_novelty": q_pipeline_novelty,
-        "pipeline_curate": q_pipeline_curate,
-        "dedup_containment": q_dedup_containment,
-        "text_source_stats": q_text_source_stats,
-        "dedup_simhash_hamming": q_dedup_simhash_hamming,
-        "pipeline_weighted_sample": q_pipeline_weighted_sample,
-        "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "text_token_count": q_text_token_count,
-        "text_quality": q_text_quality,
-        "text_language_id": q_text_language_id,
-        "text_fingerprint": q_text_fingerprint,
-        "multimodal_metadata": q_multimodal_metadata,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        # --- extension path ---
-        "custom_udaf": q_custom_udaf,
-        # --- training-data pipeline construction ---
-        "pipeline_sample": q_pipeline_sample,
-        "pipeline_split": q_pipeline_split,
-        "pipeline_domain_quota": q_pipeline_domain_quota,
-        "pipeline_contamination": q_pipeline_contamination,
-        "pipeline_pack": q_pipeline_pack,
-        "pipeline_chunk_dedup": q_pipeline_chunk_dedup,
-        "pipeline_shuffle": q_pipeline_shuffle,
-        "text_repetition": q_text_repetition,
-        # --- flagship relational/CEP queries ---
-        "tpch_q1_pricing": q_tpch_q1_pricing,
-        "tpch_q3_shipping": q_tpch_q3_shipping,
-        "tpch_q5ish_revenue": q_tpch_q5ish_revenue,
-        "pattern_followed_by": q_pattern_followed_by,
-        "pattern_first_match": q_pattern_first_match,
-        "pattern_within": q_pattern_within,
-        "pattern_absence": q_pattern_absence,
-        "sequence_strict": q_sequence_strict,
-        "sequence_quantifier": q_sequence_quantifier,
-        "join_time_time": q_join_time_time,
-        "join_length_time": q_join_length_time,
-        "join_left_outer": q_join_left_outer,
-        "join_full_outer": q_join_full_outer,
-        "join_right_outer": q_join_right_outer,
-        "join_stream_table": q_join_stream_table,
-        "join_theta": q_join_theta,
-        "window_time_batch": q_window_time_batch,
-        "window_length_batch": q_window_length_batch,
-        "window_session": q_window_session,
-        "window_sliding_length": q_window_sliding_length,
-        "window_sliding_time": q_window_sliding_time,
-        "window_external_time": q_window_external_time,
-        "window_external_time_batch": q_window_external_time_batch,
-        "topk_per_group": q_topk_per_group,
-        "incremental_agg_day": q_incremental_agg_day,
-        "incremental_agg_within": q_incremental_agg_within,
-        "table_upsert_last": q_table_upsert_last,
-        "table_dml_delete": q_table_dml_delete,
-        "output_rate_last": q_output_rate_last,
-        "chained_queries": q_chained_queries,
-        # --- tail: redundantly covered by dedicated pytests ---
+        # --- core SiddhiQL: stateless relational surface ---
         "filter_projection": q_filter_projection,
         "projection_expressions": q_projection_expressions,
         "group_agg": q_group_agg,
@@ -871,6 +812,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": q_scalar_functions,
         "json_functions": q_json_functions,
         "union_fan_in": q_union_fan_in,
+        # --- core SiddhiQL: windows ---
+        "window_time_batch": q_window_time_batch,
+        "window_length_batch": q_window_length_batch,
+        "window_session": q_window_session,
+        "window_sliding_length": q_window_sliding_length,
+        "window_sliding_time": q_window_sliding_time,
+        "window_external_time": q_window_external_time,
+        "window_external_time_batch": q_window_external_time_batch,
         "window_sort": q_window_sort,
         "window_frequent": q_window_frequent,
         "window_unique": q_window_unique,
@@ -878,6 +827,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_cron": q_window_cron,
         "window_time_length": q_window_time_length,
         "window_lossy_frequent": q_window_lossy_frequent,
+        # --- core SiddhiQL: joins ---
+        "join_full_outer": q_join_full_outer,
+        "join_right_outer": q_join_right_outer,
+        "join_stream_table": q_join_stream_table,
+        "join_theta": q_join_theta,
+        # --- core SiddhiQL: aggregations / tables / rate limiting ---
+        "topk_per_group": q_topk_per_group,
+        "incremental_agg_day": q_incremental_agg_day,
+        "incremental_agg_within": q_incremental_agg_within,
+        "table_upsert_last": q_table_upsert_last,
+        "table_dml_delete": q_table_dml_delete,
+        "output_rate_last": q_output_rate_last,
+        "chained_queries": q_chained_queries,
+        # --- multimodal (canonicalizer-safe digests, new this round) ---
+        "multimodal_metadata": q_multimodal_metadata,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        # --- rotating sample of r2-green flagships (stay within window) ---
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q5ish_revenue": q_tpch_q5ish_revenue,
+        "pattern_followed_by": q_pattern_followed_by,
+        "sequence_strict": q_sequence_strict,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "custom_udaf": q_custom_udaf,
+        # ---------------- window boundary (~50) ----------------
+        # --- tail: driver-green in r2, local mirror + pytest this round ---
+        "pattern_first_match": q_pattern_first_match,
+        "pattern_within": q_pattern_within,
+        "pattern_absence": q_pattern_absence,
+        "sequence_quantifier": q_sequence_quantifier,
+        "join_time_time": q_join_time_time,
+        "join_length_time": q_join_length_time,
+        "join_left_outer": q_join_left_outer,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_verified": q_dedup_embedding_verified,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_containment": q_dedup_containment,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_boilerplate_ngrams": q_text_boilerplate_ngrams,
+        "text_tfidf_top_terms": q_text_tfidf_top_terms,
+        "text_lm_score": q_text_lm_score,
+        "text_source_stats": q_text_source_stats,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "pipeline_novelty": q_pipeline_novelty,
+        "pipeline_curate": q_pipeline_curate,
+        "pipeline_weighted_sample": q_pipeline_weighted_sample,
+        "pipeline_chunk_overlap": q_pipeline_chunk_overlap,
+        "pipeline_sample": q_pipeline_sample,
+        "pipeline_split": q_pipeline_split,
+        "pipeline_domain_quota": q_pipeline_domain_quota,
+        "pipeline_contamination": q_pipeline_contamination,
+        "pipeline_pack": q_pipeline_pack,
+        "pipeline_chunk_dedup": q_pipeline_chunk_dedup,
+        "pipeline_shuffle": q_pipeline_shuffle,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -1500,8 +1516,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH b AS (SELECT doc_id AS media_id, "
             "list_transform(string_split(text, ''), c -> ord(c)) AS bs FROM documents) "
             "SELECT media_id, CAST(len(bs) AS BIGINT) AS n_bytes, "
-            "list_transform(range(16), k -> CAST(len(list_filter(bs, x -> x % 16 = k)) "
-            "AS BIGINT)) AS histogram FROM b"
+            "array_to_string(list_transform(range(16), "
+            "k -> len(list_filter(bs, x -> x % 16 = k))), ',') AS histogram_csv FROM b"
         ),
         "multimodal_resize": (
             # mirrors multimodal.resize_stub(fake=True): payload[::stride][:64],
@@ -1509,15 +1525,15 @@ def oracle_sql() -> dict[str, str]:
             "WITH p AS (SELECT doc_id AS media_id, string_split(text, '') AS cs, "
             "length(text) AS n, greatest(1, length(text) // 64) AS stride FROM documents) "
             "SELECT media_id, CAST(8 AS INTEGER) width, CAST(8 AS INTEGER) height, "
-            "encode(array_to_string(list_transform("
+            "md5(array_to_string(list_transform("
             "range(least(64, (n + stride - 1) // stride)), i -> cs[i*stride + 1]), '')) "
-            "AS thumb FROM p"
+            "AS thumb_md5 FROM p"
         ),
         "multimodal_frame_sample": (
             # mirrors multimodal.sample_frames(fake=True): 64-byte frames,
             # every 4th, n_frames = max(1, len // 64)
             "SELECT media_id, CAST(fno AS INTEGER) AS frame_no, "
-            "encode(substring(text, CAST(fno*64 + 1 AS BIGINT), 64)) AS frame "
+            "md5(substring(text, CAST(fno*64 + 1 AS BIGINT), 64)) AS frame_md5 "
             "FROM (SELECT doc_id AS media_id, text, "
             "unnest(range(0, greatest(1, length(text) // 64), 4)) AS fno FROM documents)"
         ),
