@@ -124,11 +124,17 @@ def add_bucket(
         # Siddhi buffers n events GLOBALLY and aggregates per key within each
         # global chunk — the bucket must come from a global row_number even
         # when the query has `group by` (a per-key chunk is a different result
-        # set). Global total order is single-task by semantic necessity.
+        # set). The global numbering is computed as a distributed prefix sum
+        # (range-repartition + per-partition offsets, operators/prefix.py), so
+        # no single-task Exchange: only an n_partitions-row offset table is
+        # globally ordered.
+        from . import prefix
+
         n = _arg_ms(spec, 0)
-        warn_global_order("#window.lengthBatch (global n-event chunks)")
-        w = Window.partitionBy(F.lit(1)).orderBy(*[F.col(c) for c in ord_cols])
-        out = df.withColumn(BUCKET_COL, F.floor((F.row_number().over(w) - 1) / F.lit(n)))
+        out = prefix.global_row_number(df, list(ord_cols), "__gr")
+        out = out.withColumn(
+            BUCKET_COL, F.floor((F.col("__gr") - 1) / F.lit(n))
+        ).drop("__gr")
         return BucketedWindow(out, F.lit(None).cast("bigint"), F.lit(None).cast("bigint"))
     if name == "cron":
         period = _cron_period_ms(spec)
@@ -287,14 +293,21 @@ def apply_retention(
         ]
         if not [a for a in spec.args if isinstance(a, A.Ref)]:
             raise SiddhiPlannerException(f"#window.{spec.name} needs key attribute(s)")
-        ord_struct = F.struct(*[F.col(c) for c in ord_cols])
-        pick = F.max(ord_struct) if name == "unique" else F.min(ord_struct)
-        winners = df.groupBy(*keys).agg(pick.alias("__pick"))
-        cond = [F.col(f"e.{k}").eqNullSafe(F.col(f"w.{k}")) for k in keys]
-        cond.append(
-            F.struct(*[F.col(f"e.{c}") for c in ord_cols]) == F.col("w.__pick")
+        # one row per key, picked by the deterministic total order: a single
+        # keyed shuffle + per-key row_number — no agg+join round trip (the
+        # struct-compare semi-join this replaces cost a second shuffle and a
+        # broadcast that breaks down at high key cardinality).
+        order = (
+            [F.col(c).desc() for c in ord_cols]
+            if name == "unique"
+            else [F.col(c).asc() for c in ord_cols]
         )
-        return df.alias("e").join(winners.alias("w"), cond, "left_semi")
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
     if name == "frequent":
         n = _arg_ms(spec, 0)
         keys = [a.name for a in spec.args[1:] if isinstance(a, A.Ref)] or list(fields)
