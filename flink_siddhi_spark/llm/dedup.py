@@ -25,6 +25,7 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
@@ -525,8 +526,11 @@ def streaming_exact_dedup(
     unbounded — fine for bounded backfills, use ``within`` for 24/7 ingest).
 
     Same single-shuffle shape as batch ``exact_dedup_groups``: hash
-    partition on md5(text); works identically on batch DataFrames
-    (plain dropDuplicates) so one pipeline definition serves both modes."""
+    partition on md5(text). Survivor semantics per mode: streaming keeps the
+    FIRST-ARRIVED doc per hash (state-order semantics); batch keeps the
+    min-``id_col`` doc per hash (a deterministic canonical pick — batch has
+    no arrival order, and an arbitrary ``dropDuplicates`` survivor would be
+    partition-order dependent), matching ``exact_dedup_groups``/``curate``."""
     out = df.withColumn("__h", F.md5(F.col(text_col)))
     if ts_col is not None and df.isStreaming:
         dt = dict(df.dtypes).get(ts_col, "")
@@ -539,8 +543,15 @@ def streaming_exact_dedup(
             .dropDuplicatesWithinWatermark(["__h"])
             .drop("__wm")
         )
-    else:
+    elif df.isStreaming:
         out = out.dropDuplicates(["__h"])
+    else:
+        w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
     return out.drop("__h")
 
 

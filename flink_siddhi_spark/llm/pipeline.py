@@ -290,6 +290,13 @@ def chunk_documents(
     bounded by ceil(len/stride) per doc, no shuffle at all: chunking stays
     partition-local, so a downstream per-chunk operator (tokenize, hash,
     embed) runs on co-located data."""
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"chunk_documents: size ({size}) and stride ({stride}) must be > 0")
+    if stride > size:
+        raise ValueError(
+            f"chunk_documents: stride ({stride}) > size ({size}) would silently "
+            "skip words between consecutive chunks; use stride <= size"
+        )
     words = F.split(F.col(text_col), " ")
     nw = F.size(words)
     n_chunks = F.when(nw <= size, F.lit(1)).otherwise(

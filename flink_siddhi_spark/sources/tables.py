@@ -29,17 +29,19 @@ def configure(spark: SparkSession) -> SparkSession:
 # Loaded-table memo: spark.read.parquet costs ~0.1s of driver time per call
 # (file listing + footer schema read); a query suite touching 4 tables pays
 # that 4x per query without this. DataFrames are immutable logical plans, so
-# handing back the same object is safe; keyed by applicationId so a new
-# session (tests spin several) never sees a stale plan.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# handing back the same object is safe. Keyed by the SparkSession OBJECT id —
+# not applicationId, which newSession() shares, so two sessions of one app
+# must not share plans (each plan binds its session's SQLConf). configure()
+# runs before the lookup so session confs apply on cache hits too.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    configure(spark)
+    key = (id(spark), sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos-since-epoch long -> TimestampType (micro precision). Integer

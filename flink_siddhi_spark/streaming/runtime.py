@@ -215,8 +215,14 @@ class StreamingPlanner(BatchPlanner):
             [f for f in df.schema.fields if f.name in out_cols]
             + [T.StructField(SNAPSHOT_COL, T.IntegerType())]
         )
+        # state blob is a PICKLED DataFrame (BinaryType), not JSON: to_json
+        # round-trips lose float precision beyond 10 significant digits and
+        # sub-ms timestamp resolution, which would let restored rows diverge
+        # from the batch-mode result (breaking the PARITY.md §15 "final
+        # snapshot equals batch result" contract); pickle preserves values
+        # and dtypes exactly.
         state_schema = T.StructType(
-            [T.StructField("rows", T.StringType()), T.StructField("snap", T.IntegerType())]
+            [T.StructField("rows", T.BinaryType()), T.StructField("snap", T.IntegerType())]
         )
         if wname == "sort":
             n, sort_keys = W._sort_args(si.window)
@@ -230,16 +236,12 @@ class StreamingPlanner(BatchPlanner):
             combo_keys = combo_keys or [f for f in schema.fields if f in out_cols]
             by, ascending, top_n = ord_cols, [True] * len(ord_cols), None
 
-        def _restore(blob: str, like: pd.DataFrame) -> pd.DataFrame:
-            import io as _io
+        def _restore(blob, like: pd.DataFrame) -> pd.DataFrame:
+            import pickle as _pickle
 
-            stored = pd.read_json(_io.StringIO(blob), orient="split")
-            for c in like.columns:
-                t = like[c].dtype
-                if str(t).startswith("datetime"):
-                    stored[c] = pd.to_datetime(stored[c])
-                else:
-                    stored[c] = stored[c].astype(t)
+            # lossless: dtypes (incl. nullable ints and tz-aware datetimes)
+            # and values come back exactly as stored — no coercion needed.
+            stored = _pickle.loads(bytes(blob))
             return stored[like.columns]
 
         def proc(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -268,7 +270,9 @@ class StreamingPlanner(BatchPlanner):
                 retained = rows.merge(top, on=combo_keys, how="inner")
                 retained = retained.sort_values(by, ascending=ascending, kind="mergesort")
             snap += 1
-            state.update((rows.to_json(orient="split", date_format="iso"), snap))
+            import pickle as _pickle
+
+            state.update((_pickle.dumps(rows), snap))
             out = retained.reset_index(drop=True).copy()
             out[SNAPSHOT_COL] = snap
             out[SNAPSHOT_COL] = out[SNAPSHOT_COL].astype("int32")

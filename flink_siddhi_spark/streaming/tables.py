@@ -83,9 +83,13 @@ class StreamingTable:
         return sq
 
     def stop(self) -> None:
+        import logging
+
         for q in self._queries:
             try:
                 q.stop()
-            except Exception:
-                pass
+            except Exception:  # best-effort teardown; surface, don't swallow
+                logging.getLogger(__name__).warning(
+                    "stopping continuous table query %s failed", q.id, exc_info=True
+                )
         self._queries.clear()
