@@ -414,6 +414,18 @@ def q_pattern_within(spark, sf_dir):
     ).returns("Out")
 
 
+def q_pattern_mid_every(spark, sf_dir):
+    # mid-pattern 'every' (Siddhi suffix restart): the first error per user
+    # pairs with EVERY later purchase inside the hour, not just the first.
+    return _cep(spark, sf_dir).from_("events").cql(
+        "partition with (user_id of events) begin "
+        "from s1 = events[event_type == 'error'] -> every s2 = events[event_type == 'purchase'] "
+        "within 7 days "
+        "select s1.user_id as user_id, s1.event_id as error_id, s2.event_id as purchase_id "
+        "insert into Out; end"
+    ).returns("Out")
+
+
 def q_pattern_absence(spark, sf_dir):
     return _cep(spark, sf_dir).from_("events").cql(
         "partition with (user_id of events) begin "
@@ -850,10 +862,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5ish_revenue": q_tpch_q5ish_revenue,
         "pattern_followed_by": q_pattern_followed_by,
+        "pattern_mid_every": q_pattern_mid_every,  # new round 3
         "sequence_strict": q_sequence_strict,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "custom_udaf": q_custom_udaf,
         # ---------------- window boundary (~50) ----------------
         # --- tail: driver-green in r2, local mirror + pytest this round ---
@@ -864,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_time_time": q_join_time_time,
         "join_length_time": q_join_length_time,
         "join_left_outer": q_join_left_outer,
+        "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_simhash": q_dedup_simhash,
@@ -1228,6 +1241,18 @@ def oracle_sql() -> dict[str, str]:
             "AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id)) "
             "ORDER BY p.ts, p.event_id LIMIT 1) p WHERE e.event_type = 'error') t "
             "WHERE delta <= 3600000"
+        ),
+        "pattern_mid_every": (
+            # first error per user (by the NFA total order ts, event_id),
+            # joined to EVERY later purchase within the hour
+            "WITH fe AS (SELECT user_id, event_id, ts FROM (SELECT user_id, event_id, ts, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn "
+            "FROM events WHERE event_type = 'error') t WHERE rn = 1) "
+            "SELECT fe.user_id, fe.event_id AS error_id, p.event_id AS purchase_id "
+            "FROM fe JOIN events p ON p.user_id = fe.user_id "
+            "AND p.event_type = 'purchase' "
+            "AND (p.ts > fe.ts OR (p.ts = fe.ts AND p.event_id > fe.event_id)) "
+            "AND epoch_ms(p.ts) - epoch_ms(fe.ts) <= 604800000"
         ),
         "pattern_absence": (
             "SELECT e.user_id, e.event_id AS error_id FROM events e "

@@ -148,15 +148,26 @@ def _run_nfa(
     every: bool,
     within_ms: int | None,
     at_close: bool = True,
+    every_at: int | None = None,
 ) -> list[list[list[int]]]:
     """Run the NFA over one partition; returns captured row-index lists
-    (one list per FLAT element per match)."""
+    (one list per FLAT element per match).
+
+    ``every_at``: Siddhi's mid-pattern 'every' (suffix restart). When a
+    partial completes the step before ``every_at`` it converts to a SPAWNER:
+    a frozen prefix that, at every subsequent event, emits a clone attempting
+    the suffix — so every qualifying suffix occurrence yields a match (the
+    spawner itself never advances). Clones that fail to consume their first
+    event are dropped (the spawner re-arms next event), keeping live state
+    bounded by suffix length, not stream length."""
     steps, flat = normalize_steps(raw_steps)
     n_steps = len(steps)
     n_flat = len(flat)
     ts_vals = rows[TS_COL].to_numpy()
     matches: list[list[list[int]]] = []
     partials: list[_Partial] = []
+    spawners: list[_Partial] = []
+    multi = every or every_at is not None
     started = False
     done = False
 
@@ -179,10 +190,24 @@ def _run_nfa(
         survivors: list[_Partial] = []
         emitted_now = False
         attempt_pool = list(partials)
+        clone_ids: set[int] = set()
+        if spawners:
+            live = []
+            for s in spawners:
+                if within_ms is not None and ts - s.first_ts > within_ms:
+                    continue  # spawner's match window closed
+                live.append(s)
+                c = _Partial(
+                    s.pos, [list(x) for x in s.captured],
+                    first_ts=s.first_ts, last_ts=s.last_ts,
+                )
+                clone_ids.add(id(c))
+                attempt_pool.append(c)
+            spawners = live
         if every or not started:
             attempt_pool.append(_Partial(0, [[] for _ in range(n_flat)]))
         for p in attempt_pool:
-            is_fresh = p.first_ts is None
+            is_fresh = p.first_ts is None or id(p) in clone_ids
             if (
                 within_ms is not None
                 and p.first_ts is not None
@@ -199,22 +224,32 @@ def _run_nfa(
                     if within_ms is None or ts - p.first_ts <= within_ms:
                         emit(p)
                         emitted_now = True
-                        if not every:
+                        if not multi:
                             done = True
                         continue
+                if (
+                    every_at is not None
+                    and p.pos == every_at - 1
+                    and _step_satisfied(p, steps[every_at - 1])
+                ):
+                    # prefix complete: freeze it; clones take the suffix from
+                    # the NEXT event on (the completing event is prefix-only)
+                    p.pos = every_at
+                    spawners.append(p)
+                    continue
                 survivors.append(p)
             elif res == "completed":
                 if within_ms is None or (p.first_ts is not None):
                     emit(p)
                     emitted_now = True
-                    if not every:
+                    if not multi:
                         done = True
             elif res == "kept":
                 if not is_fresh:
                     survivors.append(p)
             # 'died' -> dropped
         partials = survivors
-        if emitted_now and not every:
+        if emitted_now and not multi:
             done = True
     # end of data: stream close confirms absence / completes trailing optionals.
     # Streaming callers pass at_close=False — a micro-batch boundary is NOT a
@@ -223,9 +258,28 @@ def _run_nfa(
         for p in partials:
             if p.first_ts is not None and _can_close(p, steps):
                 emit(p)
-                if not every:
+                if not multi:
                     break
     return matches
+
+
+def validate_every_at(p: "A.PatternInput") -> None:
+    """Mid-pattern 'every' prefix restrictions: every step before the mark
+    must complete at a single well-defined event (plain single elements or
+    and/or groups — no optionals, collections, or negations), so "prefix
+    complete" is unambiguous and the spawner freeze point is exact."""
+    if p.every_at is None:
+        return
+    if not (0 < p.every_at < len(p.elems)):
+        raise SiddhiPlannerException("mid-pattern 'every' position out of range")
+    for st in p.elems[: p.every_at]:
+        es = st.elems if isinstance(st, A.PatternGroup) else [st]
+        for e in es:
+            if e.negated or e.is_collection or e.min_count != 1:
+                raise UnsupportedFeatureException(
+                    "steps before a mid-pattern 'every' must be plain single "
+                    "elements (no quantifiers, optionals, or 'not')"
+                )
 
 
 def _can_close(p: _Partial, steps: list[_Step]) -> bool:
@@ -413,6 +467,7 @@ def _try_fast_path(planner, q: A.Query, u: DataFrame, elems, strict_after,
         a_rows = a_rows.withColumn("__ar", F.row_number().over(wa)).filter(F.col("__ar") == 1)
     a_sel = a_rows.select(
         F.col(PK_COL), F.col(TS_COL).alias("__a_ts"), F.col("__next_b"),
+        F.col("__pos").alias("__a_pos"),
         *[F.col(f).alias(col_of[(a.alias, f)]) for f in field_names[a.alias]],
     )
     if b.negated:
@@ -435,10 +490,16 @@ def _try_fast_path(planner, q: A.Query, u: DataFrame, elems, strict_after,
         F.col(TS_COL).alias("__b_ts"),
         *[F.col(f).alias(col_of[(b.alias, f)]) for f in field_names[b.alias]],
     )
+    if p.every_at is not None:
+        # 'a -> every b': pair a with EVERY later b (suffix restarts per b),
+        # not just the first — per-key equi-join + position inequality. Match
+        # fan-out is the semantic output size (each pair IS a result row),
+        # within_ms bounds it in practice.
+        b_cond = F.col("__bpos2") > F.col("__a_pos")
+    else:
+        b_cond = F.col("__next_b") == F.col("__bpos2")
     joined = a_sel.join(
-        b_sel,
-        (F.col(PK_COL) == F.col("__bpk")) & (F.col("__next_b") == F.col("__bpos2")),
-        "inner",
+        b_sel, (F.col(PK_COL) == F.col("__bpk")) & b_cond, "inner",
     )
     if p.within_ms is not None:
         joined = joined.filter(F.col("__b_ts") - F.col("__a_ts") <= F.lit(p.within_ms))
@@ -450,6 +511,7 @@ def _try_fast_path(planner, q: A.Query, u: DataFrame, elems, strict_after,
 def compile_pattern(planner, q: A.Query):
     """Compile a pattern query input. Returns (df, resolver, fields)."""
     p: A.PatternInput = q.input
+    validate_every_at(p)
     raw_steps = p.elems
     # validate + flatten and/or groups; NFA captures are per FLAT element
     _, elems = normalize_steps(raw_steps)
@@ -542,6 +604,7 @@ def compile_pattern(planner, q: A.Query):
     elems_c = elems
     raw_steps_c = raw_steps
     every = p.every
+    every_at = p.every_at
     within_ms = p.within_ms
     field_names = {e.alias: schemas[e.stream].fields for e in elems if not e.negated}
     collection = {e.alias: e.is_collection for e in elems if not e.negated}
@@ -585,7 +648,10 @@ def compile_pattern(planner, q: A.Query):
                 fv = _vec(filt, pdf)
                 m = m & fv.to_numpy(dtype=bool, na_value=False) if hasattr(fv, "to_numpy") else (m & bool(fv))
             masks.append(m)
-        found = _run_nfa(pdf, masks, raw_steps_c, strict_after, every, within_ms)
+        found = _run_nfa(
+            pdf, masks, raw_steps_c, strict_after, every, within_ms,
+            every_at=every_at,
+        )
         data: dict[str, list] = {n: [] for n in out_names}
         for cap in found:
             for ei, e in enumerate(elems_c):

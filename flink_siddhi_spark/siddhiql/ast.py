@@ -129,6 +129,11 @@ class PatternInput:
     connectors: list[str]  # len == len(elems) - 1
     every: bool = False
     within_ms: Optional[int] = None
+    # mid-pattern 'every' (Siddhi suffix-restart): index of the step the
+    # 'every' keyword prefixes — once the steps before it have matched, the
+    # suffix starting here restarts for every qualifying event. None = no
+    # mid-pattern every (leading 'every' is the boolean above).
+    every_at: Optional[int] = None
 
 
 InputSpec = Union[SingleInput, JoinInput, PatternInput]

@@ -396,6 +396,7 @@ class Parser:
 
     def parse_pattern_rest(self, elems: list[A.PatternElem], every: bool) -> A.PatternInput:
         connectors: list[str] = []
+        every_at: int | None = None
         while True:
             if self.accept("ARROW"):
                 connectors.append("->")
@@ -406,18 +407,32 @@ class Parser:
             else:
                 break
             if self.accept_kw("every"):
-                # Siddhi's mid-pattern 'every' (restart only the suffix) has no
-                # equivalent here; silently parsing it as plain '->' would
-                # change semantics, so reject it loudly. (The reference's own
-                # tests only use a leading 'every' — SiddhiCEPITCase.java:344.)
-                raise UnsupportedFeatureException(
-                    "mid-pattern 'every' is not supported; use a leading 'every'"
-                )
-            elems.append(self.parse_pattern_step())
+                # Siddhi's mid-pattern 'every' (suffix restart): record the
+                # step index it prefixes; the NFA re-arms the suffix from here
+                # for every qualifying event once the prefix has matched.
+                if every_at is not None:
+                    raise UnsupportedFeatureException(
+                        "only one mid-pattern 'every' is supported"
+                    )
+                if connectors[-1] != "->":
+                    raise UnsupportedFeatureException(
+                        "mid-pattern 'every' requires a preceding '->' "
+                        "(a strict ',' admits exactly one suffix event, which "
+                        "contradicts 'every')"
+                    )
+                every_at = len(elems)
+            step = self.parse_pattern_step()
+            if every_at == len(elems):
+                bad = step.elems[0] if isinstance(step, A.PatternGroup) else step
+                if bad.negated:
+                    raise UnsupportedFeatureException(
+                        "'every not ...' is not supported mid-pattern"
+                    )
+            elems.append(step)
         within = None
         if self.accept_kw("within"):
             within = self.parse_time_duration()
-        return A.PatternInput(elems, connectors, every, within)
+        return A.PatternInput(elems, connectors, every, within, every_at)
 
     def _comma_is_pattern_connector(self) -> bool:
         # lookahead after ',': pattern elem starts with [not|every] or ID ('='|'[')

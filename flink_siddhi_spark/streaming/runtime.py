@@ -824,7 +824,10 @@ class StreamingPlanner(BatchPlanner):
 
     def _streaming_pattern(self, q: A.Query) -> DataFrame:
         """Per-key NFA over state-buffered rows (applyInPandasWithState)."""
+        from ..operators.pattern import validate_every_at
+
         p: A.PatternInput = q.input
+        validate_every_at(p)
         elems = p.elems
         used = set()
         for i, e in enumerate(elems):
@@ -882,6 +885,7 @@ class StreamingPlanner(BatchPlanner):
         )
         elems_c = elems
         every, within_ms = p.every, p.within_ms
+        every_at = p.every_at
         filters = [(e.stream, e.filter) for e in elems]
         field_names = {e.alias: fields for e in elems if not e.negated}
         collection = {e.alias: e.is_collection for e in elems if not e.negated}
@@ -921,7 +925,8 @@ class StreamingPlanner(BatchPlanner):
                     m = m & fv.to_numpy(dtype=bool, na_value=False)
                 masks.append(m)
             found = _run_nfa(
-                rows, masks, elems_c, strict_after, every, within_ms, at_close=False
+                rows, masks, elems_c, strict_after, every, within_ms,
+                at_close=False, every_at=every_at,
             )
 
             def match_key(cap):

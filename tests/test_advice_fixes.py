@@ -82,14 +82,43 @@ def test_streaming_trailing_absence(spark, tmp_path):
     assert sorted(r.an for r in out.collect()) == ["c"]
 
 
-def test_mid_pattern_every_rejected(cep, spark):
+def test_mid_pattern_every_suffix_restart(cep, spark):
+    # round-3: 'a -> every b' is now SUPPORTED (suffix restart): the first
+    # a-match pairs with EVERY later b, not just the first.
+    rows = [
+        (1, "a", 1.0, 1000), (2, "b", 1.0, 2000), (3, "b", 1.0, 3000),
+        (1, "a", 1.0, 4000), (2, "b", 1.0, 5000),
+    ]
+    cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    out = cep.from_("s").cql(
+        "from a = s[id == 1] -> every b = s[id == 2] "
+        "select a.timestamp as at, b.timestamp as bt insert into Out"
+    ).returns("Out")
+    # first a (ts=1000) pairs with every id==2 event after it: 2000, 5000
+    assert sorted((r.at, r.bt) for r in out.collect()) == [(1000, 2000), (1000, 5000)]
+
+
+def test_mid_pattern_every_restrictions(cep, spark):
     rows = [(1, "a", 1.0, 1000), (2, "b", 1.0, 2000)]
     cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    # strict ',' before 'every' contradicts suffix restart
     with pytest.raises(UnsupportedFeatureException, match="mid-pattern 'every'"):
         cep.from_("s").cql(
-            "from a = s[id == 1] -> every b = s[id == 2] "
+            "from a = s[id == 1] , every b = s[id == 2] "
             "select a.name as an insert into Out"
         )
+    # 'every not' unsupported
+    with pytest.raises(UnsupportedFeatureException, match="every not"):
+        cep.from_("s").cql(
+            "from a = s[id == 1] -> every not s[id == 9] for 1 sec "
+            "select a.name as an insert into Out"
+        )
+    # quantified prefix step before the mark is ambiguous -> rejected
+    with pytest.raises(UnsupportedFeatureException, match="plain single"):
+        cep.from_("s").cql(
+            "from a = s[id == 1]+ -> every b = s[id == 2] "
+            "select b.name as bn insert into Out"
+        ).returns("Out")
 
 
 def test_length_batch_chunks_globally_with_group_by(cep, spark):

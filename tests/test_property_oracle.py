@@ -272,3 +272,85 @@ def test_random_strict_sequence(spark, names, every):
     ).returns("Out")
     got = sorted((r.a_id, r.b_id) for r in out.collect())
     assert got == _brute_strict_seq(rows, every), (rows, every)
+
+
+def _brute_mid_every(rows, within_ms=None, leading_every=False):
+    """`[every] a = s[x] -> every b = s[y] [within t]` (mid-pattern every,
+    Siddhi suffix restart): each chain-opening x (the first only without a
+    leading `every`) pairs with EVERY later y, within the deadline."""
+    out = []
+    for i, (aid, aname, ats) in enumerate(rows):
+        if aname != "x":
+            continue
+        for bid, bname, bts in rows[i + 1:]:
+            if bname == "y" and (within_ms is None or bts - ats <= within_ms):
+                out.append((aid, bid))
+        if not leading_every:
+            break
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    names=st.lists(st.sampled_from(["x", "y", "z"]), min_size=2, max_size=10),
+    gaps=st.lists(st.integers(1, 4), min_size=10, max_size=10),
+    within_s=st.sampled_from([None, 3, 7]),
+    leading=st.booleans(),
+)
+def test_random_mid_pattern_every(spark, names, gaps, within_s, leading):
+    # exercises the 2-element JVM fast path (position-inequality join)
+    ts, rows = 0, []
+    for i, nm in enumerate(names):
+        ts += gaps[i % len(gaps)] * 1000
+        rows.append((i, nm, ts))
+    cep = SiddhiCEP(spark)
+    df = spark.createDataFrame(
+        [(i, nm, float(i), t) for i, nm, t in rows],
+        "id int, name string, price double, timestamp long")
+    cep.define("s", df, "id", "name", "price", "timestamp", ts_field="timestamp")
+    w = f" within {within_s}500 milliseconds" if within_s else ""
+    ev = "every " if leading else ""
+    out = cep.from_("s").cql(
+        f"from {ev}a = s[name == 'x'] -> every b = s[name == 'y']{w} "
+        "select a.id as a_id, b.id as b_id insert into Out"
+    ).returns("Out")
+    got = sorted((r.a_id, r.b_id) for r in out.collect())
+    want = _brute_mid_every(rows, within_s * 1000 + 500 if within_s else None, leading)
+    assert got == want, (rows, within_s, leading)
+
+
+def _brute_mid_every3(rows):
+    """`a = s[x] -> every b = s[y] -> c = s[z]`: first x opens the chain;
+    every later y restarts the suffix; each y completes on its FIRST later z."""
+    out = []
+    ai = next((i for i, r in enumerate(rows) if r[1] == "x"), None)
+    if ai is None:
+        return out
+    for j in range(ai + 1, len(rows)):
+        if rows[j][1] != "y":
+            continue
+        for k in range(j + 1, len(rows)):
+            if rows[k][1] == "z":
+                out.append((rows[ai][0], rows[j][0], rows[k][0]))
+                break
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(names=st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=3, max_size=12))
+def test_random_mid_pattern_every_three_steps(spark, names):
+    # 3 elements -> the general NFA path (spawner/clone machinery)
+    rows = [(i, nm, (i + 1) * 1000) for i, nm in enumerate(names)]
+    cep = SiddhiCEP(spark)
+    df = spark.createDataFrame(
+        [(i, nm, float(i), t) for i, nm, t in rows],
+        "id int, name string, price double, timestamp long")
+    cep.define("s", df, "id", "name", "price", "timestamp", ts_field="timestamp")
+    out = cep.from_("s").cql(
+        "from a = s[name == 'x'] -> every b = s[name == 'y'] -> c = s[name == 'z'] "
+        "select a.id as a_id, b.id as b_id, c.id as c_id insert into Out"
+    ).returns("Out")
+    got = sorted((r.a_id, r.b_id, r.c_id) for r in out.collect())
+    assert got == _brute_mid_every3(rows), rows

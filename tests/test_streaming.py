@@ -790,3 +790,29 @@ def test_streaming_retention_with_aggregation_rejected(spark, tmp_path):
     q2 = parse("from s#window.lossyFrequent(0.1) select id insert into Out;").queries[0]
     with pytest.raises(UnsupportedFeatureException, match="retention"):
         planner.compile_query(q2)
+
+
+def test_streaming_mid_pattern_every(spark, tmp_path):
+    """round-3: mid-pattern 'every' (suffix restart) across micro-batches —
+    the b that arrives in a LATER batch must still pair with the frozen
+    prefix restored from buffered state."""
+    rows1 = [(1, "x", 1.0, 1000), (2, "y", 1.0, 2000)]
+    rows2 = [(3, "z", 1.0, 3000), (4, "y", 1.0, 4000)]
+    d = str(tmp_path / "in_mid_every")
+    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.format("parquet").schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "from a = s[name == 'x'] -> every b = s[name == 'y'] "
+        "select a.id as a_id, b.id as b_id insert into Out",
+        "Out", "m_mid_every", tmp_path,
+    )
+    got = sorted((r.a_id, r.b_id) for r in out.collect())
+    assert got == [(1, 2), (1, 4)], got
