@@ -191,6 +191,15 @@ def q_window_cron(spark, sf_dir):
     ).returns("Out")
 
 
+def q_window_cron_calendar(spark, sf_dir):
+    # calendar (quartz) cron schedule — weekly fire at 9:30 every Monday;
+    # closes PARITY.md deviation 11 (was: */N periods only)
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.cron('0 30 9 ? * MON') "
+        "select event_type, count() as n group by event_type insert into Out"
+    ).returns("Out")
+
+
 def q_window_time_length(spark, sf_dir):
     return _cep(spark, sf_dir).from_("events").cql(
         "from events#window.timeLength(10 min, 10) "
@@ -837,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_unique": q_window_unique,
         "window_delay": q_window_delay,
         "window_cron": q_window_cron,
+        "window_cron_calendar": q_window_cron_calendar,  # new round 3
         "window_time_length": q_window_time_length,
         "window_lossy_frequent": q_window_lossy_frequent,
         # --- core SiddhiQL: joins ---
@@ -865,7 +875,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_mid_every": q_pattern_mid_every,  # new round 3
         "sequence_strict": q_sequence_strict,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "custom_udaf": q_custom_udaf,
         # ---------------- window boundary (~50) ----------------
         # --- tail: driver-green in r2, local mirror + pytest this round ---
@@ -877,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_length_time": q_join_length_time,
         "join_left_outer": q_join_left_outer,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_simhash": q_dedup_simhash,
@@ -1090,6 +1100,13 @@ def oracle_sql() -> dict[str, str]:
         "window_cron": (
             "SELECT event_type, CAST(count(*) AS BIGINT) n FROM "
             f"(SELECT event_type, {_EMS} // 600000 AS w FROM events) "
+            "GROUP BY event_type, w"
+        ),
+        "window_cron_calendar": (
+            # weekly fires Mondays 09:30 UTC; anchor = first epoch fire
+            # (epoch day 0 = Thursday, +4 days to Monday, +9.5h) = 379800000
+            "SELECT event_type, CAST(count(*) AS BIGINT) n FROM "
+            f"(SELECT event_type, ({_EMS} - 379800000) // 604800000 AS w FROM events) "
             "GROUP BY event_type, w"
         ),
         "window_time_length": (

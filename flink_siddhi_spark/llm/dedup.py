@@ -419,10 +419,13 @@ def embedding_candidates_sign(
     ).select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
 
 
+QUADRATIC_VERIFY_LIMIT = 100_000
+
+
 def embedding_dup_pairs(
     df: DataFrame, threshold: float = 0.4, emb_col: str = "embedding",
     id_col: str = "vec_id", candidates: Optional[DataFrame] = None,
-    dim: Optional[int] = None,
+    dim: Optional[int] = None, allow_quadratic: bool = False,
 ) -> DataFrame:
     """Exact cosine near-dup pairs.
 
@@ -432,13 +435,34 @@ def embedding_dup_pairs(
     shape (verify is linear in candidate count, never O(n^2)).
 
     Without candidates this is the quadratic all-pairs verifier
-    (BroadcastNestedLoopJoin) — useful for small-table ground truth only.
-    The all-pairs path stays on the interpreted ``aggregate`` fold on
-    purpose: under BNLJ no whole-stage codegen runs and the HOF fold's
-    tight array loop is ~2x faster than a 64-term unrolled expression tree
-    (measured at sf0.1). The candidate path IS codegen'd, so there the
-    unrolled form wins — pass ``dim`` to unroll."""
+    (BroadcastNestedLoopJoin) — small-table ground truth ONLY. It warns at
+    call time, and unless ``allow_quadratic=True`` it refuses inputs above
+    ``QUADRATIC_VERIFY_LIMIT`` rows (n^2/2 cosine evaluations past that
+    point is a cluster-melter, not a slow query — at 100k rows it is
+    already 5e9 pairs). The all-pairs path stays on the interpreted
+    ``aggregate`` fold on purpose: under BNLJ no whole-stage codegen runs
+    and the HOF fold's tight array loop is ~2x faster than a 64-term
+    unrolled expression tree (measured at sf0.1). The candidate path IS
+    codegen'd, so there the unrolled form wins — pass ``dim`` to unroll."""
     df = _spread(df)
+    if candidates is None:
+        import warnings
+
+        warnings.warn(
+            "embedding_dup_pairs without candidates= is the O(n^2) all-pairs "
+            "verifier; wire candidates from embedding_candidates_sign (or an "
+            "LSH family) for the scalable path",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        if not allow_quadratic:
+            n = df.count()
+            if n > QUADRATIC_VERIFY_LIMIT:
+                raise ValueError(
+                    f"embedding_dup_pairs: {n} rows without candidates= would "
+                    f"evaluate ~{n * (n - 1) // 2:.2g} pairs; pass candidates= "
+                    f"(scale path) or allow_quadratic=True to override"
+                )
     a = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("ea"),
                   norm(F.col(emb_col), dim).alias("na"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("eb"),

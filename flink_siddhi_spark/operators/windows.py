@@ -137,12 +137,48 @@ def add_bucket(
         ).drop("__gr")
         return BucketedWindow(out, F.lit(None).cast("bigint"), F.lit(None).cast("bigint"))
     if name == "cron":
-        period = _cron_period_ms(spec)
-        out = df.withColumn(BUCKET_COL, F.floor(F.col(ts_col) / F.lit(period)))
+        kind, arg, anchor = _cron_schedule(spec)
+        if kind == "period":
+            # fires at anchor + k*period: bucket k holds events in
+            # [fire_k, fire_{k+1}), flushed at the next fire — pure epoch
+            # arithmetic, no shuffle beyond the aggregation itself
+            period = arg
+            out = df.withColumn(
+                BUCKET_COL, F.floor((F.col(ts_col) - F.lit(anchor)) / F.lit(period))
+            )
+            return BucketedWindow(
+                out,
+                (F.col(BUCKET_COL) * period + anchor).cast("bigint"),
+                (F.col(BUCKET_COL) * period + anchor + period).cast("bigint"),
+            )
+        # monthly 's m h D * ?': fire_m = day D of month m at h:m:s; bucket =
+        # the month index of the last fire at-or-before the event. Month
+        # arithmetic via make_timestamp/unix_millis — still per-row Catalyst
+        # expressions (codegen'd), no data movement.
+        dom, hh, mm, ss = arg
+        t = F.timestamp_millis(F.col(ts_col).cast("bigint"))
+        this_fire = F.unix_millis(
+            F.make_timestamp(
+                F.year(t), F.month(t), F.lit(dom), F.lit(hh), F.lit(mm),
+                F.lit(ss).cast("double"),
+            )
+        )
+        midx = F.year(t) * 12 + F.month(t) - 1
+        bucket = F.when(F.col(ts_col) >= this_fire, midx).otherwise(midx - 1)
+        out = df.withColumn(BUCKET_COL, bucket.cast("bigint"))
+
+        def fire_of(b):  # epoch ms of the fire for month-index b
+            return F.unix_millis(
+                F.make_timestamp(
+                    F.floor(b / 12).cast("int"), (b % 12 + 1).cast("int"),
+                    F.lit(dom), F.lit(hh), F.lit(mm), F.lit(ss).cast("double"),
+                )
+            )
+
         return BucketedWindow(
             out,
-            (F.col(BUCKET_COL) * period).cast("bigint"),
-            (F.col(BUCKET_COL) * period + period).cast("bigint"),
+            fire_of(F.col(BUCKET_COL)).cast("bigint"),
+            fire_of(F.col(BUCKET_COL) + 1).cast("bigint"),
         )
     if name == "session":
         gap = _arg_ms(spec, 0)
@@ -203,10 +239,24 @@ def classify(spec: Optional[A.WindowSpec]) -> str:
     raise UnsupportedFeatureException(f"window #window.{spec.name} not implemented")
 
 
-def _cron_period_ms(spec: A.WindowSpec) -> int:
-    """Fixed-period subset of Quartz cron: ``*/N * * * * ?`` (every N sec),
-    ``0 */N * * * ?`` (every N min), ``0 0 */N * * ?`` (every N hours).
-    Arbitrary calendars don't map to a pure bucket function — rejected."""
+_QUARTZ_DOW = {
+    "SUN": 1, "MON": 2, "TUE": 3, "WED": 4, "THU": 5, "FRI": 6, "SAT": 7,
+}
+# days from Thursday 1970-01-01 (epoch day 0) to each quartz day-of-week
+_DAYS_FROM_EPOCH_DOW = {5: 0, 6: 1, 7: 2, 1: 3, 2: 4, 3: 5, 4: 6}
+
+
+def _cron_schedule(spec: A.WindowSpec):
+    """Parse the supported Quartz subset into a bucket-function schedule.
+
+    Returns one of (all times UTC — the engine's session zone):
+    - ``("period", period_ms, anchor_ms)`` — fixed-period fires (``*/N``
+      second/minute/hour steps anchor at 0; daily ``s m h * * ?`` and weekly
+      ``s m h ? * DOW`` fires anchor at the first epoch fire), or
+    - ``("monthly", (dom, h, m, s))`` — ``s m h D * ?`` day-of-month fires.
+
+    Everything else (lists, ranges, multiple days, month fields, L/W/#) has
+    no pure bucket-function lowering and is rejected at plan time."""
     a = spec.args[0]
     if not (isinstance(a, A.Literal) and a.kind == "string"):
         raise SiddhiPlannerException("#window.cron takes a cron string literal")
@@ -219,16 +269,45 @@ def _cron_period_ms(spec: A.WindowSpec) -> int:
             return int(field[2:])
         return None
 
-    sec, minute, hour = parts[0], parts[1], parts[2]
+    sec, minute, hour, dom, month, dow = parts[:6]
     if (s := step(sec)) is not None:
-        return s * 1000
+        return ("period", s * 1000, 0)
     if sec in ("0", "*") and (m := step(minute)) is not None:
-        return m * 60_000
+        return ("period", m * 60_000, 0)
     if sec in ("0", "*") and minute in ("0", "*") and (h := step(hour)) is not None:
-        return h * 3_600_000
+        return ("period", h * 3_600_000, 0)
+    # calendar forms need a concrete time-of-day
+    if sec.isdigit() and minute.isdigit() and hour.isdigit() and month in ("*", "?"):
+        tod_ms = (int(hour) * 3600 + int(minute) * 60 + int(sec)) * 1000
+        if dom in ("*", "?") and dow in ("*", "?"):
+            return ("period", 86_400_000, tod_ms)  # daily at h:m:s
+        if dom in ("*", "?"):
+            d = _QUARTZ_DOW.get(dow.upper(), int(dow) if dow.isdigit() else None)
+            if d in _DAYS_FROM_EPOCH_DOW:
+                anchor = _DAYS_FROM_EPOCH_DOW[d] * 86_400_000 + tod_ms
+                return ("period", 7 * 86_400_000, anchor)  # weekly on DOW
+        elif dow in ("*", "?") and dom.isdigit():
+            if not 1 <= int(dom) <= 28:
+                raise UnsupportedFeatureException(
+                    "#window.cron: day-of-month must be 1..28 (29-31 skip "
+                    "short months, which a bucket function cannot express)"
+                )
+            return ("monthly", (int(dom), int(hour), int(minute), int(sec)), None)
     raise UnsupportedFeatureException(
-        f"#window.cron: only fixed-period exprs (*/N sec|min|hour) supported, got {a.value!r}"
+        f"#window.cron: unsupported expr {a.value!r} — supported: */N "
+        "sec|min|hour periods, daily 's m h * * ?', weekly 's m h ? * DOW', "
+        "monthly 's m h D * ?' (D<=28)"
     )
+
+
+def _cron_period_ms(spec: A.WindowSpec) -> int:
+    """Back-compat shim: fixed-period subset only."""
+    kind, a, b = _cron_schedule(spec)
+    if kind != "period" or b != 0:
+        raise UnsupportedFeatureException(
+            "#window.cron: calendar schedule where a fixed period was expected"
+        )
+    return a
 
 
 def _sort_args(spec: A.WindowSpec) -> tuple[int, list[tuple[str, bool]]]:

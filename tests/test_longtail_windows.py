@@ -140,11 +140,17 @@ def test_cron_window_fixed_period(cep, duck):
 
 
 def test_cron_rejects_calendar_exprs(cep):
+    # round 3: daily/weekly/monthly calendars are SUPPORTED (bucket-function
+    # lowering); only list/range/special forms still reject.
     from flink_siddhi_spark.errors import UnsupportedFeatureException
 
+    out = cep.from_("events").cql(
+        "from events#window.cron('0 15 10 * * ?') select count() as n insert into Out"
+    ).returns("Out")
+    assert out.count() > 0
     with pytest.raises(UnsupportedFeatureException):
         cep.from_("events").cql(
-            "from events#window.cron('0 15 10 * * ?') select count() as n insert into Out"
+            "from events#window.cron('0 15 10 ? * MON-FRI') select count() as n insert into Out"
         ).returns("Out")
 
 
