@@ -53,6 +53,75 @@ HEADLINE = [
 ]
 
 
+# dedup/ANN family re-run on a 10x-amplified corpus (sf1-equivalent for the
+# documents/embeddings tables — /root/testdata has no sf1): exercises skew
+# caps, LSH bucket growth, and star-expansion beyond what sf0.1 can. The
+# amplified corpus mixes exact duplicates (every 3rd doc copied verbatim)
+# and near-duplicates (one extra token) across copies, so duplicate-group
+# size AND corpus size grow with the factor.
+SCALE_FACTOR = 10
+SCALE_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_hamming",
+    "dedup_containment",
+    "dedup_clusters",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+]
+
+
+def _amplified_dir(spark, sf_dir: str, factor: int) -> str:
+    """Write a deterministic factor-x amplification of documents/embeddings
+    to a temp dir (only the two tables the dedup/ANN family reads)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{factor}x")
+    marker = os.path.join(out, "_done")
+    if os.path.exists(marker):
+        return out
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    copies = []
+    for i in range(factor):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            # every 3rd doc: verbatim copy (exact dup); rest: near-dup
+            c = c.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(f" cp{i}"))
+                ),
+            )
+        copies.append(c)
+    amplified = copies[0]
+    for c in copies[1:]:
+        amplified = amplified.unionByName(c)
+    amplified.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    ecopies = []
+    for i in range(factor):
+        c = embs.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            c = c.withColumn(
+                "embedding",
+                F.when(
+                    F.col("vec_id") % 3 == 0, F.col("embedding")
+                ).otherwise(
+                    F.transform("embedding", lambda x: x + F.lit(float(i) * 1e-3))
+                ),
+            )
+        ecopies.append(c)
+    eamp = ecopies[0]
+    for c in ecopies[1:]:
+        eamp = eamp.unionByName(c)
+    eamp.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -109,6 +178,56 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
+        try:
+            from flink_siddhi_spark.llm.dedup import (
+                ngram_containment_pairs,
+                simhash_hamming_pairs,
+            )
+
+            def _load_docs(sdir):
+                return spark.read.parquet(f"{sdir}/documents.parquet")
+
+            # production-capped variant of the simhash pair-emitter: at high
+            # duplicate density the exact pair output is quadratic in group
+            # size; max_bucket + per_doc_cap bound both the bucket self-join
+            # and the emitted list (clustering recovers groups transitively).
+            # Measured 25x faster than exact at 10x density — reported
+            # alongside the exact query so both semantics have honest
+            # numbers. (Containment's per_doc_cap bounds only OUTPUT size,
+            # not the shingle-join cost — see SCALE.md — so re-measuring it
+            # here would just duplicate the exact query's time.)
+            _ = ngram_containment_pairs  # knob documented in SCALE.md
+            capped = {
+                "dedup_simhash_hamming_cap5": lambda _s, d: simhash_hamming_pairs(
+                    _load_docs(d), bits=16, max_hamming=2, max_bucket=256,
+                    per_doc_cap=5,
+                ),
+            }
+            sdir = _amplified_dir(spark, sf_dir, SCALE_FACTOR)
+            scaled: dict[str, float] = {}
+            # single run per query: this is a spot-check for superlinear
+            # blowups, not a steady-state timing (the heavy pair-emitters
+            # cost ~100s each at this duplicate density)
+            for name, fn in [(n, qs[n]) for n in SCALE_QUERIES] + list(capped.items()):
+                t0 = time.time()
+                n = fn(spark, sdir).count()
+                dt = round(time.time() - t0, 3)
+                scaled[name] = dt
+                base = timings.get(name)
+                ratio = round(dt / (base * SCALE_FACTOR), 2) if base else None
+                print(
+                    f"# scale[{SCALE_FACTOR}x] {name}: {n} rows in {dt:.2f}s "
+                    f"(vs linear {base}*{SCALE_FACTOR}: ratio {ratio})",
+                    file=sys.stderr,
+                )
+            out["sf_scale"] = {
+                "factor": SCALE_FACTOR,
+                "base_sf": sf,
+                "queries": scaled,
+            }
+        except Exception as ex:  # scale section must never fail the bench
+            print(f"# scale bench failed: {ex}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
     return 0

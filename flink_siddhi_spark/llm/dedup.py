@@ -277,7 +277,7 @@ def band_layout(bits: int, n_bands: int) -> list[tuple[int, int]]:
 def simhash_hamming_pairs(
     df: DataFrame, bits: int = 16, max_hamming: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
-    max_bucket: Optional[int] = None,
+    max_bucket: Optional[int] = None, per_doc_cap: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs whose SimHash fingerprints differ in <= ``max_hamming``
     bits — the standard web-scale fuzzy-dedup refinement over exact-equality
@@ -296,6 +296,16 @@ def simhash_hamming_pairs(
     other) — O(m) — which ``dedup_clusters`` recovers transitively (the
     same treatment as ``minhash_lsh_pairs``). Default None keeps the exact
     all-pairs output for oracle parity.
+
+    ``per_doc_cap``: at high duplicate density the PAIR OUTPUT itself is
+    quadratic in group size (10x-duplicated corpus -> ~100x the pairs; the
+    10x scale bench measured 84.5M pairs from 50k docs). A dedup pipeline
+    only needs enough edges to connect each duplicate group, so the
+    production configuration caps emission at the ``per_doc_cap`` closest
+    pairs per anchor (lower-id) doc — deterministic (hamming, id) order,
+    one keyed window over the output, linear cost. Connected components
+    still recover full groups through transitivity. Default None = exact
+    all-pairs (the oracle-gated contract).
     """
     nb = max_hamming + 1
     if nb > bits:
@@ -332,7 +342,7 @@ def simhash_hamming_pairs(
         cond = cond & (
             (F.col("a.__bn") <= max_bucket) | (F.col(f"a.{id_col}") == F.col("a.__bmin"))
         )
-    return (
+    pairs = (
         a.join(
             b,
             cond,
@@ -346,6 +356,16 @@ def simhash_hamming_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+    if per_doc_cap is not None:
+        w = Window.partitionBy("id_a").orderBy(
+            F.col("hamming").asc(), F.col("id_b").asc()
+        )
+        pairs = (
+            pairs.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= per_doc_cap)
+            .drop("__rk")
+        )
+    return pairs
 
 
 def dot(x, y, dim: Optional[int] = None) -> Column:
@@ -581,7 +601,8 @@ def streaming_exact_dedup(
 
 def ngram_containment_pairs(
     df: DataFrame, threshold: float = 0.8, text_col: str = "text",
-    id_col: str = "doc_id", n: int = 3,
+    id_col: str = "doc_id", n: int = 3, per_doc_cap: Optional[int] = None,
+    max_shingle_df: Optional[int] = None,
 ) -> DataFrame:
     """Asymmetric near-dup: containment(A, B) = |sh(A) ∩ sh(B)| / |sh(A)| —
     flags docs mostly CONTAINED in another (quotes, scraped excerpts,
@@ -592,8 +613,32 @@ def ngram_containment_pairs(
     self-equi-join on the shingle (co-occurring docs meet on the join key —
     no cross join) → pair-count aggregate → both directions emitted from the
     one undirected pair table. Returns (contained_id, container_id,
-    containment) with containment >= threshold."""
+    containment) with containment >= threshold.
+
+    ``per_doc_cap``: cap emission at the ``per_doc_cap`` strongest containers
+    per contained doc (containment desc, container id) — the production
+    configuration at high duplicate density, where the exact pair output
+    grows quadratically with group size (a contained doc needs only its
+    best containers for filtering/clustering). Default None = exact output
+    (the oracle-gated contract).
+
+    ``max_shingle_df``: drop shingles whose document frequency exceeds the
+    cap BEFORE the self-join — the join fan-out per shingle is df^2, so a
+    handful of boilerplate shingles shared by thousands of docs dominates
+    the whole job (the post-join per_doc_cap cannot help with that).
+    Containment is then computed over the surviving (discriminative)
+    shingle space — a documented approximation: docs made ENTIRELY of
+    ultra-common shingles drop out, which for near-dup detection is the
+    intent (they are boilerplate). The standard web-dedup df-cut."""
     sh = shingle_table(_spread(df.select(id_col, text_col)), text_col, id_col, n)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -613,4 +658,14 @@ def ngram_containment_pairs(
         F.col("id_b").alias("contained_id"), F.col("id_a").alias("container_id"),
         F.round(F.col("common") / F.col("nb"), 6).alias("containment"),
     )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    pairs = fwd.unionByName(rev).filter(F.col("containment") >= threshold)
+    if per_doc_cap is not None:
+        w = Window.partitionBy("contained_id").orderBy(
+            F.col("containment").desc(), F.col("container_id").asc()
+        )
+        pairs = (
+            pairs.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= per_doc_cap)
+            .drop("__rk")
+        )
+    return pairs

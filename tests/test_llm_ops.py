@@ -369,3 +369,57 @@ def test_ngram_containment_asymmetric(spark):
     assert out[(1, 2)] == 1.0          # the quote is fully contained in doc 2
     assert (2, 1) not in out           # but doc 2 is NOT contained in doc 1
     assert not any(3 in k for k in out)
+
+
+def test_pair_emitters_per_doc_cap(spark):
+    """round-3: per_doc_cap bounds pair emission per anchor doc (the
+    production knob for high duplicate density); uncapped output is a
+    superset and the capped picks are the closest/strongest pairs."""
+    # 6 near-identical docs -> dense pair graph
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + ("x" if i % 2 else "y"))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    full = D.simhash_hamming_pairs(docs, bits=16, max_hamming=8)
+    capped = D.simhash_hamming_pairs(docs, bits=16, max_hamming=8, per_doc_cap=2)
+    fp = {(r.id_a, r.id_b): r.hamming for r in full.collect()}
+    cp = {(r.id_a, r.id_b): r.hamming for r in capped.collect()}
+    assert set(cp) <= set(fp)
+    from collections import Counter
+
+    per_anchor = Counter(a for a, _ in cp)
+    assert all(v <= 2 for v in per_anchor.values())
+    # capped keeps each anchor's closest pairs (hamming asc, id_b asc)
+    for a in per_anchor:
+        want = sorted(((h, b) for (x, b), h in fp.items() if x == a))[:2]
+        got = sorted((h, b) for (x, b), h in cp.items() if x == a)
+        assert got == want
+
+    cfull = D.ngram_containment_pairs(docs, threshold=0.1, n=3)
+    ccap = D.ngram_containment_pairs(docs, threshold=0.1, n=3, per_doc_cap=1)
+    nfull = Counter(r.contained_id for r in cfull.collect())
+    ncap = Counter(r.contained_id for r in ccap.collect())
+    assert all(v == 1 for v in ncap.values()) and set(ncap) == set(nfull)
+
+
+def test_containment_max_shingle_df(spark):
+    """round-3: the df-cut drops boilerplate shingles before the self-join;
+    docs related only through ultra-common shingles stop pairing."""
+    boiler = "copyright all rights reserved terms of service apply here"
+    docs = spark.createDataFrame(
+        [(1, boiler + " unique alpha beta"), (2, boiler + " unique alpha beta"),
+         (3, boiler + " something else entirely different words"),
+         (4, boiler + " another unrelated payload of words")],
+        "doc_id long, text string",
+    )
+    full = D.ngram_containment_pairs(docs, threshold=0.5, n=3)
+    cut = D.ngram_containment_pairs(docs, threshold=0.5, n=3, max_shingle_df=2)
+    fp = {(r.contained_id, r.container_id) for r in full.collect()}
+    cp = {(r.contained_id, r.container_id) for r in cut.collect()}
+    # docs 1,2 share discriminative shingles -> still paired after the cut
+    assert (1, 2) in cp and (2, 1) in cp
+    # docs 3,4 relate ONLY through boilerplate (df=4 > cap) -> dropped
+    assert not any(3 in p or 4 in p for p in cp)
+    # uncut output pairs everything through the shared boilerplate
+    assert any(3 in p for p in fp)
