@@ -785,6 +785,49 @@ def q_multimodal_features(spark, sf_dir):
 # driver contract
 # --------------------------------------------------------------------------
 
+def q_asof_join(spark, sf_dir):
+    # point-in-time as-of join (union + ordered carry-forward, one shuffle):
+    # each event picks up the latest order of the same customer at-or-before
+    # the event time. DuckDB mirrors it with a native ASOF LEFT JOIN.
+    from flink_siddhi_spark.operators.asof import asof_join
+    from flink_siddhi_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ems"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("user_id"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("oms"),
+        "o_orderkey",
+    )
+    out = asof_join(ev, orders, on="user_id", left_ts="ems", right_ts="oms",
+                    payload=["o_orderkey"])
+    return out.select(
+        "event_id", "user_id", "ems", F.col("o_orderkey").alias("asof_order_key")
+    )
+
+
+def q_text_classifier(spark, sf_dir):
+    # hashed bag-of-words linear classifier (derived-weight path: the whole
+    # score is one aggregate fold in a single projection — zero shuffles)
+    from flink_siddhi_spark.llm.text import classifier_score
+
+    return classifier_score(_docs(spark, sf_dir), dim=1024)
+
+
+def q_pipeline_interleave(spark, sf_dir):
+    # deterministic mixture scheduling: stride-interleave three sources at
+    # 2 : 1 : 0.5 — heavier sources recur proportionally more often in any
+    # output prefix; global position via the distributed prefix sum.
+    from flink_siddhi_spark.llm.pipeline import interleave_sources
+
+    return interleave_sources(
+        _docs(spark, sf_dir), {"src0": 2.0, "src1": 1.0, "src2": 0.5}
+    )
+
+
 def q_multimodal_resize(spark, sf_dir):
     # Arrow-batched mapInPandas resize stub. The binary thumb is projected to
     # its md5 hex digest (canonicalizer-safe; DuckDB md5() reproduces it).
@@ -867,17 +910,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        # --- new round-3 operators (must be inside the window) ---
+        "pattern_mid_every": q_pattern_mid_every,
+        "asof_join": q_asof_join,
+        "text_classifier": q_text_classifier,
+        "pipeline_interleave": q_pipeline_interleave,
         # --- rotating sample of r2-green flagships (stay within window) ---
         "tpch_q1_pricing": q_tpch_q1_pricing,
-        "tpch_q3_shipping": q_tpch_q3_shipping,
-        "tpch_q5ish_revenue": q_tpch_q5ish_revenue,
         "pattern_followed_by": q_pattern_followed_by,
-        "pattern_mid_every": q_pattern_mid_every,  # new round 3
-        "sequence_strict": q_sequence_strict,
         "dedup_exact": q_dedup_exact,
         "custom_udaf": q_custom_udaf,
         # ---------------- window boundary (~50) ----------------
         # --- tail: driver-green in r2, local mirror + pytest this round ---
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q5ish_revenue": q_tpch_q5ish_revenue,
+        "sequence_strict": q_sequence_strict,
         "pattern_first_match": q_pattern_first_match,
         "pattern_within": q_pattern_within,
         "pattern_absence": q_pattern_absence,
@@ -1258,6 +1305,36 @@ def oracle_sql() -> dict[str, str]:
             "AND (p.ts > e.ts OR (p.ts = e.ts AND p.event_id > e.event_id)) "
             "ORDER BY p.ts, p.event_id LIMIT 1) p WHERE e.event_type = 'error') t "
             "WHERE delta <= 3600000"
+        ),
+        "asof_join": (
+            # DuckDB native ASOF LEFT JOIN; the right side is pre-deduped to
+            # one row per (customer, order-date) — max o_orderkey, the same
+            # struct-max tie-break the engine's carry-forward applies
+            "WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) ems FROM events), "
+            "o AS (SELECT o_custkey AS user_id, epoch_ms(o_orderdate) oms, o_orderkey "
+            "FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate "
+            "ORDER BY o_orderkey DESC) = 1) "
+            "SELECT e.event_id, e.user_id, e.ems, o.o_orderkey AS asof_order_key "
+            "FROM ev e ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ems >= o.oms"
+        ),
+        "text_classifier": (
+            # same md5-derived hashed-bucket weights, same left-to-right fold
+            "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents) "
+            "SELECT doc_id, CAST(len(w) AS BIGINT) n_words, "
+            "round(1.0 / (1.0 + exp(-(list_reduce(list_transform(w, "
+            "x -> CAST(concat('0x', substring(md5(concat('w:', CAST("
+            "CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT) % 1024 "
+            "AS VARCHAR))), 1, 8)) AS BIGINT) / 4294967296.0 - 0.5), "
+            "(a, b) -> a + b) / len(w)))), 6) score FROM t"
+        ),
+        "pipeline_interleave": (
+            "WITH k AS (SELECT doc_id, source, "
+            "round(CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY md5(concat('mix:', CAST(doc_id AS VARCHAR))), doc_id) AS DOUBLE) "
+            "/ (CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 1.0 ELSE 0.5 END), 6) "
+            "AS mix_key FROM documents WHERE source IN ('src0', 'src1', 'src2')) "
+            "SELECT doc_id, source, mix_key, "
+            "CAST(row_number() OVER (ORDER BY mix_key, source, doc_id) AS BIGINT) pos FROM k"
         ),
         "pattern_mid_every": (
             # first error per user (by the NFA total order ts, event_id),

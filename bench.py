@@ -50,6 +50,10 @@ HEADLINE = [
     "text_source_stats",
     "pipeline_curate",
     "dedup_containment",
+    # round 3: as-of join, hashed-feature classifier, mixture interleave
+    "asof_join",
+    "text_classifier",
+    "pipeline_interleave",
 ]
 
 

@@ -368,3 +368,49 @@ def curate(
     q = q.withColumn("__cmin", F.min(id_col).over(Window.partitionBy("__h")))
     q = q.filter(F.col(id_col) == F.col("__cmin")).drop("__h", "__cmin")
     return sample_hash(q, sample_rate, id_col=id_col, salt=salt)
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture scheduling for training-data source mixing:
+    interleave documents so that, at any prefix of the output order, each
+    source appears in proportion to its weight (stride scheduling — the
+    k-th doc of a weight-w source lands at mix key k/w, so heavier sources
+    recur more often). Sources absent from ``weights`` are dropped
+    (weight-0 semantics).
+
+    Shape: one keyed window per source for the per-source sequence number
+    (order = md5 shuffle within the source, so the interleave also
+    de-clusters each source), then the distributed global prefix-sum for
+    the output position — no single-task sort (operators/prefix.py), no
+    RNG state, reproducible across runs/retries/partitionings.
+
+    Returns (id_col, source, mix_key, pos): consumers can stream in ``pos``
+    order or re-sort shards by ``mix_key`` (which is stable even if the
+    corpus is re-sharded)."""
+    for s, v in weights.items():
+        if v <= 0:
+            raise ValueError(f"interleave_sources: weight for {s!r} must be > 0")
+    wmap = F.create_map(
+        *[x for s, v in sorted(weights.items()) for x in (F.lit(s), F.lit(float(v)))]
+    )
+    kept = df.filter(F.col(source_col).isin(*weights.keys()))
+    shuffle_key = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(F.col(source_col)).orderBy(shuffle_key, F.col(id_col))
+    keyed = kept.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        (
+            F.row_number().over(w).cast("double")
+            / wmap[F.col(source_col)]
+        ).alias("mix_key"),
+    ).withColumn("mix_key", F.round("mix_key", 6))
+    out = global_row_number(keyed, ["mix_key", "source", id_col], "pos")
+    return out.select(id_col, "source", "mix_key", F.col("pos").cast("bigint").alias("pos"))

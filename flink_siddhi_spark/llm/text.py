@@ -253,3 +253,69 @@ def corpus_source_stats(
         .agg(F.round(F.sum("__term").cast("double"), 6).alias("lang_entropy"))
     )
     return base.join(ent, "source")
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: DataFrame | None = None,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed bag-of-words linear classifier score (the fasttext-style
+    quality-classifier shape used to filter pretraining corpora): each word
+    hashes to one of ``dim`` buckets, bucket weights are summed, averaged
+    over the word count, and squashed with a sigmoid.
+
+    Two execution paths, same semantics:
+
+    - ``weights=None`` (default): bucket weights derive deterministically
+      from ``md5`` of the bucket id — ZERO shuffles: the whole score is one
+      ``aggregate`` fold over the word array inside a single projection
+      (words never leave their partition). The weights are a pseudo-random
+      stand-in with the exact production plan shape.
+    - ``weights`` = a (bucket, weight) DataFrame (a trained model): explode
+      words -> broadcast-join the (tiny) weight table -> one hash aggregate
+      per doc. The weight table is broadcast, so the only shuffle is the
+      per-doc sum.
+
+    Returns (id_col, n_words, score) with score = round(sigmoid(mean bucket
+    weight), 6), deterministic in both paths (left-to-right fold order).
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    if weights is None:
+        # bucket(word) = first 8 md5 hex digits mod dim;
+        # weight(b) = uniform01(md5('w:' || b)) - 0.5  (in [-0.5, 0.5))
+        wexpr = (
+            f"aggregate(split(lower({text_col}), ' '), CAST(0.0 AS DOUBLE), "
+            "(acc, w) -> acc + ("
+            "CAST(conv(substring(md5(concat('w:', CAST("
+            f"pmod(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), {dim}) "
+            "AS STRING))), 1, 8), 16, 10) AS DOUBLE)"
+            " / 4294967296.0 - 0.5))"
+        )
+        return df.select(
+            F.col(id_col),
+            F.size(words).cast("bigint").alias("n_words"),
+            F.round(
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.expr(wexpr) / F.size(words)))),
+                6,
+            ).alias("score"),
+        )
+    ex = df.select(F.col(id_col), F.explode(words).alias("__w"))
+    ex = ex.withColumn(
+        "__b", F.pmod(F.conv(F.substring(F.md5("__w"), 1, 8), 16, 10).cast("bigint"), F.lit(dim))
+    )
+    joined = ex.join(F.broadcast(weights.withColumnRenamed("bucket", "__b")), "__b", "left")
+    sums = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("__s"),
+    )
+    return sums.select(
+        F.col(id_col),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("__s") / F.col("n_words")))), 6
+        ).alias("score"),
+    )

@@ -1,0 +1,103 @@
+"""Round-3 additions: as-of join, hashed-feature classifier score, and
+deterministic source interleaving."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_semantics(spark):
+    from flink_siddhi_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 1000), (2, 100, 2000), (3, 100, 2500), (4, 200, 1000)],
+        "event_id long, k long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(100, 500, 10), (100, 2000, 20), (100, 2400, 30), (300, 100, 99)],
+        "k long, rts long, v long",
+    )
+    out = {
+        r.event_id: r.v
+        for r in asof_join(left, right, on="k", left_ts="lts", right_ts="rts").collect()
+    }
+    # event 1 (ts=1000): latest right <= 1000 is rts=500 -> 10
+    # event 2 (ts=2000): right AT 2000 is visible (backward as-of) -> 20
+    # event 3 (ts=2500): rts=2400 -> 30
+    # event 4 (key 200): no right rows -> null
+    assert out == {1: 10, 2: 20, 3: 30, 4: None}
+
+
+def test_asof_join_equal_ts_tie_and_null_payload(spark):
+    from flink_siddhi_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 7, 1000)], "event_id long, k long, lts long")
+    right = spark.createDataFrame(
+        [(7, 1000, 5, None), (7, 1000, 9, "x"), (7, 900, 1, "y")],
+        "k long, rts long, v long, tag string",
+    )
+    row = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", payload=["v", "tag"]
+    ).collect()[0]
+    # two right rows at rts=1000: struct-max payload (v=9) wins, and BOTH
+    # carried columns come from that same row (single-struct carry — v=9
+    # must not pair with tag=y from the earlier row)
+    assert (row.v, row.tag) == (9, "x")
+
+
+def test_asof_join_one_shuffle_plan(spark):
+    from flink_siddhi_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 7, 1000)], "event_id long, k long, lts long")
+    right = spark.createDataFrame([(7, 900, 1)], "k long, rts long, v long")
+    plan = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts"
+    )._jdf.queryExecution().executedPlan().toString()
+    # union + carry-forward = exactly one hash exchange on the key (plus
+    # nothing else); no BroadcastNestedLoop from a range-join lowering
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in plan
+
+
+def test_classifier_score_weight_table_path(spark):
+    from flink_siddhi_spark.llm.text import classifier_score
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha alpha")],
+        "doc_id long, text string",
+    )
+    derived = {r.doc_id: r.score for r in classifier_score(docs, dim=64).collect()}
+    # weights table reproducing the derived formula -> identical scores
+    rows = []
+    for b in range(64):
+        import hashlib
+
+        h = hashlib.md5(f"w:{b}".encode()).hexdigest()[:8]
+        rows.append((b, int(h, 16) / 4294967296.0 - 0.5))
+    wt = spark.createDataFrame(rows, "bucket long, weight double")
+    joined = {
+        r.doc_id: r.score for r in classifier_score(docs, weights=wt, dim=64).collect()
+    }
+    assert derived == joined
+    # scores are sigmoid outputs
+    assert all(0.0 < s < 1.0 for s in derived.values())
+
+
+def test_interleave_sources_proportions(spark):
+    from flink_siddhi_spark.llm.pipeline import interleave_sources
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = interleave_sources(df, {"a": 3.0, "b": 1.0}).collect()
+    assert len(out) == 200
+    # positions are a permutation of 1..200
+    assert sorted(r.pos for r in out) == list(range(1, 201))
+    # in the first quarter of the order, source 'a' (weight 3) dominates ~3:1
+    head = sorted(out, key=lambda r: r.pos)[:40]
+    n_a = sum(1 for r in head if r.source == "a")
+    assert n_a >= 25, n_a
+    # dropped sources (no weight) vanish
+    out2 = interleave_sources(df, {"a": 1.0}).collect()
+    assert {r.source for r in out2} == {"a"}
+    with pytest.raises(ValueError, match="> 0"):
+        interleave_sources(df, {"a": 0.0})
