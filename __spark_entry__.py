@@ -489,6 +489,33 @@ def q_tpch_q3_shipping(spark, sf_dir):
     ).returns("Out")
 
 
+def q_tpch_q6_forecast(spark, sf_dir):
+    # TPC-H Q6 (forecasting revenue change): pure filter + ungrouped sum —
+    # the pushdown showcase (every predicate reaches the parquet scan).
+    return _cep_tpch(spark, sf_dir).from_("lineitem").cql(
+        "from lineitem[l_shipdate >= '1997-01-01 00:00:00' "
+        "and l_shipdate < '1998-01-01 00:00:00' "
+        "and l_discount >= 0.05 and l_discount <= 0.07 and l_quantity < 24.0] "
+        "select sum(l_extendedprice * l_discount) as revenue, count() as n "
+        "insert into Out"
+    ).returns("Out")
+
+
+def q_tpch_q12ish_priority(spark, sf_dir):
+    # TPC-H Q12 shape (shipping-mode priority split): join + conditional
+    # aggregation via ifThenElse inside sum().
+    return _cep_tpch(spark, sf_dir).from_("lineitem").cql(
+        "from lineitem[l_shipdate >= '1997-01-01 00:00:00'] "
+        "join orders on l_orderkey == o_orderkey "
+        "select l_returnflag, "
+        "sum(ifThenElse(o_orderpriority == '1-URGENT' or o_orderpriority == '2-HIGH', 1, 0)) "
+        "as high_line_count, "
+        "sum(ifThenElse(o_orderpriority != '1-URGENT' and o_orderpriority != '2-HIGH', 1, 0)) "
+        "as low_line_count, count() as n "
+        "group by l_returnflag insert into Out"
+    ).returns("Out")
+
+
 def q_tpch_q5ish_revenue(spark, sf_dir):
     return _cep_tpch(spark, sf_dir).from_("orders").cql(
         "from orders join customer on o_custkey == c_custkey "
@@ -915,16 +942,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "text_classifier": q_text_classifier,
         "pipeline_interleave": q_pipeline_interleave,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q12ish_priority": q_tpch_q12ish_priority,
         # --- rotating sample of r2-green flagships (stay within window) ---
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "pattern_followed_by": q_pattern_followed_by,
-        "dedup_exact": q_dedup_exact,
-        "custom_udaf": q_custom_udaf,
         # ---------------- window boundary (~50) ----------------
         # --- tail: driver-green in r2, local mirror + pytest this round ---
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5ish_revenue": q_tpch_q5ish_revenue,
         "sequence_strict": q_sequence_strict,
+        "dedup_exact": q_dedup_exact,
+        "custom_udaf": q_custom_udaf,
         "pattern_first_match": q_pattern_first_match,
         "pattern_within": q_pattern_within,
         "pattern_absence": q_pattern_absence,
@@ -1403,6 +1432,24 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_orderkey, o_orderpriority "
             "ORDER BY revenue DESC, l_orderkey LIMIT 10"
         ),
+        "tpch_q6_forecast": (
+            "SELECT " + _DECSUM.format(x="l_extendedprice * l_discount") + " revenue, "
+            "CAST(count(*) AS BIGINT) n FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0"
+        ),
+        "tpch_q12ish_priority": (
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) high_line_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) low_line_count, "
+            "CAST(count(*) AS BIGINT) n FROM lineitem JOIN orders "
+            "ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' "
+            "GROUP BY l_returnflag"
+        ),
         "tpch_q5ish_revenue": (
             "SELECT n_name, "
             + _DECSUM.format(x="l_extendedprice * (1.0 - l_discount)") + " revenue "
@@ -1593,8 +1640,8 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT term, count(*) c FROM w GROUP BY 1), "
             "t AS (SELECT sum(c) tot FROM c) "
             "SELECT doc_id, CAST(count(*) AS BIGINT) n_words, "
-            "round(CAST(sum(CAST(round(-log2(c / tot), 6) AS DECIMAL(25,6))) AS DOUBLE) "
-            "/ count(*), 6) avg_neg_log2p "
+            "CAST(sum(CAST(round(-log2(c / tot), 6) AS DECIMAL(25,6))) AS DOUBLE) "
+            "sum_neg_log2p "
             "FROM w JOIN c USING (term), t GROUP BY doc_id"
         ),
         "pipeline_weighted_sample": (

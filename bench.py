@@ -54,6 +54,7 @@ HEADLINE = [
     "asof_join",
     "text_classifier",
     "pipeline_interleave",
+    "tpch_q6_forecast",
 ]
 
 

@@ -199,10 +199,16 @@ def unigram_lm_score(
 
     Scale shape: explode words -> global term-count aggregate (one shuffle,
     map-side partials) -> shuffle equi-join words x counts on the term key
-    (vocabulary-sized side, NOT broadcast at web scale) -> per-doc mean.
+    (vocabulary-sized side, NOT broadcast at web scale) -> per-doc sum.
     Per-word -log2 p is rounded to 6 decimals and summed through
     DECIMAL(25,6), so the result is independent of partition count and
-    accumulation order (the repo-wide deterministic-float contract)."""
+    accumulation order (the repo-wide deterministic-float contract).
+
+    Emits the exact decimal ``sum_neg_log2p`` plus ``n_words`` rather than
+    the divided mean: a double division of the decimal sum can land exactly
+    on a 6-decimal rounding boundary, where JVM and other engines round the
+    nearest-double differently (observed once at sf0.1) — the sum is
+    boundary-free and the mean is one division away for consumers."""
     w = df.select(F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
     counts = w.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     total = counts.select(F.sum("c").alias("__tot"))
@@ -214,7 +220,7 @@ def unigram_lm_score(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
-            F.round(F.sum("__nlp").cast("double") / F.count(F.lit(1)), 6).alias("avg_neg_log2p"),
+            F.sum("__nlp").cast("double").alias("sum_neg_log2p"),
         )
     )
 

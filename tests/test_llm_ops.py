@@ -286,7 +286,7 @@ def test_unigram_lm_score_rare_words_score_higher(spark):
     df = spark.createDataFrame(
         [(1, "common common common common"), (2, "common rareword")],
         "doc_id int, text string")
-    s = {r.doc_id: (r.n_words, r.avg_neg_log2p) for r in unigram_lm_score(df).collect()}
+    s = {r.doc_id: (r.n_words, r.sum_neg_log2p / r.n_words) for r in unigram_lm_score(df).collect()}
     assert s[1][0] == 4 and s[2][0] == 2
     assert s[2][1] > s[1][1]  # the doc with the rare token is more surprising
 
