@@ -101,3 +101,41 @@ def test_interleave_sources_proportions(spark):
     assert {r.source for r in out2} == {"a"}
     with pytest.raises(ValueError, match="> 0"):
         interleave_sources(df, {"a": 0.0})
+
+
+def test_streaming_asof_enrich(spark, tmp_path):
+    """Streaming as-of: left events match the right row current AT their
+    event time, including right history restored from state across
+    micro-batches."""
+    from pyspark.sql import types as T
+    from flink_siddhi_spark.streaming.asof import streaming_asof_enrich
+    from flink_siddhi_spark.sources.streams import to_memory
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("eid", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+    ])
+    # batch 1: right@100 (price 1.0), left event@150; batch 2: right@300
+    # (price 2.0), left@250 (still sees price 1.0!), left@350 (sees 2.0),
+    # left@50 (before any right -> null)
+    b1 = [(7, 100, "r", 0, 1.0), (7, 150, "l", 1, 0.0)]
+    b2 = [(7, 300, "r", 0, 2.0), (7, 250, "l", 2, 0.0),
+          (7, 350, "l", 3, 0.0), (7, 50, "l", 4, 0.0)]
+    d = str(tmp_path / "in_sasof")
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    left = stream.filter("side = 'l'").select("k", "ts", "eid")
+    right = stream.filter("side = 'r'").select("k", "ts", "price")
+    out = streaming_asof_enrich(left, right, on="k", left_ts="ts", right_ts="ts")
+    sq = to_memory(out, "m_sasof", checkpoint=str(tmp_path / "ck_sasof"),
+                   output_mode="append")
+    sq.awaitTermination(60)
+    got = {r.eid: r.price for r in spark.sql("SELECT * FROM m_sasof").collect()}
+    assert got == {1: 1.0, 2: 1.0, 3: 2.0, 4: None}, got
