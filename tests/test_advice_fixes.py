@@ -171,3 +171,21 @@ def test_global_order_warning(cep, spark):
         cep.from_("s").cql(
             "from s#window.length(2) select id, sum(price) as t group by name insert into Out"
         ).returns("Out")
+
+
+def test_mid_pattern_every_with_trailing_absence(cep, spark):
+    # composition: 'a -> every b -> not c for t' — each b-restart arms its
+    # own absence deadline from ITS b event.
+    rows = [
+        (1, "a", 1.0, 1000),
+        (2, "b", 1.0, 2000),   # b1: c at 2500 inside 1s deadline -> killed
+        (9, "c", 1.0, 2500),
+        (2, "b", 1.0, 4000),   # b2: no c within (4000, 5000] -> absence holds
+        (9, "c", 1.0, 6000),
+    ]
+    cep.define("s", make_events(spark, rows), "id", "name", "price", "timestamp", ts_field="timestamp")
+    out = cep.from_("s").cql(
+        "from a = s[id == 1] -> every b = s[id == 2] -> not s[id == 9] for 1 sec "
+        "select b.timestamp as bt insert into Out"
+    ).returns("Out")
+    assert sorted(r.bt for r in out.collect()) == [4000]

@@ -354,3 +354,36 @@ def test_random_mid_pattern_every_three_steps(spark, names):
     ).returns("Out")
     got = sorted((r.a_id, r.b_id, r.c_id) for r in out.collect())
     assert got == _brute_mid_every3(rows), rows
+
+
+def _brute_asof(lefts, rights):
+    """(k, lts) x (k, rts, v): latest v with rts <= lts; ties -> max v."""
+    out = {}
+    for eid, k, lts in lefts:
+        best = None
+        for rk, rts, v in rights:
+            if rk == k and rts <= lts and (best is None or (rts, v) > best):
+                best = (rts, v)
+        out[eid] = best[1] if best else None
+    return out
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lts=st.lists(st.integers(0, 20), min_size=1, max_size=8),
+    rts=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(0, 9)),
+                 min_size=0, max_size=10),
+)
+def test_random_asof_join(spark, lts, rts):
+    from flink_siddhi_spark.operators.asof import asof_join
+
+    lefts = [(i, t % 3, t * 100) for i, t in enumerate(lts)]
+    rights = [(k % 3, t * 100, v) for k, t, v in rts]
+    l = spark.createDataFrame(lefts, "eid long, k long, lts long")
+    r = (spark.createDataFrame(rights, "k long, rts long, v long")
+         if rights else
+         spark.createDataFrame([], "k long, rts long, v long"))
+    got = {row.eid: row.v for row in
+           asof_join(l, r, on="k", left_ts="lts", right_ts="rts").collect()}
+    assert got == _brute_asof(lefts, rights), (lefts, rights)
