@@ -139,3 +139,47 @@ def test_streaming_asof_enrich(spark, tmp_path):
     sq.awaitTermination(60)
     got = {r.eid: r.price for r in spark.sql("SELECT * FROM m_sasof").collect()}
     assert got == {1: 1.0, 2: 1.0, 3: 2.0, 4: None}, got
+
+
+def test_streaming_asof_state_restored_across_restart(spark, tmp_path):
+    """A11 for streaming as-of: the right history must survive a stop +
+    restart from the same checkpoint — a left event in the post-restart
+    batch matches a right row seen only BEFORE the restart."""
+    import os
+
+    from pyspark.sql import types as T
+    from flink_siddhi_spark.streaming.asof import streaming_asof_enrich
+    from flink_siddhi_spark.sources.streams import to_files
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("eid", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+    ])
+    src = tmp_path / "src_sasof_restart"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(7, 100, "r", 0, 1.5), (7, 150, "l", 1, 0.0)], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    out = tmp_path / "out_sasof_restart"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*/")
+        enriched = streaming_asof_enrich(
+            stream.filter("side = 'l'").select("k", "ts", "eid"),
+            stream.filter("side = 'r'").select("k", "ts", "price"),
+            on="k", left_ts="ts", right_ts="ts",
+        )
+        sq = to_files(enriched, str(out),
+                      checkpoint=str(tmp_path / "ck_sasof_restart"), fmt="parquet")
+        sq.awaitTermination(60)
+        return {r.eid: r.price for r in spark.read.parquet(str(out)).collect()}
+
+    assert run() == {1: 1.5}
+    # new left event after shutdown; its match (price 1.5) lives only in
+    # the RESTORED state — a state-lost run would emit null
+    spark.createDataFrame([(7, 250, "l", 2, 0.0)], schema) \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    assert run() == {1: 1.5, 2: 1.5}
