@@ -873,6 +873,75 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return frames.select("media_id", "frame_no", F.md5("frame").alias("frame_md5"))
 
 
+def q_dedup_semantic(spark, sf_dir):
+    # SemDeDup-style semantic dedup: sign-LSH bucket as the cluster, min-id
+    # member as representative, drop members with cosine >= 0.7 to the rep.
+    # Linear shape: one tiny hash-agg + two broadcast joins, no self-join.
+    from flink_siddhi_spark.llm.dedup import semantic_dedup
+
+    return semantic_dedup(_embs(spark, sf_dir), threshold=0.7, planes=8, dim=64)
+
+
+def q_pipeline_fuzzy_contamination(spark, sf_dir):
+    # fuzzy benchmark decontamination: MinHash-LSH between the training
+    # corpus and a held-out benchmark slice (doc_id % 10 == 7) — catches
+    # paraphrased/truncated leaks that exact n-gram matching misses.
+    from flink_siddhi_spark.llm.dedup import minhash_lsh_pairs_cross
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    train = docs.filter(F.col("doc_id") % 10 != 7)
+    return minhash_lsh_pairs_cross(train, bench, threshold=0.3)
+
+
+def q_text_length_percentiles(spark, sf_dir):
+    # exact per-source token-length percentiles (PERCENTILE_CONT semantics,
+    # matches DuckDB quantile_cont bit-for-bit on integer inputs)
+    from flink_siddhi_spark.llm.text import length_percentiles
+
+    return length_percentiles(_docs(spark, sf_dir), by="source")
+
+
+def q_pipeline_quality_topfrac(spark, sf_dir):
+    # dynamic-threshold quality gate: keep the best 30% per language by the
+    # quality score (fixed cutoffs keep wildly different fractions per lang)
+    from flink_siddhi_spark.llm.pipeline import quality_top_fraction
+    from flink_siddhi_spark.llm.text import quality_score
+
+    scored = quality_score(_docs(spark, sf_dir)).select("doc_id", "lang", "quality")
+    kept = quality_top_fraction(scored, frac=0.3, by="lang", score_col="quality")
+    return kept.select(
+        "doc_id", "lang", "quality", F.col("q_rank").cast("bigint").alias("q_rank")
+    )
+
+
+def q_tpch_q10ish_returns(spark, sf_dir):
+    # TPC-H Q10 shape (returned-item reporting): who returned the most
+    # revenue — 3-way join, grouped decimal-summed revenue, top 20.
+    return _cep_tpch(spark, sf_dir).from_("lineitem").cql(
+        "from lineitem[l_returnflag == 'R'] "
+        "join orders on l_orderkey == o_orderkey "
+        "select o_custkey, l_extendedprice, l_discount insert into LO;"
+        "from LO join customer on o_custkey == c_custkey "
+        "select c_custkey, c_name, "
+        "sum(l_extendedprice * (1.0 - l_discount)) as revenue "
+        "group by c_custkey, c_name "
+        "order by revenue desc, c_custkey limit 20 insert into Out;"
+    ).returns("Out")
+
+
+def q_tpch_q18ish_bigorders(spark, sf_dir):
+    # TPC-H Q18 shape (large-volume customers): grouped HAVING feeding a
+    # join — the aggregate-then-enrich chain.
+    return _cep_tpch(spark, sf_dir).from_("lineitem").cql(
+        "from lineitem select l_orderkey, sum(l_quantity) as total_qty "
+        "group by l_orderkey having total_qty > 300.0 insert into BIG;"
+        "from BIG join orders on l_orderkey == o_orderkey "
+        "select o_custkey, l_orderkey, total_qty, o_totalprice "
+        "order by total_qty desc, l_orderkey limit 10 insert into Out;"
+    ).returns("Out")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: partitioned CEP pattern (error -> purchase per user) through
     the full parser/planner/NFA path on sf0.001."""
@@ -944,11 +1013,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_interleave": q_pipeline_interleave,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q12ish_priority": q_tpch_q12ish_priority,
-        # --- rotating sample of r2-green flagships (stay within window) ---
+        # --- new round-3b operators (also first driver check) ---
+        "dedup_semantic": q_dedup_semantic,
+        "pipeline_fuzzy_contamination": q_pipeline_fuzzy_contamination,
+        "text_length_percentiles": q_text_length_percentiles,
+        "tpch_q10ish_returns": q_tpch_q10ish_returns,
+        # ---------------- window boundary (~50) ----------------
+        # --- tail: driver-green in r2 (or local-mirror-gated r3b), to be
+        # --- rotated into the window next round ---
+        "pipeline_quality_topfrac": q_pipeline_quality_topfrac,
+        "tpch_q18ish_bigorders": q_tpch_q18ish_bigorders,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "pattern_followed_by": q_pattern_followed_by,
-        # ---------------- window boundary (~50) ----------------
-        # --- tail: driver-green in r2, local mirror + pytest this round ---
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5ish_revenue": q_tpch_q5ish_revenue,
         "sequence_strict": q_sequence_strict,
@@ -1048,6 +1124,43 @@ def _lsh_cand_ctes() -> str:
         )
         + " m FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket "
         "AND a.doc_id < b.doc_id)"
+    )
+
+
+def _sig_select(src: str) -> str:
+    return "SELECT doc_id, " + ", ".join(
+        (
+            f"list_min(list_transform(sh, x -> substring(md5(x), {(j % 4) * 8 + 1}, 8))) sig_{j}"
+            if j < 4
+            else f"list_min(list_transform(sh, x -> substring(md5('x:' || x), {(j % 4) * 8 + 1}, 8))) sig_{j}"
+        )
+        for j in range(8)
+    ) + f" FROM {src}"
+
+
+def _banded_select(src: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} band, md5(sig_{2*b} || '|' || sig_{2*b+1}) bucket, "
+        + ", ".join(f"sig_{j}" for j in range(8))
+        + f" FROM {src}"
+        for b in range(4)
+    )
+
+
+def _lsh_cross_ctes(where_l: str, where_r: str) -> str:
+    """Cross-corpus LSH candidates: two corpora (WHERE-sliced from documents)
+    -> signatures -> bands -> (id_l, id_r, match-count) join across corpora
+    (mirrors llm/dedup.py minhash_lsh_pairs_cross)."""
+    return (
+        _shingle_cte("sl", where_l) + ", "
+        + _shingle_cte("sr", where_r) + ", "
+        f"sigl AS ({_sig_select('sl')}), sigr AS ({_sig_select('sr')}), "
+        f"bl AS ({_banded_select('sigl')}), br AS ({_banded_select('sigr')}), "
+        "cand AS (SELECT DISTINCT a.doc_id id_l, b.doc_id id_r, "
+        + " + ".join(
+            f"(CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END)" for j in range(8)
+        )
+        + " m FROM bl a JOIN br b ON a.band = b.band AND a.bucket = b.bucket)"
     )
 
 
@@ -1777,6 +1890,65 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(encode(text)) AS BIGINT) n_bytes, "
             "CAST(octet_length(encode(text)) % 640 AS BIGINT) width, "
             "CAST(octet_length(encode(text)) % 480 AS BIGINT) height FROM documents"
+        ),
+        "dedup_semantic": (
+            "WITH b AS (SELECT vec_id, embedding, "
+            + " || ".join(
+                f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+                for i in range(8)
+            )
+            + " bucket FROM embeddings), "
+            "r AS (SELECT bucket, min(vec_id) rep_id FROM b GROUP BY bucket), "
+            "re AS (SELECT r.bucket, r.rep_id, e.embedding rep_emb FROM r "
+            "JOIN embeddings e ON e.vec_id = r.rep_id), "
+            "s AS (SELECT b.vec_id, b.bucket, re.rep_id, "
+            "round(" + _cos_sql("b.embedding", "re.rep_emb") + ", 6) cos_rep "
+            "FROM b JOIN re ON b.bucket = re.bucket) "
+            "SELECT vec_id, bucket, rep_id, cos_rep, "
+            "(vec_id = rep_id OR cos_rep < 0.7) keep FROM s"
+        ),
+        "pipeline_fuzzy_contamination": (
+            "WITH "
+            + _lsh_cross_ctes(" WHERE doc_id % 10 <> 7", " WHERE doc_id % 10 = 7")
+            + " SELECT id_l, id_r, round(m / 8.0, 6) est_jaccard FROM cand "
+            "WHERE round(m / 8.0, 6) >= 0.3"
+        ),
+        "text_length_percentiles": (
+            "WITH t AS (SELECT source, len(string_split(text, ' ')) n FROM documents) "
+            "SELECT source, CAST(count(*) AS BIGINT) n_docs, "
+            "round(quantile_cont(n, 0.25), 6) p25, round(quantile_cont(n, 0.5), 6) p50, "
+            "round(quantile_cont(n, 0.9), 6) p90, round(quantile_cont(n, 0.99), 6) p99 "
+            "FROM t GROUP BY source"
+        ),
+        "pipeline_quality_topfrac": (
+            "WITH t AS (SELECT doc_id, lang, "
+            "len(string_split(lower(text), ' ')) nw, "
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN {en})) hits "
+            "FROM documents), "
+            "q AS (SELECT doc_id, lang, round(CASE WHEN nw < 5 THEN 0.0 ELSE "
+            "least(1.0, nw / 100.0) * 0.5 + least(1.0, (hits / nw) * 5.0) * 0.5 END, 6) "
+            "quality FROM t), "
+            "r AS (SELECT doc_id, lang, quality, "
+            "row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) q_rank, "
+            "count(*) OVER (PARTITION BY lang) n FROM q) "
+            "SELECT doc_id, lang, quality, CAST(q_rank AS BIGINT) q_rank FROM r "
+            "WHERE q_rank <= ceil(n * 0.3)"
+        ),
+        "tpch_q10ish_returns": (
+            "SELECT c_custkey, c_name, "
+            + _DECSUM.format(x="l_extendedprice * (1.0 - l_discount)") + " revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "tpch_q18ish_bigorders": (
+            "WITH big AS (SELECT l_orderkey, "
+            + _DECSUM.format(x="l_quantity") + " total_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300.0) "
+            "SELECT o_custkey, l_orderkey, total_qty, o_totalprice "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "ORDER BY total_qty DESC, l_orderkey LIMIT 10"
         ),
     }
     return sql

@@ -55,6 +55,14 @@ HEADLINE = [
     "text_classifier",
     "pipeline_interleave",
     "tpch_q6_forecast",
+    # round 3b: semantic dedup, fuzzy decontamination, percentile stats,
+    # quality top-fraction gate, returned-revenue + big-order TPC-H shapes
+    "dedup_semantic",
+    "pipeline_fuzzy_contamination",
+    "text_length_percentiles",
+    "pipeline_quality_topfrac",
+    "tpch_q10ish_returns",
+    "tpch_q18ish_bigorders",
 ]
 
 

@@ -159,17 +159,7 @@ def minhash_lsh_pairs(
     # without recomputing the md5 pipeline per join side or persisting).
     # At real scale, degenerate buckets (mass-duplicated content) should be
     # salted/capped; kept exact here for oracle parity.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bnd).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(c) for c in sig_cols[bnd * rpb:(bnd + 1) * rpb]])
-                ).alias("bucket"),
-            )
-            for bnd in range(bands)
-        ]
-    )
+    band_structs = _band_structs(sig_cols, bands, rpb)
     member = F.struct(
         F.col(id_col).alias("id"),
         F.array(*[F.col(c) for c in sig_cols]).alias("sigs"),
@@ -669,3 +659,106 @@ def ngram_containment_pairs(
             .drop("__rk")
         )
     return pairs
+
+
+def semantic_dedup(
+    df: DataFrame, threshold: float = 0.7, planes: int = 8,
+    emb_col: str = "embedding", id_col: str = "vec_id",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication decision table (Abbas et al.
+    2023 pipeline shape: cluster embeddings, drop members too close to the
+    cluster representative).
+
+    Clusters are deterministic sign-projection buckets (``sign_bucket``);
+    the representative is the min-id member of each bucket; a member is
+    dropped when its cosine to the representative reaches ``threshold``.
+    Output: (id, bucket, rep_id, cos_rep, keep) — the full decision table,
+    so callers can either filter ``keep`` or audit the dropped set.
+
+    100 TB shape: ONE partial-aggregatable shuffle (min-id per bucket —
+    at most 2^planes groups), then two broadcast joins (the representative
+    table is <= 2^planes rows); the per-row cosine is a codegen'd unrolled
+    expression when ``dim`` is passed. No self-join at any point — cost is
+    strictly linear in corpus size, unlike pairwise near-dup detection."""
+    base = _spread(df).select(
+        F.col(id_col), F.col(emb_col), sign_bucket(emb_col, planes).alias("bucket")
+    )
+    reps = base.groupBy("bucket").agg(F.min(id_col).alias("rep_id"))
+    # both joins build on the <=2^planes-row representative side: the corpus
+    # is only ever the streamed probe side — it never shuffles
+    rep_embs = F.broadcast(
+        F.broadcast(reps).join(
+            df.select(F.col(id_col).alias("rep_id"), F.col(emb_col).alias("__rep_emb")),
+            "rep_id",
+        )
+    )
+    joined = base.join(rep_embs, "bucket")
+    cos = F.round(
+        dot(emb_col, "__rep_emb", dim) / (norm(emb_col, dim) * norm("__rep_emb", dim)),
+        6,
+    )
+    return (
+        joined.withColumn("cos_rep", cos)
+        .withColumn(
+            "keep",
+            (F.col(id_col) == F.col("rep_id")) | (F.col("cos_rep") < F.lit(threshold)),
+        )
+        .select(id_col, "bucket", "rep_id", "cos_rep", "keep")
+    )
+
+
+def _band_structs(sig_cols: list, bands: int, rpb: int) -> Column:
+    """Array of (band, md5-bucket) structs over a MinHash signature row —
+    shared by the self-join and cross-corpus LSH paths."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(c) for c in sig_cols[bnd * rpb:(bnd + 1) * rpb]])
+                ).alias("bucket"),
+            )
+            for bnd in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs_cross(
+    left: DataFrame, right: DataFrame, num_hashes: int = 8, bands: int = 4,
+    threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-corpus fuzzy-duplicate pairs: (left doc, right doc) sharing any
+    LSH band bucket, scored by signature agreement — the *fuzzy* benchmark
+    decontamination primitive (exact n-gram contamination misses lightly
+    paraphrased or truncated benchmark leaks; MinHash similarity catches
+    them).
+
+    Same hash family and banding as ``minhash_lsh_pairs``; candidates come
+    from ONE shuffle equi-join on (band, bucket) between the two banded
+    signature tables — when the right side is a benchmark suite (small), AQE
+    turns it into a broadcast join and the big side never shuffles. Returns
+    (id_l, id_r, est_jaccard >= threshold)."""
+    rpb = num_hashes // bands
+    sig_cols = [f"sig_{j}" for j in range(num_hashes)]
+
+    def banded(sig: DataFrame, out_id: str, out_sigs: str) -> DataFrame:
+        return sig.withColumn("__b", F.explode(_band_structs(sig_cols, bands, rpb))).select(
+            F.col(id_col).alias(out_id),
+            F.array(*[F.col(c) for c in sig_cols]).alias(out_sigs),
+            F.col("__b.band").alias("band"),
+            F.col("__b.bucket").alias("bucket"),
+        )
+
+    bl = banded(minhash_signatures(left, num_hashes, text_col, id_col, n), "id_l", "sl")
+    br = banded(minhash_signatures(right, num_hashes, text_col, id_col, n), "id_r", "sr")
+    cand = bl.join(br, ["band", "bucket"]).dropDuplicates(["id_l", "id_r"])
+    matches = F.size(
+        F.filter(F.zip_with("sl", "sr", lambda a, b: a == b), lambda v: v)
+    )
+    return (
+        cand.withColumn("est_jaccard", F.round(matches / F.lit(float(num_hashes)), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_l", "id_r", "est_jaccard")
+    )

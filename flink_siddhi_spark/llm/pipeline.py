@@ -414,3 +414,28 @@ def interleave_sources(
     ).withColumn("mix_key", F.round("mix_key", 6))
     out = global_row_number(keyed, ["mix_key", "source", id_col], "pos")
     return out.select(id_col, "source", "mix_key", F.col("pos").cast("bigint").alias("pos"))
+
+
+def quality_top_fraction(
+    df: DataFrame, frac: float = 0.3, by: str = "lang",
+    score_col: str = "quality", id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the best ``frac`` of documents per group by a quality score —
+    the dynamic-threshold quality gate (a fixed score cutoff keeps wildly
+    different fractions per language/source; a fractional gate adapts).
+
+    Deterministic: rank by (score desc, id asc); a group of n rows keeps
+    ceil(n * frac). ONE shuffle (the rank window and the group count share
+    the same partitioning); per-group state is O(1) per row in the window
+    operator. Skewed groups (one language dominating) are bounded by the
+    sort within each partition — same cost profile as any per-key top-k."""
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"quality_top_fraction: frac ({frac}) must be in (0, 1]")
+    w = Window.partitionBy(by).orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    cnt = Window.partitionBy(by)
+    return (
+        df.withColumn("q_rank", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(cnt))
+        .filter(F.col("q_rank") <= F.ceil(F.col("__n") * F.lit(frac)))
+        .drop("__n")
+    )

@@ -325,3 +325,29 @@ def classifier_score(
             F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("__s") / F.col("n_words")))), 6
         ).alias("score"),
     )
+
+
+def length_percentiles(
+    df: DataFrame, by: str = "source", text_col: str = "text",
+    ps: tuple = (0.25, 0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact token-length percentiles per group — corpus health / curriculum
+    design ("how long are documents from each source?"). Emits n_docs plus
+    one p<NN> column per requested percentile (PERCENTILE_CONT linear
+    interpolation — matches DuckDB quantile_cont exactly).
+
+    Scale: Spark's exact ``percentile`` aggregate keeps a value->count map
+    per group; token lengths are small integers so per-group state is
+    bounded by the distinct-length count (thousands), NOT the row count —
+    safe at any corpus size as long as the group count (sources) is not
+    pathological. Partial aggregation still applies map-side."""
+    n = F.size(F.split(F.col(text_col), " "))
+    q = df.select(F.col(by), n.alias("__n")).groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("__n", F.array(*[F.lit(float(p)) for p in ps])).alias("__q"),
+    )
+    cols = [F.col(by), F.col("n_docs")] + [
+        F.round(F.col("__q")[i], 6).alias(f"p{int(round(p * 100))}")
+        for i, p in enumerate(ps)
+    ]
+    return q.select(*cols)

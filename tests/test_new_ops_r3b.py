@@ -1,0 +1,137 @@
+"""Round-3b additions: SemDeDup-style semantic dedup, cross-corpus fuzzy
+contamination (MinHash-LSH between two corpora), exact length percentiles,
+and the per-group quality top-fraction gate."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---- semantic dedup ------------------------------------------------------
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+def test_semantic_dedup_drops_near_rep_keeps_far(spark):
+    from flink_siddhi_spark.llm.dedup import semantic_dedup
+
+    # 4-dim embeddings, planes=2 -> bucket from sign of first two coords.
+    # ids 1,2,3 share bucket "11"; id 2 is identical to rep (id 1) -> drop;
+    # id 3 is orthogonal-ish to rep -> keep. id 9 alone in bucket "01".
+    rows = [
+        (1, _vec(1, 1, 1, 0)),
+        (2, _vec(1, 1, 1, 0)),       # exact copy of rep -> cos 1.0 -> dropped
+        (3, _vec(0.1, 0.1, -5, 4)),  # same bucket, far from rep -> kept
+        (9, _vec(-1, 1, 0, 0)),      # own bucket -> rep of itself -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(df, threshold=0.9, planes=2).collect()}
+    assert out[1].keep and out[1].rep_id == 1
+    assert not out[2].keep and out[2].rep_id == 1 and out[2].cos_rep == 1.0
+    assert out[3].keep and out[3].rep_id == 1 and out[3].cos_rep < 0.9
+    assert out[9].keep and out[9].rep_id == 9
+
+
+def test_semantic_dedup_no_self_join_plan(spark):
+    from flink_siddhi_spark.llm.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        semantic_dedup(df, planes=2, dim=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # linear shape: broadcast joins only — a SortMergeJoin or NestedLoop
+    # would mean the corpus self-joined somewhere
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+# ---- cross-corpus fuzzy contamination ------------------------------------
+
+def test_minhash_cross_finds_cross_corpus_dup_only(spark):
+    from flink_siddhi_spark.llm.dedup import minhash_lsh_pairs_cross
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about spark catalyst shuffles here"
+    train = spark.createDataFrame(
+        [(1, text), (2, other), (3, text)],  # 1 and 3 duplicates INSIDE train
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    pairs = {
+        (r.id_l, r.id_r): r.est_jaccard
+        for r in minhash_lsh_pairs_cross(train, bench, threshold=0.5).collect()
+    }
+    # both train copies flagged against the benchmark doc; the intra-train
+    # duplicate pair (1,3) must NOT appear — this is a cross join surface
+    assert pairs == {(1, 100): 1.0, (3, 100): 1.0}
+
+
+def test_minhash_cross_no_pairs_when_disjoint(spark):
+    from flink_siddhi_spark.llm.dedup import minhash_lsh_pairs_cross
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    assert minhash_lsh_pairs_cross(train, bench, threshold=0.3).count() == 0
+
+
+# ---- exact length percentiles --------------------------------------------
+
+def test_length_percentiles_match_numpy(spark):
+    import numpy as np
+
+    from flink_siddhi_spark.llm.text import length_percentiles
+
+    lengths = [3, 5, 8, 13, 21, 34, 55]
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(lengths)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    row = length_percentiles(df, by="source", ps=(0.5, 0.9)).collect()[0]
+    assert row.n_docs == len(lengths)
+    assert row.p50 == pytest.approx(float(np.percentile(lengths, 50)), abs=1e-6)
+    assert row.p90 == pytest.approx(float(np.percentile(lengths, 90)), abs=1e-6)
+
+
+# ---- quality top-fraction gate -------------------------------------------
+
+def test_quality_top_fraction_per_group_ceil(spark):
+    from flink_siddhi_spark.llm.pipeline import quality_top_fraction
+
+    # group a: 10 rows, scores 0..9 -> ceil(10*0.3)=3 kept (scores 9,8,7)
+    # group b: 1 row -> ceil(1*0.3)=1 kept
+    rows = [(i, "a", float(i)) for i in range(10)] + [(100, "b", 0.5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+    kept = quality_top_fraction(df, frac=0.3, by="lang", score_col="quality").collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert by_lang == {"a": {9, 8, 7}, "b": {100}}
+
+
+def test_quality_top_fraction_tie_break_by_id(spark):
+    from flink_siddhi_spark.llm.pipeline import quality_top_fraction
+
+    # all scores equal -> lowest ids win deterministically
+    df = spark.createDataFrame(
+        [(i, "a", 1.0) for i in (5, 3, 9, 1)], "doc_id long, lang string, quality double"
+    )
+    kept = quality_top_fraction(df, frac=0.5, by="lang", score_col="quality")
+    assert {r.doc_id for r in kept.collect()} == {1, 3}
+
+
+def test_quality_top_fraction_rejects_bad_frac(spark):
+    from flink_siddhi_spark.llm.pipeline import quality_top_fraction
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "doc_id long, lang string, quality double")
+    with pytest.raises(ValueError, match="frac"):
+        quality_top_fraction(df, frac=0.0)
+    with pytest.raises(ValueError, match="frac"):
+        quality_top_fraction(df, frac=1.5)
