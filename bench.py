@@ -81,6 +81,9 @@ SCALE_QUERIES = [
     "dedup_clusters",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    # linear-by-construction ops: ratio ~0.1 expected (no pair expansion)
+    "dedup_semantic",
+    "pipeline_fuzzy_contamination",
 ]
 
 

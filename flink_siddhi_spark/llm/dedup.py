@@ -762,3 +762,73 @@ def minhash_lsh_pairs_cross(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_l", "id_r", "est_jaccard")
     )
+
+
+def streaming_semantic_dedup(
+    df: DataFrame, threshold: float = 0.7, planes: int = 8,
+    emb_col: str = "embedding", id_col: str = "vec_id", max_reps: int = 64,
+) -> DataFrame:
+    """ONLINE semantic dedup for continuous ingest: a document survives iff
+    its cosine to every previously-retained representative in its sign-LSH
+    bucket is below ``threshold``; survivors join the representative set
+    themselves. The streaming counterpart of ``semantic_dedup`` — which is
+    the batch decision table against ONE min-id representative per bucket;
+    the online form is first-arrival and multi-representative (state has no
+    global min, and a single rep under-deduplicates a drifting stream).
+    Documented per-mode survivor semantics, same as exact dedup.
+
+    State per bucket: up to ``max_reps`` unit-normalized rep embeddings in
+    one pickled ndarray blob (lossless float32); per-row cost is one
+    matvec against <= max_reps reps — vectorized per micro-batch. Keyed on
+    the bucket, so state shards across executors with bucket cardinality
+    (2^planes); rows within a batch are processed in ``id_col`` order for
+    determinism. When the rep set is full, later docs still compare against
+    the retained reps but no longer extend the set (documented cap)."""
+    if not df.isStreaming:
+        raise ValueError(
+            "streaming_semantic_dedup expects a streaming DataFrame; use "
+            "semantic_dedup for batch corpora"
+        )
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tagged = df.withColumn("__bucket", sign_bucket(emb_col, planes))
+    out_schema = T.StructType([f for f in df.schema.fields])
+    state_schema = T.StructType([T.StructField("reps", T.BinaryType())])
+    in_cols = [f.name for f in df.schema.fields]
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            reps = pickle.loads(state.get[0])
+        else:
+            reps = None  # (n_reps, dim) unit rows
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        keep_mask = []
+        for emb in rows[emb_col]:
+            v = np.asarray(emb, dtype=np.float64)
+            nv = np.linalg.norm(v)
+            if nv == 0.0:
+                keep_mask.append(True)  # zero vectors match nothing
+                continue
+            u = v / nv
+            if reps is not None and len(reps) and float(np.max(reps @ u)) >= threshold:
+                keep_mask.append(False)
+                continue
+            keep_mask.append(True)
+            if reps is None:
+                reps = u[None, :]
+            elif len(reps) < max_reps:
+                reps = np.vstack([reps, u])
+        if reps is not None:
+            state.update((pickle.dumps(reps),))
+        yield rows.loc[keep_mask, in_cols]
+
+    return tagged.groupBy("__bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -135,3 +135,73 @@ def test_quality_top_fraction_rejects_bad_frac(spark):
         quality_top_fraction(df, frac=0.0)
     with pytest.raises(ValueError, match="frac"):
         quality_top_fraction(df, frac=1.5)
+
+
+# ---- streaming semantic dedup --------------------------------------------
+
+def test_streaming_semantic_dedup_cross_batch(spark, tmp_path):
+    """A doc semantically equal (cos >= threshold) to a representative kept
+    in an EARLIER micro-batch is suppressed by the bucket's rep state; a
+    far doc in the same bucket survives and becomes a rep itself."""
+    from flink_siddhi_spark.llm.dedup import streaming_semantic_dedup
+    from flink_siddhi_spark.sources.streams import to_memory
+
+    d = str(tmp_path / "in_semdedup")
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0, 0.0]), (2, [-1.0, 1.0, 0.0, 1.0])], schema
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(
+        [(3, [2.0, 2.0, 2.0, 0.0]),      # same direction as rep 1 -> dropped
+         (4, [0.1, 0.1, -5.0, 4.0])],    # same bucket as 1, far -> kept
+        schema,
+    ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    out = streaming_semantic_dedup(stream, threshold=0.9, planes=2)
+    q = to_memory(out.select("vec_id"), "m_semdedup",
+                  checkpoint=str(tmp_path / "ck_semdedup"))
+    q.awaitTermination(60)
+    got = {r.vec_id for r in spark.sql("SELECT * FROM m_semdedup").collect()}
+    assert got == {1, 2, 4}
+
+
+def test_streaming_semantic_dedup_rejects_batch(spark):
+    from flink_siddhi_spark.llm.dedup import streaming_semantic_dedup
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="batch"):
+        streaming_semantic_dedup(df)
+
+
+def test_streaming_semantic_dedup_state_restored_across_restart(spark, tmp_path):
+    """Rep state survives a checkpoint restart: a near-dup of a PRE-restart
+    representative arriving after the restart is still dropped."""
+    import os
+
+    from flink_siddhi_spark.llm.dedup import streaming_semantic_dedup
+    from flink_siddhi_spark.sources.streams import to_files
+
+    src = tmp_path / "src_semdd"
+    os.makedirs(src)
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(
+        [(1, [1.0, 1.0, 1.0, 0.0])], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    out = tmp_path / "out_semdd"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*/")
+        dd = streaming_semantic_dedup(stream, threshold=0.9, planes=2)
+        sq = to_files(dd.select("vec_id"), str(out),
+                      checkpoint=str(tmp_path / "ck_semdd"), fmt="parquet")
+        sq.awaitTermination(60)
+        return sorted(r.vec_id for r in spark.read.parquet(str(out)).collect())
+
+    assert run() == [1]
+    spark.createDataFrame(
+        [(5, [3.0, 3.0, 3.0, 0.0])], schema  # same direction as restored rep
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    assert run() == [1]  # 5 suppressed by the restored rep state
