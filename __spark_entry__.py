@@ -200,6 +200,16 @@ def q_window_cron_calendar(spark, sf_dir):
     ).returns("Out")
 
 
+def q_window_cron_weekdays(spark, sf_dir):
+    # quartz day-of-week RANGE (MON-FRI at midnight): multi-day weekly
+    # schedules lower to a 7-candidate bucket function — closes the
+    # list/range part of PARITY.md deviation 11
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.cron('0 0 0 ? * MON-FRI') "
+        "select event_type, count() as n group by event_type insert into Out"
+    ).returns("Out")
+
+
 def q_window_time_length(spark, sf_dir):
     return _cep(spark, sf_dir).from_("events").cql(
         "from events#window.timeLength(10 min, 10) "
@@ -986,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_delay": q_window_delay,
         "window_cron": q_window_cron,
         "window_cron_calendar": q_window_cron_calendar,  # new round 3
+        "window_cron_weekdays": q_window_cron_weekdays,  # new round 3b
         "window_time_length": q_window_time_length,
         "window_lossy_frequent": q_window_lossy_frequent,
         # --- core SiddhiQL: joins ---
@@ -1296,6 +1307,15 @@ def oracle_sql() -> dict[str, str]:
             # (epoch day 0 = Thursday, +4 days to Monday, +9.5h) = 379800000
             "SELECT event_type, CAST(count(*) AS BIGINT) n FROM "
             f"(SELECT event_type, ({_EMS} - 379800000) // 604800000 AS w FROM events) "
+            "GROUP BY event_type, w"
+        ),
+        "window_cron_weekdays": (
+            # MON-FRI at 00:00 UTC -> epoch-day residues {0,1,4,5,6}
+            # (epoch day 0 = Thursday); bucket = last schedule day <= event
+            "SELECT event_type, CAST(count(*) AS BIGINT) n FROM "
+            "(SELECT event_type, list_max(list_transform(range(0, 7), k -> "
+            f"CASE WHEN (({_EMS} // 86400000 - k) % 7) IN (0, 1, 4, 5, 6) "
+            f"THEN {_EMS} // 86400000 - k ELSE NULL END)) AS w FROM events) "
             "GROUP BY event_type, w"
         ),
         "window_time_length": (

@@ -151,6 +151,35 @@ def add_bucket(
                 (F.col(BUCKET_COL) * period + anchor).cast("bigint"),
                 (F.col(BUCKET_COL) * period + anchor + period).cast("bigint"),
             )
+        if kind == "weekly_set":
+            # multi-day weekly fires (lists/ranges like MON,WED,FRI or
+            # MON-FRI): the last fire at-or-before the event is the max over
+            # the 7 candidate days behind it whose epoch-day residue is in
+            # the schedule — 7 codegen'd CASE terms per row, no data
+            # movement. Bucket id = the fire's epoch ms (unique per fire).
+            residues, tod = arg
+            ems = F.col(ts_col)
+            day = F.floor(ems / F.lit(86_400_000))
+
+            def fire_at(d):
+                return d * 86_400_000 + F.lit(tod)
+
+            cands = [
+                F.when(
+                    ((day - k) % 7).isin(*residues) & (fire_at(day - k) <= ems),
+                    fire_at(day - k),
+                )
+                for k in range(7)
+            ]
+            out = df.withColumn(BUCKET_COL, F.greatest(*cands).cast("bigint"))
+            fday = F.floor((F.col(BUCKET_COL) - F.lit(tod)) / F.lit(86_400_000))
+            nexts = [
+                F.when(((fday + k) % 7).isin(*residues), fire_at(fday + k))
+                for k in range(1, 8)
+            ]
+            return BucketedWindow(
+                out, F.col(BUCKET_COL), F.least(*nexts).cast("bigint")
+            )
         # monthly 's m h D * ?': fire_m = day D of month m at h:m:s; bucket =
         # the month index of the last fire at-or-before the event. Month
         # arithmetic via make_timestamp/unix_millis — still per-row Catalyst
@@ -246,17 +275,48 @@ _QUARTZ_DOW = {
 _DAYS_FROM_EPOCH_DOW = {5: 0, 6: 1, 7: 2, 1: 3, 2: 4, 3: 5, 4: 6}
 
 
+def _dow_code(tok: str) -> Optional[int]:
+    if tok in _QUARTZ_DOW:
+        return _QUARTZ_DOW[tok]
+    if tok.isdigit() and 1 <= int(tok) <= 7:
+        return int(tok)
+    return None
+
+
+def _dow_set(field: str) -> Optional[set]:
+    """Quartz day-of-week field -> set of quartz codes (1=SUN..7=SAT), or
+    None if the field isn't a name/number/list/range of days."""
+    out: set = set()
+    for part in field.upper().split(","):
+        if "-" in part:
+            lo, _, hi = part.partition("-")
+            a, b = _dow_code(lo), _dow_code(hi)
+            if a is None or b is None:
+                return None
+            out.update(range(a, b + 1) if a <= b else
+                       list(range(a, 8)) + list(range(1, b + 1)))  # wrap: FRI-MON
+        else:
+            c = _dow_code(part)
+            if c is None:
+                return None
+            out.add(c)
+    return out or None
+
+
 def _cron_schedule(spec: A.WindowSpec):
     """Parse the supported Quartz subset into a bucket-function schedule.
 
     Returns one of (all times UTC — the engine's session zone):
     - ``("period", period_ms, anchor_ms)`` — fixed-period fires (``*/N``
       second/minute/hour steps anchor at 0; daily ``s m h * * ?`` and weekly
-      ``s m h ? * DOW`` fires anchor at the first epoch fire), or
+      ``s m h ? * DOW`` fires anchor at the first epoch fire),
+    - ``("weekly_set", (residues, tod_ms))`` — multi-day weekly fires
+      (``s m h ? * MON,WED,FRI`` lists / ``MON-FRI`` ranges); residues are
+      epoch-day mod 7 values (epoch day 0 = Thursday), or
     - ``("monthly", (dom, h, m, s))`` — ``s m h D * ?`` day-of-month fires.
 
-    Everything else (lists, ranges, multiple days, month fields, L/W/#) has
-    no pure bucket-function lowering and is rejected at plan time."""
+    Everything else (multiple month-days, month fields, L/W/#) has no pure
+    bucket-function lowering and is rejected at plan time."""
     a = spec.args[0]
     if not (isinstance(a, A.Literal) and a.kind == "string"):
         raise SiddhiPlannerException("#window.cron takes a cron string literal")
@@ -282,10 +342,13 @@ def _cron_schedule(spec: A.WindowSpec):
         if dom in ("*", "?") and dow in ("*", "?"):
             return ("period", 86_400_000, tod_ms)  # daily at h:m:s
         if dom in ("*", "?"):
-            d = _QUARTZ_DOW.get(dow.upper(), int(dow) if dow.isdigit() else None)
-            if d in _DAYS_FROM_EPOCH_DOW:
-                anchor = _DAYS_FROM_EPOCH_DOW[d] * 86_400_000 + tod_ms
+            codes = _dow_set(dow)
+            if codes and len(codes) == 1:
+                anchor = _DAYS_FROM_EPOCH_DOW[next(iter(codes))] * 86_400_000 + tod_ms
                 return ("period", 7 * 86_400_000, anchor)  # weekly on DOW
+            if codes:
+                residues = sorted(_DAYS_FROM_EPOCH_DOW[c] for c in codes)
+                return ("weekly_set", (residues, tod_ms), None)
         elif dow in ("*", "?") and dom.isdigit():
             if not 1 <= int(dom) <= 28:
                 raise UnsupportedFeatureException(

@@ -205,3 +205,56 @@ def test_streaming_semantic_dedup_state_restored_across_restart(spark, tmp_path)
         [(5, [3.0, 3.0, 3.0, 0.0])], schema  # same direction as restored rep
     ).coalesce(1).write.parquet(str(src / "f2"))
     assert run() == [1]  # 5 suppressed by the restored rep state
+
+
+# ---- quartz day-of-week lists/ranges in #window.cron ---------------------
+
+def test_cron_dow_set_parsing():
+    from flink_siddhi_spark.operators.windows import _dow_set
+
+    assert _dow_set("MON,WED,FRI") == {2, 4, 6}
+    assert _dow_set("MON-FRI") == {2, 3, 4, 5, 6}
+    assert _dow_set("FRI-MON") == {6, 7, 1, 2}  # wrapping range
+    assert _dow_set("2,4") == {2, 4}
+    assert _dow_set("L") is None  # quartz specials stay rejected
+    assert _dow_set("MON#2") is None
+
+
+def test_cron_weekday_range_buckets(spark):
+    """MON-FRI at midnight: Sat/Sun events fall into Friday's bucket; each
+    weekday opens its own."""
+    from flink_siddhi_spark.cep import SiddhiCEP
+
+    # 1997-06-02 is a Monday. events on Mon, Tue, Sat, Sun -> Sat+Sun join
+    # Friday's bucket (1997-06-06).
+    def ems(day, hour=12):
+        import datetime as dt
+
+        return int(dt.datetime(1997, 6, day, hour, tzinfo=dt.timezone.utc)
+                   .timestamp() * 1000)
+
+    rows = [(1, "a", 1.0, ems(2)), (2, "a", 1.0, ems(3)),
+            (3, "a", 1.0, ems(7)), (4, "a", 1.0, ems(8))]
+    df = spark.createDataFrame(rows, "id long, name string, v double, ts long")
+    cep = SiddhiCEP(spark)
+    cep.define("s", df, "id", "name", "v", "ts", ts_field="ts")
+    out = cep.from_("s").cql(
+        "from s#window.cron('0 0 0 ? * MON-FRI') "
+        "select name, count() as n group by name insert into Out"
+    ).returns("Out")
+    # buckets: Mon(1), Tue(1), Fri(2 — the weekend rows) -> three rows
+    assert sorted(r.n for r in out.collect()) == [1, 1, 2]
+
+
+def test_cron_quartz_specials_still_rejected(spark):
+    from flink_siddhi_spark.cep import SiddhiCEP
+    from flink_siddhi_spark.errors import UnsupportedFeatureException
+
+    df = spark.createDataFrame([(1, 1000)], "id long, ts long")
+    cep = SiddhiCEP(spark)
+    cep.define("s", df, "id", "ts", ts_field="ts")
+    with pytest.raises(UnsupportedFeatureException, match="cron"):
+        cep.from_("s").cql(
+            "from s#window.cron('0 0 0 ? * 6L') "
+            "select count() as n insert into Out"
+        ).returns("Out")
