@@ -940,6 +940,18 @@ def q_tpch_q10ish_returns(spark, sf_dir):
     ).returns("Out")
 
 
+def q_pipeline_contamination_gate(spark, sf_dir):
+    # stateless fuzzy-decontamination gate (per-row MinHash + banded
+    # broadcast probes): batch mode of the streaming-capable definition
+    from flink_siddhi_spark.llm.dedup import streaming_contamination_gate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 10 != 7)
+    out = streaming_contamination_gate(train, bench, keep_contaminated=True)
+    return out.select("doc_id", "contaminated", "bench_id")
+
+
 def q_tpch_q18ish_bigorders(spark, sf_dir):
     # TPC-H Q18 shape (large-volume customers): grouped HAVING feeding a
     # join — the aggregate-then-enrich chain.
@@ -1033,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail: driver-green in r2 (or local-mirror-gated r3b), to be
         # --- rotated into the window next round ---
         "pipeline_quality_topfrac": q_pipeline_quality_topfrac,
+        "pipeline_contamination_gate": q_pipeline_contamination_gate,
         "tpch_q18ish_bigorders": q_tpch_q18ish_bigorders,
         "tpch_q1_pricing": q_tpch_q1_pricing,
         "pattern_followed_by": q_pattern_followed_by,
@@ -1961,6 +1974,27 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name "
             "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "pipeline_contamination_gate": (
+            "WITH " + _shingle_cte("sb", " WHERE doc_id % 10 = 7") + ", "
+            + _shingle_cte("st", " WHERE doc_id % 10 <> 7") + ", "
+            f"sigb AS ({_sig_select('sb')}), sigt AS ({_sig_select('st')}), "
+            + ", ".join(
+                f"bb{b} AS (SELECT md5(sig_{2*b} || '|' || sig_{2*b+1}) bk, "
+                f"min(doc_id) bid FROM sigb WHERE sig_0 IS NOT NULL GROUP BY 1)"
+                for b in range(4)
+            )
+            + ", t AS (SELECT doc_id, "
+            + ", ".join(
+                f"CASE WHEN sig_0 IS NOT NULL THEN md5(sig_{2*b} || '|' || sig_{2*b+1}) END bk{b}"
+                for b in range(4)
+            )
+            + " FROM sigt) "
+            "SELECT t.doc_id, COALESCE(bb0.bid, bb1.bid, bb2.bid, bb3.bid) "
+            "IS NOT NULL contaminated, "
+            "COALESCE(bb0.bid, bb1.bid, bb2.bid, bb3.bid) bench_id FROM t "
+            "LEFT JOIN bb0 ON t.bk0 = bb0.bk LEFT JOIN bb1 ON t.bk1 = bb1.bk "
+            "LEFT JOIN bb2 ON t.bk2 = bb2.bk LEFT JOIN bb3 ON t.bk3 = bb3.bk"
         ),
         "tpch_q18ish_bigorders": (
             "WITH big AS (SELECT l_orderkey, "

@@ -832,3 +832,80 @@ def streaming_semantic_dedup(
     return tagged.groupBy("__bucket").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_contamination_gate(
+    stream: DataFrame, bench: DataFrame, num_hashes: int = 8, bands: int = 4,
+    text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """Gate a document stream against a STATIC benchmark corpus: flag (and
+    by default drop) stream docs that share any MinHash-LSH band bucket
+    with a benchmark doc — the continuous-ingest form of fuzzy benchmark
+    decontamination (``minhash_lsh_pairs_cross`` is the batch/scored form).
+
+    Built to be STATELESS so it runs in append mode with zero streaming
+    state: the per-row signature is an array fold (no explode/groupBy —
+    this keeps the md5 calls on the interpreted HOF path, the documented
+    ~10x-per-element trade for statelessness; the batch path hashes at top
+    level instead), and each of the ``bands`` bucket probes is a broadcast
+    hash join against the benchmark's per-band bucket table (benchmark
+    suites are small). Adds ``contaminated`` (bool) and ``bench_id`` (a
+    matching benchmark doc id, else null); shingle-less docs never match.
+    Works identically on a batch DataFrame (same definition, both modes)."""
+    rpb = num_hashes // bands
+    sigb = minhash_signatures(bench, num_hashes, text_col, id_col, n)
+    sig_cols = [f"sig_{j}" for j in range(num_hashes)]
+
+    def bucket_expr(prefix_cols: list) -> list:
+        return [
+            F.md5(F.concat_ws("|", *prefix_cols[b * rpb:(b + 1) * rpb]))
+            for b in range(bands)
+        ]
+
+    bench_bands = []
+    bb = bucket_expr([F.col(c) for c in sig_cols])
+    for b in range(bands):
+        bench_bands.append(
+            F.broadcast(
+                sigb.filter(F.col("sig_0").isNotNull())
+                .select(bb[b].alias(f"__bk{b}"), F.col(id_col).alias("__bid"))
+                .groupBy(f"__bk{b}")
+                .agg(F.min("__bid").alias(f"__bench_{b}"))
+            )
+        )
+    # per-row stream-side signature: fold over the shingle array, no shuffle
+    words = F.split(F.lower(F.col(text_col)), " ")
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    )
+    out = stream
+    row_sigs = []
+    for j in range(num_hashes):
+        pre = F.lit("") if j < 4 else F.lit("x:")
+        chunk_start = (j % 4) * 8 + 1
+        row_sigs.append(
+            F.array_min(
+                F.transform(sh, lambda x: F.substring(F.md5(F.concat(pre, x)), chunk_start, 8))
+            )
+        )
+    row_buckets = bucket_expr(row_sigs)
+    for b in range(bands):
+        out = out.withColumn(
+            f"__bk{b}", F.when(row_sigs[0].isNotNull(), row_buckets[b])
+        )
+        out = out.join(bench_bands[b], f"__bk{b}", "left")
+    hit = F.coalesce(*[F.col(f"__bench_{b}") for b in range(bands)])
+    out = (
+        out.withColumn("contaminated", hit.isNotNull())
+        .withColumn("bench_id", hit)
+        .drop(*[f"__bk{b}" for b in range(bands)])
+        .drop(*[f"__bench_{b}" for b in range(bands)])
+    )
+    if not keep_contaminated:
+        out = out.filter(~F.col("contaminated")).drop("contaminated", "bench_id")
+    return out

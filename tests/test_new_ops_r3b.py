@@ -258,3 +258,64 @@ def test_cron_quartz_specials_still_rejected(spark):
             "from s#window.cron('0 0 0 ? * 6L') "
             "select count() as n insert into Out"
         ).returns("Out")
+
+
+# ---- streaming contamination gate ----------------------------------------
+
+_BENCH_TEXT = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def test_contamination_gate_batch_flags(spark):
+    from flink_siddhi_spark.llm.dedup import streaming_contamination_gate
+
+    bench = spark.createDataFrame([(100, _BENCH_TEXT)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, _BENCH_TEXT), (2, "totally unrelated words about catalyst planners here"),
+         (3, "x")],  # shingle-less -> never matches
+        "doc_id long, text string",
+    )
+    out = streaming_contamination_gate(docs, bench, keep_contaminated=True)
+    got = {r.doc_id: (r.contaminated, r.bench_id) for r in out.collect()}
+    assert got == {1: (True, 100), 2: (False, None), 3: (False, None)}
+    # default mode drops contaminated rows and the flag columns
+    kept = streaming_contamination_gate(docs, bench)
+    assert {r.doc_id for r in kept.collect()} == {2, 3}
+    assert "contaminated" not in kept.columns
+
+
+def test_contamination_gate_is_stateless_broadcast_only(spark):
+    from flink_siddhi_spark.llm.dedup import streaming_contamination_gate
+
+    bench = spark.createDataFrame([(100, _BENCH_TEXT)], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, _BENCH_TEXT)], "doc_id long, text string")
+    plan = (
+        streaming_contamination_gate(docs, bench, keep_contaminated=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the stream side must not shuffle: bucket probes are broadcast joins
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastExchange")[0], plan
+    assert plan.count("BroadcastHashJoin") == 4, plan
+
+
+def test_contamination_gate_on_stream(spark, tmp_path):
+    from flink_siddhi_spark.llm.dedup import streaming_contamination_gate
+    from flink_siddhi_spark.sources.streams import to_memory
+
+    bench = spark.createDataFrame([(100, _BENCH_TEXT)], "doc_id long, text string")
+    d = str(tmp_path / "in_gate")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, _BENCH_TEXT)], schema)\
+        .coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame([(2, "clean novel content words entirely new here today")], schema)\
+        .coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    q = to_memory(
+        streaming_contamination_gate(stream, bench).select("doc_id"),
+        "m_gate", checkpoint=str(tmp_path / "ck_gate"),
+    )
+    q.awaitTermination(60)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM m_gate").collect()}
+    assert got == {2}  # the benchmark copy was gated out mid-stream
