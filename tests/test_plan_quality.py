@@ -1,0 +1,83 @@
+"""Plan-quality regression gate for flagship queries: the scale properties
+(exchange counts, join strategies, pushdown) asserted here are the ones a
+100 TB deployment depends on. A refactor that passes the value oracle but
+adds a shuffle or drops a broadcast regresses silently — this file makes
+that a test failure. Complements scripts/explain_audit.py (the ad-hoc
+audit tool) with hard bounds on the queries that matter most."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, SF_DIR)
+    # run through AQE so the FINAL plan is inspected (a pre-AQE plan can
+    # show SortMergeJoin that AQE later demotes to broadcast)
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q3_shape(spark):
+    p = _plan(spark, "tpch_q3_shipping")
+    assert p.count("Exchange hashpartitioning") <= 1, p
+    assert "BroadcastHashJoin" in p and "NestedLoop" not in p, p
+    assert "TakeOrderedAndProject" in p, p  # top-n, never a global sort
+
+
+def test_tpch_q6_pushdown(spark):
+    p = _plan(spark, "tpch_q6_forecast")
+    # every predicate must reach the parquet scan
+    assert "PushedFilters: [" in p and "IsNotNull(l_shipdate)" in p, p
+    assert "Exchange hashpartitioning" not in p, p  # ungrouped agg: partial+final only
+
+
+def test_dedup_exact_single_shuffle(spark):
+    p = _plan(spark, "dedup_exact")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_dedup_semantic_no_self_join(spark):
+    p = _plan(spark, "dedup_semantic")
+    assert "SortMergeJoin" not in p and "NestedLoop" not in p, p
+    assert p.count("BroadcastHashJoin") == 2, p
+
+
+def test_embedding_verified_no_nested_loop(spark):
+    # the candidate-wired verifier must never fall back to the O(n^2) BNLJ
+    p = _plan(spark, "dedup_embedding_verified")
+    assert "NestedLoop" not in p, p
+
+
+def test_asof_join_single_shuffle(spark):
+    p = _plan(spark, "asof_join")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "NestedLoop" not in p, p
+
+
+def test_stream_table_join_broadcasts(spark):
+    p = _plan(spark, "join_stream_table")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+
+
+def test_quality_topfrac_single_shuffle(spark):
+    p = _plan(spark, "pipeline_quality_topfrac")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_curate_single_shuffle(spark):
+    # the composed gate->dedup->sample slice must stay one shuffle
+    p = _plan(spark, "pipeline_curate")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_no_query_uses_python_row_udf(spark):
+    """Hot-path contract: no row-at-a-time Python UDFs anywhere in the
+    flagship set (Arrow-batched pandas ops appear as ArrowEvalPython /
+    FlatMapGroupsInPandas — BatchEvalPython is the forbidden slow path)."""
+    for name in ["tpch_q1_pricing", "dedup_minhash_lsh", "text_quality",
+                 "pattern_followed_by", "multimodal_features"]:
+        p = _plan(spark, name)
+        assert "BatchEvalPython" not in p, (name, p)
