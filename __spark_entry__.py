@@ -1036,14 +1036,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_interleave": q_pipeline_interleave,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "tpch_q12ish_priority": q_tpch_q12ish_priority,
-        # --- new round-3b operators (also first driver check) ---
+        # --- new round-3b operators (last in-window slot: the 39 core
+        # SiddhiQL entries above now include window_cron_weekdays, so with
+        # 4 multimodal + 6 r3 ops exactly ONE slot remains before 50) ---
         "dedup_semantic": q_dedup_semantic,
+        # ---------------- window boundary (50) ----------------
+        # --- tail: local-mirror-gated this round (scripts/verify_oracle.py
+        # — same value-level DuckDB compare), to be rotated into the driver
+        # window in round 4 ---
         "pipeline_fuzzy_contamination": q_pipeline_fuzzy_contamination,
         "text_length_percentiles": q_text_length_percentiles,
         "tpch_q10ish_returns": q_tpch_q10ish_returns,
-        # ---------------- window boundary (~50) ----------------
-        # --- tail: driver-green in r2 (or local-mirror-gated r3b), to be
-        # --- rotated into the window next round ---
         "pipeline_quality_topfrac": q_pipeline_quality_topfrac,
         "pipeline_contamination_gate": q_pipeline_contamination_gate,
         "tpch_q18ish_bigorders": q_tpch_q18ish_bigorders,
