@@ -940,6 +940,19 @@ def q_tpch_q10ish_returns(spark, sf_dir):
     ).returns("Out")
 
 
+def q_pipeline_embed(spark, sf_dir):
+    # embedding-generation stage (deterministic hash-feature stand-in for a
+    # neural encoder — swap-in point documented in hash_embeddings); the
+    # driver-safe projection exposes the first 4 components
+    from flink_siddhi_spark.llm.pipeline import hash_embeddings
+
+    out = hash_embeddings(_docs(spark, sf_dir), dim=16)
+    return out.select(
+        "doc_id",
+        *[F.round(F.col("embedding")[i], 6).alias(f"e{i}") for i in range(4)],
+    )
+
+
 def q_pipeline_contamination_gate(spark, sf_dir):
     # stateless fuzzy-decontamination gate (per-row MinHash + banded
     # broadcast probes): batch mode of the streaming-capable definition
@@ -1048,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_percentiles": q_text_length_percentiles,
         "tpch_q10ish_returns": q_tpch_q10ish_returns,
         "pipeline_quality_topfrac": q_pipeline_quality_topfrac,
+        "pipeline_embed": q_pipeline_embed,
         "pipeline_contamination_gate": q_pipeline_contamination_gate,
         "tpch_q18ish_bigorders": q_tpch_q18ish_bigorders,
         "tpch_q1_pricing": q_tpch_q1_pricing,
@@ -1977,6 +1991,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name "
             "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "pipeline_embed": (
+            "SELECT doc_id, "
+            + ", ".join(
+                f"round(CAST('0x' || substring(md5('{i}:' || text), 1, 8) AS BIGINT) "
+                f"/ 2147483648.0 - 1.0, 6) e{i}"
+                for i in range(4)
+            )
+            + " FROM documents"
         ),
         "pipeline_contamination_gate": (
             "WITH " + _shingle_cte("sb", " WHERE doc_id % 10 = 7") + ", "

@@ -439,3 +439,28 @@ def quality_top_fraction(
         .filter(F.col("q_rank") <= F.ceil(F.col("__n") * F.lit(frac)))
         .drop("__n")
     )
+
+
+def hash_embeddings(
+    df: DataFrame, dim: int = 16, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash-feature document embeddings in [-1, 1) — the
+    embedding-GENERATION stage of a training-data pipeline, as a documented
+    stand-in for a neural encoder (no model runtimes in this environment;
+    swap the projection for an Arrow-batched ``mapInPandas`` encoder and
+    every downstream stage — ``semantic_dedup``, ANN, clustering — is
+    unchanged, which is the deliverable here).
+
+    ``embedding[i] = int(md5(f"{i}:" + text)[:8], 16) / 2^31 - 1`` — pure
+    Catalyst (md5/conv/arithmetic), whole-stage codegen'd, zero shuffle,
+    and reproducible in ANSI SQL for the oracle. 32-bit ints are exact in
+    doubles, so both engines compute bit-identical values."""
+    if dim <= 0:
+        raise ValueError(f"hash_embeddings: dim ({dim}) must be > 0")
+    comps = []
+    for i in range(dim):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col(text_col))), 1, 8), 16, 10
+        ).cast("double")
+        comps.append((h / F.lit(float(2 ** 31)) - 1.0))
+    return df.withColumn("embedding", F.array(*comps))

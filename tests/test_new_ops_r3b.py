@@ -319,3 +319,37 @@ def test_contamination_gate_on_stream(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.doc_id for r in spark.sql("SELECT * FROM m_gate").collect()}
     assert got == {2}  # the benchmark copy was gated out mid-stream
+
+
+# ---- hash-embedding generation stage -------------------------------------
+
+def test_hash_embeddings_deterministic_and_bounded(spark):
+    from flink_siddhi_spark.llm.pipeline import hash_embeddings
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    out = {r.doc_id: r.embedding for r in hash_embeddings(df, dim=8).collect()}
+    assert len(out[1]) == 8
+    assert all(-1.0 <= v < 1.0 for v in out[1])
+    # deterministic: same text -> same vector; different text -> different
+    again = {r.doc_id: r.embedding for r in hash_embeddings(df, dim=8).collect()}
+    assert out == again and out[1] != out[2]
+    with pytest.raises(ValueError, match="dim"):
+        hash_embeddings(df, dim=0)
+
+
+def test_hash_embeddings_compose_with_semantic_dedup(spark):
+    """The pipeline composition the stage exists for: text -> embed ->
+    semantic dedup. Identical texts get identical vectors -> cos 1.0 ->
+    the later copy is dropped."""
+    from flink_siddhi_spark.llm.dedup import semantic_dedup
+    from flink_siddhi_spark.llm.pipeline import hash_embeddings
+
+    df = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "another document")],
+        "doc_id long, text string",
+    )
+    emb = hash_embeddings(df, dim=16)
+    out = {r.doc_id: r.keep for r in
+           semantic_dedup(emb, threshold=0.999, planes=2, id_col="doc_id",
+                          emb_col="embedding").collect()}
+    assert out[1] and not out[2]
