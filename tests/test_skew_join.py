@@ -55,3 +55,31 @@ def test_salted_join_rejects_right_outer(spark):
         salted_join(left, right, "k", how="right")
     with pytest.raises(ValueError, match="salt"):
         salted_join(left, right, "k", salt=0)
+
+
+# ---- property: salted == plain for arbitrary key/row distributions -------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lkeys=st.lists(st.integers(0, 5), min_size=0, max_size=30),
+    rkeys=st.lists(st.integers(0, 5), min_size=0, max_size=10),
+    salt=st.integers(1, 5),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_property(spark, lkeys, rkeys, salt, how):
+    from flink_siddhi_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(lkeys)] or [(None, None)], "k long, p long"
+    ).filter("p IS NOT NULL")
+    right = spark.createDataFrame(
+        [(k, i * 100) for i, k in enumerate(rkeys)] or [(None, None)], "k long, v long"
+    ).filter("v IS NOT NULL")
+    got = sorted(tuple(r) for r in salted_join(left, right, "k", salt=salt, how=how).collect())
+    want = sorted(tuple(r) for r in left.join(right, "k", how).collect())
+    assert got == want
