@@ -65,3 +65,22 @@ def is_bucketed_on(spark: SparkSession, name: str, keys: Sequence[str]) -> bool:
     cols = info.get("Bucket Columns", "")
     want = "[" + ", ".join(f"`{k}`" for k in keys) + "]"
     return cols == want
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    by: Sequence[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Persist ``df`` partitioned by the given columns (hive-style
+    directories) and return the re-read DataFrame. The complement of
+    bucketing: bucketing kills the JOIN shuffle, directory partitioning
+    kills the SCAN — a filter on a partition column prunes whole
+    directories before any I/O (``PartitionFilters`` in the scan node,
+    asserted in tests/test_bucketed.py). Partition by low-cardinality
+    columns queries filter on (ingest date, source, language); high
+    cardinality makes millions of tiny directories — use bucketing for
+    those keys instead."""
+    df.write.mode("overwrite").format(fmt).partitionBy(*by).save(path)
+    return df.sparkSession.read.format(fmt).load(path)

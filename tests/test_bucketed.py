@@ -67,3 +67,21 @@ def test_write_bucketed_rejects_bad_buckets(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="buckets"):
         write_bucketed(df, "b_bad", ["doc_id"], 0)
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from flink_siddhi_spark.sources.bucketed import write_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}", ["src0", "src1", "src2"][i % 3]) for i in range(90)],
+        "doc_id long, text string, source string",
+    )
+    t = write_partitioned(df, str(tmp_path / "part_docs"), by=["source"])
+    q = t.filter(F.col("source") == "src1").select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # the filter must prune directories, not rows: it appears as a
+    # PartitionFilter on the scan and nowhere as a post-scan Filter
+    assert "PartitionFilters: [isnotnull(source" in plan, plan
+    assert q.count() == 30
