@@ -180,34 +180,39 @@ def add_bucket(
             return BucketedWindow(
                 out, F.col(BUCKET_COL), F.least(*nexts).cast("bigint")
             )
-        # monthly 's m h D * ?': fire_m = day D of month m at h:m:s; bucket =
-        # the month index of the last fire at-or-before the event. Month
-        # arithmetic via make_timestamp/unix_millis — still per-row Catalyst
-        # expressions (codegen'd), no data movement.
-        dom, hh, mm, ss = arg
-        t = F.timestamp_millis(F.col(ts_col).cast("bigint"))
-        this_fire = F.unix_millis(
-            F.make_timestamp(
-                F.year(t), F.month(t), F.lit(dom), F.lit(hh), F.lit(mm),
-                F.lit(ss).cast("double"),
-            )
-        )
+        # monthly 's m h D[,D2...] * ?': fires on each listed day-of-month
+        # at h:m:s; bucket = epoch ms of the last fire at-or-before the
+        # event (greatest over this-month and last-month candidates per
+        # listed day). Month arithmetic via make_timestamp/unix_millis —
+        # still per-row Catalyst expressions (codegen'd), no data movement.
+        doms, hh, mm, ss = arg
+        ems = F.col(ts_col)
+        t = F.timestamp_millis(ems.cast("bigint"))
         midx = F.year(t) * 12 + F.month(t) - 1
-        bucket = F.when(F.col(ts_col) >= this_fire, midx).otherwise(midx - 1)
-        out = df.withColumn(BUCKET_COL, bucket.cast("bigint"))
 
-        def fire_of(b):  # epoch ms of the fire for month-index b
+        def fire_of(b, d):  # epoch ms of day-d fire in month-index b
             return F.unix_millis(
                 F.make_timestamp(
                     F.floor(b / 12).cast("int"), (b % 12 + 1).cast("int"),
-                    F.lit(dom), F.lit(hh), F.lit(mm), F.lit(ss).cast("double"),
+                    F.lit(d), F.lit(hh), F.lit(mm), F.lit(ss).cast("double"),
                 )
             )
 
+        cands = [
+            F.when(fire_of(midx - j, d) <= ems, fire_of(midx - j, d))
+            for j in (0, 1)
+            for d in doms
+        ]
+        out = df.withColumn(BUCKET_COL, F.greatest(*cands).cast("bigint"))
+        bt = F.timestamp_millis(F.col(BUCKET_COL))
+        bmidx = F.year(bt) * 12 + F.month(bt) - 1
+        nexts = [
+            F.when(fire_of(bmidx + j, d) > F.col(BUCKET_COL), fire_of(bmidx + j, d))
+            for j in (0, 1)
+            for d in doms
+        ]
         return BucketedWindow(
-            out,
-            fire_of(F.col(BUCKET_COL)).cast("bigint"),
-            fire_of(F.col(BUCKET_COL) + 1).cast("bigint"),
+            out, F.col(BUCKET_COL), F.least(*nexts).cast("bigint")
         )
     if name == "session":
         gap = _arg_ms(spec, 0)
@@ -313,9 +318,10 @@ def _cron_schedule(spec: A.WindowSpec):
     - ``("weekly_set", (residues, tod_ms))`` — multi-day weekly fires
       (``s m h ? * MON,WED,FRI`` lists / ``MON-FRI`` ranges); residues are
       epoch-day mod 7 values (epoch day 0 = Thursday), or
-    - ``("monthly", (dom, h, m, s))`` — ``s m h D * ?`` day-of-month fires.
+    - ``("monthly", (doms, h, m, s))`` — ``s m h D[,D2...] * ?``
+      day-of-month fires (each day 1..28; lists supported).
 
-    Everything else (multiple month-days, month fields, L/W/#) has no pure
+    Everything else (month fields, L/W/#, day-of-month ranges) has no pure
     bucket-function lowering and is rejected at plan time."""
     a = spec.args[0]
     if not (isinstance(a, A.Literal) and a.kind == "string"):
@@ -349,13 +355,14 @@ def _cron_schedule(spec: A.WindowSpec):
             if codes:
                 residues = sorted(_DAYS_FROM_EPOCH_DOW[c] for c in codes)
                 return ("weekly_set", (residues, tod_ms), None)
-        elif dow in ("*", "?") and dom.isdigit():
-            if not 1 <= int(dom) <= 28:
+        elif dow in ("*", "?") and all(p.isdigit() for p in dom.split(",")):
+            doms = sorted({int(p) for p in dom.split(",")})
+            if not all(1 <= d <= 28 for d in doms):
                 raise UnsupportedFeatureException(
                     "#window.cron: day-of-month must be 1..28 (29-31 skip "
                     "short months, which a bucket function cannot express)"
                 )
-            return ("monthly", (int(dom), int(hour), int(minute), int(sec)), None)
+            return ("monthly", (doms, int(hour), int(minute), int(sec)), None)
     raise UnsupportedFeatureException(
         f"#window.cron: unsupported expr {a.value!r} — supported: */N "
         "sec|min|hour periods, daily 's m h * * ?', weekly 's m h ? * DOW', "

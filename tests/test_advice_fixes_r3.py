@@ -177,10 +177,18 @@ def test_calendar_cron_windows(spark):
     ).returns("Out")
     assert [r.n for r in out.collect()] == [4]
 
-    # unsupported calendar forms still reject loudly
+    # day-of-week LISTS became supported in round 3b (MON,WED splits the
+    # week at both days); quartz specials still reject loudly
+    out = cep.from_("s").cql(
+        "from s#window.cron('0 30 9 ? * MON,WED') select count() as n "
+        "group by name insert into Out"
+    ).returns("Out")
+    # fires Mon 09:30 / Wed 09:30: [..Mon 09:30): id1 | [Mon, Wed): ids 2,3
+    # | [next Mon 09:30, ..): id 4
+    assert sorted(r.n for r in out.collect()) == [1, 1, 2]
     with pytest.raises(UnsupportedFeatureException, match="cron"):
         cep.from_("s").cql(
-            "from s#window.cron('0 30 9 ? * MON,WED') select count() as n "
+            "from s#window.cron('0 30 9 ? * 6#2') select count() as n "
             "group by name insert into Out"
         ).returns("Out")
     with pytest.raises(UnsupportedFeatureException, match="1..28"):

@@ -353,3 +353,39 @@ def test_hash_embeddings_compose_with_semantic_dedup(spark):
            semantic_dedup(emb, threshold=0.999, planes=2, id_col="doc_id",
                           emb_col="embedding").collect()}
     assert out[1] and not out[2]
+
+
+def test_cron_monthly_list_buckets(spark):
+    """'0 0 0 1,15 * ?' — semimonthly fires: events split at the 15th."""
+    from flink_siddhi_spark.cep import SiddhiCEP
+
+    def ems(month, day):
+        import datetime as dt
+
+        return int(dt.datetime(1997, month, day, 12, tzinfo=dt.timezone.utc)
+                   .timestamp() * 1000)
+
+    rows = [(1, "a", 1.0, ems(6, 2)), (2, "a", 1.0, ems(6, 14)),   # bucket 6/1
+            (3, "a", 1.0, ems(6, 16)), (4, "a", 1.0, ems(6, 28)),  # bucket 6/15
+            (5, "a", 1.0, ems(7, 3))]                              # bucket 7/1
+    df = spark.createDataFrame(rows, "id long, name string, v double, ts long")
+    cep = SiddhiCEP(spark)
+    cep.define("s", df, "id", "name", "v", "ts", ts_field="ts")
+    out = cep.from_("s").cql(
+        "from s#window.cron('0 0 0 1,15 * ?') "
+        "select name, count() as n group by name insert into Out"
+    ).returns("Out")
+    assert sorted(r.n for r in out.collect()) == [1, 2, 2]
+
+
+def test_cron_monthly_range_rejected(spark):
+    from flink_siddhi_spark.cep import SiddhiCEP
+    from flink_siddhi_spark.errors import UnsupportedFeatureException
+
+    df = spark.createDataFrame([(1, 1000)], "id long, ts long")
+    cep = SiddhiCEP(spark)
+    cep.define("s", df, "id", "ts", ts_field="ts")
+    with pytest.raises(UnsupportedFeatureException, match="cron"):
+        cep.from_("s").cql(
+            "from s#window.cron('0 0 0 1-5 * ?') select count() as n insert into Out"
+        ).returns("Out")
