@@ -767,7 +767,8 @@ def q_text_token_count(spark, sf_dir):
     from flink_siddhi_spark.llm.text import token_count
 
     return token_count(_docs(spark, sf_dir)).select(
-        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "n_subwords_est"
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "n_bpe_pieces", "n_subwords_est",
     )
 
 
@@ -1908,6 +1909,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_token_count": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n_tokens, "
+            "CAST(len(regexp_extract_all(text, "
+            "'''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) "
+            "n_bpe_pieces, "
             "CAST(ceil(length(text) / 4) AS BIGINT) n_subwords_est FROM documents"
         ),
         "text_quality": (

@@ -20,11 +20,24 @@ def with_words(df: DataFrame, text_col: str = "text", out: str = "__words") -> D
     return df.withColumn(out, F.split(F.lower(F.col(text_col)), " "))
 
 
+# GPT-2-style pre-tokenizer shape (ASCII classes so the Java and RE2 regex
+# engines tokenize identically): contractions, space-prefixed word / number /
+# punctuation runs. Each piece is what a BPE tokenizer would then split into
+# subwords — counting pieces is the standard cheap token estimate.
+BPE_SPLIT_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic)."""
+    """Whitespace tokens, a BPE-ish pre-tokenizer piece count (GPT-2-style
+    regex, pure JVM ``regexp_extract_all``), and a chars/4 subword estimate."""
     words = F.split(F.col(text_col), " ")
-    return df.withColumn("n_tokens", F.size(words)).withColumn(
-        "n_subwords_est", F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("bigint")
+    pieces = F.expr(f'regexp_extract_all({text_col}, "{BPE_SPLIT_RE}", 0)')
+    return (
+        df.withColumn("n_tokens", F.size(words))
+        .withColumn("n_bpe_pieces", F.size(pieces).cast("bigint"))
+        .withColumn(
+            "n_subwords_est", F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("bigint")
+        )
     )
 
 

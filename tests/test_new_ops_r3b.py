@@ -389,3 +389,13 @@ def test_cron_monthly_range_rejected(spark):
         cep.from_("s").cql(
             "from s#window.cron('0 0 0 1-5 * ?') select count() as n insert into Out"
         ).returns("Out")
+
+
+def test_bpe_piece_count(spark):
+    from flink_siddhi_spark.llm.text import token_count
+
+    df = spark.createDataFrame([(1, "Hello, world! It's 42 degrees")], "doc_id long, text string")
+    r = token_count(df).collect()[0]
+    # pieces: Hello | , | ' world' | '!' | ' It' | 's | ' 42' | ' degrees'
+    assert r.n_bpe_pieces == 8
+    assert r.n_tokens == 5
