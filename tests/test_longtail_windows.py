@@ -141,16 +141,25 @@ def test_cron_window_fixed_period(cep, duck):
 
 def test_cron_rejects_calendar_exprs(cep):
     # round 3: daily/weekly/monthly calendars are SUPPORTED (bucket-function
-    # lowering); only list/range/special forms still reject.
+    # lowering); round 3b added day lists/ranges; only quartz specials and
+    # month-restricted schedules still reject.
     from flink_siddhi_spark.errors import UnsupportedFeatureException
 
     out = cep.from_("events").cql(
         "from events#window.cron('0 15 10 * * ?') select count() as n insert into Out"
     ).returns("Out")
     assert out.count() > 0
+    out = cep.from_("events").cql(
+        "from events#window.cron('0 15 10 ? * MON-FRI') select count() as n insert into Out"
+    ).returns("Out")
+    assert out.count() > 0
     with pytest.raises(UnsupportedFeatureException):
         cep.from_("events").cql(
-            "from events#window.cron('0 15 10 ? * MON-FRI') select count() as n insert into Out"
+            "from events#window.cron('0 15 10 ? * 6L') select count() as n insert into Out"
+        ).returns("Out")
+    with pytest.raises(UnsupportedFeatureException):
+        cep.from_("events").cql(
+            "from events#window.cron('0 15 10 1 6 ?') select count() as n insert into Out"
         ).returns("Out")
 
 
