@@ -845,14 +845,17 @@ def streaming_contamination_gate(
     decontamination (``minhash_lsh_pairs_cross`` is the batch/scored form).
 
     Built to be STATELESS so it runs in append mode with zero streaming
-    state: the per-row signature is an array fold (no explode/groupBy —
-    this keeps the md5 calls on the interpreted HOF path, the documented
-    ~10x-per-element trade for statelessness; the batch path hashes at top
-    level instead), and each of the ``bands`` bucket probes is a broadcast
-    hash join against the benchmark's per-band bucket table (benchmark
-    suites are small). Adds ``contaminated`` (bool) and ``bench_id`` (a
-    matching benchmark doc id, else null); shingle-less docs never match.
-    Works identically on a batch DataFrame (same definition, both modes)."""
+    state; each of the ``bands`` bucket probes is a broadcast hash join
+    against the benchmark's per-band bucket table (benchmark suites are
+    small; the banded table is computed once and persisted). Per-row
+    signatures take the fast path the input allows: a STREAMING input uses
+    an in-row fold — 2 md5 calls per shingle materialized once, then cheap
+    substring mins (the interpreted-HOF trade statelessness requires); a
+    BATCH input uses the whole-stage-codegen exploded pipeline
+    (``minhash_signatures``) with flags joined back by id (~10x faster,
+    shuffles allowed there). Adds ``contaminated`` (bool) and ``bench_id``
+    (a matching benchmark doc id, else null); shingle-less docs never
+    match. Same flags in both modes (asserted in tests)."""
     rpb = num_hashes // bands
     sigb = minhash_signatures(bench, num_hashes, text_col, id_col, n)
     sig_cols = [f"sig_{j}" for j in range(num_hashes)]
@@ -863,41 +866,81 @@ def streaming_contamination_gate(
             for b in range(bands)
         ]
 
+    # ONE banded bucket table for the whole benchmark (signatures computed
+    # once, not once per band), cached so each per-band broadcast build
+    # reads the materialized result instead of re-running the md5 pipeline
+    banded = (
+        sigb.filter(F.col("sig_0").isNotNull())
+        .withColumn("__b", F.explode(_band_structs(sig_cols, bands, rpb)))
+        .groupBy(F.col("__b.band").alias("__band"), F.col("__b.bucket").alias("__bucket"))
+        .agg(F.min(id_col).alias("__bid"))
+        .persist()
+    )
     bench_bands = []
-    bb = bucket_expr([F.col(c) for c in sig_cols])
     for b in range(bands):
         bench_bands.append(
             F.broadcast(
-                sigb.filter(F.col("sig_0").isNotNull())
-                .select(bb[b].alias(f"__bk{b}"), F.col(id_col).alias("__bid"))
-                .groupBy(f"__bk{b}")
-                .agg(F.min("__bid").alias(f"__bench_{b}"))
+                banded.filter(F.col("__band") == b).select(
+                    F.col("__bucket").alias(f"__bk{b}"),
+                    F.col("__bid").alias(f"__bench_{b}"),
+                )
             )
         )
-    # per-row stream-side signature: fold over the shingle array, no shuffle
-    words = F.split(F.lower(F.col(text_col)), " ")
-    sh = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    )
-    out = stream
-    row_sigs = []
-    for j in range(num_hashes):
-        pre = F.lit("") if j < 4 else F.lit("x:")
-        chunk_start = (j % 4) * 8 + 1
-        row_sigs.append(
-            F.array_min(
-                F.transform(sh, lambda x: F.substring(F.md5(F.concat(pre, x)), chunk_start, 8))
-            )
+    if stream.isStreaming:
+        # stream side: per-row signature with NO shuffle (append-mode
+        # requirement). Hash cost is kept minimal for the interpreted HOF
+        # path: ONE transform materializes both md5s per shingle into a
+        # column (aliased so CollapseProject cannot inline the expensive
+        # lambda 8x), then the 8 signature mins are cheap substring folds.
+        words = F.split(F.lower(F.col(text_col)), " ")
+        sh = F.when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            ),
         )
-    row_buckets = bucket_expr(row_sigs)
+        out = stream.withColumn(
+            "__hs",
+            F.transform(sh, lambda x: F.concat(F.md5(x), F.md5(F.concat(F.lit("x:"), x)))),
+        )
+        def _chunk_min(off: int):
+            # factory (NOT a default-arg lambda: a 2-arg lambda is bound by
+            # pyspark as the (element, index) form and off would receive
+            # the array index)
+            return F.array_min(
+                F.transform(F.col("__hs"), lambda h: F.substring(h, off, 8))
+            )
+
+        sig_of = {}
+        for j in range(num_hashes):
+            sig_of[j] = _chunk_min((32 if j >= 4 else 0) + (j % 4) * 8 + 1)
+        out = out.select(
+            "*", *[sig_of[j].alias(f"__sig{j}") for j in range(num_hashes)]
+        ).drop("__hs")
+        row_sigs = [F.col(f"__sig{j}") for j in range(num_hashes)]
+        row_buckets = bucket_expr(row_sigs)
+        for b in range(bands):
+            out = out.withColumn(
+                f"__bk{b}", F.when(row_sigs[0].isNotNull(), row_buckets[b])
+            )
+        out = out.drop(*[f"__sig{j}" for j in range(num_hashes)])
+    else:
+        # batch side: the codegen path — signatures via the exploded
+        # top-level-md5 pipeline (whole-stage codegen, ~10x the HOF fold),
+        # bucket columns derived on the signature table, flags joined back
+        # by id. Same flags as the streaming fold (asserted in tests).
+        sigt = minhash_signatures(stream, num_hashes, text_col, id_col, n)
+        bb = bucket_expr([F.col(c) for c in sig_cols])
+        flags = sigt.select(
+            F.col(id_col),
+            *[
+                F.when(F.col("sig_0").isNotNull(), bb[b]).alias(f"__bk{b}")
+                for b in range(bands)
+            ],
+        )
+        out = stream.join(flags, id_col, "left")
     for b in range(bands):
-        out = out.withColumn(
-            f"__bk{b}", F.when(row_sigs[0].isNotNull(), row_buckets[b])
-        )
         out = out.join(bench_bands[b], f"__bk{b}", "left")
     hit = F.coalesce(*[F.col(f"__bench_{b}") for b in range(bands)])
     out = (
