@@ -63,6 +63,8 @@ HEADLINE = [
     "pipeline_quality_topfrac",
     "tpch_q10ish_returns",
     "tpch_q18ish_bigorders",
+    "pipeline_contamination_gate",
+    "pipeline_embed",
 ]
 
 

@@ -664,15 +664,18 @@ def ngram_containment_pairs(
 def semantic_dedup(
     df: DataFrame, threshold: float = 0.7, planes: int = 8,
     emb_col: str = "embedding", id_col: str = "vec_id",
-    dim: Optional[int] = None,
+    dim: Optional[int] = None, score_col: Optional[str] = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication decision table (Abbas et al.
     2023 pipeline shape: cluster embeddings, drop members too close to the
     cluster representative).
 
     Clusters are deterministic sign-projection buckets (``sign_bucket``);
-    the representative is the min-id member of each bucket; a member is
-    dropped when its cosine to the representative reaches ``threshold``.
+    the representative is the min-id member of each bucket — or, with
+    ``score_col``, the highest-scoring member (min id on ties), so the
+    KEPT doc per semantic cluster is the best one, the SemDeDup intent
+    when a quality signal exists. A member is dropped when its cosine to
+    the representative reaches ``threshold``.
     Output: (id, bucket, rep_id, cos_rep, keep) — the full decision table,
     so callers can either filter ``keep`` or audit the dropped set.
 
@@ -684,7 +687,18 @@ def semantic_dedup(
     base = _spread(df).select(
         F.col(id_col), F.col(emb_col), sign_bucket(emb_col, planes).alias("bucket")
     )
-    reps = base.groupBy("bucket").agg(F.min(id_col).alias("rep_id"))
+    if score_col is not None:
+        # best-scoring member wins; ties break to the min id (negated id in
+        # the orderable struct). Same single partial-agg'd shuffle.
+        pick = _spread(df).select(
+            F.col(id_col), sign_bucket(emb_col, planes).alias("bucket"),
+            F.struct(F.col(score_col), (-F.col(id_col)).alias("__nid")).alias("__ord"),
+        )
+        reps = pick.groupBy("bucket").agg(
+            F.expr(f"max_by({id_col}, __ord)").alias("rep_id")
+        )
+    else:
+        reps = base.groupBy("bucket").agg(F.min(id_col).alias("rep_id"))
     # both joins build on the <=2^planes-row representative side: the corpus
     # is only ever the streamed probe side — it never shuffles
     rep_embs = F.broadcast(

@@ -408,3 +408,21 @@ def test_bpe_piece_count(spark):
     # pieces: Hello | , | ' world' | '!' | ' It' | 's | ' 42' | ' degrees'
     assert r.n_bpe_pieces == 8
     assert r.n_tokens == 5
+
+
+def test_semantic_dedup_score_picked_rep(spark):
+    """With score_col, the highest-quality member becomes the cluster rep
+    (ties -> min id), so the KEPT doc is the best one."""
+    from flink_siddhi_spark.llm.dedup import semantic_dedup
+
+    rows = [
+        (1, _vec(1, 1, 1, 0), 0.2),
+        (2, _vec(1, 1, 1, 0), 0.9),   # same bucket, higher quality -> rep
+        (3, _vec(1, 1, 0.9, 0), 0.9),  # ties with 2 -> min id (2) stays rep
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, quality double")
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, threshold=0.9, planes=2, score_col="quality").collect()}
+    assert out[2].keep and out[2].rep_id == 2
+    assert not out[1].keep and out[1].rep_id == 2  # dup of the better doc
+    assert not out[3].keep
