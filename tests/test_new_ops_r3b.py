@@ -426,3 +426,22 @@ def test_semantic_dedup_score_picked_rep(spark):
     assert out[2].keep and out[2].rep_id == 2
     assert not out[1].keep and out[1].rep_id == 2  # dup of the better doc
     assert not out[3].keep
+
+
+# ---- LSH recall quality gate ---------------------------------------------
+
+def test_minhash_lsh_recall_against_exact(spark, sf_dir):
+    """Measure, don't guess: the default LSH config (8 hashes, 4 bands,
+    est >= 0.5) must recover essentially every true near-dup pair that
+    exact n-gram Jaccard finds at >= 0.8 on the test corpus."""
+    from flink_siddhi_spark.llm.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from flink_siddhi_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert exact, "test corpus must contain true near-dup pairs"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(lsh))
