@@ -941,6 +941,13 @@ def q_tpch_q10ish_returns(spark, sf_dir):
     ).returns("Out")
 
 
+def q_text_dedup_stats(spark, sf_dir):
+    # per-source duplication health report: docs vs distinct contents
+    from flink_siddhi_spark.llm.text import dedup_stats
+
+    return dedup_stats(_docs(spark, sf_dir), by="source")
+
+
 def q_pipeline_embed(spark, sf_dir):
     # embedding-generation stage (deterministic hash-feature stand-in for a
     # neural encoder — swap-in point documented in hash_embeddings); the
@@ -1062,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_percentiles": q_text_length_percentiles,
         "tpch_q10ish_returns": q_tpch_q10ish_returns,
         "pipeline_quality_topfrac": q_pipeline_quality_topfrac,
+        "text_dedup_stats": q_text_dedup_stats,
         "pipeline_embed": q_pipeline_embed,
         "pipeline_contamination_gate": q_pipeline_contamination_gate,
         "tpch_q18ish_bigorders": q_tpch_q18ish_bigorders,
@@ -1995,6 +2003,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name "
             "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "text_dedup_stats": (
+            "SELECT source, CAST(count(*) AS BIGINT) n_docs, "
+            "CAST(count(DISTINCT md5(text)) AS BIGINT) n_unique, "
+            "round(1 - count(DISTINCT md5(text)) / count(*), 6) dup_rate "
+            "FROM documents GROUP BY source"
         ),
         "pipeline_embed": (
             "SELECT doc_id, "

@@ -364,3 +364,26 @@ def length_percentiles(
         for i, p in enumerate(ps)
     ]
     return q.select(*cols)
+
+
+def dedup_stats(
+    df: DataFrame, by: str = "source", text_col: str = "text",
+) -> DataFrame:
+    """Per-group duplication health report: docs, distinct contents, and the
+    duplication rate — the first number a corpus owner asks for before
+    deciding which dedup stage to run. Exact distinct via content hash
+    (two-phase hash agg, one shuffle on (group, hash) then one on group —
+    the standard exact-distinct plan, partial-agg'd both times)."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(by), h.alias("__h"))
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__h").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1 - F.col("n_unique") / F.col("n_docs"), 6),
+        )
+    )
