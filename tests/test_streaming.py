@@ -870,3 +870,30 @@ def test_streaming_pattern_absence(spark, tmp_path):
     )
     got = sorted(r.a_id for r in out.collect())
     assert got == [1], got
+
+
+def test_streaming_left_outer_time_join(spark, tmp_path):
+    """Stream-stream LEFT OUTER time-window join: matched rows pair up,
+    the unmatched left row emits with nulls once the watermark passes its
+    join window (a far-future row on both streams advances it)."""
+    T0 = 3600_000
+    FAR = T0 + 600_000_000
+    r1 = [(1, "a", 1.0, T0), (3, "lonely", 2.0, T0 + 1000), (9, "wm", 0.0, FAR)]
+    r2 = [(1, "x", 9.0, T0 + 200), (9, "wm2", 0.0, FAR)]
+    p1 = write_events(spark, tmp_path / "in_lo1", r1)
+    p2 = write_events(spark, tmp_path / "in_lo2", r2)
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s1", file_stream(spark, p1, EVENT_SCHEMA),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    cep.register_stream("s2", file_stream(spark, p2, EVENT_SCHEMA),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "from s1#window.time(600) as a left outer join s2#window.time(600) as b "
+        "on a.id == b.id select a.name as an, b.name as bn insert into Out",
+        "Out", "m_loj", tmp_path,
+    )
+    got = sorted([(r.an, r.bn) for r in out.collect()], key=str)
+    assert ("a", "x") in got
+    assert ("lonely", None) in got  # unmatched left survives with nulls
