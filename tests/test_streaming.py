@@ -897,3 +897,29 @@ def test_streaming_left_outer_time_join(spark, tmp_path):
     got = sorted([(r.an, r.bn) for r in out.collect()], key=str)
     assert ("a", "x") in got
     assert ("lonely", None) in got  # unmatched left survives with nulls
+
+
+def test_streaming_full_outer_time_join(spark, tmp_path):
+    """FULL outer streaming join: unmatched rows from BOTH sides emit with
+    nulls after watermark passes their windows."""
+    T0 = 3600_000
+    FAR = T0 + 600_000_000
+    r1 = [(1, "a", 1.0, T0), (3, "lonely_l", 2.0, T0 + 1000), (9, "wm", 0.0, FAR)]
+    r2 = [(1, "x", 9.0, T0 + 200), (4, "lonely_r", 5.0, T0 + 1200), (9, "wm2", 0.0, FAR)]
+    p1 = write_events(spark, tmp_path / "in_fo1", r1)
+    p2 = write_events(spark, tmp_path / "in_fo2", r2)
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s1", file_stream(spark, p1, EVENT_SCHEMA),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    cep.register_stream("s2", file_stream(spark, p2, EVENT_SCHEMA),
+                        "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(
+        cep, planner,
+        "from s1#window.time(600) as a full outer join s2#window.time(600) as b "
+        "on a.id == b.id select a.name as an, b.name as bn insert into Out",
+        "Out", "m_foj", tmp_path,
+    )
+    got = {(r.an, r.bn) for r in out.collect()}
+    assert ("a", "x") in got
+    assert ("lonely_l", None) in got and (None, "lonely_r") in got
