@@ -282,6 +282,13 @@ class Parser:
             q.insert_into = self.ident()
         elif self.at_kw("update", "delete"):
             q.dml = self.parse_table_dml()
+        else:
+            # SiddhiQL requires an output action — fail at parse time, not
+            # when returns() later misses the stream name
+            raise self.error(
+                "query needs an output action: 'insert into <stream>', "
+                "'update ...' or 'delete ...'"
+            )
         return q
 
     def parse_table_dml(self) -> A.TableDML:

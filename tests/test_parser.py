@@ -169,3 +169,13 @@ def test_table_dml_parsing():
     dml = p.queries[0].dml
     assert dml.kind == "upsert" and dml.table == "T"
     assert dml.set_items[0][0].name == "v"
+
+
+def test_query_without_output_action_rejected():
+    from flink_siddhi_spark.errors import SiddhiParserException
+    from flink_siddhi_spark.siddhiql.parser import parse_query
+
+    import pytest
+
+    with pytest.raises(SiddhiParserException, match="output action"):
+        parse_query("from s select id")
