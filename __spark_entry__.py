@@ -941,6 +941,19 @@ def q_tpch_q10ish_returns(spark, sf_dir):
     ).returns("Out")
 
 
+def q_custom_window(spark, sf_dir):
+    # WINDOW-processor extension (the third Siddhi extension kind beside
+    # scalar and aggregator): a custom half-hour tumbling bucket function
+    cep = _cep(spark, sf_dir)
+    cep.register_extension(
+        "custom:halfHour", lambda ts: F.floor(ts / F.lit(1_800_000)), window=True
+    )
+    return cep.from_("events").cql(
+        "from events#window.custom:halfHour() "
+        "select event_type, count() as n group by event_type insert into Out"
+    ).returns("Out")
+
+
 def q_text_dedup_stats(spark, sf_dir):
     # per-source duplication health report: docs vs distinct contents
     from flink_siddhi_spark.llm.text import dedup_stats
@@ -1069,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_percentiles": q_text_length_percentiles,
         "tpch_q10ish_returns": q_tpch_q10ish_returns,
         "pipeline_quality_topfrac": q_pipeline_quality_topfrac,
+        "custom_window": q_custom_window,
         "text_dedup_stats": q_text_dedup_stats,
         "pipeline_embed": q_pipeline_embed,
         "pipeline_contamination_gate": q_pipeline_contamination_gate,
@@ -2003,6 +2017,11 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name "
             "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "custom_window": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) n FROM "
+            f"(SELECT event_type, {_EMS} // 1800000 AS w FROM events) "
+            "GROUP BY event_type, w"
         ),
         "text_dedup_stats": (
             "SELECT source, CAST(count(*) AS BIGINT) n_docs, "

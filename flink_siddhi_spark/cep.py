@@ -69,7 +69,7 @@ class SiddhiCEP:
         self.catalog[table_id] = StreamSchema(table_id, df, list(fields), is_table=True)
 
     def register_extension(self, name: str, builder: Callable,
-                           aggregate: bool = False) -> None:
+                           aggregate: bool = False, window: bool = False) -> None:
         """Register an extension under 'ns:name' (SiddhiCEP.java:201-206).
 
         ``builder`` takes Columns and returns a Column (stays JVM-side). For a
@@ -80,12 +80,25 @@ class SiddhiCEP:
         (Siddhi's aggregator extension kind): it must return a Spark
         aggregate Column, e.g. ``lambda c: F.exp(F.avg(F.log(c)))``, usable
         wherever built-in aggregates are (group by, having, windowed batch
-        aggregation — not sliding frames)."""
+        aggregation — not sliding frames).
+
+        With ``window=True`` the builder is a WINDOW processor (Siddhi's
+        third extension kind): ``builder(ts, *args) -> Column`` maps the
+        epoch-ms event time plus the window's literal args to a bucket id;
+        ``from s#window.ns:name(args) ... group by k`` then aggregates per
+        (bucket, k) exactly like the built-in batch windows. Batch mode
+        only."""
+        if aggregate and window:
+            raise ValueError("an extension is either an aggregator or a window, not both")
         if aggregate:
             from .plans.expr import AGG_EXT_NAMES, AggregateExtension
 
             AGG_EXT_NAMES.add(name)
             self.extensions[name] = AggregateExtension(builder)
+        elif window:
+            from .operators.windows import WindowExtension
+
+            self.extensions[name] = WindowExtension(builder)
         else:
             self.extensions[name] = builder
 

@@ -70,6 +70,23 @@ RETAIN_WINDOWS = {"sort", "frequent", "lossyfrequent", "unique", "firstunique", 
 BUCKET_COL = "__w"
 
 
+@dataclass
+class WindowExtension:
+    """A custom WINDOW kind registered via ``register_extension(..,
+    window=True)`` — the window-processor leg of Siddhi's extension
+    mechanism (scalar and aggregator extensions are the other two).
+
+    ``builder(ts, *args) -> Column``: receives the event-time column
+    (epoch ms) plus the literal window arguments and returns the BUCKET id
+    column — rows sharing a bucket form one window (the tumbling/batch
+    protocol, same contract the built-in cron/timeBatch windows compile
+    to). Stays a pure Catalyst expression: codegen'd, shuffle-free, and
+    usable under ``group by``/``partition with`` like any batch window.
+    Batch mode only (streaming rejects it at plan time)."""
+
+    builder: object
+
+
 def _arg_ms(spec: A.WindowSpec, i: int) -> int:
     a = spec.args[i]
     if isinstance(a, A.Literal) and a.kind in ("int", "long", "time"):
@@ -98,15 +115,33 @@ class BucketedWindow:
     win_end: Column
 
 
+def _ext_arg(a: A.Expr):
+    if isinstance(a, A.Literal):
+        return a.value
+    if isinstance(a, A.Ref):
+        return a.name
+    raise SiddhiPlannerException(
+        "window extension args must be literals or attribute names"
+    )
+
+
 def add_bucket(
     df: DataFrame,
     spec: A.WindowSpec,
     ts_col: str,
     group_cols: list[str],
     ord_cols: list[str],
+    extensions: Optional[dict] = None,
 ) -> BucketedWindow:
     """Assign each row a window-bucket id column ``__w`` for batch windows."""
     name = spec.name.lower()
+    ext = (extensions or {}).get(spec.name)
+    if isinstance(ext, WindowExtension):
+        bucket = ext.builder(F.col(ts_col), *[_ext_arg(a) for a in spec.args])
+        out = df.withColumn(BUCKET_COL, bucket)
+        return BucketedWindow(
+            out, F.lit(None).cast("bigint"), F.lit(None).cast("bigint")
+        )
     if name in ("timebatch", "externaltimebatch"):
         if name == "externaltimebatch":
             ts = F.col(_arg_field(spec, 0)).cast("bigint")
@@ -259,7 +294,7 @@ def sliding_frame(
     raise UnsupportedFeatureException(f"#window.{name} is not a sliding window")
 
 
-def classify(spec: Optional[A.WindowSpec]) -> str:
+def classify(spec: Optional[A.WindowSpec], extensions: Optional[dict] = None) -> str:
     """'none' | 'batch' | 'sliding' | 'retain'."""
     if spec is None:
         return "none"
@@ -270,6 +305,14 @@ def classify(spec: Optional[A.WindowSpec]) -> str:
         return "sliding"
     if n in RETAIN_WINDOWS:
         return "retain"
+    if isinstance((extensions or {}).get(spec.name), WindowExtension):
+        return "batch"  # extension windows follow the bucketed protocol
+    if ":" in spec.name:
+        raise UnsupportedFeatureException(
+            f"window extension '{spec.name}' is not registered (batch mode) — "
+            "register_extension(name, builder, window=True); window "
+            "extensions are batch-only"
+        )
     raise UnsupportedFeatureException(f"window #window.{spec.name} not implemented")
 
 

@@ -134,7 +134,7 @@ class BatchPlanner:
         if si.filter is not None:
             df = self._apply_filter(df, si.filter, comp)
         has_agg = self._query_has_agg(q)
-        wclass = W.classify(si.window)
+        wclass = W.classify(si.window, self.extensions)
         ord_cols = self.ord_cols_for(schema)
         # `partition with (k of S)` = per-key isolated processing: keyed
         # retention, and the key joins the aggregation grouping
@@ -362,7 +362,8 @@ class BatchPlanner:
         win_start = win_end = None
         group_all = list(group_cols)
         if windowed is not None and windowed.window is not None:
-            bw = W.add_bucket(df, windowed.window, ts_col or TS_COL, group_cols, ord_cols)
+            bw = W.add_bucket(df, windowed.window, ts_col or TS_COL, group_cols,
+                              ord_cols, self.extensions)
             df = bw.df
             win_start, win_end = bw.win_start, bw.win_end
             group_all = [W.BUCKET_COL] + group_all

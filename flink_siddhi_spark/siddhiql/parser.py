@@ -349,6 +349,8 @@ class Parser:
             self.expect_kw("window")
             self.expect("PUNCT", ".")
             wname = self.ident()
+            if self.accept("PUNCT", ":"):  # extension window  ns:name
+                wname = f"{wname}:{self.ident()}"
             args: list[A.Expr] = []
             self.expect("PUNCT", "(")
             if not self.at("PUNCT", ")"):

@@ -445,3 +445,53 @@ def test_minhash_lsh_recall_against_exact(spark, sf_dir):
     assert exact, "test corpus must contain true near-dup pairs"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.9, (recall, len(exact), len(lsh))
+
+
+# ---- window-processor extensions -----------------------------------------
+
+def test_window_extension_buckets_and_rejections(spark):
+    from flink_siddhi_spark.cep import SiddhiCEP
+    from flink_siddhi_spark.errors import UnsupportedFeatureException
+
+    rows = [(1, "a", 1.0, 0), (2, "a", 1.0, 5000), (3, "a", 1.0, 12000),
+            (4, "b", 1.0, 13000)]
+    df = spark.createDataFrame(rows, "id int, name string, price double, ts long")
+    cep = SiddhiCEP(spark)
+    cep.define("s", df, "id", "name", "price", "ts", ts_field="ts")
+    cep.register_extension("custom:tenSec", lambda ts: F.floor(ts / F.lit(10_000)),
+                           window=True)
+    out = cep.from_("s").cql(
+        "from s#window.custom:tenSec() select name, count() as n "
+        "group by name insert into Out"
+    ).returns("Out")
+    # [0,10s): ids 1,2 (a) | [10s,20s): id 3 (a), id 4 (b)
+    assert sorted((r.name, r.n) for r in out.collect()) == [("a", 1), ("a", 2), ("b", 1)]
+    # unregistered namespaced window -> clean plan-time error
+    with pytest.raises(UnsupportedFeatureException, match="not registered"):
+        cep.from_("s").cql(
+            "from s#window.custom:nope() select count() as n insert into Out"
+        ).returns("Out")
+    # an extension cannot be both kinds
+    with pytest.raises(ValueError, match="not both"):
+        cep.register_extension("custom:bad", lambda c: c, aggregate=True, window=True)
+
+
+def test_window_extension_rejected_in_streaming(spark, tmp_path):
+    from flink_siddhi_spark.cep import SiddhiCEP
+    from flink_siddhi_spark.errors import UnsupportedFeatureException
+    from flink_siddhi_spark.siddhiql.parser import parse
+    from flink_siddhi_spark.streaming.runtime import StreamingPlanner
+
+    d = str(tmp_path / "winext")
+    schema = "id int, name string, price double, ts long"
+    spark.createDataFrame([(1, "a", 1.0, 0)], schema).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s", stream, "id", "name", "price", "ts", ts_field="ts")
+    cep.register_extension("custom:tenSec", lambda ts: F.floor(ts / F.lit(10_000)),
+                           window=True)
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    with pytest.raises(UnsupportedFeatureException, match="batch-only|not registered"):
+        planner.compile_query(parse(
+            "from s#window.custom:tenSec() select count() as n insert into Out"
+        ).queries[0])
