@@ -941,6 +941,23 @@ def q_tpch_q10ish_returns(spark, sf_dir):
     ).returns("Out")
 
 
+def q_custom_stream_fn(spark, sf_dir):
+    # STREAM-PROCESSOR extension (the fourth Siddhi extension kind): a
+    # row-multiplying oversampler between the filter and the select
+    cep = _cep(spark, sf_dir)
+    cep.register_extension(
+        "custom:repeat",
+        lambda d, n: d.withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.lit(int(n) - 1)))
+        ),
+        stream_function=True,
+    )
+    return cep.from_("events").cql(
+        "from events[value > 95.0]#custom:repeat(3) "
+        "select event_id, copy_idx insert into Out"
+    ).returns("Out")
+
+
 def q_custom_window(spark, sf_dir):
     # WINDOW-processor extension (the third Siddhi extension kind beside
     # scalar and aggregator): a custom half-hour tumbling bucket function
@@ -1082,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_percentiles": q_text_length_percentiles,
         "tpch_q10ish_returns": q_tpch_q10ish_returns,
         "pipeline_quality_topfrac": q_pipeline_quality_topfrac,
+        "custom_stream_fn": q_custom_stream_fn,
         "custom_window": q_custom_window,
         "text_dedup_stats": q_text_dedup_stats,
         "pipeline_embed": q_pipeline_embed,
@@ -2017,6 +2035,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name "
             "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "custom_stream_fn": (
+            "SELECT event_id, unnest([0, 1, 2]) copy_idx FROM events "
+            "WHERE value > 95.0"
         ),
         "custom_window": (
             "SELECT event_type, CAST(count(*) AS BIGINT) n FROM "

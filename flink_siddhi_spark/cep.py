@@ -69,7 +69,8 @@ class SiddhiCEP:
         self.catalog[table_id] = StreamSchema(table_id, df, list(fields), is_table=True)
 
     def register_extension(self, name: str, builder: Callable,
-                           aggregate: bool = False, window: bool = False) -> None:
+                           aggregate: bool = False, window: bool = False,
+                           stream_function: bool = False) -> None:
         """Register an extension under 'ns:name' (SiddhiCEP.java:201-206).
 
         ``builder`` takes Columns and returns a Column (stays JVM-side). For a
@@ -87,9 +88,23 @@ class SiddhiCEP:
         epoch-ms event time plus the window's literal args to a bucket id;
         ``from s#window.ns:name(args) ... group by k`` then aggregates per
         (bucket, k) exactly like the built-in batch windows. Batch mode
-        only."""
-        if aggregate and window:
-            raise ValueError("an extension is either an aggregator or a window, not both")
+        only.
+
+        With ``stream_function=True`` the builder is a STREAM PROCESSOR
+        (`#ns:fn(args)` between filter and window):
+        ``builder(df, *args) -> DataFrame`` — may add columns and change
+        row multiplicity but must keep the declared stream fields; works
+        in batch and streaming."""
+        if sum((aggregate, window, stream_function)) > 1:
+            raise ValueError(
+                "an extension is exactly one kind: scalar, aggregate, "
+                "window, or stream_function — not both"
+            )
+        if stream_function:
+            from .operators.windows import StreamFnExtension
+
+            self.extensions[name] = StreamFnExtension(builder)
+            return
         if aggregate:
             from .plans.expr import AGG_EXT_NAMES, AggregateExtension
 

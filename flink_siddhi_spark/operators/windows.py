@@ -87,6 +87,22 @@ class WindowExtension:
     builder: object
 
 
+@dataclass
+class StreamFnExtension:
+    """A STREAM-FUNCTION handler registered via ``register_extension(..,
+    stream_function=True)`` — Siddhi's stream-processor extension kind
+    (`#ns:fn(args)` between the filter and the window).
+
+    ``builder(df, *args) -> DataFrame``: receives the (filtered) stream
+    DataFrame plus literal/attribute-name args and returns a DataFrame.
+    Contract: the declared stream fields must survive (columns may be
+    ADDED, rows may multiply or drop — tokenizers, enrichers, unrollers);
+    added columns are selectable downstream. Works in batch AND streaming
+    when the builder uses streaming-safe transforms."""
+
+    builder: object
+
+
 def _arg_ms(spec: A.WindowSpec, i: int) -> int:
     a = spec.args[i]
     if isinstance(a, A.Literal) and a.kind in ("int", "long", "time"):

@@ -117,6 +117,11 @@ class BatchPlanner:
         if isinstance(q.input, A.JoinInput):
             from ..operators.joins import compile_join
 
+            if any(getattr(s, "stream_fns", ()) for s in (q.input.left, q.input.right)):
+                raise UnsupportedFeatureException(
+                    "stream functions (#ns:fn) on join inputs are not supported — "
+                    "apply them in an upstream query and chain via insert into"
+                )
             df, resolver, fields = compile_join(self, q)
             return self._finish(df, q, resolver, fields, ts_col=None, ord_cols=None)
         return self._compile_single(q)
@@ -133,6 +138,11 @@ class BatchPlanner:
         comp = self._compiler(resolver, df)
         if si.filter is not None:
             df = self._apply_filter(df, si.filter, comp)
+        if getattr(si, "stream_fns", ()):
+            # required-survivors = every column present at this point
+            # (declared fields + the internal event-time column)
+            df = self._apply_stream_fns(df, si, set(df.columns))
+            resolver = self._plain_resolver(set(df.columns), names)
         has_agg = self._query_has_agg(q)
         wclass = W.classify(si.window, self.extensions)
         ord_cols = self.ord_cols_for(schema)
@@ -167,6 +177,34 @@ class BatchPlanner:
         if wclass == "sliding":
             return self._select_sliding(df, q, si, ts_col or TS_COL, ord_cols)
         return self._select_group(df, q, si if wclass == "batch" else None, ts_col, ord_cols)
+
+    def _apply_stream_fns(self, df: DataFrame, si: A.SingleInput,
+                          declared: set) -> DataFrame:
+        """Apply `#ns:fn(args)` stream-function handlers in written order
+        (StreamFnExtension contract: declared fields survive; columns may
+        be added, row multiplicity may change)."""
+        from ..operators.windows import StreamFnExtension, _ext_arg
+
+        for fs in si.stream_fns:
+            ext = self.extensions.get(fs.name)
+            if not isinstance(ext, StreamFnExtension):
+                raise UnsupportedFeatureException(
+                    f"stream function '{fs.name}' is not registered — "
+                    "register_extension(name, builder, stream_function=True)"
+                )
+            out = ext.builder(df, *[_ext_arg(a) for a in fs.args])
+            if not isinstance(out, DataFrame):
+                raise SiddhiPlannerException(
+                    f"stream function '{fs.name}' must return a DataFrame"
+                )
+            missing = declared - set(out.columns)
+            if missing:
+                raise SiddhiPlannerException(
+                    f"stream function '{fs.name}' dropped declared stream "
+                    f"fields {sorted(missing)}"
+                )
+            df = out
+        return df
 
     def _apply_output_rate(
         self, df: DataFrame, q: A.Query, ord_cols: list[str], has_agg: bool

@@ -78,6 +78,9 @@ class SingleInput:
     filter: Optional[Expr] = None
     window: Optional[WindowSpec] = None
     alias: Optional[str] = None
+    # stream-function handlers (#ns:fn(args)) applied in order between the
+    # filter and the window; reuses WindowSpec as the (name, args) carrier
+    stream_fns: tuple = ()
 
     @property
     def name(self) -> str:

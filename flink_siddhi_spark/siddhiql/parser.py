@@ -345,12 +345,9 @@ class Parser:
             filt = self.parse_expr()
             self.expect("PUNCT", "]")
         win = None
-        if self.accept("PUNCT", "#"):
-            self.expect_kw("window")
-            self.expect("PUNCT", ".")
-            wname = self.ident()
-            if self.accept("PUNCT", ":"):  # extension window  ns:name
-                wname = f"{wname}:{self.ident()}"
+        stream_fns: list[A.WindowSpec] = []
+
+        def parse_args() -> list:
             args: list[A.Expr] = []
             self.expect("PUNCT", "(")
             if not self.at("PUNCT", ")"):
@@ -358,11 +355,27 @@ class Parser:
                 while self.accept("PUNCT", ","):
                     args.append(self.parse_expr())
             self.expect("PUNCT", ")")
-            win = A.WindowSpec(wname, args)
+            return args
+
+        while self.accept("PUNCT", "#"):
+            if self.at_kw("window"):
+                if win is not None:
+                    raise self.error("at most one #window per stream")
+                self.i += 1
+                self.expect("PUNCT", ".")
+                wname = self.ident()
+                if self.accept("PUNCT", ":"):  # extension window  ns:name
+                    wname = f"{wname}:{self.ident()}"
+                win = A.WindowSpec(wname, parse_args())
+            else:
+                # stream-function handler  #ns:fn(args)
+                ns = self.ident()
+                self.expect("PUNCT", ":")
+                stream_fns.append(A.WindowSpec(f"{ns}:{self.ident()}", parse_args()))
         alias = None
         if self.accept_kw("as"):
             alias = self.ident()
-        return A.SingleInput(stream, filt, win, alias)
+        return A.SingleInput(stream, filt, win, alias, tuple(stream_fns))
 
     def parse_join(self, left: A.SingleInput) -> A.JoinInput:
         self.accept_kw("unidirectional")

@@ -495,3 +495,55 @@ def test_window_extension_rejected_in_streaming(spark, tmp_path):
         planner.compile_query(parse(
             "from s#window.custom:tenSec() select count() as n insert into Out"
         ).queries[0])
+
+
+# ---- stream-function extensions ------------------------------------------
+
+def test_stream_fn_extension_tokenize_and_compose(spark):
+    from flink_siddhi_spark.cep import SiddhiCEP
+    from flink_siddhi_spark.errors import UnsupportedFeatureException
+
+    df = spark.createDataFrame(
+        [(1, "a b c", 1.0, 1000), (2, "d e", 2.0, 2000)],
+        "id int, text string, price double, ts long",
+    )
+    cep = SiddhiCEP(spark)
+    cep.define("s", df, "id", "text", "price", "ts", ts_field="ts")
+    cep.register_extension(
+        "str:tokenize",
+        lambda d, col: d.withColumn("token", F.explode(F.split(F.col(col), " "))),
+        stream_function=True,
+    )
+    out = cep.from_("s").cql(
+        "from s[price > 0.0]#str:tokenize(text) select id, token insert into Out"
+    ).returns("Out")
+    assert sorted((r.id, r.token) for r in out.collect()) == [
+        (1, "a"), (1, "b"), (1, "c"), (2, "d"), (2, "e")
+    ]
+    # composes with a window after it (tokens aggregate per bucket)
+    out2 = cep.from_("s").cql(
+        "from s#str:tokenize(text)#window.timeBatch(10 sec) "
+        "select count() as n insert into Out"
+    ).returns("Out")
+    assert [r.n for r in out2.collect()] == [5]
+    # unregistered / wrong-kind names reject at plan time
+    with pytest.raises(UnsupportedFeatureException, match="not registered"):
+        cep.from_("s").cql(
+            "from s#str:nope(text) select id insert into Out"
+        ).returns("Out")
+
+
+def test_stream_fn_dropping_declared_field_rejected(spark):
+    from flink_siddhi_spark.cep import SiddhiCEP
+    from flink_siddhi_spark.errors import SiddhiPlannerException
+
+    df = spark.createDataFrame([(1, 1000)], "id int, ts long")
+    cep = SiddhiCEP(spark)
+    cep.define("s", df, "id", "ts", ts_field="ts")
+    cep.register_extension(
+        "bad:dropper", lambda d: d.drop("id"), stream_function=True
+    )
+    with pytest.raises(SiddhiPlannerException, match="dropped declared"):
+        cep.from_("s").cql(
+            "from s#bad:dropper() select ts insert into Out"
+        ).returns("Out")
