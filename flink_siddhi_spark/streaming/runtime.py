@@ -113,6 +113,11 @@ class StreamingPlanner(BatchPlanner):
         comp = self._compiler(resolver, df)
         if si.filter is not None:
             df = df.filter(comp.compile(si.filter))
+        if getattr(si, "stream_fns", ()):
+            # same contract as batch: applied in order between filter and
+            # window; builders must use streaming-safe transforms
+            df = self._apply_stream_fns(df, si, set(df.columns))
+            resolver = self._plain_resolver(set(df.columns), names)
         extra_cols: tuple = ()
         if retain:
             if wname in ("unique", "firstunique"):

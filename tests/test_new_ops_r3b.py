@@ -547,3 +547,35 @@ def test_stream_fn_dropping_declared_field_rejected(spark):
         cep.from_("s").cql(
             "from s#bad:dropper() select ts insert into Out"
         ).returns("Out")
+
+
+def test_stream_fn_extension_works_on_stream(spark, tmp_path):
+    """Stream functions inherit the streaming single-input path: the
+    tokenizer multiplies rows mid-stream, filter composes before it."""
+    from flink_siddhi_spark.cep import SiddhiCEP
+    from flink_siddhi_spark.siddhiql.parser import parse
+    from flink_siddhi_spark.sources.streams import to_memory
+    from flink_siddhi_spark.streaming.runtime import StreamingPlanner
+
+    d = str(tmp_path / "in_sfn")
+    schema = "id int, text string, price double, ts long"
+    spark.createDataFrame(
+        [(1, "a b", 1.0, 1000), (2, "skip me", 0.0, 2000), (3, "c", 2.0, 3000)],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s", stream, "id", "text", "price", "ts", ts_field="ts")
+    cep.register_extension(
+        "str:tokenize",
+        lambda df, col: df.withColumn("token", F.explode(F.split(F.col(col), " "))),
+        stream_function=True,
+    )
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = planner.compile_query(parse(
+        "from s[price > 0.5]#str:tokenize(text) select id, token insert into Out"
+    ).queries[0])
+    q = to_memory(out, "m_sfn", checkpoint=str(tmp_path / "ck_sfn"))
+    q.awaitTermination(60)
+    got = sorted((r.id, r.token) for r in spark.sql("SELECT * FROM m_sfn").collect())
+    assert got == [(1, "a"), (1, "b"), (3, "c")]
