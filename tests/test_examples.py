@@ -20,3 +20,15 @@ def test_curation_pipeline_funnel(spark):
         >= counts["near_deduped"] >= counts["decontaminated"] > 0
     # ...and chunking can expand again; ordering preserves cardinality
     assert counts["ordered"] == counts["packed"] > 0
+
+
+def test_extensions_example_runs(spark):
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, os.path.join(EXAMPLES, "extensions.py")],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "stream fn:" in r.stdout
