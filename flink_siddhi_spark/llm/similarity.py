@@ -27,6 +27,50 @@ def _dim_of(df: DataFrame, emb_col: str):
     return int(row.d) if row is not None else None
 
 
+def _two_phase_topk(scored: DataFrame, k: int, id_cols=("query_id", "neighbor_id")) -> DataFrame:
+    """Rank (cos desc, neighbor_id asc) per query WITHOUT shuffling the pair
+    stream.
+
+    Phase 1 — local top-k: an Arrow-batched ``mapInPandas`` pass keeps, per
+    input partition, only the best ``k`` candidates per query (running
+    concat-sort-head over batches, bounded memory: <= k rows per query per
+    partition). The scored pairs themselves never cross the network: each
+    scan task emits <= k * n_queries rows. This is the piece Catalyst cannot
+    express — every built-in formulation (Window, groupBy+collect_list)
+    shuffles the full |corpus| x |queries| pair stream and lands each
+    query's candidates on ONE task, which serializes at a 100 TB corpus.
+
+    Phase 2 — merge: a per-query Window rank over the k * n_partitions
+    survivors (tiny). Phase 1 truncates with the SAME total order the merge
+    uses, so the result is bit-identical to the single-phase rank; ``cos``
+    is rounded before Arrow transfer and round-trips exactly (IEEE double).
+    """
+    qcol, ncol = id_cols
+    slim = scored.select(qcol, ncol, "cos")
+    schema = slim.schema
+
+    def part_topk(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cand = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            cand = cand.sort_values(
+                [qcol, "cos", ncol], ascending=[True, False, True], kind="mergesort"
+            )
+            best = cand.groupby(qcol, sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    local = slim.mapInPandas(part_topk, schema)
+    w = Window.partitionBy(qcol).orderBy(F.col("cos").desc(), F.col(ncol).asc())
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qcol, ncol, "cos", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -55,12 +99,7 @@ def cosine_topk(
                     / (F.col("q_norm") * F.col("c_norm")), 6),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _two_phase_topk(scored, k)
 
 
 def assign_centroids(
@@ -72,9 +111,19 @@ def assign_centroids(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (broadcast centroids).
 
-    Norms are computed ONCE per side before the pair join — the naive
-    inline cosine recomputes both norms per pair (3x the FLOPs and 3x the
-    generated code)."""
+    Norms are computed ONCE per side before the pair join. The nearest
+    centroid is picked with a map-side-combining ``max_by`` hash aggregate
+    rather than a per-vector Window rank: the partial aggregate collapses
+    each vector's k candidate rows to ONE before the exchange, so the
+    shuffle moves one row per vector (not k rows with the embedding
+    payload) and there is no sort at all. Ties break to the smallest
+    centroid_id via the (cos, -centroid_id) struct order — identical to
+    the previous rank order.
+
+    (A zero-shuffle literal-coefficient ``greatest``-over-structs variant
+    was measured but the k*dim-term expression exceeds Janino's 64 KB
+    method limit inside whole-stage codegen after a columnar scan, forcing
+    a whole-stage interpreted fallback that is slower than this shuffle.)"""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("cent_emb"),
         norm(emb_col, dim).alias("cent_norm"),
@@ -85,12 +134,14 @@ def assign_centroids(
         F.round(dot(emb_col, "cent_emb", dim)
                 / (F.col("__nrm") * F.col("cent_norm")), 6),
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cos_c").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(F.col(id_col), F.col(emb_col), F.col("__nrm"), F.col("centroid_id"))
-    )
+    return scored.groupBy(id_col).agg(
+        F.first(emb_col).alias(emb_col),
+        F.first("__nrm").alias("__nrm"),
+        F.max_by(
+            "centroid_id",
+            F.struct(F.col("cos_c").alias("c"), (-F.col("centroid_id")).alias("nid")),
+        ).alias("centroid_id"),
+    ).select(F.col(id_col), F.col(emb_col), F.col("__nrm"), F.col("centroid_id"))
 
 
 def kmeans_centroids(
@@ -186,10 +237,6 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col(id_col))
         .withColumn("cos", F.round(dot("q_emb", emb_col, dim)
                                    / (F.col("q_norm") * F.col("__nrm")), 6))
+        .withColumn("neighbor_id", F.col(id_col))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "cos", "rank")
-    )
+    return _two_phase_topk(scored, k)
