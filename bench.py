@@ -78,6 +78,11 @@ SCALE_FACTOR = 10
 SCALE_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
+    # round-4: above DENSE_PAIR_AUTOCAP_LIMIT (20k docs; the 10x corpus is
+    # 50k) this entry now auto-applies the capped production configuration
+    # (llm/dedup.py) — same query name as r3's exact run (170.9s) so the
+    # round-over-round delta measures the autocap directly. The exact
+    # contract is oracle-gated at sf<=0.1 where it stays untriggered.
     "dedup_simhash_hamming",
     "dedup_clusters",
     "ann_cosine_topk",

@@ -268,6 +268,7 @@ def simhash_hamming_pairs(
     df: DataFrame, bits: int = 16, max_hamming: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
     max_bucket: Optional[int] = None, per_doc_cap: Optional[int] = None,
+    auto_cap: bool = True,
 ) -> DataFrame:
     """Near-dup pairs whose SimHash fingerprints differ in <= ``max_hamming``
     bits — the standard web-scale fuzzy-dedup refinement over exact-equality
@@ -296,10 +297,23 @@ def simhash_hamming_pairs(
     one keyed window over the output, linear cost. Connected components
     still recover full groups through transitivity. Default None = exact
     all-pairs (the oracle-gated contract).
+
+    ``auto_cap``: when neither cap was passed and the corpus exceeds
+    ``DENSE_PAIR_AUTOCAP_LIMIT`` rows, the capped production configuration
+    (``DENSE_PAIR_DEFAULTS``) is applied with a warning — the exact
+    all-pairs footgun must be opted into (``auto_cap=False``) at scale.
     """
     nb = max_hamming + 1
     if nb > bits:
         raise ValueError("max_hamming + 1 bands need at least that many bits")
+    if (
+        auto_cap
+        and max_bucket is None
+        and per_doc_cap is None
+        and _autocap_triggered(df.select(id_col), "simhash_hamming_pairs")
+    ):
+        max_bucket = DENSE_PAIR_DEFAULTS["max_bucket"]
+        per_doc_cap = DENSE_PAIR_DEFAULTS["per_doc_cap"]
     s = simhash(df, bits, text_col, id_col)
     bands_arr = F.array(
         *[
@@ -430,6 +444,37 @@ def embedding_candidates_sign(
 
 
 QUADRATIC_VERIFY_LIMIT = 100_000
+
+# Dense pair-emitters (simhash hamming, n-gram containment) produce output
+# QUADRATIC in duplicate-group size: the 10x-amplified scale bench measured
+# 84.5M pairs from 50k docs (170.9s) where the capped configuration emits
+# the same connected groups in 16.6s. Above this corpus size the exact
+# all-pairs default is a production footgun, so the emitters auto-apply the
+# capped configuration (with a warning) unless the caller either passed
+# caps explicitly or opted out with ``auto_cap=False`` (the oracle-parity
+# contract). Mirrors the ``QUADRATIC_VERIFY_LIMIT`` guard above.
+DENSE_PAIR_AUTOCAP_LIMIT = 20_000
+DENSE_PAIR_DEFAULTS = {"per_doc_cap": 5, "max_bucket": 256, "max_shingle_df": 1_000}
+
+
+def _autocap_triggered(df: DataFrame, fn_name: str) -> bool:
+    """True when ``df`` exceeds ``DENSE_PAIR_AUTOCAP_LIMIT`` rows (one cheap
+    count job on the id/text projection — negligible next to the pair job
+    it guards). Emits the warning naming the applied defaults."""
+    import warnings
+
+    n = df.count()
+    if n <= DENSE_PAIR_AUTOCAP_LIMIT:
+        return False
+    warnings.warn(
+        f"{fn_name}: corpus has {n} rows (> DENSE_PAIR_AUTOCAP_LIMIT="
+        f"{DENSE_PAIR_AUTOCAP_LIMIT}); applying the capped production "
+        f"configuration {DENSE_PAIR_DEFAULTS} because exact all-pairs "
+        "output is quadratic in duplicate-group size. Pass caps explicitly "
+        "or auto_cap=False for the exact contract.",
+        stacklevel=3,
+    )
+    return True
 
 
 def embedding_dup_pairs(
@@ -592,7 +637,7 @@ def streaming_exact_dedup(
 def ngram_containment_pairs(
     df: DataFrame, threshold: float = 0.8, text_col: str = "text",
     id_col: str = "doc_id", n: int = 3, per_doc_cap: Optional[int] = None,
-    max_shingle_df: Optional[int] = None,
+    max_shingle_df: Optional[int] = None, auto_cap: bool = True,
 ) -> DataFrame:
     """Asymmetric near-dup: containment(A, B) = |sh(A) ∩ sh(B)| / |sh(A)| —
     flags docs mostly CONTAINED in another (quotes, scraped excerpts,
@@ -619,7 +664,20 @@ def ngram_containment_pairs(
     Containment is then computed over the surviving (discriminative)
     shingle space — a documented approximation: docs made ENTIRELY of
     ultra-common shingles drop out, which for near-dup detection is the
-    intent (they are boilerplate). The standard web-dedup df-cut."""
+    intent (they are boilerplate). The standard web-dedup df-cut.
+
+    ``auto_cap``: when neither knob was passed and the corpus exceeds
+    ``DENSE_PAIR_AUTOCAP_LIMIT`` rows, the capped production configuration
+    (``per_doc_cap``/``max_shingle_df`` from ``DENSE_PAIR_DEFAULTS``) is
+    applied with a warning; ``auto_cap=False`` keeps the exact contract."""
+    if (
+        auto_cap
+        and per_doc_cap is None
+        and max_shingle_df is None
+        and _autocap_triggered(df.select(id_col), "ngram_containment_pairs")
+    ):
+        per_doc_cap = DENSE_PAIR_DEFAULTS["per_doc_cap"]
+        max_shingle_df = DENSE_PAIR_DEFAULTS["max_shingle_df"]
     sh = shingle_table(_spread(df.select(id_col, text_col)), text_col, id_col, n)
     if max_shingle_df is not None:
         rare = (

@@ -423,3 +423,47 @@ def test_containment_max_shingle_df(spark):
     assert not any(3 in p or 4 in p for p in cp)
     # uncut output pairs everything through the shared boilerplate
     assert any(3 in p for p in fp)
+
+
+def test_dense_pair_autocap_threshold(spark, monkeypatch):
+    """round-4: above DENSE_PAIR_AUTOCAP_LIMIT rows the dense pair-emitters
+    auto-apply the capped production configuration (with a warning) so the
+    quadratic exact-all-pairs output is opt-in, not the default, at scale."""
+    import warnings
+
+    monkeypatch.setattr(D, "DENSE_PAIR_AUTOCAP_LIMIT", 10)
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + ("x" if i % 2 else "y"))
+         for i in range(30)],
+        "doc_id long, text string",
+    )
+    with pytest.warns(UserWarning, match="DENSE_PAIR_AUTOCAP_LIMIT"):
+        auto = D.simhash_hamming_pairs(docs, bits=16, max_hamming=8)
+    explicit = D.simhash_hamming_pairs(
+        docs, bits=16, max_hamming=8,
+        max_bucket=D.DENSE_PAIR_DEFAULTS["max_bucket"],
+        per_doc_cap=D.DENSE_PAIR_DEFAULTS["per_doc_cap"],
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # exact opt-out must NOT warn
+        exact = D.simhash_hamming_pairs(docs, bits=16, max_hamming=8, auto_cap=False)
+    akeys = {(r.id_a, r.id_b) for r in auto.collect()}
+    assert akeys == {(r.id_a, r.id_b) for r in explicit.collect()}
+    assert akeys < {(r.id_a, r.id_b) for r in exact.collect()}
+
+    with pytest.warns(UserWarning, match="DENSE_PAIR_AUTOCAP_LIMIT"):
+        cauto = D.ngram_containment_pairs(docs, threshold=0.1, n=3)
+    cexp = D.ngram_containment_pairs(
+        docs, threshold=0.1, n=3,
+        per_doc_cap=D.DENSE_PAIR_DEFAULTS["per_doc_cap"],
+        max_shingle_df=D.DENSE_PAIR_DEFAULTS["max_shingle_df"],
+    )
+    assert {tuple(r) for r in cauto.collect()} == {tuple(r) for r in cexp.collect()}
+
+    # below the limit nothing changes: identical to the exact contract
+    monkeypatch.setattr(D, "DENSE_PAIR_AUTOCAP_LIMIT", 20_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        small = D.simhash_hamming_pairs(docs, bits=16, max_hamming=8)
+    assert {(r.id_a, r.id_b) for r in small.collect()} == {
+        (r.id_a, r.id_b) for r in exact.collect()}
