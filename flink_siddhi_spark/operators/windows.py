@@ -82,7 +82,9 @@ class WindowExtension:
     protocol, same contract the built-in cron/timeBatch windows compile
     to). Stays a pure Catalyst expression: codegen'd, shuffle-free, and
     usable under ``group by``/``partition with`` like any batch window.
-    Batch mode only (streaming rejects it at plan time)."""
+    Works in batch AND streaming: the streaming runtime groups by the same
+    bucket column (update/complete-mode aggregation), since a pure-Catalyst
+    bucket expression is streaming-safe by construction."""
 
     builder: object
 
@@ -325,9 +327,8 @@ def classify(spec: Optional[A.WindowSpec], extensions: Optional[dict] = None) ->
         return "batch"  # extension windows follow the bucketed protocol
     if ":" in spec.name:
         raise UnsupportedFeatureException(
-            f"window extension '{spec.name}' is not registered (batch mode) — "
-            "register_extension(name, builder, window=True); window "
-            "extensions are batch-only"
+            f"window extension '{spec.name}' is not registered — "
+            "register_extension(name, builder, window=True)"
         )
     raise UnsupportedFeatureException(f"window #window.{spec.name} not implemented")
 

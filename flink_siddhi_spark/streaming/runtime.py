@@ -97,7 +97,7 @@ class StreamingPlanner(BatchPlanner):
         df, _ = self.stream_df(si.stream)
         if not schema.df.isStreaming:
             return super()._compile_single(q)
-        retain = W.classify(si.window) == "retain"
+        retain = W.classify(si.window, self.extensions) == "retain"
         wname = si.window.name.lower() if si.window is not None else ""
         if retain:
             if wname not in ("unique", "firstunique", "sort", "frequent") \
@@ -296,7 +296,7 @@ class StreamingPlanner(BatchPlanner):
     def _streaming_agg(self, df: DataFrame, q: A.Query, si: A.SingleInput, resolver) -> DataFrame:
         if q.order_by or q.limit is not None:
             raise UnsupportedFeatureException("order by / limit need batch mode")
-        wclass = W.classify(si.window)
+        wclass = W.classify(si.window, self.extensions)
         comp = self._compiler(resolver, df)
         group_cols: list[Column] = []
         key_names: list[str] = []
@@ -307,7 +307,30 @@ class StreamingPlanner(BatchPlanner):
             group_cols.append(F.col(gname))
             key_names.append(gname)
         win_start = win_end = None
-        if wclass == "batch":
+        if wclass == "batch" and isinstance(
+            self.extensions.get(si.window.name), W.WindowExtension
+        ):
+            # window-processor extension: the builder maps the event-time
+            # column (epoch ms) to a bucket id — the SAME bucketed protocol
+            # the batch planner executes (operators/windows.py add_bucket),
+            # so the streaming lift is just grouping by that bucket column.
+            # A pure-Catalyst bucket expression is streaming-safe by
+            # construction; windowStart()/windowEnd() are null, matching
+            # the batch extension contract.
+            ext = self.extensions[si.window.name]
+            ts_field = self.stream_schema(si.stream).ts_field
+            if ts_field is None:
+                raise SiddhiPlannerException(
+                    f"#window.{si.window.name}: stream has no ts_field for "
+                    "the window extension bucket"
+                )
+            bucket = ext.builder(
+                F.col(ts_field), *[W._ext_arg(a) for a in si.window.args]
+            )
+            group_cols = [bucket.alias(W.BUCKET_COL)] + group_cols
+            win_start = F.lit(None).cast("bigint")
+            win_end = F.lit(None).cast("bigint")
+        elif wclass == "batch":
             name = si.window.name.lower()
             if name == "lengthbatch":
                 return self._streaming_length_batch(df, q, si, key_names)

@@ -476,25 +476,50 @@ def test_window_extension_buckets_and_rejections(spark):
         cep.register_extension("custom:bad", lambda c: c, aggregate=True, window=True)
 
 
-def test_window_extension_rejected_in_streaming(spark, tmp_path):
+def test_window_extension_streaming_matches_batch(spark, tmp_path):
+    """round-4: window-processor extensions run in STREAMING too — the
+    bucket column groups an update/complete-mode aggregation, matching the
+    batch bucketed protocol across >=2 micro-batches (maxFilesPerTrigger=1
+    over two input files)."""
     from flink_siddhi_spark.cep import SiddhiCEP
-    from flink_siddhi_spark.errors import UnsupportedFeatureException
     from flink_siddhi_spark.siddhiql.parser import parse
+    from flink_siddhi_spark.sources.streams import to_memory
     from flink_siddhi_spark.streaming.runtime import StreamingPlanner
 
-    d = str(tmp_path / "winext")
     schema = "id int, name string, price double, ts long"
-    spark.createDataFrame([(1, "a", 1.0, 0)], schema).write.mode("overwrite").parquet(d)
-    stream = spark.readStream.schema(schema).parquet(d)
+    rows = [(1, "a", 1.0, 0), (2, "a", 2.0, 5000), (3, "a", 3.0, 12000),
+            (4, "b", 4.0, 13000), (5, "b", 5.0, 21000)]
+    cql = ("from s#window.custom:tenSec() select name, count() as n, "
+           "sum(price) as total group by name insert into Out")
+
+    # batch reference
+    bdf = spark.createDataFrame(rows, schema)
+    bcep = SiddhiCEP(spark)
+    bcep.define("s", bdf, "id", "name", "price", "ts", ts_field="ts")
+    bcep.register_extension("custom:tenSec", lambda ts: F.floor(ts / F.lit(10_000)),
+                            window=True)
+    batch = sorted(tuple(r) for r in
+                   bcep.from_("s").cql(cql).returns("Out").collect())
+
+    # streaming: two files, one per trigger -> at least two micro-batches
+    d = tmp_path / "winext"
+    d.mkdir()
+    spark.createDataFrame(rows[:3], schema).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(rows[3:], schema).coalesce(1).write.parquet(str(d / "f2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d / "f*")))
     cep = SiddhiCEP(spark)
     cep.register_stream("s", stream, "id", "name", "price", "ts", ts_field="ts")
     cep.register_extension("custom:tenSec", lambda ts: F.floor(ts / F.lit(10_000)),
                            window=True)
     planner = StreamingPlanner(cep.catalog, cep.extensions)
-    with pytest.raises(UnsupportedFeatureException, match="batch-only|not registered"):
-        planner.compile_query(parse(
-            "from s#window.custom:tenSec() select count() as n insert into Out"
-        ).queries[0])
+    out_df = planner.compile_query(parse(cql).queries[0])
+    q = to_memory(out_df, "m_winext", checkpoint=str(tmp_path / "ck_winext"),
+                  output_mode="complete")
+    q.awaitTermination(60)
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 1
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM m_winext").collect())
+    assert got == batch
 
 
 # ---- stream-function extensions ------------------------------------------
