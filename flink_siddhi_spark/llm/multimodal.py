@@ -2,12 +2,18 @@
 metadata, with decode / feature-extraction as Arrow-batched ``mapInPandas``
 stages.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-environment): ``decode_image_stub`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder derives "pixels"
-from the payload bytes. The Spark-side plumbing — binary columns, metadata
-structs, Arrow batch shapes, partition-friendly mapInPandas signatures — is
-real and tested; swap the stub for PIL/ffmpeg in production.
+Decode support (no imaging libraries in this environment):
+
+- 24-bit uncompressed BMP is decoded/encoded/resized FOR REAL by the
+  dependency-free pure-Python codec below (``decode_bmp``/``encode_bmp``) —
+  so the bytes->pixels path is exercised end-to-end without ``fake=True``.
+- every other format raises NotImplementedError unless ``fake=True``, in
+  which case a deterministic fake decoder derives "pixels" from the payload
+  bytes. Swap in PIL/opencv/ffmpeg for production coverage.
+
+The Spark-side plumbing — binary columns, metadata structs, Arrow batch
+shapes, partition-friendly mapInPandas signatures — is identical for both
+paths and fully tested.
 
 Scale notes: binary payloads ride in parquet as-is; mapInPandas streams
 Arrow batches (bounded memory per task); metadata-only queries never touch
@@ -16,6 +22,7 @@ the payload column thanks to parquet column pruning.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -23,6 +30,59 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+# --------------------------------------------------------------- BMP codec
+def encode_bmp(pixels: list[list[tuple[int, int, int]]]) -> bytes:
+    """Encode top-down rows of (r, g, b) pixels as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up storage, rows padded to 4 bytes)."""
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+    row_size = (width * 3 + 3) & ~3
+    img_size = row_size * height
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        for r, g, b in pixels[y]:
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - len(row))
+        rows.append(bytes(row))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes):
+    """Decode a 24-bit uncompressed BMP to ``(width, height, pixels)`` with
+    top-down rows of (r, g, b) tuples. Handles bottom-up (positive height)
+    and top-down (negative height) storage and 4-byte row padding."""
+    payload = bytes(payload)
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP variant not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (comp,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp}, compression={comp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    pixels = []
+    for i in range(height):
+        y = (height - 1 - i) if bottom_up else i
+        base = off + y * row_size
+        row = payload[base:base + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("truncated BMP pixel data")
+        pixels.append([(row[x * 3 + 2], row[x * 3 + 1], row[x * 3]) for x in range(width)])
+    return width, height, pixels
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -42,18 +102,31 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_image_stub(payload: bytes, fake: bool = False) -> list[int]:
-    """Decode an image payload to a pixel histogram. STUB: real decoding needs
-    an imaging library not present in this environment."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an imaging library (PIL/opencv); "
-            "run with fake=True for the deterministic test decoder"
-        )
-    # deterministic fake: 16-bin histogram of byte values
-    hist = [0] * 16
-    for b in payload:
-        hist[b % 16] += 1
-    return hist
+    """Decode an image payload to a 16-bin pixel-intensity histogram.
+
+    REAL path: 24-bit uncompressed BMP decodes via the pure-Python codec
+    (bin = channel_value // 16 over every RGB channel byte). Other formats
+    need an imaging library not present in this environment and raise
+    unless ``fake=True`` (deterministic byte-derived fake)."""
+    if fake:
+        # deterministic fake: 16-bin histogram of byte values
+        hist = [0] * 16
+        for b in payload:
+            hist[b % 16] += 1
+        return hist
+    if bytes(payload[:2]) == b"BM":
+        _w, _h, pixels = decode_bmp(payload)
+        hist = [0] * 16
+        for row in pixels:
+            for r, g, b in row:
+                hist[r >> 4] += 1
+                hist[g >> 4] += 1
+                hist[b >> 4] += 1
+        return hist
+    raise NotImplementedError(
+        "only 24-bit BMP decodes without an imaging library (PIL/opencv); "
+        "run with fake=True for the deterministic test decoder"
+    )
 
 
 FEATURE_SCHEMA = T.StructType(
@@ -106,15 +179,25 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_stub(payload: bytes, w: int, h: int, fake: bool = False) -> bytes:
-    """Resize an image payload. STUB: real resizing needs an imaging library;
-    the deterministic fake keeps every (len//(w*h))-th byte."""
-    if not fake:
-        raise NotImplementedError(
-            "image resizing requires an imaging library (PIL/opencv); "
-            "run with fake=True for the deterministic test resizer"
-        )
-    stride = max(1, len(payload) // (w * h))
-    return payload[::stride][: w * h]
+    """Resize an image payload to w x h.
+
+    REAL path: 24-bit BMP in -> nearest-neighbor sample -> 24-bit BMP out,
+    all via the pure-Python codec. Other formats raise unless ``fake=True``
+    (deterministic fake keeps every (len//(w*h))-th byte)."""
+    if fake:
+        stride = max(1, len(payload) // (w * h))
+        return payload[::stride][: w * h]
+    if bytes(payload[:2]) == b"BM":
+        src_w, src_h, px = decode_bmp(payload)
+        out = [
+            [px[y * src_h // h][x * src_w // w] for x in range(w)]
+            for y in range(h)
+        ]
+        return encode_bmp(out)
+    raise NotImplementedError(
+        "only 24-bit BMP resizes without an imaging library (PIL/opencv); "
+        "run with fake=True for the deterministic test resizer"
+    )
 
 
 def resize_images(df: DataFrame, width: int = 8, height: int = 8,

@@ -467,3 +467,48 @@ def test_dense_pair_autocap_threshold(spark, monkeypatch):
         small = D.simhash_hamming_pairs(docs, bits=16, max_hamming=8)
     assert {(r.id_a, r.id_b) for r in small.collect()} == {
         (r.id_a, r.id_b) for r in exact.collect()}
+
+
+def test_real_bmp_decode_through_spark(spark):
+    """round-4: the REAL bytes->pixels path — synthesized 24-bit BMPs flow
+    through extract_features and resize_images WITHOUT fake=True, via the
+    dependency-free pure-Python BMP codec."""
+    from flink_siddhi_spark.llm import multimodal as M
+
+    # 4x2 image with known channel values (one pixel per histogram bin edge)
+    px = [
+        [(0, 16, 32), (48, 64, 80), (96, 112, 128), (144, 160, 176)],
+        [(192, 208, 224), (240, 255, 15), (31, 47, 63), (79, 95, 111)],
+    ]
+    bmp = M.encode_bmp(px)
+    # codec round-trip (including bottom-up storage and row padding: 4*3=12
+    # bytes per row, already 4-aligned; use a 3-wide image to force padding)
+    assert M.decode_bmp(bmp) == (4, 2, px)
+    odd = M.encode_bmp([[(1, 2, 3), (4, 5, 6), (7, 8, 9)]])
+    assert M.decode_bmp(odd) == (3, 1, [[(1, 2, 3), (4, 5, 6), (7, 8, 9)]])
+
+    media = spark.createDataFrame(
+        [(1, bmp), (2, odd)], "media_id long, payload binary")
+    feats = {r.media_id: r for r in
+             M.extract_features(media, fake=False).collect()}
+    # every channel byte of image 1 lands in its value>>4 bin
+    want = [0] * 16
+    for row in px:
+        for r, g, b in row:
+            for c in (r, g, b):
+                want[c >> 4] += 1
+    assert list(feats[1].histogram) == want
+    assert feats[1].n_bytes == len(bmp)
+    assert list(feats[2].histogram)[0] == 9  # all nine channels < 16
+
+    thumbs = {r.media_id: r for r in
+              M.resize_images(media, 2, 2, fake=False).collect()}
+    tw, th, tpx = M.decode_bmp(thumbs[1].thumb)
+    assert (tw, th) == (2, 2)
+    # nearest-neighbor: picks px[y*2//2][x*4//2]
+    assert tpx == [[px[0][0], px[0][2]], [px[1][0], px[1][2]]]
+    # non-BMP payloads still refuse real decode with a clear error
+    other = spark.createDataFrame([(3, b"not an image")],
+                                  "media_id long, payload binary")
+    with pytest.raises(Exception, match="BMP|imaging"):
+        M.extract_features(other, fake=False).collect()
