@@ -210,6 +210,16 @@ def q_window_cron_weekdays(spark, sf_dir):
     ).returns("Out")
 
 
+def q_window_cron_monthend(spark, sf_dir):
+    # round-4: day-of-month list including 31 — Quartz SKIP semantics for
+    # short months (operators/windows.py monthly lowering, try_make_timestamp
+    # null-safe candidates); fires the 15th and 31st at midnight UTC
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.cron('0 0 0 15,31 * ?') "
+        "select event_type, count() as n group by event_type insert into Out"
+    ).returns("Out")
+
+
 def q_window_time_length(spark, sf_dir):
     return _cep(spark, sf_dir).from_("events").cql(
         "from events#window.timeLength(10 min, 10) "
@@ -1060,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_cron": q_window_cron,
         "window_cron_calendar": q_window_cron_calendar,  # new round 3
         "window_cron_weekdays": q_window_cron_weekdays,  # new round 3b
+        "window_cron_monthend": q_window_cron_monthend,  # new round 4
         "window_time_length": q_window_time_length,
         "window_lossy_frequent": q_window_lossy_frequent,
         # --- core SiddhiQL: joins ---
@@ -1282,6 +1293,18 @@ def _simhash_hamming_sql(bits: int = 16, max_hamming: int = 2) -> str:
     )
 
 
+def _monthend_fire(j: int, d: int) -> str:
+    # last-fire candidate for day-of-month d, j months back: the day is
+    # CLAMPED inside make_timestamp (DuckDB vectorized CASE evaluates both
+    # branches, so Feb 31 must never be constructed) and the validity check
+    # in the condition enforces the Quartz skip contract
+    y = f"CAST((mi - {j}) // 12 AS BIGINT)"
+    m = f"CAST((mi - {j}) % 12 + 1 AS BIGINT)"
+    dim = f"datepart('day', last_day(make_date({y}, {m}, 1)))"
+    f_ = f"epoch_ms(make_timestamp({y}, {m}, least({d}, {dim}), 0, 0, 0.0))"
+    return f"CASE WHEN {d} <= {dim} AND {f_} <= ems THEN {f_} END"
+
+
 def oracle_sql() -> dict[str, str]:
     en = "('the','a','and','of','to','in','is','on','for','with')"
     es = "('el','la','de','que','y','en','un','por','con','una')"
@@ -1387,6 +1410,15 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT event_type, list_max(list_transform(range(0, 7), k -> "
             f"CASE WHEN (({_EMS} // 86400000 - k) % 7) IN (0, 1, 4, 5, 6) "
             f"THEN {_EMS} // 86400000 - k ELSE NULL END)) AS w FROM events) "
+            "GROUP BY event_type, w"
+        ),
+        "window_cron_monthend": (
+            "WITH base AS (SELECT event_type, epoch_ms(ts) AS ems, "
+            "year(ts)*12 + month(ts) - 1 AS mi FROM events), "
+            "b2 AS (SELECT event_type, greatest("
+            + ", ".join(_monthend_fire(j, d) for j in (0, 1, 2) for d in (15, 31))
+            + ") AS w FROM base) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) n FROM b2 "
             "GROUP BY event_type, w"
         ),
         "window_time_length": (

@@ -233,27 +233,40 @@ def add_bucket(
             return BucketedWindow(
                 out, F.col(BUCKET_COL), F.least(*nexts).cast("bigint")
             )
-        # monthly 's m h D[,D2...] * ?': fires on each listed day-of-month
-        # at h:m:s; bucket = epoch ms of the last fire at-or-before the
-        # event (greatest over this-month and last-month candidates per
-        # listed day). Month arithmetic via make_timestamp/unix_millis —
-        # still per-row Catalyst expressions (codegen'd), no data movement.
-        doms, hh, mm, ss = arg
+        # monthly 's m h D[,D2...] [M...] ?': fires on each listed
+        # day-of-month at h:m:s (optionally restricted to listed months);
+        # bucket = epoch ms of the last fire at-or-before the event
+        # (greatest over per-day candidates from recent months). Month
+        # arithmetic via try_make_timestamp/unix_millis — per-row Catalyst
+        # expressions (codegen'd), no data movement. Quartz skip semantics
+        # for day 29-31: try_make_timestamp yields NULL for short months,
+        # and NULL candidates drop out of greatest/least. Lookback bounds:
+        # 1 month for D<=28 (always fires monthly), 2 for D>=29 (months
+        # without day 30/31 never occur twice in a row), 12 when the month
+        # field is restricted (annual worst case; the parser rejects
+        # D>=29 + restricted months, whose gap is unbounded — FEB 29).
+        doms, hh, mm, ss, months = arg
+        jback = 12 if months else (2 if any(d >= 29 for d in doms) else 1)
         ems = F.col(ts_col)
         t = F.timestamp_millis(ems.cast("bigint"))
         midx = F.year(t) * 12 + F.month(t) - 1
 
         def fire_of(b, d):  # epoch ms of day-d fire in month-index b
-            return F.unix_millis(
-                F.make_timestamp(
-                    F.floor(b / 12).cast("int"), (b % 12 + 1).cast("int"),
-                    F.lit(d), F.lit(hh), F.lit(mm), F.lit(ss).cast("double"),
+            fire = F.unix_millis(
+                F.try_make_timestamp(
+                    years=F.floor(b / 12).cast("int"),
+                    months=(b % 12 + 1).cast("int"),
+                    days=F.lit(d), hours=F.lit(hh), mins=F.lit(mm),
+                    secs=F.lit(ss).cast("double"),
                 )
             )
+            if months:
+                return F.when((b % 12 + 1).isin(*sorted(months)), fire)
+            return fire
 
         cands = [
             F.when(fire_of(midx - j, d) <= ems, fire_of(midx - j, d))
-            for j in (0, 1)
+            for j in range(jback + 1)
             for d in doms
         ]
         out = df.withColumn(BUCKET_COL, F.greatest(*cands).cast("bigint"))
@@ -261,7 +274,7 @@ def add_bucket(
         bmidx = F.year(bt) * 12 + F.month(bt) - 1
         nexts = [
             F.when(fire_of(bmidx + j, d) > F.col(BUCKET_COL), fire_of(bmidx + j, d))
-            for j in (0, 1)
+            for j in range(jback + 1)
             for d in doms
         ]
         return BucketedWindow(
@@ -368,6 +381,42 @@ def _dow_set(field: str) -> Optional[set]:
     return out or None
 
 
+_QUARTZ_MONTH = {
+    "JAN": 1, "FEB": 2, "MAR": 3, "APR": 4, "MAY": 5, "JUN": 6,
+    "JUL": 7, "AUG": 8, "SEP": 9, "OCT": 10, "NOV": 11, "DEC": 12,
+}
+
+
+def _month_code(tok: str) -> Optional[int]:
+    if tok in _QUARTZ_MONTH:
+        return _QUARTZ_MONTH[tok]
+    if tok.isdigit() and 1 <= int(tok) <= 12:
+        return int(tok)
+    return None
+
+
+def _month_set(field: str) -> set:
+    """Quartz month field -> set of months 1..12 (names or numbers,
+    lists and ranges)."""
+    out: set = set()
+    for part in field.upper().split(","):
+        if "-" in part:
+            lo, _, hi = part.partition("-")
+            a, b = _month_code(lo), _month_code(hi)
+            if a is None or b is None:
+                raise SiddhiPlannerException(
+                    f"#window.cron: bad month range {part!r}"
+                )
+            out.update(range(a, b + 1) if a <= b else
+                       list(range(a, 13)) + list(range(1, b + 1)))  # wrap: NOV-FEB
+        else:
+            c = _month_code(part)
+            if c is None:
+                raise SiddhiPlannerException(f"#window.cron: bad month {part!r}")
+            out.add(c)
+    return out
+
+
 def _cron_schedule(spec: A.WindowSpec):
     """Parse the supported Quartz subset into a bucket-function schedule.
 
@@ -378,11 +427,15 @@ def _cron_schedule(spec: A.WindowSpec):
     - ``("weekly_set", (residues, tod_ms))`` — multi-day weekly fires
       (``s m h ? * MON,WED,FRI`` lists / ``MON-FRI`` ranges); residues are
       epoch-day mod 7 values (epoch day 0 = Thursday), or
-    - ``("monthly", (doms, h, m, s))`` — ``s m h D[,D2...] * ?``
-      day-of-month fires (each day 1..28; lists supported).
+    - ``("monthly", (doms, h, m, s, months))`` — ``s m h D[,D2...] M ?``
+      day-of-month fires (1..31, lists; 29-31 follow the Quartz SKIP
+      contract: short months do not fire). ``months`` is a set of 1..12
+      when the month field is restricted (names/numbers/lists/ranges), else
+      None; restricted months require D<=28 so the fire gap stays bounded.
 
-    Everything else (month fields, L/W/#, day-of-month ranges) has no pure
-    bucket-function lowering and is rejected at plan time."""
+    Everything else (L/W/#, day-of-month ranges, month-restricted daily
+    schedules) has no pure bucket-function lowering and is rejected at
+    plan time."""
     a = spec.args[0]
     if not (isinstance(a, A.Literal) and a.kind == "string"):
         raise SiddhiPlannerException("#window.cron takes a cron string literal")
@@ -403,30 +456,46 @@ def _cron_schedule(spec: A.WindowSpec):
     if sec in ("0", "*") and minute in ("0", "*") and (h := step(hour)) is not None:
         return ("period", h * 3_600_000, 0)
     # calendar forms need a concrete time-of-day
-    if sec.isdigit() and minute.isdigit() and hour.isdigit() and month in ("*", "?"):
+    if sec.isdigit() and minute.isdigit() and hour.isdigit():
         tod_ms = (int(hour) * 3600 + int(minute) * 60 + int(sec)) * 1000
-        if dom in ("*", "?") and dow in ("*", "?"):
-            return ("period", 86_400_000, tod_ms)  # daily at h:m:s
-        if dom in ("*", "?"):
-            codes = _dow_set(dow)
-            if codes and len(codes) == 1:
-                anchor = _DAYS_FROM_EPOCH_DOW[next(iter(codes))] * 86_400_000 + tod_ms
-                return ("period", 7 * 86_400_000, anchor)  # weekly on DOW
-            if codes:
-                residues = sorted(_DAYS_FROM_EPOCH_DOW[c] for c in codes)
-                return ("weekly_set", (residues, tod_ms), None)
-        elif dow in ("*", "?") and all(p.isdigit() for p in dom.split(",")):
+        if month in ("*", "?"):
+            if dom in ("*", "?") and dow in ("*", "?"):
+                return ("period", 86_400_000, tod_ms)  # daily at h:m:s
+            if dom in ("*", "?"):
+                codes = _dow_set(dow)
+                if codes and len(codes) == 1:
+                    anchor = _DAYS_FROM_EPOCH_DOW[next(iter(codes))] * 86_400_000 + tod_ms
+                    return ("period", 7 * 86_400_000, anchor)  # weekly on DOW
+                if codes:
+                    residues = sorted(_DAYS_FROM_EPOCH_DOW[c] for c in codes)
+                    return ("weekly_set", (residues, tod_ms), None)
+        if dom not in ("*", "?") and dow in ("*", "?") \
+                and all(p.isdigit() for p in dom.split(",")):
             doms = sorted({int(p) for p in dom.split(",")})
-            if not all(1 <= d <= 28 for d in doms):
-                raise UnsupportedFeatureException(
-                    "#window.cron: day-of-month must be 1..28 (29-31 skip "
-                    "short months, which a bucket function cannot express)"
+            if not all(1 <= d <= 31 for d in doms):
+                raise SiddhiPlannerException(
+                    "#window.cron: day-of-month out of range 1..31"
                 )
-            return ("monthly", (doms, int(hour), int(minute), int(sec)), None)
+            months = None
+            if month not in ("*", "?"):
+                months = _month_set(month)
+                if any(d >= 29 for d in doms):
+                    raise UnsupportedFeatureException(
+                        "#window.cron: day-of-month 29-31 combined with a "
+                        "restricted month field can go years between fires "
+                        "(e.g. FEB 29) — use day-of-month <= 28 with month "
+                        "restrictions, or month='*' with 29-31 (Quartz skip "
+                        "semantics: short months are skipped)"
+                    )
+            return (
+                "monthly", (doms, int(hour), int(minute), int(sec), months), None
+            )
     raise UnsupportedFeatureException(
         f"#window.cron: unsupported expr {a.value!r} — supported: */N "
         "sec|min|hour periods, daily 's m h * * ?', weekly 's m h ? * DOW', "
-        "monthly 's m h D * ?' (D<=28)"
+        "monthly 's m h D[,D...] * ?' (D<=31; short months skipped, the "
+        "Quartz contract), month-restricted 's m h D[,D...] M[,M...|M1-M2] ?' "
+        "(D<=28; month names or numbers)"
     )
 
 

@@ -191,8 +191,16 @@ def test_calendar_cron_windows(spark):
             "from s#window.cron('0 30 9 ? * 6#2') select count() as n "
             "group by name insert into Out"
         ).returns("Out")
-    with pytest.raises(UnsupportedFeatureException, match="1..28"):
+    # round-4: day-of-month 31 supported with Quartz SKIP semantics —
+    # all four January events share the Dec-31 fire bucket
+    out = cep.from_("s").cql(
+        "from s#window.cron('0 0 0 31 * ?') select count() as n "
+        "group by name insert into Out"
+    ).returns("Out")
+    assert [r.n for r in out.collect()] == [4]
+    # 29-31 + restricted month field = unbounded fire gap -> still rejects
+    with pytest.raises(UnsupportedFeatureException, match="29-31"):
         cep.from_("s").cql(
-            "from s#window.cron('0 0 0 31 * ?') select count() as n "
+            "from s#window.cron('0 0 0 29 2 ?') select count() as n "
             "group by name insert into Out"
         ).returns("Out")

@@ -288,3 +288,45 @@ def test_lossy_frequent_filters_rare_combo(spark):
         "from s#window.lossyFrequent(0.5, 0.1, k) select id, k insert into Out"
     ).returns("Out")
     assert rows_set(out) == [(i, "a") for i in range(9)]
+
+
+def test_cron_monthend_skip_and_month_restriction(spark):
+    """round-4: day-of-month 29-31 with Quartz SKIP semantics (short months
+    do not fire: Jan 31 -> Mar 31 with no February fire) and month-restricted
+    schedules ('0 0 0 15 1,MAR ?' fires only in listed months)."""
+    from flink_siddhi_spark import SiddhiCEP
+
+    def run(cron, rows):
+        cep = SiddhiCEP(spark)
+        df = spark.createDataFrame(
+            rows, "id int, name string, price double, timestamp long")
+        cep.define("s", df, "id", "name", "price", "timestamp", ts_field="timestamp")
+        out = cep.from_("s").cql(
+            f"from s#window.cron('{cron}') select min(id) as lo, count() as n "
+            "group by name insert into Out").returns("Out")
+        return sorted((r.lo, r.n) for r in out.collect())
+
+    day = 86_400_000
+    jan1 = 1704067200000          # 2024-01-01 00:00 UTC
+    feb15 = jan1 + 45 * day       # 2024-02-15
+    mar15 = jan1 + 74 * day       # 2024-03-15
+    apr2 = jan1 + 92 * day        # 2024-04-02
+    rows = [(1, "a", 1.0, jan1 + day),   # after Dec 31 fire, before Jan 31
+            (2, "a", 1.0, feb15),        # after Jan 31 fire (Feb 31 skipped)
+            (3, "a", 1.0, mar15),        # still in the Jan-31 bucket
+            (4, "a", 1.0, apr2)]         # after Mar 31 fire
+    # monthend '0 0 0 31 * ?': buckets split at Dec 31, Jan 31, Mar 31 —
+    # ids 2 and 3 share a bucket because February 31 does not exist
+    assert run("0 0 0 31 * ?", rows) == [(1, 1), (2, 2), (4, 1)]
+
+    # leap-year Feb 29 DOES fire: '0 0 0 29 * ?' splits 2 (Feb 15, in the
+    # Jan-29 bucket) from 3 (Mar 15, after the Feb-29 2024 fire)
+    assert run("0 0 0 29 * ?", rows) == [(1, 1), (2, 1), (3, 1), (4, 1)]
+
+    # month-restricted: fires only Jan 15 / Mar 15 00:00 — Feb events stay
+    # in the Jan bucket; names and numbers mix in the month list
+    rows2 = [(1, "a", 1.0, jan1 + 2 * day),   # after Dec... before Jan 15
+             (2, "a", 1.0, jan1 + 20 * day),  # after Jan 15 fire
+             (3, "a", 1.0, feb15),            # February never fires -> same bucket
+             (4, "a", 1.0, mar15 + day)]      # after Mar 15 fire
+    assert run("0 0 0 15 1,MAR ?", rows2) == [(1, 1), (2, 2), (4, 1)]
