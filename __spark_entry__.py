@@ -220,6 +220,15 @@ def q_window_cron_monthend(spark, sf_dir):
     ).returns("Out")
 
 
+def q_window_cron_lastfriday(spark, sf_dir):
+    # round-4: quartz day-of-week special DL — last Friday of each month at
+    # midnight UTC (operators/windows.py last_dow resolver)
+    return _cep(spark, sf_dir).from_("events").cql(
+        "from events#window.cron('0 0 0 ? * 6L') "
+        "select event_type, count() as n group by event_type insert into Out"
+    ).returns("Out")
+
+
 def q_window_time_length(spark, sf_dir):
     return _cep(spark, sf_dir).from_("events").cql(
         "from events#window.timeLength(10 min, 10) "
@@ -1071,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_cron_calendar": q_window_cron_calendar,  # new round 3
         "window_cron_weekdays": q_window_cron_weekdays,  # new round 3b
         "window_cron_monthend": q_window_cron_monthend,  # new round 4
+        "window_cron_lastfriday": q_window_cron_lastfriday,  # new round 4
         "window_time_length": q_window_time_length,
         "window_lossy_frequent": q_window_lossy_frequent,
         # --- core SiddhiQL: joins ---
@@ -1293,6 +1303,17 @@ def _simhash_hamming_sql(bits: int = 16, max_hamming: int = 2) -> str:
     )
 
 
+def _lastfriday_fire(j: int) -> str:
+    # last-Friday candidate j months back: DuckDB dayofweek is 0=SUN..6=SAT
+    # (Friday=5); step back (dow - 5) mod 7 days from the month's last day
+    y = f"CAST((mi - {j}) // 12 AS BIGINT)"
+    m = f"CAST((mi - {j}) % 12 + 1 AS BIGINT)"
+    ld = f"last_day(make_date({y}, {m}, 1))"
+    dfri = f"({ld} - INTERVAL ((dayofweek({ld}) - 5 + 7) % 7) DAY)"
+    f_ = f"epoch_ms(CAST({dfri} AS TIMESTAMP))"
+    return f"CASE WHEN {f_} <= ems THEN {f_} END"
+
+
 def _monthend_fire(j: int, d: int) -> str:
     # last-fire candidate for day-of-month d, j months back: the day is
     # CLAMPED inside make_timestamp (DuckDB vectorized CASE evaluates both
@@ -1410,6 +1431,15 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT event_type, list_max(list_transform(range(0, 7), k -> "
             f"CASE WHEN (({_EMS} // 86400000 - k) % 7) IN (0, 1, 4, 5, 6) "
             f"THEN {_EMS} // 86400000 - k ELSE NULL END)) AS w FROM events) "
+            "GROUP BY event_type, w"
+        ),
+        "window_cron_lastfriday": (
+            "WITH base AS (SELECT event_type, epoch_ms(ts) AS ems, "
+            "year(ts)*12 + month(ts) - 1 AS mi FROM events), "
+            "b2 AS (SELECT event_type, greatest("
+            + ", ".join(_lastfriday_fire(j) for j in (0, 1, 2))
+            + ") AS w FROM base) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) n FROM b2 "
             "GROUP BY event_type, w"
         ),
         "window_cron_monthend": (

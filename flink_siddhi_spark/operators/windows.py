@@ -233,30 +233,46 @@ def add_bucket(
             return BucketedWindow(
                 out, F.col(BUCKET_COL), F.least(*nexts).cast("bigint")
             )
-        # monthly 's m h D[,D2...] [M...] ?': fires on each listed
-        # day-of-month at h:m:s (optionally restricted to listed months);
-        # bucket = epoch ms of the last fire at-or-before the event
-        # (greatest over per-day candidates from recent months). Month
-        # arithmetic via try_make_timestamp/unix_millis — per-row Catalyst
-        # expressions (codegen'd), no data movement. Quartz skip semantics
-        # for day 29-31: try_make_timestamp yields NULL for short months,
-        # and NULL candidates drop out of greatest/least. Lookback bounds:
-        # 1 month for D<=28 (always fires monthly), 2 for D>=29 (months
-        # without day 30/31 never occur twice in a row), 12 when the month
-        # field is restricted (annual worst case; the parser rejects
-        # D>=29 + restricted months, whose gap is unbounded — FEB 29).
-        doms, hh, mm, ss, months = arg
-        jback = 12 if months else (2 if any(d >= 29 for d in doms) else 1)
+        # monthly 's m h DOM [M...] DOW': fires on each listed day resolver
+        # — fixed day-of-month, L / L-n / LW, D#n, DL — at h:m:s, optionally
+        # restricted to listed months; bucket = epoch ms of the last fire
+        # at-or-before the event (greatest over per-day candidates from
+        # recent months). Month arithmetic via make_date/last_day/dayofweek
+        # /try_make_timestamp — per-row Catalyst expressions (codegen'd),
+        # no data movement. Quartz skip semantics: a resolver that has no
+        # valid day this month (Feb 31, missing 5th Friday) yields NULL,
+        # and NULL candidates drop out of greatest/least. The parser sets
+        # the lookback ``jback`` (months) from the worst consecutive-skip
+        # run of the schedule.
+        dayspecs, hh, mm, ss, months, jback = arg
         ems = F.col(ts_col)
         t = F.timestamp_millis(ems.cast("bigint"))
         midx = F.year(t) * 12 + F.month(t) - 1
 
-        def fire_of(b, d):  # epoch ms of day-d fire in month-index b
+        def fire_of(b, ds):  # epoch ms of ds's fire in month-index b (or null)
+            y = F.floor(b / 12).cast("int")
+            m = (b % 12 + 1).cast("int")
+            first = F.make_date(y, m, F.lit(1))
+            dim = F.dayofmonth(F.last_day(first))
+            kind = ds[0]
+            if kind == "num":
+                day = F.when(F.lit(ds[1]) <= dim, F.lit(ds[1]))
+            elif kind == "last":
+                day = F.when(dim - ds[1] >= 1, dim - ds[1])
+            elif kind == "lastw":
+                ldw = F.dayofweek(F.last_day(first))  # 1=SUN..7=SAT
+                day = dim - F.when(ldw == 7, 1).when(ldw == 1, 2).otherwise(0)
+            elif kind == "nth_dow":
+                code, n = ds[1], ds[2]
+                first_occ = 1 + (F.lit(code) - F.dayofweek(first) + 7) % 7
+                day = F.when(first_occ + 7 * (n - 1) <= dim,
+                             first_occ + 7 * (n - 1))
+            else:  # last_dow
+                day = dim - (F.dayofweek(F.last_day(first)) - ds[1] + 7) % 7
             fire = F.unix_millis(
                 F.try_make_timestamp(
-                    years=F.floor(b / 12).cast("int"),
-                    months=(b % 12 + 1).cast("int"),
-                    days=F.lit(d), hours=F.lit(hh), mins=F.lit(mm),
+                    years=y, months=m, days=day.cast("int"),
+                    hours=F.lit(hh), mins=F.lit(mm),
                     secs=F.lit(ss).cast("double"),
                 )
             )
@@ -265,17 +281,17 @@ def add_bucket(
             return fire
 
         cands = [
-            F.when(fire_of(midx - j, d) <= ems, fire_of(midx - j, d))
+            F.when(fire_of(midx - j, ds) <= ems, fire_of(midx - j, ds))
             for j in range(jback + 1)
-            for d in doms
+            for ds in dayspecs
         ]
         out = df.withColumn(BUCKET_COL, F.greatest(*cands).cast("bigint"))
         bt = F.timestamp_millis(F.col(BUCKET_COL))
         bmidx = F.year(bt) * 12 + F.month(bt) - 1
         nexts = [
-            F.when(fire_of(bmidx + j, d) > F.col(BUCKET_COL), fire_of(bmidx + j, d))
+            F.when(fire_of(bmidx + j, ds) > F.col(BUCKET_COL), fire_of(bmidx + j, ds))
             for j in range(jback + 1)
-            for d in doms
+            for ds in dayspecs
         ]
         return BucketedWindow(
             out, F.col(BUCKET_COL), F.least(*nexts).cast("bigint")
@@ -469,34 +485,89 @@ def _cron_schedule(spec: A.WindowSpec):
                 if codes:
                     residues = sorted(_DAYS_FROM_EPOCH_DOW[c] for c in codes)
                     return ("weekly_set", (residues, tod_ms), None)
-        if dom not in ("*", "?") and dow in ("*", "?") \
-                and all(p.isdigit() for p in dom.split(",")):
-            doms = sorted({int(p) for p in dom.split(",")})
-            if not all(1 <= d <= 31 for d in doms):
-                raise SiddhiPlannerException(
-                    "#window.cron: day-of-month out of range 1..31"
-                )
+        dayspecs = _dom_specs(dom, dow)
+        if dayspecs is not None:
             months = None
             if month not in ("*", "?"):
                 months = _month_set(month)
-                if any(d >= 29 for d in doms):
+                if any(
+                    (ds[0] == "num" and ds[1] >= 29)
+                    or (ds[0] == "nth_dow" and ds[2] == 5)
+                    for ds in dayspecs
+                ):
                     raise UnsupportedFeatureException(
-                        "#window.cron: day-of-month 29-31 combined with a "
-                        "restricted month field can go years between fires "
-                        "(e.g. FEB 29) — use day-of-month <= 28 with month "
-                        "restrictions, or month='*' with 29-31 (Quartz skip "
-                        "semantics: short months are skipped)"
+                        "#window.cron: day-of-month 29-31 / 5th-weekday "
+                        "schedules combined with a restricted month field "
+                        "can go years between fires (e.g. FEB 29) — drop "
+                        "the month restriction or use a form that fires "
+                        "every listed month"
                     )
+            # lookback (months) to the previous fire: every-month forms need
+            # 1; skip forms need the max consecutive-skip run + 1
+            jback = 1
+            for ds in dayspecs:
+                if ds[0] == "num" and ds[1] >= 29:
+                    jback = max(jback, 2)  # no two consecutive short months
+                if ds[0] == "nth_dow" and ds[2] == 5:
+                    jback = max(jback, 5)  # 5th-weekday gaps span <=4 months
+            if months:
+                jback = 12  # annual worst case
             return (
-                "monthly", (doms, int(hour), int(minute), int(sec), months), None
+                "monthly",
+                (dayspecs, int(hour), int(minute), int(sec), months, jback),
+                None,
             )
     raise UnsupportedFeatureException(
         f"#window.cron: unsupported expr {a.value!r} — supported: */N "
         "sec|min|hour periods, daily 's m h * * ?', weekly 's m h ? * DOW', "
         "monthly 's m h D[,D...] * ?' (D<=31; short months skipped, the "
         "Quartz contract), month-restricted 's m h D[,D...] M[,M...|M1-M2] ?' "
-        "(D<=28; month names or numbers)"
+        "(D<=28; month names or numbers), and the quartz specials L / L-n / "
+        "LW (day-of-month) and D#n / DL (day-of-week)"
     )
+
+
+def _dom_specs(dom: str, dow: str):
+    """Parse the day-of-month/day-of-week pair of a monthly schedule into
+    day-resolver specs, or None if this isn't a monthly form.
+
+    Specs: ``("num", d)`` fixed day (skip when the month is shorter),
+    ``("last", off)`` L / L-n (off days before the last day),
+    ``("lastw",)`` LW (nearest weekday to the last day),
+    ``("nth_dow", code, n)`` D#n (n-th weekday, quartz 1=SUN..7=SAT —
+    the same coding Spark's ``dayofweek`` uses; skip when the month has
+    no n-th occurrence), ``("last_dow", code)`` DL (last weekday)."""
+    if dom not in ("*", "?") and dow in ("*", "?"):
+        u = dom.upper()
+        if u == "LW":
+            return [("lastw",)]
+        if u == "L":
+            return [("last", 0)]
+        if u.startswith("L-") and u[2:].isdigit():
+            off = int(u[2:])
+            if not 0 <= off <= 27:
+                raise SiddhiPlannerException("#window.cron: L-n offset must be 0..27")
+            return [("last", off)]
+        if all(p.isdigit() for p in dom.split(",")):
+            doms = sorted({int(p) for p in dom.split(",")})
+            if not all(1 <= d <= 31 for d in doms):
+                raise SiddhiPlannerException(
+                    "#window.cron: day-of-month out of range 1..31"
+                )
+            return [("num", d) for d in doms]
+        return None
+    if dom in ("*", "?") and dow not in ("*", "?"):
+        u = dow.upper()
+        if "#" in u:
+            d, _, n = u.partition("#")
+            code = _dow_code(d)
+            if code is not None and n.isdigit() and 1 <= int(n) <= 5:
+                return [("nth_dow", code, int(n))]
+            raise SiddhiPlannerException(f"#window.cron: bad day-of-week spec {dow!r}")
+        if u.endswith("L") and (code := _dow_code(u[:-1])) is not None:
+            return [("last_dow", code)]
+        return None
+    return None
 
 
 def _cron_period_ms(spec: A.WindowSpec) -> int:

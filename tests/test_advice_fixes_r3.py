@@ -186,9 +186,17 @@ def test_calendar_cron_windows(spark):
     # fires Mon 09:30 / Wed 09:30: [..Mon 09:30): id1 | [Mon, Wed): ids 2,3
     # | [next Mon 09:30, ..): id 4
     assert sorted(r.n for r in out.collect()) == [1, 1, 2]
+    # round-4: nth-weekday specials now lower (all four events precede the
+    # 2nd-Friday 09:30 fire of Jan 2024 -> one bucket); month-restricted
+    # weekly schedules still reject loudly
+    out = cep.from_("s").cql(
+        "from s#window.cron('0 30 9 ? * 6#2') select count() as n "
+        "group by name insert into Out"
+    ).returns("Out")
+    assert [r.n for r in out.collect()] == [4]
     with pytest.raises(UnsupportedFeatureException, match="cron"):
         cep.from_("s").cql(
-            "from s#window.cron('0 30 9 ? * 6#2') select count() as n "
+            "from s#window.cron('0 30 9 ? 3 MON') select count() as n "
             "group by name insert into Out"
         ).returns("Out")
     # round-4: day-of-month 31 supported with Quartz SKIP semantics —

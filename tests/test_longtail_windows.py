@@ -153,13 +153,25 @@ def test_cron_rejects_calendar_exprs(cep):
         "from events#window.cron('0 15 10 ? * MON-FRI') select count() as n insert into Out"
     ).returns("Out")
     assert out.count() > 0
-    with pytest.raises(UnsupportedFeatureException):
+    # round-4: quartz specials (6L) and month-restricted monthly schedules
+    # are SUPPORTED now; what still rejects is a schedule with an unbounded
+    # fire gap (29-31 or a 5th weekday restricted to listed months) and
+    # month-restricted daily/weekly forms
+    out = cep.from_("events").cql(
+        "from events#window.cron('0 15 10 ? * 6L') select count() as n insert into Out"
+    ).returns("Out")
+    assert out.count() > 0
+    out = cep.from_("events").cql(
+        "from events#window.cron('0 15 10 1 6 ?') select count() as n insert into Out"
+    ).returns("Out")
+    assert out.count() > 0
+    with pytest.raises(UnsupportedFeatureException, match="29-31|5th"):
         cep.from_("events").cql(
-            "from events#window.cron('0 15 10 ? * 6L') select count() as n insert into Out"
+            "from events#window.cron('0 15 10 31 6 ?') select count() as n insert into Out"
         ).returns("Out")
     with pytest.raises(UnsupportedFeatureException):
         cep.from_("events").cql(
-            "from events#window.cron('0 15 10 1 6 ?') select count() as n insert into Out"
+            "from events#window.cron('0 15 10 * 6 ?') select count() as n insert into Out"
         ).returns("Out")
 
 
@@ -330,3 +342,42 @@ def test_cron_monthend_skip_and_month_restriction(spark):
              (3, "a", 1.0, feb15),            # February never fires -> same bucket
              (4, "a", 1.0, mar15 + day)]      # after Mar 15 fire
     assert run("0 0 0 15 1,MAR ?", rows2) == [(1, 1), (2, 2), (4, 1)]
+
+
+def test_cron_quartz_specials(spark):
+    """round-4: quartz L / L-n / LW / D#n / DL specials lower to the same
+    greatest-over-candidates bucket function (make_date/last_day/dayofweek
+    arithmetic, NULL-skip for months without the target day)."""
+    from flink_siddhi_spark import SiddhiCEP
+
+    def run(cron, rows):
+        cep = SiddhiCEP(spark)
+        df = spark.createDataFrame(
+            rows, "id int, name string, price double, timestamp long")
+        cep.define("s", df, "id", "name", "price", "timestamp", ts_field="timestamp")
+        out = cep.from_("s").cql(
+            f"from s#window.cron('{cron}') select min(id) as lo, count() as n "
+            "group by name insert into Out").returns("Out")
+        return sorted((r.lo, r.n) for r in out.collect())
+
+    day = 86_400_000
+    jan1 = 1704067200000  # Mon 2024-01-01 00:00 UTC
+    rows = [(1, "a", 1.0, jan1 + 10 * day),   # Jan 11
+            (2, "a", 1.0, jan1 + 30 * day),   # Jan 31
+            (3, "a", 1.0, jan1 + 45 * day),   # Feb 15
+            (4, "a", 1.0, jan1 + 59 * day)]   # Feb 29 (leap)
+    # L: fires Dec 31 / Jan 31 / Feb 29 at 00:00 — Jan 31 (id 2) opens a
+    # bucket; Feb 29 00:00 fire puts id 4 (Feb 29 00:00 event) in its own
+    assert run("0 0 0 L * ?", rows) == [(1, 1), (2, 2), (4, 1)]
+    # L-1: fires Dec 30 / Jan 30 / Feb 28 — ids 2 (Jan 31) and 3 (Feb 15)
+    # share the Jan-30 bucket; id 4 (Feb 29) after the Feb-28 fire
+    assert run("0 0 0 L-1 * ?", rows) == [(1, 1), (2, 2), (4, 1)]
+    # LW: last weekday — Dec 29 2023 (Fri; 31st is Sun), Jan 31 (Wed),
+    # Feb 29 (Thu): same splits as L here
+    assert run("0 0 0 LW * ?", rows) == [(1, 1), (2, 2), (4, 1)]
+    # 2nd Friday (6#2): Dec 8 / Jan 12 / Feb 9 — id 1 (Jan 11) before
+    # Jan 12, ids 2,3 between Jan 12 and Feb 9... Feb 15 is AFTER Feb 9
+    assert run("0 0 0 ? * 6#2", rows) == [(1, 1), (2, 1), (3, 2)]
+    # last Friday (6L): Dec 29 / Jan 26 / Feb 23 — id 2 (Jan 31) and id 3
+    # (Feb 15) share the Jan-26 bucket; id 4 after Feb 23
+    assert run("0 0 0 ? * FRIL", rows) == [(1, 1), (2, 2), (4, 1)]
