@@ -246,16 +246,24 @@ def test_cron_weekday_range_buckets(spark):
     assert sorted(r.n for r in out.collect()) == [1, 1, 2]
 
 
-def test_cron_quartz_specials_still_rejected(spark):
+def test_cron_unbounded_gap_schedules_rejected(spark):
+    # round-4 turned the quartz specials (L/LW/D#n/DL) into supported
+    # bucket functions; what must still reject is any schedule whose fire
+    # gap is unbounded (lookback cannot be bounded at plan time)
     from flink_siddhi_spark.cep import SiddhiCEP
     from flink_siddhi_spark.errors import UnsupportedFeatureException
 
     df = spark.createDataFrame([(1, 1000)], "id long, ts long")
     cep = SiddhiCEP(spark)
     cep.define("s", df, "id", "ts", ts_field="ts")
-    with pytest.raises(UnsupportedFeatureException, match="cron"):
+    out = cep.from_("s").cql(
+        "from s#window.cron('0 0 0 ? * 6L') "
+        "select count() as n insert into Out"
+    ).returns("Out")
+    assert [r.n for r in out.collect()] == [1]
+    with pytest.raises(UnsupportedFeatureException, match="29-31|5th"):
         cep.from_("s").cql(
-            "from s#window.cron('0 0 0 ? * 6L') "
+            "from s#window.cron('0 0 0 29 FEB ?') "
             "select count() as n insert into Out"
         ).returns("Out")
 
