@@ -597,6 +597,22 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
+def q_dedup_fuzzy_keep(spark, sf_dir):
+    # round-4: the one-call fuzzy corpus dedup users actually run —
+    # LSH pairs -> connected components -> keep min-id representative
+    from flink_siddhi_spark.llm.dedup import fuzzy_dedup_keep
+
+    return fuzzy_dedup_keep(_docs(spark, sf_dir)).select("doc_id")
+
+
+def q_pipeline_cdc_chunks(spark, sf_dir):
+    # round-4: content-defined chunking (rolling-hash boundaries) — chunk
+    # alignment survives word insertions, unlike fixed-stride chunking
+    from flink_siddhi_spark.llm.pipeline import cdc_chunk_documents
+
+    return cdc_chunk_documents(_docs(spark, sf_dir), window=4, avg_size=16)
+
+
 def q_dedup_clusters(spark, sf_dir):
     from flink_siddhi_spark.llm.dedup import dedup_clusters, minhash_lsh_pairs
 
@@ -1148,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_verified": q_dedup_embedding_verified,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_fuzzy_keep": q_dedup_fuzzy_keep,  # new round 4
+        "pipeline_cdc_chunks": q_pipeline_cdc_chunks,  # new round 4
         "dedup_containment": q_dedup_containment,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         "text_pii_scrub": q_text_pii_scrub,
@@ -1763,6 +1781,33 @@ def oracle_sql() -> dict[str, str]:
             "reach(node, r) AS (SELECT src, src FROM edges "
             "UNION SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.node) "
             "SELECT node doc_id, min(r) cluster_id FROM reach GROUP BY node"
+        ),
+        "dedup_fuzzy_keep": (
+            "WITH RECURSIVE " + _lsh_cand_ctes() + ", "
+            "pairs AS (SELECT id_a, id_b FROM cand WHERE round(m / 8.0, 6) >= 0.5), "
+            "edges AS (SELECT id_a src, id_b dst FROM pairs "
+            "UNION ALL SELECT id_b, id_a FROM pairs), "
+            "reach(node, r) AS (SELECT src, src FROM edges "
+            "UNION SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.node), "
+            "lab AS (SELECT node, min(r) cid FROM reach GROUP BY node) "
+            "SELECT d.doc_id FROM documents d LEFT JOIN lab ON d.doc_id = lab.node "
+            "WHERE lab.node IS NULL OR lab.cid = d.doc_id"
+        ),
+        "pipeline_cdc_chunks": (
+            # content-defined chunking mirror: boundary when the first 8 hex
+            # digits of md5(trailing-4-word context) are divisible by 16
+            "WITH d AS (SELECT doc_id, string_split(lower(text), ' ') w FROM documents), "
+            "p AS (SELECT doc_id, CAST(i AS INT) pos, w[CAST(i AS INT)] word, "
+            "array_to_string(w[CAST(greatest(1, i - 3) AS INT):CAST(i AS INT)], ' ') ctx "
+            "FROM d, unnest(range(1, len(w) + 1)) t(i)), "
+            "b AS (SELECT doc_id, pos, word, CASE WHEN "
+            "CAST(concat('0x', substring(md5(ctx), 1, 8)) AS BIGINT) % 16 = 0 "
+            "THEN 1 ELSE 0 END bnd FROM p), "
+            "c AS (SELECT doc_id, pos, word, CAST(coalesce(SUM(bnd) OVER "
+            "(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) AS INT) chunk_idx FROM b) "
+            "SELECT doc_id, chunk_idx, string_agg(word, ' ' ORDER BY pos) chunk_text, "
+            "CAST(count(*) AS INT) n_words FROM c GROUP BY doc_id, chunk_idx"
         ),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": (

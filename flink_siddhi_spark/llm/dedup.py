@@ -719,6 +719,33 @@ def ngram_containment_pairs(
     return pairs
 
 
+def fuzzy_dedup_keep(
+    df: DataFrame, num_hashes: int = 8, bands: int = 4, threshold: float = 0.5,
+    text_col: str = "text", id_col: str = "doc_id", n: int = 3,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """One-call fuzzy corpus dedup — the pipeline users actually run:
+    MinHash-LSH candidate pairs -> connected components -> keep each
+    cluster's min-id representative plus every unclustered doc. Returns the
+    surviving rows of ``df`` (all columns).
+
+    Scale shape: the banded pair job (bucket-bounded equi-join; pass
+    ``max_bucket`` for viral-content star-capping), label propagation over
+    the pair graph (llm/dedup.dedup_clusters — O(diameter) rounds, no
+    collect), then ONE left-anti hash join on the drop set. The drop set is
+    |duplicates| rows — at typical web duplicate rates a fraction of the
+    corpus — and only ids travel, so the join is broadcast-able when small
+    and a plain hash anti-join otherwise."""
+    pairs = minhash_lsh_pairs(
+        df, num_hashes, bands, threshold, text_col, id_col, n, max_bucket
+    )
+    clusters = dedup_clusters(pairs)
+    drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 def semantic_dedup(
     df: DataFrame, threshold: float = 0.7, planes: int = 8,
     emb_col: str = "embedding", id_col: str = "vec_id",

@@ -316,6 +316,85 @@ def chunk_documents(
     )
 
 
+def cdc_chunk_documents(
+    df: DataFrame,
+    window: int = 4,
+    avg_size: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS-style) over word streams: a word
+    position ENDS a chunk when the rolling-context hash satisfies
+    ``hash % avg_size == 0`` (expected chunk length = ``avg_size`` words),
+    where the context is the trailing ``window``-word string at that
+    position. Boundaries depend only on local CONTENT, not absolute
+    position — so inserting or deleting words early in a document leaves
+    all later chunk boundaries (beyond one window) aligned, and chunk-level
+    dedup still finds the shared content that fixed-stride chunking
+    (``chunk_dedup``/``chunk_documents``) would miss entirely after a
+    one-word shift.
+
+    Returns (doc_id, chunk_idx, chunk_text, n_words).
+
+    Distributed shape mirrors ``shingle_table``: context strings are built
+    with array expressions, positions explode, and the md5 runs TOP-LEVEL
+    on exploded rows (whole-stage codegen — hashing inside a higher-order
+    lambda runs interpreted, ~10x slower). The running boundary count and
+    chunk re-assembly are one keyed Window + one groupBy over the SAME
+    doc-id key, so Catalyst plans a single exchange (hash partitioning on
+    doc_id satisfies the (doc_id, chunk_idx) clustering). Rows are words —
+    |corpus tokens| — the same explode volume every shingle pipeline here
+    already handles."""
+    from pyspark.sql.window import Window as W
+
+    if window <= 0 or avg_size <= 1:
+        raise ValueError(
+            f"cdc_chunk_documents: window ({window}) must be > 0 and "
+            f"avg_size ({avg_size}) > 1"
+        )
+    words = F.split(F.lower(F.col(text_col)), " ")
+    specs = F.transform(
+        F.sequence(F.lit(1), F.size(words)),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.element_at(words, i).alias("w"),
+            F.concat_ws(
+                " ",
+                F.slice(words, F.greatest(F.lit(1), i - (window - 1)),
+                        F.least(F.lit(window), i)),
+            ).alias("ctx"),
+        ),
+    )
+    ex = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(specs).alias("s")
+    ).select(id_col, "s.pos", "s.w", "s.ctx")
+    bnd = (
+        F.conv(F.substring(F.md5(F.col("ctx")), 1, 8), 16, 10).cast("bigint")
+        % avg_size == 0
+    ).cast("int")
+    w_prev = (
+        W.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chunked = ex.withColumn("__b", bnd).withColumn(
+        "chunk_idx", F.coalesce(F.sum("__b").over(w_prev), F.lit(0)).cast("int")
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda st: st["w"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+        )
+        .select(id_col, "chunk_idx", "chunk_text", "n_words")
+    )
+
+
 def novel_documents(
     df: DataFrame, seen: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:

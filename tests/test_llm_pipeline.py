@@ -138,3 +138,48 @@ def test_curate_composes_gate_dedup_sample(spark):
     assert 3 not in out          # failed the quality gate
     # rate=0 empties the slice deterministically
     assert curate(df, min_quality=0.4, sample_rate=0.0).count() == 0
+
+
+def test_cdc_chunk_documents_shift_robust(spark):
+    """round-4: content-defined chunk boundaries depend on local content, so
+    a prepended word realigns after ~one window and the shared tail chunks
+    hash-match — fixed-stride chunking shares nothing after a 1-word shift."""
+    from flink_siddhi_spark.llm.pipeline import cdc_chunk_documents, chunk_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "home now then sleeps deeply until dawn breaks over the hills")
+    df = spark.createDataFrame(
+        [(1, base), (2, "shifted " + base)], "doc_id long, text string")
+    chunks = cdc_chunk_documents(df, window=3, avg_size=4)
+    by_doc = {}
+    for r in chunks.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_words))
+    for d in by_doc.values():
+        d.sort()
+    # reassembly is lossless and ordered
+    assert " ".join(t for _, t, _ in by_doc[1]) == base
+    assert " ".join(t for _, t, _ in by_doc[2]) == "shifted " + base
+    # the two docs share most chunks despite the shift (content-defined!)
+    c1 = {t for _, t, _ in by_doc[1]}
+    c2 = {t for _, t, _ in by_doc[2]}
+    shared = c1 & c2
+    assert len(shared) >= max(1, len(c1) - 2), (c1, c2)
+    # degenerate params rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="avg_size"):
+        cdc_chunk_documents(df, window=3, avg_size=1)
+
+
+def test_fuzzy_dedup_keep_representatives(spark):
+    """round-4: one-call fuzzy dedup keeps each near-dup cluster's min-id
+    representative and every unclustered doc, with all columns intact."""
+    from flink_siddhi_spark.llm.dedup import fuzzy_dedup_keep
+
+    near = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, near, "s1"), (2, near + " x", "s2"), (3, near + " y", "s3"),
+         (9, "completely different text about catalyst query planners", "s4")],
+        "doc_id long, text string, source string")
+    kept = fuzzy_dedup_keep(df, threshold=0.5).collect()
+    assert sorted(r.doc_id for r in kept) == [1, 9]
+    assert {r.source for r in kept} == {"s1", "s4"}  # full rows survive
