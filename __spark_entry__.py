@@ -1056,17 +1056,77 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pattern_followed_by(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate evaluates queries() in dict order and records
+# only the FIRST 50 entries, so the window is ROTATED each round. Round 4
+# (VERDICT r3 ask #1): positions 1-10 are the ten entries that had NEVER had a
+# driver row (added in r2b/r3b after those windows closed); 11-14 are the four
+# new round-4 queries; 15-50 are the stalest r2-green entries, prioritizing
+# everything whose implementation CHANGED this round (both ANN rankers, the
+# dense dedup pair-emitters) plus the pattern/join/dedup/text families. The
+# r3-green core SiddhiQL set rotates to the tail (local mirror + pytest this
+# round). Left out of the window (r2 row stays their latest; must lead the
+# round-5 rotation): dedup_minhash_sig, dedup_simhash, dedup_embedding,
+# pipeline_sample, pipeline_split, pipeline_shuffle, pipeline_chunk_overlap,
+# text_token_count, text_fingerprint, pipeline_domain_quota.
+_R4_WINDOW = [
+    # 1-10: never driver-checked
+    "pipeline_fuzzy_contamination",
+    "text_length_percentiles",
+    "tpch_q10ish_returns",
+    "pipeline_quality_topfrac",
+    "custom_stream_fn",
+    "custom_window",
+    "text_dedup_stats",
+    "pipeline_embed",
+    "pipeline_contamination_gate",
+    "tpch_q18ish_bigorders",
+    # 11-14: new in round 4
+    "window_cron_monthend",
+    "window_cron_lastfriday",
+    "dedup_fuzzy_keep",
+    "pipeline_cdc_chunks",
+    # 15-50: stalest r2-green (changed-this-round first)
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "dedup_simhash_hamming",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_verified",
+    "dedup_exact",
+    "pattern_followed_by",
+    "pattern_first_match",
+    "pattern_within",
+    "pattern_absence",
+    "sequence_strict",
+    "sequence_quantifier",
+    "join_time_time",
+    "join_length_time",
+    "join_left_outer",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "tpch_q5ish_revenue",
+    "custom_udaf",
+    "text_pii_scrub",
+    "text_boilerplate_ngrams",
+    "text_tfidf_top_terms",
+    "text_lm_score",
+    "text_source_stats",
+    "text_quality",
+    "text_language_id",
+    "text_repetition",
+    "pipeline_novelty",
+    "pipeline_curate",
+    "pipeline_weighted_sample",
+    "pipeline_contamination",
+    "pipeline_pack",
+    "pipeline_chunk_dedup",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness gate evaluates entries in dict
-    # order and records only a bounded prefix (50 entries), so the window is
-    # ROTATED each round (VERDICT r2 ask #2): round 3 puts the 37 core
-    # SiddhiQL window/aggregation/table/scalar queries back at the head
-    # (driver-green in r1, local-mirror-only in r2), followed by the three
-    # multimodal queries whose outputs were made canonicalizer-safe this
-    # round, plus new round-3 operators. The LLM-pipeline set (driver-green
-    # in r2) moves to the tail and stays verified by
-    # scripts/verify_oracle.py + pytest locally this round.
-    return {
+    q = {
         # --- core SiddhiQL: stateless relational surface ---
         "filter_projection": q_filter_projection,
         "projection_expressions": q_projection_expressions,
@@ -1191,6 +1251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_shuffle": q_pipeline_shuffle,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
+    assert len(_R4_WINDOW) == 50 and set(_R4_WINDOW) <= set(q)
+    ordered = {k: q[k] for k in _R4_WINDOW}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
 
 
 # ---- oracle SQL builders -------------------------------------------------
