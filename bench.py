@@ -65,6 +65,12 @@ HEADLINE = [
     "tpch_q18ish_bigorders",
     "pipeline_contamination_gate",
     "pipeline_embed",
+    # round 4: quartz-special cron windows, one-call fuzzy dedup,
+    # content-defined chunking
+    "window_cron_monthend",
+    "window_cron_lastfriday",
+    "dedup_fuzzy_keep",
+    "pipeline_cdc_chunks",
 ]
 
 
@@ -90,6 +96,9 @@ SCALE_QUERIES = [
     # linear-by-construction ops: ratio ~0.1 expected (no pair expansion)
     "dedup_semantic",
     "pipeline_fuzzy_contamination",
+    # round 4 additions: end-to-end fuzzy dedup composition + CDC chunking
+    "dedup_fuzzy_keep",
+    "pipeline_cdc_chunks",
 ]
 # exact containment at 10x density is the documented pair-output quadratic
 # (measured 269s in round 3, SCALE.md) — the scale section now measures the
