@@ -52,13 +52,31 @@ def _two_phase_topk(scored: DataFrame, k: int, id_cols=("query_id", "neighbor_id
     def part_topk(batches):
         import pandas as pd
 
-        best = None
-        for pdf in batches:
-            cand = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+        # chunked accumulation: compress to per-query top-k only every
+        # ~256k buffered rows, not per Arrow batch — the sort+groupby is
+        # the per-row cost driver, and amortizing it over 25x bigger
+        # chunks keeps memory bounded (chunk + k rows/query) while cutting
+        # Python time ~an order of magnitude on large partitions
+        cap = 262_144
+        best, acc, acc_rows = None, [], 0
+
+        def compress():
+            nonlocal best, acc, acc_rows
+            frames = ([best] if best is not None else []) + acc
+            cand = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
             cand = cand.sort_values(
                 [qcol, "cos", ncol], ascending=[True, False, True], kind="mergesort"
             )
             best = cand.groupby(qcol, sort=False).head(k)
+            acc, acc_rows = [], 0
+
+        for pdf in batches:
+            acc.append(pdf)
+            acc_rows += len(pdf)
+            if acc_rows >= cap:
+                compress()
+        if acc:
+            compress()
         if best is not None and len(best):
             yield best
 
