@@ -81,3 +81,46 @@ def test_no_query_uses_python_row_udf(spark):
                  "pattern_followed_by", "multimodal_features"]:
         p = _plan(spark, name)
         assert "BatchEvalPython" not in p, (name, p)
+
+
+def test_ann_two_phase_topk_shape(spark):
+    """round-4: the ANN rankers must truncate to top-k BEFORE any exchange —
+    phase 1 is a MapInPandas local top-k on the scan side, so the scored
+    |corpus| x |queries| pair stream never shuffles; the merge rank runs as
+    WindowGroupLimit over k * n_partitions survivors."""
+    p = _plan(spark, "ann_cosine_topk")
+    assert "MapInPandas" in p, p
+    assert "WindowGroupLimit" in p, p
+    # the only hash exchange is the tiny post-truncation merge; the pair
+    # stream side (plan text BELOW MapInPandas) must reach it straight
+    # from the scoring join — cosine_topk's join is the DOCUMENTED exact
+    # BroadcastNestedLoopJoin baseline (non-equi: query_id != neighbor_id)
+    pre, _, post = p.partition("MapInPandas")
+    assert "Exchange hashpartitioning" not in post, p
+    assert "BroadcastNestedLoopJoin" in post, p
+
+    p = _plan(spark, "ann_ivf_topk")
+    # ivf's pair stream also truncates locally before the merge. Exchanges
+    # BELOW MapInPandas are the centroid-assignment aggregate (1 row per
+    # vector), and its condition-less broadcast joins against the k-row
+    # centroid table plan as BroadcastNestedLoopJoin by design — so only
+    # the structural two-phase markers are asserted here.
+    assert "MapInPandas" in p and "WindowGroupLimit" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_fuzzy_dedup_keep_anti_join(spark):
+    """round-4: the keep-list composition ends in ONE anti join on the drop
+    set (broadcast at this scale) and never a nested loop."""
+    p = _plan(spark, "dedup_fuzzy_keep")
+    assert "NestedLoop" not in p, p
+    assert "LeftAnti" in p, p
+
+
+def test_cdc_chunks_single_doc_exchange(spark):
+    """round-4: boundary running-count (Window) and chunk reassembly
+    (groupBy) share the doc_id hash partitioning — exactly one exchange
+    after the explode (plus the _spread round-robin on the tiny input)."""
+    p = _plan(spark, "pipeline_cdc_chunks")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "NestedLoop" not in p and "BatchEvalPython" not in p, p
