@@ -7,6 +7,8 @@ Decode support (no imaging libraries in this environment):
 - 24-bit uncompressed BMP is decoded/encoded/resized FOR REAL by the
   dependency-free pure-Python codec below (``decode_bmp``/``encode_bmp``) —
   so the bytes->pixels path is exercised end-to-end without ``fake=True``.
+- RIFF/WAVE 16-bit PCM audio is decoded FOR REAL the same way
+  (``decode_wav``/``encode_wav`` + ``audio_features``).
 - every other format raises NotImplementedError unless ``fake=True``, in
   which case a deterministic fake decoder derives "pixels" from the payload
   bytes. Swap in PIL/opencv/ffmpeg for production coverage.
@@ -254,3 +256,98 @@ def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 64,
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+# --------------------------------------------------------------- WAV codec
+def encode_wav(samples: list[int], sample_rate: int = 16_000) -> bytes:
+    """Encode 16-bit mono PCM samples as a canonical RIFF/WAVE payload."""
+    import array
+
+    data = array.array("h", samples).tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes):
+    """Decode a RIFF/WAVE payload to ``(sample_rate, n_channels, samples)``
+    (16-bit PCM only; chunk-walks the RIFF structure so extra chunks — LIST,
+    fact — are skipped like a real parser)."""
+    import array
+
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM WAV supported (format={audio_format}, bits={bits})"
+        )
+    samples = array.array("h")
+    samples.frombytes(data[: len(data) - len(data) % 2])
+    return sample_rate, n_channels, samples.tolist()
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Arrow-batched audio feature extraction over binary payloads
+    (mapInPandas): sample rate, duration, RMS, peak amplitude.
+
+    REAL path: RIFF/WAVE 16-bit PCM decodes via the pure-Python codec.
+    ``fake=True`` derives deterministic pseudo-samples from the payload
+    bytes (the stub contract the image/video stages use) so non-audio
+    test payloads can exercise the plumbing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def feats(p):
+            p = bytes(p)
+            if fake:
+                sr, samples = 16_000, [b - 128 for b in p[:4096]]
+            else:
+                sr, _ch, samples = decode_wav(p)
+            n = len(samples)
+            rms = math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+            peak = max((abs(s) for s in samples), default=0)
+            return sr, n, (n / sr if sr else 0.0), round(rms, 6), peak
+
+        for pdf in batches:
+            cols = [feats(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [c[0] for c in cols],
+                    "n_samples": [c[1] for c in cols],
+                    "duration_s": [c[2] for c in cols],
+                    "rms": [c[3] for c in cols],
+                    "peak": [c[4] for c in cols],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, AUDIO_SCHEMA)

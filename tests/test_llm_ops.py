@@ -512,3 +512,40 @@ def test_real_bmp_decode_through_spark(spark):
                                   "media_id long, payload binary")
     with pytest.raises(Exception, match="BMP|imaging"):
         M.extract_features(other, fake=False).collect()
+
+
+def test_real_wav_audio_features_through_spark(spark):
+    """round-4: the audio leg of the multimodal story — synthesized RIFF/WAVE
+    PCM payloads flow through audio_features WITHOUT fake=True via the
+    dependency-free WAV codec (chunk-walking parser: extra RIFF chunks are
+    skipped)."""
+    import math
+    import struct as st
+
+    from flink_siddhi_spark.llm import multimodal as M
+
+    tone = [int(10000 * math.sin(2 * math.pi * 440 * i / 16000))
+            for i in range(1600)]  # 0.1s 440Hz @16kHz
+    silence = [0] * 800                                     # 0.05s silence
+    wav1, wav2 = M.encode_wav(tone), M.encode_wav(silence, sample_rate=8000)
+    # splice an extra LIST chunk between fmt and data to exercise chunk-walk
+    hdr, data = wav1[:36], wav1[36:]
+    extra = b"LIST" + st.pack("<I", 4) + b"INFO"
+    riff_size = st.unpack("<I", wav1[4:8])[0] + len(extra)
+    wav1x = b"RIFF" + st.pack("<I", riff_size) + wav1[8:36] + extra + data
+    assert M.decode_wav(wav1x)[2] == tone
+
+    media = spark.createDataFrame(
+        [(1, wav1x), (2, wav2)], "media_id long, payload binary")
+    rows = {r.media_id: r for r in M.audio_features(media).collect()}
+    assert rows[1].sample_rate == 16000 and rows[1].n_samples == 1600
+    assert abs(rows[1].duration_s - 0.1) < 1e-9
+    expected_rms = math.sqrt(sum(s * s for s in tone) / len(tone))
+    assert abs(rows[1].rms - expected_rms) < 1e-3
+    assert rows[1].peak == max(abs(s) for s in tone)
+    assert rows[2].sample_rate == 8000 and rows[2].rms == 0.0 and rows[2].peak == 0
+    # non-WAV refuses real decode; fake path still works for plumbing tests
+    other = spark.createDataFrame([(3, b"not audio")], "media_id long, payload binary")
+    with pytest.raises(Exception, match="RIFF|WAVE"):
+        M.audio_features(other).collect()
+    assert M.audio_features(other, fake=True).collect()[0].sample_rate == 16000
