@@ -381,3 +381,105 @@ def test_cron_quartz_specials(spark):
     # last Friday (6L): Dec 29 / Jan 26 / Feb 23 — id 2 (Jan 31) and id 3
     # (Feb 15) share the Jan-26 bucket; id 4 after Feb 23
     assert run("0 0 0 ? * FRIL", rows) == [(1, 1), (2, 2), (4, 1)]
+
+
+def test_cron_calendar_bucket_property(spark):
+    """round-4 property test: for a spread of calendar schedules (fixed days
+    incl. 29-31, lists, month restrictions, L/L-n/LW/D#n/DL), the Spark
+    bucket for every probe timestamp equals a brute-force Python 'last fire
+    at-or-before' computed by enumerating fires month by month. Guards the
+    per-form lookback bounds in the monthly lowering."""
+    import calendar
+    import datetime as dt
+
+    from flink_siddhi_spark import SiddhiCEP
+
+    def fires(year, month, spec, tod_s):
+        """All fire datetimes of one schedule day-spec in (year, month)."""
+        kind = spec[0]
+        dim = calendar.monthrange(year, month)[1]
+        if kind == "num":
+            days = [spec[1]] if spec[1] <= dim else []
+        elif kind == "last":
+            days = [dim - spec[1]] if dim - spec[1] >= 1 else []
+        elif kind == "lastw":
+            d = dt.date(year, month, dim)
+            adj = {5: 1, 6: 2}.get(d.weekday(), 0)  # Sat->Fri, Sun->Fri
+            days = [dim - adj]
+        elif kind == "nth_dow":
+            code, n = spec[1], spec[2]  # quartz 1=SUN..7=SAT
+            pyw = (code + 5) % 7        # python Monday=0
+            first = dt.date(year, month, 1).weekday()
+            day = 1 + (pyw - first) % 7 + 7 * (n - 1)
+            days = [day] if day <= dim else []
+        else:  # last_dow
+            code = spec[1]
+            pyw = (code + 5) % 7
+            last = dt.date(year, month, dim).weekday()
+            days = [dim - (last - pyw) % 7]
+        return [
+            dt.datetime(year, month, d, tzinfo=dt.timezone.utc)
+            + dt.timedelta(seconds=tod_s)
+            for d in days
+        ]
+
+    def brute_bucket(ts_ms, specs, months, tod_s):
+        t = dt.datetime.fromtimestamp(ts_ms / 1000, dt.timezone.utc)
+        best = None
+        y, m = t.year, t.month
+        for _ in range(40):  # walk back far enough for any supported form
+            if months is None or m in months:
+                for sp in specs:
+                    for f in fires(y, m, sp, tod_s):
+                        if f.timestamp() * 1000 <= ts_ms:
+                            best = f if best is None else max(best, f)
+            if best is not None:
+                return int(best.timestamp() * 1000)
+            m -= 1
+            if m == 0:
+                y, m = y - 1, 12
+        return None
+
+    cases = [
+        ("0 0 0 31 * ?", [("num", 31)], None),
+        ("0 30 6 29 * ?", [("num", 29)], None),
+        ("0 0 12 15,30 * ?", [("num", 15), ("num", 30)], None),
+        ("0 0 0 15 1,MAR,7 ?", [("num", 15)], {1, 3, 7}),
+        ("0 0 0 28 NOV-FEB ?", [("num", 28)], {11, 12, 1, 2}),
+        ("0 0 0 L * ?", [("last", 0)], None),
+        ("0 0 0 L-3 * ?", [("last", 3)], None),
+        ("0 0 0 LW * ?", [("lastw",)], None),
+        ("0 0 9 ? * 6#2", [("nth_dow", 6, 2)], None),
+        ("0 0 0 ? * 2#5", [("nth_dow", 2, 5)], None),  # 5th Monday: skips
+        ("0 0 0 ? * SATL", [("last_dow", 7)], None),
+    ]
+    # probe timestamps: spread over 2023-2025 incl. month starts/ends and
+    # leap February
+    probes = []
+    base = dt.datetime(2023, 1, 1, tzinfo=dt.timezone.utc)
+    for k in range(60):
+        probes.append(int((base + dt.timedelta(days=k * 17.37)).timestamp() * 1000))
+    for ymd in [(2024, 2, 29), (2024, 3, 1), (2023, 2, 28), (2024, 12, 31),
+                (2025, 1, 1), (2024, 1, 31), (2024, 4, 30)]:
+        probes.append(int(dt.datetime(*ymd, 11, 30, tzinfo=dt.timezone.utc)
+                          .timestamp() * 1000))
+
+    rows = [(i, "a", 1.0, ts) for i, ts in enumerate(probes)]
+    df = spark.createDataFrame(rows, "id int, name string, price double, ts long")
+    for cron, specs, months in cases:
+        tod_s = 0
+        parts = cron.split()
+        tod_s = int(parts[2]) * 3600 + int(parts[1]) * 60 + int(parts[0])
+        cep = SiddhiCEP(spark)
+        cep.define("s", df, "id", "name", "price", "ts", ts_field="ts")
+        out = cep.from_("s").cql(
+            "from s#window.cron('" + cron + "') "
+            "select min(id) as lo, count() as n group by name insert into Out"
+        ).returns("Out")
+        got = sorted((r.lo, r.n) for r in out.collect())
+        want_groups = {}
+        for i, ts in enumerate(probes):
+            b = brute_bucket(ts, specs, months, tod_s)
+            want_groups.setdefault(b, []).append(i)
+        want = sorted((min(v), len(v)) for v in want_groups.values())
+        assert got == want, (cron, got, want)
