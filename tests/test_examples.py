@@ -32,3 +32,20 @@ def test_extensions_example_runs(spark):
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert "stream fn:" in r.stdout
+
+
+def test_multimodal_example(spark):
+    sys.path.insert(0, EXAMPLES)
+    try:
+        from multimodal_pipeline import build
+    finally:
+        sys.path.pop(0)
+    out = build(spark)
+    feats = {r.media_id: r for r in out["features"].collect()}
+    assert set(feats) == {1, 2}
+    # checkerboard: half the 192 channel bytes in bin 0, half in bin 15
+    assert feats[1].histogram[0] == 96 and feats[1].histogram[15] == 96
+    audio = {r.media_id: r for r in out["audio"].collect()}
+    assert audio[3].sample_rate == 16000 and audio[4].sample_rate == 8000
+    assert audio[3].rms > audio[4].rms
+    assert out["thumbs"].count() == 2 and out["frames"].count() > 0
