@@ -262,6 +262,18 @@ def add_bucket(
             elif kind == "lastw":
                 ldw = F.dayofweek(F.last_day(first))  # 1=SUN..7=SAT
                 day = dim - F.when(ldw == 7, 1).when(ldw == 1, 2).otherwise(0)
+            elif kind == "near_w":
+                # quartz 'dW': nearest weekday to day d, never crossing the
+                # month boundary (d=1 on Sat -> Mon the 3rd; d=dim on Sun ->
+                # Fri before); skip months shorter than d
+                d = ds[1]
+                base = F.when(F.lit(d) <= dim, F.lit(d))
+                bdw = F.dayofweek(F.make_date(y, m, base))
+                day = (
+                    F.when(bdw == 7, F.when(base == 1, base + 2).otherwise(base - 1))
+                    .when(bdw == 1, F.when(base == dim, base - 2).otherwise(base + 1))
+                    .otherwise(base)
+                )
             elif kind == "nth_dow":
                 code, n = ds[1], ds[2]
                 first_occ = 1 + (F.lit(code) - F.dayofweek(first) + 7) % 7
@@ -370,6 +382,8 @@ _DAYS_FROM_EPOCH_DOW = {5: 0, 6: 1, 7: 2, 1: 3, 2: 4, 3: 5, 4: 6}
 
 
 def _dow_code(tok: str) -> Optional[int]:
+    if tok == "L":  # bare L in the day-of-week field is quartz for SAT
+        return 7
     if tok in _QUARTZ_DOW:
         return _QUARTZ_DOW[tok]
     if tok.isdigit() and 1 <= int(tok) <= 7:
@@ -491,7 +505,7 @@ def _cron_schedule(spec: A.WindowSpec):
             if month not in ("*", "?"):
                 months = _month_set(month)
                 if any(
-                    (ds[0] == "num" and ds[1] >= 29)
+                    (ds[0] in ("num", "near_w") and ds[1] >= 29)
                     or (ds[0] == "nth_dow" and ds[2] == 5)
                     for ds in dayspecs
                 ):
@@ -506,7 +520,7 @@ def _cron_schedule(spec: A.WindowSpec):
             # 1; skip forms need the max consecutive-skip run + 1
             jback = 1
             for ds in dayspecs:
-                if ds[0] == "num" and ds[1] >= 29:
+                if ds[0] in ("num", "near_w") and ds[1] >= 29:
                     jback = max(jback, 2)  # no two consecutive short months
                 if ds[0] == "nth_dow" and ds[2] == 5:
                     jback = max(jback, 5)  # 5th-weekday gaps span <=4 months
@@ -523,7 +537,7 @@ def _cron_schedule(spec: A.WindowSpec):
         "monthly 's m h D[,D...] * ?' (D<=31; short months skipped, the "
         "Quartz contract), month-restricted 's m h D[,D...] M[,M...|M1-M2] ?' "
         "(D<=28; month names or numbers), and the quartz specials L / L-n / "
-        "LW (day-of-month) and D#n / DL (day-of-week)"
+        "LW / dW (day-of-month) and D#n / DL / L (day-of-week)"
     )
 
 
@@ -548,6 +562,11 @@ def _dom_specs(dom: str, dow: str):
             if not 0 <= off <= 27:
                 raise SiddhiPlannerException("#window.cron: L-n offset must be 0..27")
             return [("last", off)]
+        if u.endswith("W") and u[:-1].isdigit():
+            d = int(u[:-1])
+            if not 1 <= d <= 31:
+                raise SiddhiPlannerException("#window.cron: day-of-month out of range 1..31")
+            return [("near_w", d)]
         if all(p.isdigit() for p in dom.split(",")):
             doms = sorted({int(p) for p in dom.split(",")})
             if not all(1 <= d <= 31 for d in doms):

@@ -412,6 +412,18 @@ def test_cron_calendar_bucket_property(spark):
             first = dt.date(year, month, 1).weekday()
             day = 1 + (pyw - first) % 7 + 7 * (n - 1)
             days = [day] if day <= dim else []
+        elif kind == "near_w":
+            d = spec[1]
+            if d > dim:
+                days = []
+            else:
+                wd = dt.date(year, month, d).weekday()  # Mon=0..Sun=6
+                if wd == 5:      # Saturday
+                    days = [d + 2 if d == 1 else d - 1]
+                elif wd == 6:    # Sunday
+                    days = [d - 2 if d == dim else d + 1]
+                else:
+                    days = [d]
         else:  # last_dow
             code = spec[1]
             pyw = (code + 5) % 7
@@ -452,6 +464,10 @@ def test_cron_calendar_bucket_property(spark):
         ("0 0 9 ? * 6#2", [("nth_dow", 6, 2)], None),
         ("0 0 0 ? * 2#5", [("nth_dow", 2, 5)], None),  # 5th Monday: skips
         ("0 0 0 ? * SATL", [("last_dow", 7)], None),
+        ("0 0 0 1W * ?", [("near_w", 1)], None),
+        ("0 0 0 15W * ?", [("near_w", 15)], None),
+        ("0 0 0 31W * ?", [("near_w", 31)], None),  # skip + boundary clamp
+        ("0 0 0 ? * L", [("last_dow", None)], "weekly-sat"),
     ]
     # probe timestamps: spread over 2023-2025 incl. month starts/ends and
     # leap February
@@ -467,9 +483,32 @@ def test_cron_calendar_bucket_property(spark):
     rows = [(i, "a", 1.0, ts) for i, ts in enumerate(probes)]
     df = spark.createDataFrame(rows, "id int, name string, price double, ts long")
     for cron, specs, months in cases:
-        tod_s = 0
         parts = cron.split()
         tod_s = int(parts[2]) * 3600 + int(parts[1]) * 60 + int(parts[0])
+        if months == "weekly-sat":
+            # bare L in the day-of-week field = SAT: weekly period schedule;
+            # brute force = last Saturday-midnight at-or-before each probe
+            def brute_sat(ts_ms):
+                t = dt.datetime.fromtimestamp(ts_ms / 1000, dt.timezone.utc)
+                day0 = t.replace(hour=0, minute=0, second=0, microsecond=0)
+                back = (day0.weekday() - 5) % 7
+                cand = day0 - dt.timedelta(days=back)
+                if cand.timestamp() * 1000 > ts_ms:
+                    cand -= dt.timedelta(days=7)
+                return int(cand.timestamp() * 1000)
+            cep = SiddhiCEP(spark)
+            cep.define("s", df, "id", "name", "price", "ts", ts_field="ts")
+            out = cep.from_("s").cql(
+                "from s#window.cron('" + cron + "') "
+                "select min(id) as lo, count() as n group by name insert into Out"
+            ).returns("Out")
+            got = sorted((r.lo, r.n) for r in out.collect())
+            wg = {}
+            for i, ts in enumerate(probes):
+                wg.setdefault(brute_sat(ts), []).append(i)
+            want = sorted((min(v), len(v)) for v in wg.values())
+            assert got == want, (cron, got, want)
+            continue
         cep = SiddhiCEP(spark)
         cep.define("s", df, "id", "name", "price", "ts", ts_field="ts")
         out = cep.from_("s").cql(
