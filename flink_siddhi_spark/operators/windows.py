@@ -534,7 +534,8 @@ def _cron_schedule(spec: A.WindowSpec):
     raise UnsupportedFeatureException(
         f"#window.cron: unsupported expr {a.value!r} — supported: */N "
         "sec|min|hour periods, daily 's m h * * ?', weekly 's m h ? * DOW', "
-        "monthly 's m h D[,D...] * ?' (D<=31; short months skipped, the "
+        "monthly 's m h DOM * ?' with DOM lists/ranges/steps (D<=31; short "
+        "months skipped, the "
         "Quartz contract), month-restricted 's m h D[,D...] M[,M...|M1-M2] ?' "
         "(D<=28; month names or numbers), and the quartz specials L / L-n / "
         "LW / dW (day-of-month) and D#n / DL / L (day-of-week)"
@@ -567,14 +568,29 @@ def _dom_specs(dom: str, dow: str):
             if not 1 <= d <= 31:
                 raise SiddhiPlannerException("#window.cron: day-of-month out of range 1..31")
             return [("near_w", d)]
-        if all(p.isdigit() for p in dom.split(",")):
-            doms = sorted({int(p) for p in dom.split(",")})
-            if not all(1 <= d <= 31 for d in doms):
-                raise SiddhiPlannerException(
-                    "#window.cron: day-of-month out of range 1..31"
-                )
-            return [("num", d) for d in doms]
-        return None
+        doms: set = set()
+        for part in u.split(","):
+            if part.isdigit():
+                doms.add(int(part))
+            elif "-" in part:
+                lo, _, hi = part.partition("-")
+                if not (lo.isdigit() and hi.isdigit() and int(lo) <= int(hi)):
+                    return None
+                doms.update(range(int(lo), int(hi) + 1))
+            elif "/" in part:
+                start, _, step = part.partition("/")
+                if start == "*":
+                    start = "1"
+                if not (start.isdigit() and step.isdigit() and int(step) >= 1):
+                    return None
+                doms.update(range(int(start), 32, int(step)))
+            else:
+                return None
+        if not all(1 <= d <= 31 for d in doms):
+            raise SiddhiPlannerException(
+                "#window.cron: day-of-month out of range 1..31"
+            )
+        return [("num", d) for d in sorted(doms)]
     if dom in ("*", "?") and dow not in ("*", "?"):
         u = dow.upper()
         if "#" in u:

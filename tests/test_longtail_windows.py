@@ -467,6 +467,8 @@ def test_cron_calendar_bucket_property(spark):
         ("0 0 0 1W * ?", [("near_w", 1)], None),
         ("0 0 0 15W * ?", [("near_w", 15)], None),
         ("0 0 0 31W * ?", [("near_w", 31)], None),  # skip + boundary clamp
+        ("0 0 0 10-13 * ?", [("num", d) for d in range(10, 14)], None),
+        ("0 0 0 1/9 * ?", [("num", d) for d in (1, 10, 19, 28)], None),
         ("0 0 0 ? * L", [("last_dow", None)], "weekly-sat"),
     ]
     # probe timestamps: spread over 2023-2025 incl. month starts/ends and
