@@ -138,7 +138,7 @@ def minhash_signatures(
 def minhash_lsh_pairs(
     df: DataFrame, num_hashes: int = 8, bands: int = 4, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id", n: int = 3,
-    max_bucket: Optional[int] = None,
+    max_bucket: Optional[int] = None, auto_cap: bool = True,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, scored by signature agreement.
 
@@ -149,7 +149,15 @@ def minhash_lsh_pairs(
     page can put millions of docs in one bucket) expand O(m^2) on a single
     task. Buckets larger than ``max_bucket`` instead emit only the star
     pairs (min-id member, other) — O(m) — which ``dedup_clusters`` recovers
-    transitively. Default None keeps exact all-pairs output."""
+    transitively. Default None keeps exact all-pairs output — except above
+    ``DENSE_PAIR_AUTOCAP_LIMIT`` corpus rows, where ``auto_cap`` applies
+    ``LSH_AUTOCAP_BUCKET`` with a warning (``auto_cap=False`` opts out)."""
+    if (
+        auto_cap
+        and max_bucket is None
+        and _autocap_triggered(df.select(id_col), "minhash_lsh_pairs")
+    ):
+        max_bucket = LSH_AUTOCAP_BUCKET
     sig = minhash_signatures(df, num_hashes, text_col, id_col, n)
     rpb = num_hashes // bands
     sig_cols = [f"sig_{j}" for j in range(num_hashes)]
@@ -455,6 +463,14 @@ QUADRATIC_VERIFY_LIMIT = 100_000
 # contract). Mirrors the ``QUADRATIC_VERIFY_LIMIT`` guard above.
 DENSE_PAIR_AUTOCAP_LIMIT = 20_000
 DENSE_PAIR_DEFAULTS = {"per_doc_cap": 5, "max_bucket": 256, "max_shingle_df": 1_000}
+# LSH candidate buckets cap lower than exact-fingerprint buckets: members of
+# one banding bucket are mutually-likely near-dups, so the star pairs
+# (bucket-min, other) preserve the connectivity a clustering consumer needs
+# while a 100-member bucket stops costing 4,950 pairs (measured: the 100x
+# corpus probe ran fuzzy_dedup_keep 314s uncapped vs the capped plan's
+# linear star output). Pairwise consumers that need every in-bucket edge
+# should pass max_bucket explicitly.
+LSH_AUTOCAP_BUCKET = 64
 
 
 def _autocap_triggered(df: DataFrame, fn_name: str) -> bool:

@@ -549,3 +549,27 @@ def test_real_wav_audio_features_through_spark(spark):
     with pytest.raises(Exception, match="RIFF|WAVE"):
         M.audio_features(other).collect()
     assert M.audio_features(other, fake=True).collect()[0].sample_rate == 16000
+
+
+def test_lsh_autocap_threshold(spark, monkeypatch):
+    """round-4: minhash_lsh_pairs star-caps buckets automatically above the
+    corpus-size threshold (LSH_AUTOCAP_BUCKET) — clustering consumers keep
+    full groups through the star closure; auto_cap=False keeps exact."""
+    import warnings
+
+    monkeypatch.setattr(D, "DENSE_PAIR_AUTOCAP_LIMIT", 50)
+    docs = spark.createDataFrame(
+        [(i, "the same viral page content repeated everywhere") for i in range(80)]
+        + [(1000, "completely different text entirely")],
+        "doc_id long, text string")
+    with pytest.warns(UserWarning, match="DENSE_PAIR_AUTOCAP_LIMIT"):
+        auto = D.minhash_lsh_pairs(docs, threshold=0.5)
+    akeys = {(r.id_a, r.id_b) for r in auto.collect()}
+    assert akeys == {(0, i) for i in range(1, 80)}  # star pairs only
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        exact = D.minhash_lsh_pairs(docs, threshold=0.5, auto_cap=False)
+    assert len({(r.id_a, r.id_b) for r in exact.collect()}) == 80 * 79 // 2
+    # clustering recovers the identical duplicate group either way
+    ca = {r.cluster_id for r in D.dedup_clusters(auto.select("id_a", "id_b")).collect()}
+    assert ca == {0}
