@@ -159,59 +159,53 @@ def minhash_lsh_pairs(
     ):
         max_bucket = LSH_AUTOCAP_BUCKET
     sig = minhash_signatures(df, num_hashes, text_col, id_col, n)
+    # materialize signatures ONCE: the banded self-join references the
+    # signature table on both sides, and without this the shingle-explode
+    # md5 pipeline (the expensive part) would execute twice
+    sig = sig.localCheckpoint(eager=False)
     rpb = num_hashes // bands
     sig_cols = [f"sig_{j}" for j in range(num_hashes)]
-    # compute signatures ONCE and explode the band array; candidates come
-    # from ONE shuffle: groupBy (band, bucket) + in-bucket pair expansion
-    # (bounded by bucket size — same quadratic as a bucket self-join but
-    # without recomputing the md5 pipeline per join side or persisting).
-    # At real scale, degenerate buckets (mass-duplicated content) should be
-    # salted/capped; kept exact here for oracle parity.
+    # candidates come from a banded self-EQUI-join on (band, bucket) — the
+    # same shape as simhash_hamming_pairs: hash shuffle on the bucket key,
+    # per-candidate scoring as 8 codegen'd column comparisons. (An earlier
+    # implementation grouped each bucket into ONE collect_list array and
+    # expanded pairs with array lambdas — measured ~2x slower at high
+    # duplicate density because the expansion runs on the interpreted
+    # expression path, and a viral bucket materializes as a single in-memory
+    # array, a memory cliff the join shape does not have.)
     band_structs = _band_structs(sig_cols, bands, rpb)
-    member = F.struct(
-        F.col(id_col).alias("id"),
-        F.array(*[F.col(c) for c in sig_cols]).alias("sigs"),
-    )
-    buckets = (
-        sig.withColumn("__b", F.explode(band_structs))
-        .groupBy(F.col("__b.band"), F.col("__b.bucket"))
-        .agg(F.array_sort(F.collect_list(member)).alias("xs"))
-        .filter(F.size("xs") > 1)
-    )
-    # all i<j pairs inside one bucket (xs sorted by id, so pairs come out
-    # ordered without a comparison filter)
-    pairs = F.flatten(
-        F.transform(
-            F.col("xs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("xs"), i + 2, F.size(F.col("xs"))),
-                lambda y: F.struct(x["id"].alias("id_a"), y["id"].alias("id_b"),
-                                   x["sigs"].alias("sa"), y["sigs"].alias("sb")),
-            ),
-        )
+    ex = sig.select(
+        F.col(id_col).alias("id"), *sig_cols, F.explode(band_structs).alias("b")
     )
     if max_bucket is not None:
-        # star expansion for oversize buckets: (min-id member, other) only
-        head = F.col("xs")[0]
-        star = F.transform(
-            F.slice(F.col("xs"), 2, F.size(F.col("xs"))),
-            lambda y: F.struct(head["id"].alias("id_a"), y["id"].alias("id_b"),
-                               head["sigs"].alias("sa"), y["sigs"].alias("sb")),
+        # per-(band, bucket) size + min id: oversize buckets keep only the
+        # star pairs anchored at the min-id member — O(m), not O(m^2)
+        stats = ex.groupBy("b").agg(
+            F.count(F.lit(1)).alias("__bn"), F.min("id").alias("__bmin")
         )
-        pairs = F.when(F.size(F.col("xs")) > max_bucket, star).otherwise(pairs)
-    cand = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.sa", "p.sb")
-        .dropDuplicates(["id_a", "id_b"])
+        ex = ex.join(stats, "b")
+    a, b = ex.alias("a"), ex.alias("b")
+    cond = (F.col("a.b") == F.col("b.b")) & (F.col("a.id") < F.col("b.id"))
+    if max_bucket is not None:
+        cond = cond & (
+            (F.col("a.__bn") <= max_bucket) | (F.col("a.id") == F.col("a.__bmin"))
+        )
+    k = float(num_hashes)
+    matches = sum(
+        F.when(F.col(f"a.sig_{j}") == F.col(f"b.sig_{j}"), 1).otherwise(0)
+        for j in range(num_hashes)
     )
-    k = float(len(sig_cols))
-    matches = F.size(
-        F.filter(F.zip_with("sa", "sb", lambda a, b: a == b), lambda v: v)
-    )
+    # score BEFORE dropDuplicates: the agreement filter is cheap codegen and
+    # shrinks the dedup shuffle from |candidates| to |true pairs|
     return (
-        cand.withColumn("est_jaccard", F.round(matches / F.lit(k), 6))
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(matches / F.lit(k), 6).alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
