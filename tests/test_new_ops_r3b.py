@@ -216,8 +216,8 @@ def test_cron_dow_set_parsing():
     assert _dow_set("MON-FRI") == {2, 3, 4, 5, 6}
     assert _dow_set("FRI-MON") == {6, 7, 1, 2}  # wrapping range
     assert _dow_set("2,4") == {2, 4}
-    assert _dow_set("L") is None  # quartz specials stay rejected
-    assert _dow_set("MON#2") is None
+    assert _dow_set("L") == {7}  # bare L in the dow field = quartz SAT (r4)
+    assert _dow_set("MON#2") is None  # #n handled by _dom_specs, not here
 
 
 def test_cron_weekday_range_buckets(spark):
@@ -395,16 +395,22 @@ def test_cron_monthly_list_buckets(spark):
     assert sorted(r.n for r in out.collect()) == [1, 2, 2]
 
 
-def test_cron_monthly_range_rejected(spark):
+def test_cron_monthly_range_supported_daily_restricted_rejected(spark):
+    # round-4: day-of-month RANGES are supported (expand to day lists);
+    # month-restricted daily schedules remain the rejected long tail
     from flink_siddhi_spark.cep import SiddhiCEP
     from flink_siddhi_spark.errors import UnsupportedFeatureException
 
     df = spark.createDataFrame([(1, 1000)], "id long, ts long")
     cep = SiddhiCEP(spark)
     cep.define("s", df, "id", "ts", ts_field="ts")
+    out = cep.from_("s").cql(
+        "from s#window.cron('0 0 0 1-5 * ?') select count() as n insert into Out"
+    ).returns("Out")
+    assert [r.n for r in out.collect()] == [1]
     with pytest.raises(UnsupportedFeatureException, match="cron"):
         cep.from_("s").cql(
-            "from s#window.cron('0 0 0 1-5 * ?') select count() as n insert into Out"
+            "from s#window.cron('0 0 0 * 6 ?') select count() as n insert into Out"
         ).returns("Out")
 
 
