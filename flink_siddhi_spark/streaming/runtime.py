@@ -330,6 +330,22 @@ class StreamingPlanner(BatchPlanner):
             group_cols = [bucket.alias(W.BUCKET_COL)] + group_cols
             win_start = F.lit(None).cast("bigint")
             win_end = F.lit(None).cast("bigint")
+        elif wclass == "batch" and si.window.name.lower() in ("cron", "externaltimebatch"):
+            # cron (fixed-period AND calendar/quartz forms) and
+            # externalTimeBatch lower to pure bucket-expression columns in
+            # batch mode (operators/windows.py add_bucket) — the same
+            # streaming-safe shape as window extensions: group the
+            # update/complete-mode aggregation by the bucket column.
+            # windowStart()/windowEnd() come from the bucket lowering.
+            ts_field = self.stream_schema(si.stream).ts_field
+            if ts_field is None:
+                raise SiddhiPlannerException(
+                    f"#window.{si.window.name}: stream has no ts_field"
+                )
+            bw = W.add_bucket(df, si.window, ts_field, [], [])
+            df = bw.df
+            group_cols = [F.col(W.BUCKET_COL)] + group_cols
+            win_start, win_end = bw.win_start, bw.win_end
         elif wclass == "batch":
             name = si.window.name.lower()
             if name == "lengthbatch":

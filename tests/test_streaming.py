@@ -923,3 +923,59 @@ def test_streaming_full_outer_time_join(spark, tmp_path):
     got = {(r.an, r.bn) for r in out.collect()}
     assert ("a", "x") in got
     assert ("lonely_l", None) in got and (None, "lonely_r") in got
+
+
+def test_streaming_cron_and_external_time_batch(spark, tmp_path):
+    """round-4: cron (fixed-period AND calendar) and externalTimeBatch lower
+    to bucket columns in streaming too (update/complete-mode groupBy), with
+    windowStart() from the bucket lowering — matching batch output across
+    two micro-batches."""
+    from flink_siddhi_spark.siddhiql.parser import parse
+
+    day = 86_400_000
+    jan1 = 1704067200000  # Mon 2024-01-01 00:00 UTC
+    rows = [(1, "a", 1.0, jan1 + 3_600_000),        # Jan 1 01:00
+            (2, "a", 2.0, jan1 + 11 * 60_000),       # Jan 1 00:11
+            (3, "b", 3.0, jan1 + 30 * day),          # Jan 31
+            (4, "a", 4.0, jan1 + 45 * day),          # Feb 15
+            (5, "b", 5.0, jan1 + 59 * day)]          # Feb 29 (leap)
+    cqls = [
+        # fixed-period 10-minute cron with windowStart()
+        "from s#window.cron('0 */10 * * * ?') select windowStart() as w, "
+        "count() as n insert into Out",
+        # calendar monthend cron (DOM 31, Quartz skip)
+        "from s#window.cron('0 0 0 31 * ?') select name, count() as n "
+        "group by name insert into Out",
+        # externalTimeBatch over the ts attribute, 1-day buckets
+        "from s#window.externalTimeBatch(timestamp, 1 day) select "
+        "windowStart() as w, count() as n insert into Out",
+    ]
+    for qi, cql in enumerate(cqls):
+        bcep = SiddhiCEP(spark)
+        bdf = spark.createDataFrame(rows, EVENT_SCHEMA)
+        bcep.define("s", bdf, "id", "name", "price", "timestamp",
+                    ts_field="timestamp")
+        batch = sorted(tuple(r) for r in
+                       bcep.from_("s").cql(cql).returns("Out").collect())
+
+        d = tmp_path / f"cronstream{qi}"
+        d.mkdir()
+        spark.createDataFrame(rows[:3], EVENT_SCHEMA).coalesce(1)\
+            .write.parquet(str(d / "f1"))
+        spark.createDataFrame(rows[3:], EVENT_SCHEMA).coalesce(1)\
+            .write.parquet(str(d / "f2"))
+        stream = (spark.readStream.schema(EVENT_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(str(d / "f*")))
+        cep = SiddhiCEP(spark)
+        cep.register_stream("s", stream, "id", "name", "price", "timestamp",
+                            ts_field="timestamp")
+        planner = StreamingPlanner(cep.catalog, cep.extensions)
+        out_df = planner.compile_query(parse(cql).queries[0])
+        q = to_memory(out_df, f"m_cron{qi}",
+                      checkpoint=str(tmp_path / f"ck_cron{qi}"),
+                      output_mode="complete")
+        q.awaitTermination(60)
+        assert q.lastProgress["batchId"] >= 1
+        got = sorted(tuple(r) for r in
+                     spark.sql(f"SELECT * FROM m_cron{qi}").collect())
+        assert got == batch, (cql, got, batch)
