@@ -573,3 +573,24 @@ def test_lsh_autocap_threshold(spark, monkeypatch):
     # clustering recovers the identical duplicate group either way
     ca = {r.cluster_id for r in D.dedup_clusters(auto.select("id_a", "id_b")).collect()}
     assert ca == {0}
+
+
+def test_two_phase_topk_tie_determinism(spark):
+    """round-4: with duplicate vectors (exact cosine ties) the local top-k
+    truncation and the merge rank use the same (cos desc, neighbor_id asc)
+    total order, so results are deterministic and match brute force even
+    when k cuts through a tie group split across partitions."""
+    from flink_siddhi_spark.llm.similarity import cosine_topk
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    near = [0.9, 0.1, 0.0, 0.0]
+    far = [0.0, 0.0, 1.0, 0.0]
+    rows = [(0, base)] + [(i, near) for i in range(1, 9)] + [(9, far)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    embs = embs.repartition(4)  # force the tie group across partitions
+    out = cosine_topk(embs, embs.filter("vec_id = 0"), k=3).collect()
+    got = [(r.neighbor_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    # eight identical-cos 'near' neighbors tie; ids 1,2,3 must win
+    assert got == [(1, 1), (2, 2), (3, 3)], got
+    cos_vals = {r.cos for r in out}
+    assert len(cos_vals) == 1  # all three are the tied score
