@@ -26,6 +26,10 @@ streaming DataFrames where Structured Streaming has a native shape:
 - ``#window.time(t)`` (and ``externalTime`` on the event-time field):
   per-arrival trailing time window via a per-key stateful buffer of the
   last t ms (batch ``rangeBetween(-t, 0)`` contract).
+- ``#window.timeLength(t, n)``: the length ring + time eviction relative
+  to the arriving event (round 4) — state bounded by min(n, rate*t).
+- ``#window.cron`` (fixed + calendar/quartz) and ``externalTimeBatch``:
+  bucket-expression grouping in update/complete mode (round 4).
 - incremental aggregations (`per 'sec..day'`): aligned tumbling window aggs.
 - event tables: continuous DML via foreachBatch (streaming/tables.py).
 
@@ -382,6 +386,17 @@ class StreamingPlanner(BatchPlanner):
                     "streaming #window.externalTime needs its timestamp attribute "
                     "to be the stream's ts_field (general case: batch mode)"
                 )
+            if wname == "timelength":
+                ts_field = self.stream_schema(si.stream).ts_field
+                if ts_field is None:
+                    raise SiddhiPlannerException(
+                        "#window.timeLength: stream has no ts_field"
+                    )
+                return self._streaming_sliding_length(
+                    df, q, si, key_names,
+                    t_ms=int(si.window.args[0].value), n_arg=1,
+                    ts_field=ts_field,
+                )
             raise UnsupportedFeatureException(
                 f"sliding #window.{si.window.name} aggregation is batch-only; "
                 "streaming emits per-window-flush (timeBatch/session)"
@@ -613,7 +628,8 @@ class StreamingPlanner(BatchPlanner):
         )
 
     def _streaming_sliding_length(
-        self, df: DataFrame, q: A.Query, si: A.SingleInput, key_names: list[str]
+        self, df: DataFrame, q: A.Query, si: A.SingleInput, key_names: list[str],
+        t_ms=None, n_arg: int = 0, ts_field=None,
     ) -> DataFrame:
         """``#window.length(n)`` on a streaming source: per-arrival aggregate
         over the trailing n events per key (the reference's exercised P0
@@ -621,13 +637,21 @@ class StreamingPlanner(BatchPlanner):
         lives in the state store; every arriving row emits one output row —
         the same per-arrival emission the embedded engine produces.
 
+        With ``t_ms``/``ts_field`` set this runs ``#window.timeLength(t, n)``
+        (round 4): the same ring additionally evicts entries older than
+        ``t_ms`` relative to the ARRIVING event's ``ts_field`` value before
+        aggregating — the batch contract's hybrid window (last t ms capped
+        at the n most recent), so state stays bounded by min(n, rate*t).
+
         Select items: group-key refs, current-row column refs, ``count()``,
         or ``agg(column)``; complex expressions stay batch-only."""
-        n = int(si.window.args[0].value)
+        n = int(si.window.args[n_arg].value)
         field_types = {f.name: f.dataType for f in df.schema.fields}
         plan, carry, out_fields = self._plan_stateful_items(
             q, key_names, field_types, allow_cur=True, what="length window"
         )
+        if t_ms is not None and ts_field not in carry:
+            carry.append(ts_field)
         out_schema = T.StructType(out_fields)
         state_schema = T.StructType([T.StructField("ring", T.ArrayType(T.StringType()))])
         ts_in_df = TS_COL in df.columns
@@ -637,9 +661,14 @@ class StreamingPlanner(BatchPlanner):
         out_names = [f.name for f in out_fields]
         agg_over = StreamingPlanner._agg_over
 
+        ts_idx = carry_cols.index(ts_field) if t_ms is not None else None
+        t_ms_c = t_ms
+
         def proc(key, pdfs, state: GroupState):
             import json as _json
             import math
+
+            import numpy as _np
 
             ring = list(state.get[0]) if state.exists else []
             out = []
@@ -648,11 +677,24 @@ class StreamingPlanner(BatchPlanner):
                     continue
                 part = pdf[carry_cols].sort_values(by=sort_cols)
                 for r in part.itertuples(index=False, name=None):
-                    row = [None if (isinstance(v, float) and math.isnan(v)) else v
-                           for v in r]
+                    row = [
+                        None if (isinstance(v, float) and math.isnan(v))
+                        else (v.item() if isinstance(v, _np.generic) else v)
+                        for v in r
+                    ]  # numpy scalars (int64!) are not JSON-serializable
                     ring.append(_json.dumps(row))
                     if len(ring) > n_c:
                         ring.pop(0)
+                    if t_ms_c is not None:
+                        # hybrid window: drop entries older than t relative
+                        # to the arriving event (ring is in ts order)
+                        cur_ts = int(row[ts_idx])
+                        while ring:
+                            head = _json.loads(ring[0])
+                            if head[ts_idx] is None or int(head[ts_idx]) <= cur_ts - t_ms_c:
+                                ring.pop(0)
+                            else:
+                                break
                     win = [_json.loads(s) for s in ring]
                     rec = []
                     for out_name, kind, col in plan_c:

@@ -979,3 +979,41 @@ def test_streaming_cron_and_external_time_batch(spark, tmp_path):
         got = sorted(tuple(r) for r in
                      spark.sql(f"SELECT * FROM m_cron{qi}").collect())
         assert got == batch, (cql, got, batch)
+
+
+def test_streaming_time_length_window(spark, tmp_path):
+    """round-4: #window.timeLength(t, n) streams — the length-window ring
+    additionally evicts entries older than t relative to the arriving
+    event, matching the batch hybrid-window contract per arrival."""
+    rows = [(1, "a", 1.0, 1000), (2, "a", 2.0, 2000), (3, "a", 3.0, 3000),
+            (4, "a", 4.0, 6000),   # 1500ms window: only itself survives
+            (5, "b", 5.0, 1000), (6, "b", 6.0, 2200),
+            (7, "a", 7.0, 6800)]   # with e4 in range
+    cql = ("from s#window.timeLength(1500, 3) select id, sum(price) as running "
+           "group by name insert into Out")
+
+    bcep = SiddhiCEP(spark)
+    bdf = spark.createDataFrame(rows, "id int, name string, price double, timestamp long")
+    bcep.define("s", bdf, "id", "name", "price", "timestamp", ts_field="timestamp")
+    batch = sorted(tuple(r) for r in
+                   bcep.from_("s").cql(cql).returns("Out").collect())
+
+    d = tmp_path / "tl"
+    d.mkdir()
+    schema = "id int, name string, price double, timestamp long"
+    spark.createDataFrame(rows[:4], schema).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(rows[4:], schema).coalesce(1).write.parquet(str(d / "f2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d / "f*")))
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp",
+                        ts_field="timestamp")
+    from flink_siddhi_spark.siddhiql.parser import parse
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out_df = planner.compile_query(parse(cql).queries[0])
+    q = to_memory(out_df, "m_tl", checkpoint=str(tmp_path / "ck_tl"),
+                  output_mode="append")
+    q.awaitTermination(60)
+    assert q.lastProgress["batchId"] >= 1
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM m_tl").collect())
+    assert got == batch, (got, batch)
