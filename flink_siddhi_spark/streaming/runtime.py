@@ -37,8 +37,9 @@ Retention windows: row-wise ``unique``/``firstUnique`` stream as keyed
 last/first-event state; ``sort``/``frequent`` stream as per-micro-batch
 SNAPSHOTS of the retained contents (each row tagged ``__snapshot``; max id =
 current contents — PARITY.md §15). The rest of the retention family,
-month/year granularities, and order/limit are batch-only — the planner
-raises a clear error.
+order/limit are batch-only — the planner raises a clear error.
+Month/year incremental-aggregation granularities stream via synthesized
+calendar-cron buckets (round 4).
 """
 
 from __future__ import annotations
@@ -832,9 +833,15 @@ class StreamingPlanner(BatchPlanner):
             )
         ms = {"sec": 1000, "min": 60_000, "hour": 3_600_000, "day": 86_400_000}.get(gran)
         if ms is None:
-            raise UnsupportedFeatureException(
-                "month/year granularities are calendar-sized — batch mode only"
-            )
+            # month/year are calendar-sized: synthesize a cron window whose
+            # fires are exactly the date_trunc boundaries batch mode uses
+            # (monthly on the 1st at midnight / annually on Jan 1) — the
+            # round-4 streaming cron path groups by the bucket expression,
+            # and windowStart() IS the truncated epoch ms
+            cron = "0 0 0 1 * ?" if gran == "month" else "0 0 0 1 1 ?"
+            wspec = A.WindowSpec("cron", [A.Literal(cron, "string")])
+        else:
+            wspec = A.WindowSpec("timeBatch", [A.Literal(ms, "time")])
         if adef.ts_ref is not None and adef.ts_ref.name != src.ts_field:
             raise UnsupportedFeatureException(
                 "streaming aggregation requires `aggregate by` = the stream's event-time field"
@@ -846,9 +853,7 @@ class StreamingPlanner(BatchPlanner):
             )
         synth = A.Query(
             input=A.SingleInput(
-                adef.input.stream, adef.input.filter,
-                A.WindowSpec("timeBatch", [A.Literal(ms, "time")]),
-                adef.input.alias,
+                adef.input.stream, adef.input.filter, wspec, adef.input.alias,
             ),
             select=[A.SelectItem(A.Call(None, "windowStart", []), AGG_TS)]
             + list(adef.select),

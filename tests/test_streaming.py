@@ -1017,3 +1017,34 @@ def test_streaming_time_length_window(spark, tmp_path):
     assert q.lastProgress["batchId"] >= 1
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM m_tl").collect())
     assert got == batch, (got, batch)
+
+
+def test_streaming_aggregation_rollup_month(spark, tmp_path):
+    """round-4: month/year rollup granularities stream via synthesized
+    calendar-cron buckets whose fires are the batch date_trunc boundaries."""
+    from flink_siddhi_spark.siddhiql.parser import parse
+    from flink_siddhi_spark.schema import StreamSchema
+
+    day = 86_400_000
+    jan1 = 1704067200000  # 2024-01-01 00:00 UTC
+    feb1 = jan1 + 31 * day
+    path = write_events(spark, tmp_path / "srcm", [
+        (1, "a", 10.0, jan1 + day), (2, "a", 20.0, jan1 + 20 * day),
+        (3, "a", 30.0, feb1 + 5 * day), (4, "b", 5.0, feb1 + 10 * day),
+    ])
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    catalog = {"s": StreamSchema("s", stream, ["id", "name", "price", "timestamp"],
+                                 ts_field="timestamp")}
+    plan = parse(
+        "define aggregation PM from s select name, sum(price) as total "
+        "group by name aggregate every sec...year;"
+        "from PM per 'month' select AGG_TIMESTAMP, name, total insert into Out;"
+    )
+    planner = StreamingPlanner(catalog, watermark_delay="0 seconds",
+                               aggregations={a.name: a for a in plan.aggregations})
+    df = planner.compile_query(plan.queries[0])
+    q = to_memory(df, "agg_month", checkpoint=str(tmp_path / "ck_month"),
+                  output_mode="complete")
+    q.awaitTermination(60)
+    rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM agg_month").collect())
+    assert rows == [(jan1, "a", 30.0), (feb1, "a", 30.0), (feb1, "b", 5.0)], rows
