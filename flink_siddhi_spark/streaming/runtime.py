@@ -105,12 +105,13 @@ class StreamingPlanner(BatchPlanner):
         retain = W.classify(si.window, self.extensions) == "retain"
         wname = si.window.name.lower() if si.window is not None else ""
         if retain:
-            if wname not in ("unique", "firstunique", "sort", "frequent") \
-                    or self._query_has_agg(q):
+            if wname not in ("unique", "firstunique", "sort", "frequent",
+                             "lossyfrequent") or self._query_has_agg(q):
                 raise UnsupportedFeatureException(
                     f"#window.{si.window.name}: retention windows follow the "
                     "final-contents contract — batch mode only (streaming "
-                    "supports row-wise unique/firstUnique/sort/frequent)"
+                    "supports row-wise unique/firstUnique/sort/frequent/"
+                    "lossyFrequent)"
                 )
         df = self._with_watermark(df, schema)
         names = {si.stream, si.alias} if si.alias else {si.stream}
@@ -234,12 +235,28 @@ class StreamingPlanner(BatchPlanner):
         state_schema = T.StructType(
             [T.StructField("rows", T.BinaryType()), T.StructField("snap", T.IntegerType())]
         )
+        min_frac: Optional[float] = None
         if wname == "sort":
             n, sort_keys = W._sort_args(si.window)
             by = [k for k, _ in sort_keys] + ord_cols
             ascending = [asc for _, asc in sort_keys] + [True] * len(ord_cols)
             top_n: Optional[int] = n
             combo_keys: list[str] = []
+        elif wname == "lossyfrequent":
+            # same snapshot machinery as frequent, but the retained combos
+            # are those with count >= (support - error) * total (the batch
+            # exact-count contract) instead of the top-n
+            support = W._arg_num(si.window, 0)
+            idx, error = 1, 0.0
+            if len(si.window.args) > 1 and isinstance(si.window.args[1], A.Literal) \
+                    and si.window.args[1].kind in ("float", "double"):
+                error = W._arg_num(si.window, 1)
+                idx = 2
+            n = None
+            combo_keys = [a.name for a in si.window.args[idx:] if isinstance(a, A.Ref)]
+            combo_keys = combo_keys or [f for f in schema.fields if f in out_cols]
+            by, ascending, top_n = ord_cols, [True] * len(ord_cols), None
+            min_frac = support - error
         else:  # frequent
             n = W._arg_ms(si.window, 0)
             combo_keys = [a.name for a in si.window.args[1:] if isinstance(a, A.Ref)]
@@ -276,7 +293,10 @@ class StreamingPlanner(BatchPlanner):
                     .sort_values(["__n"] + combo_keys, ascending=[False] + [True] * len(combo_keys),
                                  kind="mergesort")
                 )
-                top = counts.head(n)[combo_keys]
+                if min_frac is not None:
+                    top = counts[counts["__n"] >= min_frac * len(rows)][combo_keys]
+                else:
+                    top = counts.head(n)[combo_keys]
                 retained = rows.merge(top, on=combo_keys, how="inner")
                 retained = retained.sort_values(by, ascending=ascending, kind="mergesort")
             snap += 1

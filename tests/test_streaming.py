@@ -1048,3 +1048,44 @@ def test_streaming_aggregation_rollup_month(spark, tmp_path):
     q.awaitTermination(60)
     rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM agg_month").collect())
     assert rows == [(jan1, "a", 30.0), (feb1, "a", 30.0), (feb1, "b", 5.0)], rows
+
+
+def test_streaming_lossy_frequent_snapshots(spark, tmp_path):
+    """round-4: #window.lossyFrequent streams as retained-contents snapshots
+    (same machinery as frequent); the final snapshot equals the batch
+    final-contents result."""
+    from flink_siddhi_spark.siddhiql.parser import parse
+    from flink_siddhi_spark.schema import StreamSchema
+
+    rows = [(1, "a", 1.0, 1000), (2, "a", 2.0, 2000), (3, "b", 3.0, 3000),
+            (4, "a", 4.0, 4000), (5, "c", 5.0, 5000), (6, "a", 6.0, 6000),
+            (7, "b", 7.0, 7000)]
+    cql = ("from s#window.lossyFrequent(0.3, name) "
+           "select id, name insert into Out")
+
+    bcep = SiddhiCEP(spark)
+    bdf = spark.createDataFrame(rows, "id int, name string, price double, timestamp long")
+    bcep.define("s", bdf, "id", "name", "price", "timestamp", ts_field="timestamp")
+    batch = sorted((r.id, r.name) for r in
+                   bcep.from_("s").cql(cql).returns("Out").collect())
+
+    d = tmp_path / "lf"
+    d.mkdir()
+    schema = "id int, name string, price double, timestamp long"
+    spark.createDataFrame(rows[:4], schema).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(rows[4:], schema).coalesce(1).write.parquet(str(d / "f2"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d / "f*")))
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp",
+                        ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out_df = planner.compile_query(parse(cql).queries[0])
+    q = to_memory(out_df, "m_lf", checkpoint=str(tmp_path / "ck_lf"),
+                  output_mode="append")
+    q.awaitTermination(60)
+    assert q.lastProgress["batchId"] >= 1
+    snaps = spark.sql("SELECT * FROM m_lf").collect()
+    last = max(r["__snapshot"] for r in snaps)
+    got = sorted((r.id, r.name) for r in snaps if r["__snapshot"] == last)
+    assert got == batch, (got, batch)
