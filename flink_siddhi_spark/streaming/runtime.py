@@ -106,12 +106,13 @@ class StreamingPlanner(BatchPlanner):
         wname = si.window.name.lower() if si.window is not None else ""
         if retain:
             if wname not in ("unique", "firstunique", "sort", "frequent",
-                             "lossyfrequent") or self._query_has_agg(q):
+                             "lossyfrequent", "delay", "batch") \
+                    or self._query_has_agg(q):
                 raise UnsupportedFeatureException(
                     f"#window.{si.window.name}: retention windows follow the "
                     "final-contents contract — batch mode only (streaming "
                     "supports row-wise unique/firstUnique/sort/frequent/"
-                    "lossyFrequent)"
+                    "lossyFrequent/delay/batch)"
                 )
         df = self._with_watermark(df, schema)
         names = {si.stream, si.alias} if si.alias else {si.stream}
@@ -126,7 +127,23 @@ class StreamingPlanner(BatchPlanner):
             resolver = self._plain_resolver(set(df.columns), names)
         extra_cols: tuple = ()
         if retain:
-            if wname in ("unique", "firstunique"):
+            if wname == "delay":
+                # identical to batch: shift the event-time columns by t —
+                # eventTimestamp() reads TS_COL, so shift it and the raw
+                # ts attribute together
+                if schema.ts_field is None:
+                    raise SiddhiPlannerException(
+                        "#window.delay needs an event-time stream"
+                    )
+                shift = W._arg_ms(si.window, 0)
+                df = df.withColumn(
+                    schema.ts_field, F.col(schema.ts_field) + F.lit(shift)
+                )
+                if TS_COL in df.columns:
+                    df = df.withColumn(TS_COL, F.col(TS_COL) + F.lit(shift))
+            elif wname == "batch":
+                pass  # retains everything: row-wise pass-through
+            elif wname in ("unique", "firstunique"):
                 df = self._streaming_unique(df, si, schema)
             else:
                 pkey = (q.partition_by or {}).get(si.stream)

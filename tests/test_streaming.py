@@ -787,10 +787,10 @@ def test_streaming_retention_with_aggregation_rejected(spark, tmp_path):
     q = parse("from s#window.sort(2, price) select sum(price) as t insert into Out;").queries[0]
     with pytest.raises(UnsupportedFeatureException, match="retention"):
         planner.compile_query(q)
-    # round-4: row-wise lossyFrequent STREAMS now (snapshot machinery);
-    # what still rejects is any retention window under an aggregate, and
-    # the delay/batch retention kinds
-    q2 = parse("from s#window.delay(1000) select id insert into Out;").queries[0]
+    # round-4: row-wise lossyFrequent/delay/batch STREAM now; what still
+    # rejects is any retention window under an aggregate
+    q2 = parse("from s#window.lossyFrequent(0.1) select count() as n "
+               "insert into Out;").queries[0]
     with pytest.raises(UnsupportedFeatureException, match="retention"):
         planner.compile_query(q2)
 
@@ -1092,3 +1092,30 @@ def test_streaming_lossy_frequent_snapshots(spark, tmp_path):
     last = max(r["__snapshot"] for r in snaps)
     got = sorted((r.id, r.name) for r in snaps if r["__snapshot"] == last)
     assert got == batch, (got, batch)
+
+
+def test_streaming_delay_and_batch_windows(spark, tmp_path):
+    """round-4: row-wise delay (event-time shift) and batch() (pass-through)
+    stream; delay shifts eventTimestamp() exactly like batch mode."""
+    from flink_siddhi_spark.siddhiql.parser import parse
+
+    rows = [(1, "a", 1.0, 1000), (2, "b", 2.0, 2000)]
+    path = write_events(spark, tmp_path / "in_dly", rows)
+    cep = SiddhiCEP(spark)
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp",
+                        ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = planner.compile_query(parse(
+        "from s#window.delay(60000) select id, eventTimestamp() as ets "
+        "insert into Out;").queries[0])
+    q = to_memory(out, "m_dly", checkpoint=str(tmp_path / "ck_dly"))
+    q.awaitTermination(60)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM m_dly").collect())
+    assert got == [(1, 61000), (2, 62000)], got
+    out = planner.compile_query(parse(
+        "from s#window.batch() select id, price insert into Out;").queries[0])
+    q = to_memory(out, "m_btch", checkpoint=str(tmp_path / "ck_btch"))
+    q.awaitTermination(60)
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM m_btch").collect())
+    assert got == [(1, 1.0), (2, 2.0)], got
