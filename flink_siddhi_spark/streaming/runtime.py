@@ -34,12 +34,13 @@ streaming DataFrames where Structured Streaming has a native shape:
 - event tables: continuous DML via foreachBatch (streaming/tables.py).
 
 Retention windows: row-wise ``unique``/``firstUnique`` stream as keyed
-last/first-event state; ``sort``/``frequent`` stream as per-micro-batch
-SNAPSHOTS of the retained contents (each row tagged ``__snapshot``; max id =
-current contents — PARITY.md §15). The rest of the retention family,
-order/limit are batch-only — the planner raises a clear error.
-Month/year incremental-aggregation granularities stream via synthesized
-calendar-cron buckets (round 4).
+last/first-event state; ``sort``/``frequent``/``lossyFrequent`` stream as
+per-micro-batch SNAPSHOTS of the retained contents (each row tagged
+``__snapshot``; max id = current contents — PARITY.md §15); ``delay``
+shifts the event-time columns row-wise and ``batch()`` passes rows
+through. Aggregates over retention windows and order/limit are batch-only
+— the planner raises a clear error. Month/year incremental-aggregation
+granularities stream via synthesized calendar-cron buckets (round 4).
 """
 
 from __future__ import annotations
