@@ -473,6 +473,8 @@ def _autocap_triggered(df: DataFrame, fn_name: str) -> bool:
     it guards). Emits the warning naming the applied defaults."""
     import warnings
 
+    if df.isStreaming:
+        return False  # no count on unbounded input; streaming callers size caps explicitly
     n = df.count()
     if n <= DENSE_PAIR_AUTOCAP_LIMIT:
         return False
