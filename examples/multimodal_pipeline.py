@@ -16,6 +16,7 @@ def build(spark):
         audio_features,
         encode_bmp,
         encode_wav,
+        encode_y4m,
         extract_features,
         resize_images,
         sample_frames,
@@ -35,18 +36,19 @@ def build(spark):
         (2, "image/bmp", bytearray(encode_bmp(gradient))),
         (3, "audio/wav", bytearray(encode_wav(tone))),
         (4, "audio/wav", bytearray(encode_wav(quiet, sample_rate=8000))),
-        (5, "video/fake", bytearray(bytes(range(256)) * 4)),
+        (5, "video/y4m", bytearray(encode_y4m(
+            [bytes([i * 16] * (8 * 8 + 2 * 16)) for i in range(8)], 8, 8))),
     ]
     media = spark.createDataFrame(rows, "media_id long, mime string, payload binary")
 
     images = media.filter("mime = 'image/bmp'")
     audio = media.filter("mime = 'audio/wav'")
-    video = media.filter("mime = 'video/fake'")
+    video = media.filter("mime = 'video/y4m'")
     return {
         "features": extract_features(images, fake=False),
         "thumbs": resize_images(images, 4, 4, fake=False),
         "audio": audio_features(audio),
-        "frames": sample_frames(video, every_n=2, frame_bytes=128),
+        "frames": sample_frames(video, every_n=2, fake=False),
     }
 
 

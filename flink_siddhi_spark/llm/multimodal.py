@@ -9,6 +9,8 @@ Decode support (no imaging libraries in this environment):
   so the bytes->pixels path is exercised end-to-end without ``fake=True``.
 - RIFF/WAVE 16-bit PCM audio is decoded FOR REAL the same way
   (``decode_wav``/``encode_wav`` + ``audio_features``).
+- YUV4MPEG2 (.y4m) raw video decodes FOR REAL too
+  (``decode_y4m``/``encode_y4m`` + ``sample_frames(fake=False)``).
 - every other format raises NotImplementedError unless ``fake=True``, in
   which case a deterministic fake decoder derives "pixels" from the payload
   bytes. Swap in PIL/opencv/ffmpeg for production coverage.
@@ -231,28 +233,86 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+# --------------------------------------------------------------- Y4M codec
+def encode_y4m(frames: list[bytes], width: int, height: int,
+               fps: int = 25) -> bytes:
+    """Encode raw 4:2:0 YUV frames as a YUV4MPEG2 (.y4m) payload — the
+    plain-text-header raw-video container ffmpeg reads/writes. Each frame
+    must be w*h + 2*(w//2)*(h//2) bytes (Y plane + quarter-size U and V)."""
+    expect = width * height + 2 * (width // 2) * (height // 2)
+    for f in frames:
+        if len(f) != expect:
+            raise ValueError(f"frame must be {expect} bytes for {width}x{height} 4:2:0")
+    head = f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C420\n".encode()
+    return head + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def decode_y4m(payload: bytes):
+    """Decode a YUV4MPEG2 payload to ``(width, height, fps, frames)`` with
+    each frame the raw 4:2:0 plane bytes. Parses the parameter header and
+    walks FRAME markers (per-frame parameters after FRAME are skipped)."""
+    payload = bytes(payload)
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    width = height = None
+    fps = 25
+    for tok in payload[9:nl].split():
+        if tok[:1] == b"W":
+            width = int(tok[1:])
+        elif tok[:1] == b"H":
+            height = int(tok[1:])
+        elif tok[:1] == b"F":
+            num, _, den = tok[1:].partition(b":")
+            fps = int(num) // max(1, int(den or b"1"))
+        elif tok[:1] == b"C" and tok not in (b"C420", b"C420jpeg", b"C420mpeg2", b"C420paldv"):
+            raise ValueError(f"only 4:2:0 Y4M supported (got {tok.decode()})")
+    if width is None or height is None:
+        raise ValueError("Y4M header missing W/H")
+    fsz = width * height + 2 * (width // 2) * (height // 2)
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: missing FRAME marker")
+        fnl = payload.index(b"\n", pos)
+        frames.append(payload[fnl + 1:fnl + 1 + fsz])
+        if len(frames[-1]) != fsz:
+            raise ValueError("truncated Y4M frame")
+        pos = fnl + 1 + fsz
+    return width, height, fps, frames
+
+
 def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 64,
                   fake: bool = True) -> DataFrame:
-    """Sample every n-th fixed-size "frame" from a (fake) video payload —
-    the one-row-in / many-rows-out mapInPandas shape a real ffmpeg-backed
-    sampler would use. Deterministic fake: frames are consecutive
-    ``frame_bytes`` slices of the payload."""
-    if not fake:
-        raise NotImplementedError(
-            "video decoding requires ffmpeg; run with fake=True for the "
-            "deterministic test sampler"
-        )
+    """Sample every n-th frame from a video payload — the one-row-in /
+    many-rows-out mapInPandas shape.
+
+    REAL path (``fake=False``): YUV4MPEG2 (.y4m) raw video decodes via the
+    pure-Python codec — frames are the actual 4:2:0 planes and
+    ``frame_bytes`` is ignored. Other containers need ffmpeg and raise.
+    Deterministic fake (default): frames are consecutive ``frame_bytes``
+    slices of the payload."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nos, frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(payload)
-                n_frames = max(1, len(p) // frame_bytes)
-                for fno in range(0, n_frames, every_n):
+                if fake:
+                    n_frames = max(1, len(p) // frame_bytes)
+                    fs = [p[i * frame_bytes:(i + 1) * frame_bytes]
+                          for i in range(n_frames)]
+                elif p.startswith(b"YUV4MPEG2"):
+                    _w, _h, _fps, fs = decode_y4m(p)
+                else:
+                    raise NotImplementedError(
+                        "only YUV4MPEG2 decodes without ffmpeg; run with "
+                        "fake=True for the deterministic test sampler"
+                    )
+                for fno in range(0, len(fs), every_n):
                     ids.append(mid)
                     nos.append(fno)
-                    frames.append(p[fno * frame_bytes:(fno + 1) * frame_bytes])
+                    frames.append(fs[fno])
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
 
     return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)

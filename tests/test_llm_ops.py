@@ -594,3 +594,23 @@ def test_two_phase_topk_tie_determinism(spark):
     assert got == [(1, 1), (2, 2), (3, 3)], got
     cos_vals = {r.cos for r in out}
     assert len(cos_vals) == 1  # all three are the tied score
+
+
+def test_real_y4m_frame_sampling_through_spark(spark):
+    """round-4: the video leg — synthesized YUV4MPEG2 payloads flow through
+    sample_frames WITHOUT fake=True; frames are the actual 4:2:0 planes."""
+    from flink_siddhi_spark.llm import multimodal as M
+
+    w, h = 4, 2
+    fsz = w * h + 2 * (w // 2) * (h // 2)
+    frames = [bytes([i] * fsz) for i in range(6)]
+    y4m = M.encode_y4m(frames, w, h, fps=30)
+    media = spark.createDataFrame([(1, y4m)], "media_id long, payload binary")
+    out = M.sample_frames(media, every_n=2, fake=False).collect()
+    got = sorted((r.frame_no, bytes(r.frame)) for r in out)
+    assert got == [(0, frames[0]), (2, frames[2]), (4, frames[4])], [g[0] for g in got]
+    # non-Y4M refuses real decode; fake slicing still works
+    other = spark.createDataFrame([(2, b"x" * 128)], "media_id long, payload binary")
+    with pytest.raises(Exception, match="YUV4MPEG2|ffmpeg"):
+        M.sample_frames(other, every_n=2, fake=False).collect()
+    assert len(M.sample_frames(other, every_n=2, frame_bytes=64).collect()) == 1
