@@ -262,9 +262,13 @@ def main() -> int:
             # exact queries so every semantics has honest numbers.
             def _containment_canon(_s, d):
                 # production order: collapse verbatim copies FIRST, then run
-                # near-dup containment on canonical docs only (3x at 10x
-                # density; the df-cut knob alone shaves only ~30% here
-                # because uniform amplification raises every shingle's df)
+                # near-dup containment on canonical docs only. No explicit
+                # caps: the 35k-doc canon corpus exceeds
+                # DENSE_PAIR_AUTOCAP_LIMIT, so this measures the autocap
+                # production configuration (per_doc_cap + df-cut +
+                # prefix-capped candidate generation) end-to-end — the
+                # exact prefix-filtered contract stays oracle-gated at
+                # sf<=0.1 via the dedup_containment query
                 from pyspark.sql import Window
                 from pyspark.sql import functions as F
 
@@ -274,7 +278,7 @@ def main() -> int:
                     docs.withColumn("__rk", F.row_number().over(w))
                     .filter("__rk = 1").drop("__rk")
                 )
-                return ngram_containment_pairs(canon, threshold=0.8, per_doc_cap=5)
+                return ngram_containment_pairs(canon, threshold=0.8)
 
             capped = {
                 "dedup_simhash_hamming_cap5": lambda _s, d: simhash_hamming_pairs(

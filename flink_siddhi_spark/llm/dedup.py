@@ -456,7 +456,16 @@ QUADRATIC_VERIFY_LIMIT = 100_000
 # caps explicitly or opted out with ``auto_cap=False`` (the oracle-parity
 # contract). Mirrors the ``QUADRATIC_VERIFY_LIMIT`` guard above.
 DENSE_PAIR_AUTOCAP_LIMIT = 20_000
-DENSE_PAIR_DEFAULTS = {"per_doc_cap": 5, "max_bucket": 256, "max_shingle_df": 1_000}
+DENSE_PAIR_DEFAULTS = {
+    "per_doc_cap": 5,
+    "max_bucket": 256,
+    "max_shingle_df": 1_000,
+    # containment candidate prefix (rarest shingles per doc) in capped
+    # mode: bounds candidate volume when duplicate density — not shingle
+    # df — is what blows up the pair space (miss probability for a true
+    # pair at threshold t is ~(1-t)^prefix_cap; scores stay exact)
+    "prefix_cap": 4,
+}
 # LSH candidate buckets cap lower than exact-fingerprint buckets: members of
 # one banding bucket are mutually-likely near-dups, so the star pairs
 # (bucket-min, other) preserve the connectivity a clustering consumer needs
@@ -467,16 +476,79 @@ DENSE_PAIR_DEFAULTS = {"per_doc_cap": 5, "max_bucket": 256, "max_shingle_df": 1_
 LSH_AUTOCAP_BUCKET = 64
 
 
+def _plan_rowcount(df: DataFrame):
+    """Row count WITHOUT running a Spark job, when the plan allows it.
+
+    A pure column-pruned parquet scan (Project*/Relation only — no Filter/
+    Join/Aggregate/Union in the optimized plan) has its exact row count in
+    the parquet footers, so the probe is a driver-side metadata read over
+    ``df.inputFiles()`` instead of a cluster-wide count job — at 100 TB the
+    guarded pair job should not be preceded by a full scan of the id
+    projection. Returns None when the plan is not a pure scan (computed
+    inputs fall back to a counted job, memoized per plan)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        node = plan
+        while node.nodeName() == "Project":
+            if node.children().size() != 1:
+                return None
+            node = node.children().apply(0)
+        if node.nodeName() not in ("LogicalRelation", "Relation", "RelationV2") \
+                or "parquet" not in node.simpleString(100).lower():
+            return None
+        files = df.inputFiles()
+        if not files:
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for uri in files:
+            path = uri[7:] if uri.startswith("file://") else uri
+            if "://" in path:
+                return None  # non-local filesystem: no cheap footer access
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
+
+# plan semanticHash -> counted rows, so repeated autocapped calls over the
+# same computed input pay the count job once per session (ADVICE r4)
+_ROWCOUNT_CACHE: dict = {}
+
+
+def _corpus_rowcount(df: DataFrame):
+    """Row count of a (batch) corpus projection: free parquet-footer read
+    when the plan allows (``_plan_rowcount``), else a count job memoized by
+    the analyzed plan's semantic hash. None for streaming inputs."""
+    if df.isStreaming:
+        return None
+    n = _plan_rowcount(df)
+    if n is None:
+        try:
+            key = df._jdf.queryExecution().analyzed().semanticHash()
+        except Exception:
+            key = None
+        if key is not None and key in _ROWCOUNT_CACHE:
+            n = _ROWCOUNT_CACHE[key]
+        else:
+            n = df.count()
+            if key is not None:
+                if len(_ROWCOUNT_CACHE) > 256:
+                    _ROWCOUNT_CACHE.clear()
+                _ROWCOUNT_CACHE[key] = n
+    return n
+
+
 def _autocap_triggered(df: DataFrame, fn_name: str) -> bool:
-    """True when ``df`` exceeds ``DENSE_PAIR_AUTOCAP_LIMIT`` rows (one cheap
-    count job on the id/text projection — negligible next to the pair job
-    it guards). Emits the warning naming the applied defaults."""
+    """True when ``df`` exceeds ``DENSE_PAIR_AUTOCAP_LIMIT`` rows. The probe
+    is free for parquet-scan inputs (footer metadata via ``_plan_rowcount``)
+    and a memoized count job otherwise. Emits the warning naming the
+    applied defaults."""
     import warnings
 
-    if df.isStreaming:
-        return False  # no count on unbounded input; streaming callers size caps explicitly
-    n = df.count()
-    if n <= DENSE_PAIR_AUTOCAP_LIMIT:
+    n = _corpus_rowcount(df)
+    if n is None or n <= DENSE_PAIR_AUTOCAP_LIMIT:
         return False
     warnings.warn(
         f"{fn_name}: corpus has {n} rows (> DENSE_PAIR_AUTOCAP_LIMIT="
@@ -649,18 +721,32 @@ def streaming_exact_dedup(
 def ngram_containment_pairs(
     df: DataFrame, threshold: float = 0.8, text_col: str = "text",
     id_col: str = "doc_id", n: int = 3, per_doc_cap: Optional[int] = None,
-    max_shingle_df: Optional[int] = None, auto_cap: bool = True,
+    max_shingle_df: Optional[int] = None, prefix_cap: Optional[int] = None,
+    auto_cap: bool = True,
 ) -> DataFrame:
     """Asymmetric near-dup: containment(A, B) = |sh(A) ∩ sh(B)| / |sh(A)| —
     flags docs mostly CONTAINED in another (quotes, scraped excerpts,
     boilerplate-wrapped copies) that symmetric Jaccard under-scores when the
     container is much longer.
 
-    Same scale shape as ``ngram_jaccard_pairs``: explode distinct shingles →
-    self-equi-join on the shingle (co-occurring docs meet on the join key —
-    no cross join) → pair-count aggregate → both directions emitted from the
-    one undirected pair table. Returns (contained_id, container_id,
-    containment) with containment >= threshold.
+    Scale shape — PREFIX-FILTERED set join (SSJoin/PPJoin, Chaudhuri et al.
+    ICDE'06 / Xiao et al. WWW'08), exact output: a directed pair (A -> B)
+    with containment >= t shares at least ``|sh(A)| - ceil(t*|sh(A)|) + 1``
+    common shingles with B drawn from A's PREFIX under a global
+    rarest-first shingle order (df asc, shingle asc) — if A's prefix missed
+    B entirely, all common shingles would fit in A's suffix of length
+    ``ceil(t*|sh(A)|) - 1 < common``, a contradiction. So the candidate
+    join is prefix-shingles x all-shingles instead of the full self-join:
+    on a dense-vocabulary corpus the fan-out drops ~10x (measured 137M ->
+    16M rows at 10x duplicate density), and — unlike the full join — the
+    fan-out of a shingle scales with its *prefix* df, which is small for
+    common shingles (they sort last and rarely enter prefixes). Candidate
+    pairs are then scored EXACTLY with one codegen'd ``array_intersect``
+    over the two docs' distinct-shingle arrays (attached by id equi-joins;
+    the array table is one row per doc, broadcast-able when small), so the
+    emitted (pair, score) set is identical to the naive join-and-count
+    plan. Returns (contained_id, container_id, containment) with
+    containment >= threshold in either direction.
 
     ``per_doc_cap``: cap emission at the ``per_doc_cap`` strongest containers
     per contained doc (containment desc, container id) — the production
@@ -670,46 +756,73 @@ def ngram_containment_pairs(
     (the oracle-gated contract).
 
     ``max_shingle_df``: drop shingles whose document frequency exceeds the
-    cap BEFORE the self-join — the join fan-out per shingle is df^2, so a
-    handful of boilerplate shingles shared by thousands of docs dominates
-    the whole job (the post-join per_doc_cap cannot help with that).
-    Containment is then computed over the surviving (discriminative)
-    shingle space — a documented approximation: docs made ENTIRELY of
-    ultra-common shingles drop out, which for near-dup detection is the
-    intent (they are boilerplate). The standard web-dedup df-cut.
+    cap BEFORE the candidate join. The prefix filter already keeps common
+    shingles out of most prefixes, but a doc made mostly of boilerplate
+    has boilerplate in its prefix too — the df-cut bounds that residual
+    fan-out (df_prefix x df per shingle) at true web scale. Containment is
+    then computed over the surviving (discriminative) shingle space — a
+    documented approximation: docs made ENTIRELY of ultra-common shingles
+    drop out, which for near-dup detection is the intent (they are
+    boilerplate). The standard web-dedup df-cut.
 
-    ``auto_cap``: when neither knob was passed and the corpus exceeds
+    ``prefix_cap``: additionally cap the candidate prefix at this many
+    (rarest) shingles per doc — SHORTER than the lossless length, so it is
+    a recall approximation (a true pair is missed only when none of the
+    contained doc's ``prefix_cap`` rarest shingles appear in the container
+    — for containment >= 0.8 at least 80% of ALL its shingles do, so the
+    miss probability is ~(1-t)^prefix_cap). Scores of discovered pairs
+    stay exact. This is the knob that bounds candidate volume at high
+    duplicate density, where the lossless prefix is ~(1-t)*|sh(doc)| and
+    candidate count still tracks pair density (measured 8.3M candidates
+    from 35k canon docs at 10x).
+
+    ``auto_cap``: when none of the knobs was passed and the corpus exceeds
     ``DENSE_PAIR_AUTOCAP_LIMIT`` rows, the capped production configuration
-    (``per_doc_cap``/``max_shingle_df`` from ``DENSE_PAIR_DEFAULTS``) is
-    applied with a warning; ``auto_cap=False`` keeps the exact contract."""
+    (``per_doc_cap``/``max_shingle_df``/``prefix_cap`` from
+    ``DENSE_PAIR_DEFAULTS``) is applied with a warning; ``auto_cap=False``
+    keeps the exact contract.
+
+    Shingle identity inside the candidate join and the intersection is a
+    64-bit ``xxhash64`` of the shingle string (8-byte join keys and ~8x
+    smaller score-join payloads than raw 3-word strings). A cross-shingle
+    hash collision inside one scored pair under- or over-counts ``common``
+    by 1; at ~10^2 shingles per doc that is P ~ 1e-15 per pair —
+    negligible against the oracle at any testable scale and the industry
+    trade at web scale."""
+    n_rows = _corpus_rowcount(df.select(id_col))
+    big = n_rows is not None and n_rows > DENSE_PAIR_AUTOCAP_LIMIT
     if (
         auto_cap
         and per_doc_cap is None
         and max_shingle_df is None
-        and _autocap_triggered(df.select(id_col), "ngram_containment_pairs")
+        and prefix_cap is None
+        and big
     ):
+        import warnings
+
+        warnings.warn(
+            f"ngram_containment_pairs: corpus has {n_rows} rows (> "
+            f"DENSE_PAIR_AUTOCAP_LIMIT={DENSE_PAIR_AUTOCAP_LIMIT}); applying "
+            f"the capped production configuration {DENSE_PAIR_DEFAULTS} "
+            "because exact all-pairs output is quadratic in duplicate-group "
+            "size. Pass caps explicitly or auto_cap=False for the exact "
+            "contract.",
+            stacklevel=2,
+        )
         per_doc_cap = DENSE_PAIR_DEFAULTS["per_doc_cap"]
         max_shingle_df = DENSE_PAIR_DEFAULTS["max_shingle_df"]
-    sh = shingle_table(_spread(df.select(id_col, text_col)), text_col, id_col, n)
-    if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_shingle_df)
-            .select("shingle")
+        prefix_cap = DENSE_PAIR_DEFAULTS["prefix_cap"]
+    # plan choice is COST-BASED, not semantic: both plans emit the identical
+    # (pair, score) set. Small corpora (and streaming inputs, which cannot
+    # be probed) take the naive join-and-count plan — fewer stages, fast
+    # when sum(df^2) is small; large corpora take the prefix-filtered plan
+    # whose candidate join scales with prefix-df x df instead of df^2.
+    if big or prefix_cap is not None:
+        both = _containment_scores_prefix(
+            df, threshold, text_col, id_col, n, max_shingle_df, prefix_cap, n_rows
         )
-        sh = sh.join(rare, "shingle")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
-    both = common.join(sa, "id_a").join(sb, "id_b")
+    else:
+        both = _containment_scores_naive(df, text_col, id_col, n, max_shingle_df)
     fwd = both.select(
         F.col("id_a").alias("contained_id"), F.col("id_b").alias("container_id"),
         F.round(F.col("common") / F.col("na"), 6).alias("containment"),
@@ -731,15 +844,131 @@ def ngram_containment_pairs(
     return pairs
 
 
+def _containment_scores_naive(
+    df: DataFrame, text_col: str, id_col: str, n: int,
+    max_shingle_df: Optional[int],
+) -> DataFrame:
+    """Undirected (id_a, id_b, common, na, nb) via the full shingle
+    self-equi-join + pair-count aggregate — fewest stages, optimal while
+    sum over shingles of df^2 stays small (the oracle scales)."""
+    sh = shingle_table(_spread(df.select(id_col, text_col)), text_col, id_col, n)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb"))
+    return common.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", "common", "na", "nb"
+    )
+
+
+def _containment_scores_prefix(
+    df: DataFrame, threshold: float, text_col: str, id_col: str, n: int,
+    max_shingle_df: Optional[int], prefix_cap: Optional[int], n_rows,
+) -> DataFrame:
+    """Undirected (id_a, id_b, common, na, nb) via the prefix-filtered plan
+    (see ``ngram_containment_pairs`` docstring). All per-shingle work runs
+    on 64-bit top-level ``xxhash64`` keys (whole-stage codegen; 8-byte join
+    keys and array payloads), and the one shingle explode is checkpointed
+    so the df-count, the two candidate sides, and the two scoring sides
+    never re-run it."""
+    sh2 = (
+        shingle_table(_spread(df.select(id_col, text_col)), text_col, id_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("__h"))
+        .localCheckpoint(eager=False)
+    )
+    # global df per shingle hash (on the UNCUT table, so the df-cut
+    # threshold means what it says), then the optional df-cut
+    dft = sh2.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    shd = sh2.join(dft, "__h")
+    if max_shingle_df is not None:
+        shd = shd.filter(F.col("__df") <= max_shingle_df)
+    # one row per doc: shingle hashes sorted rarest-first ((df, hash) — a
+    # deterministic global order). Materialized once for 4 consumers.
+    docarr = (
+        shd.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__df", "__h"))),
+                lambda s: s["__h"],
+            ).alias("__arr"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # lossless prefix length for the contained direction (SSJoin bound):
+    # n_sh - ceil(t*n_sh) + 1; prefix_cap shortens it (capped mode)
+    p = (F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1).cast("int")
+    if prefix_cap is not None:
+        p = F.least(p, F.lit(int(prefix_cap)))
+    pref = docarr.select(
+        F.col(id_col).alias("__pid"),
+        F.explode(F.slice("__arr", F.lit(1), F.greatest(p, F.lit(1)))).alias("__h"),
+    )
+    full = docarr.select(F.col(id_col).alias("__fid"), F.explode("__arr").alias("__h"))
+    # candidates: (prefix of contained) x (full set of container), both
+    # directions normalized to one undirected pair; the exact score filter
+    # decides — the prefix only bounds who gets scored
+    cand = (
+        pref.join(full, "__h")
+        .filter(F.col("__pid") != F.col("__fid"))
+        .select(
+            F.least("__pid", "__fid").alias("id_a"),
+            F.greatest("__pid", "__fid").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    la = docarr.select(
+        F.col(id_col).alias("id_a"), F.col("__arr").alias("__sa"), F.col("n_sh").alias("na")
+    )
+    lb = docarr.select(
+        F.col(id_col).alias("id_b"), F.col("__arr").alias("__sb"), F.col("n_sh").alias("nb")
+    )
+    if n_rows is not None and n_rows <= 200_000:
+        # the per-doc array table is tiny at this corpus size — broadcast
+        # both scoring sides so candidate rows never shuffle with array
+        # payloads attached (at web scale the hash equi-join is the plan)
+        la, lb = F.broadcast(la), F.broadcast(lb)
+    return (
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .withColumn("common", F.size(F.array_intersect("__sa", "__sb")))
+        .select("id_a", "id_b", "common", "na", "nb")
+    )
+
+
 def fuzzy_dedup_keep(
     df: DataFrame, num_hashes: int = 8, bands: int = 4, threshold: float = 0.5,
     text_col: str = "text", id_col: str = "doc_id", n: int = 3,
-    max_bucket: Optional[int] = None,
+    max_bucket: Optional[int] = None, auto_cap: bool = True,
 ) -> DataFrame:
     """One-call fuzzy corpus dedup — the pipeline users actually run:
     MinHash-LSH candidate pairs -> connected components -> keep each
     cluster's min-id representative plus every unclustered doc. Returns the
     surviving rows of ``df`` (all columns).
+
+    Above ``DENSE_PAIR_AUTOCAP_LIMIT`` corpus rows the pair stage star-caps
+    oversize LSH buckets (``LSH_AUTOCAP_BUCKET``), so the keep-set is an
+    APPROXIMATION of the exact one: a star candidate that fails the
+    ``threshold`` score drops the in-bucket edges exact mode would have
+    scored, and duplicates connected only through those edges survive.
+    Banding buckets hold mutually-likely near-dups, so in practice the star
+    closure preserves group connectivity — but callers needing the exact
+    keep-set at scale must pass ``auto_cap=False`` (quadratic footgun) or an
+    explicit ``max_bucket``; both are forwarded to ``minhash_lsh_pairs``.
 
     Scale shape: the banded pair job (bucket-bounded equi-join; pass
     ``max_bucket`` for viral-content star-capping), label propagation over
@@ -749,7 +978,8 @@ def fuzzy_dedup_keep(
     corpus — and only ids travel, so the join is broadcast-able when small
     and a plain hash anti-join otherwise."""
     pairs = minhash_lsh_pairs(
-        df, num_hashes, bands, threshold, text_col, id_col, n, max_bucket
+        df, num_hashes, bands, threshold, text_col, id_col, n, max_bucket,
+        auto_cap=auto_cap,
     )
     clusters = dedup_clusters(pairs)
     drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select(

@@ -46,7 +46,16 @@ def _two_phase_topk(scored: DataFrame, k: int, id_cols=("query_id", "neighbor_id
     is rounded before Arrow transfer and round-trips exactly (IEEE double).
     """
     qcol, ncol = id_cols
-    slim = scored.select(qcol, ncol, "cos")
+    # NaN cosines (zero-norm embeddings: 0.0/0.0 is NaN, not null) order
+    # differently in the two phases — Spark's Window desc puts NaN FIRST,
+    # pandas sort_values puts it LAST — so phase 1 would discard rows the
+    # merge rank would keep. Dropping them makes the ranking well-defined
+    # and the two-phase result identical to a single-phase rank over the
+    # same (NaN-free) domain; a zero-norm vector has no meaningful cosine
+    # to anything, so exclusion is the right semantics, not a loss.
+    slim = scored.select(qcol, ncol, "cos").filter(
+        F.col("cos").isNotNull() & ~F.isnan("cos")
+    )
     schema = slim.schema
 
     def part_topk(batches):
