@@ -412,12 +412,21 @@ def norm(x, dim: Optional[int] = None) -> Column:
     return F.sqrt(dot(x, x, dim))
 
 
+def safe_div(num: Column, den: Column) -> Column:
+    """``num / den`` with NULL (not NaN, not an error) on a zero divisor.
+    Under Spark's default ANSI mode a plain division by zero THROWS
+    (DIVIDE_BY_ZERO), so any cosine over a zero-norm embedding must route
+    through this guard; NULL scores then drop out of rankings and
+    threshold filters uniformly (both treat NULL as no-match)."""
+    return F.when(den != 0, num / den)
+
+
 def cosine(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     """Deterministic cosine similarity between float-array columns: left-fold
-    sums of double products — identical results on any engine. Prefer
-    precomputing ``norm`` per side when one side is reused across many pairs
-    (see similarity.cosine_topk)."""
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+    sums of double products — identical results on any engine; NULL when
+    either side has zero norm. Prefer precomputing ``norm`` per side when
+    one side is reused across many pairs (see similarity.cosine_topk)."""
+    return safe_div(dot(a, b, dim), norm(a, dim) * norm(b, dim))
 
 
 def sign_bucket(emb_col: str = "embedding", planes: int = 8) -> Column:
@@ -616,7 +625,7 @@ def embedding_dup_pairs(
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
         cos = dot(F.col("ea"), F.col("eb"))
     return (
-        pairs.withColumn("cos", F.round(cos / (F.col("na") * F.col("nb")), 6))
+        pairs.withColumn("cos", F.round(safe_div(cos, F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -1036,7 +1045,8 @@ def semantic_dedup(
     )
     joined = base.join(rep_embs, "bucket")
     cos = F.round(
-        dot(emb_col, "__rep_emb", dim) / (norm(emb_col, dim) * norm("__rep_emb", dim)),
+        safe_div(dot(emb_col, "__rep_emb", dim),
+                 norm(emb_col, dim) * norm("__rep_emb", dim)),
         6,
     )
     return (

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import _spread, cosine, dot, norm
+from .dedup import _spread, cosine, dot, norm, safe_div
 
 
 def _dim_of(df: DataFrame, emb_col: str):
@@ -122,8 +122,8 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            F.round(dot("q_emb", "c_emb", dim)
-                    / (F.col("q_norm") * F.col("c_norm")), 6),
+            F.round(safe_div(dot("q_emb", "c_emb", dim),
+                             F.col("q_norm") * F.col("c_norm")), 6),
         )
     )
     return _two_phase_topk(scored, k)
@@ -158,8 +158,8 @@ def assign_centroids(
     corpus = corpus.withColumn("__nrm", norm(emb_col, dim))
     scored = corpus.join(F.broadcast(c)).withColumn(
         "cos_c",
-        F.round(dot(emb_col, "cent_emb", dim)
-                / (F.col("__nrm") * F.col("cent_norm")), 6),
+        F.round(safe_div(dot(emb_col, "cent_emb", dim),
+                         F.col("__nrm") * F.col("cent_norm")), 6),
     )
     return scored.groupBy(id_col).agg(
         F.first(emb_col).alias(emb_col),
@@ -250,8 +250,8 @@ def ivf_topk(
                        norm(emb_col, dim).alias("q_norm"))
     qprobe = q.join(F.broadcast(c)).withColumn(
         "cos_c",
-        F.round(dot(F.col("q_emb"), F.col("cent_emb"))
-                / (F.col("q_norm") * F.col("cent_norm")), 6),
+        F.round(safe_div(dot(F.col("q_emb"), F.col("cent_emb")),
+                         F.col("q_norm") * F.col("cent_norm")), 6),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("centroid_id").asc())
     probes = (
@@ -262,8 +262,8 @@ def ivf_topk(
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col(id_col))
-        .withColumn("cos", F.round(dot("q_emb", emb_col, dim)
-                                   / (F.col("q_norm") * F.col("__nrm")), 6))
+        .withColumn("cos", F.round(safe_div(dot("q_emb", emb_col, dim),
+                                            F.col("q_norm") * F.col("__nrm")), 6))
         .withColumn("neighbor_id", F.col(id_col))
     )
     return _two_phase_topk(scored, k)
