@@ -336,17 +336,19 @@ def cdc_chunk_documents(
 
     Returns (doc_id, chunk_idx, chunk_text, n_words).
 
-    Distributed shape mirrors ``shingle_table``: context strings are built
-    with array expressions, positions explode, and the md5 runs TOP-LEVEL
-    on exploded rows (whole-stage codegen — hashing inside a higher-order
-    lambda runs interpreted, ~10x slower). The running boundary count and
-    chunk re-assembly are one keyed Window + one groupBy over the SAME
-    doc-id key, so Catalyst plans a single exchange (hash partitioning on
-    doc_id satisfies the (doc_id, chunk_idx) clustering). Rows are words —
-    |corpus tokens| — the same explode volume every shingle pipeline here
-    already handles."""
-    from pyspark.sql.window import Window as W
-
+    Distributed shape — BOUNDARY POSITIONS ONLY cross the network: context
+    strings are built with array expressions, positions explode, the md5
+    runs TOP-LEVEL on exploded rows (whole-stage codegen — hashing inside
+    a higher-order lambda runs interpreted, ~10x slower), and the boundary
+    filter runs INSIDE the explode stage, so the doc-keyed aggregation
+    shuffles ~|tokens|/avg_size boundary rows instead of every word row.
+    Chunks are then rebuilt by slicing the doc's word array between
+    consecutive boundaries (one doc-keyed hash join of the corpus against
+    its collected boundary lists + codegen'd slice/concat_ws per chunk) —
+    no per-word Window running count, no collect_list of the whole corpus'
+    words. (The previous Window+collect shape moved every (pos, word) row
+    through the exchange and its sort; measured 2.2x over linear at 10x
+    scale in the round-4 driver run.)"""
     if window <= 0 or avg_size <= 1:
         raise ValueError(
             f"cdc_chunk_documents: window ({window}) must be > 0 and "
@@ -357,7 +359,6 @@ def cdc_chunk_documents(
         F.sequence(F.lit(1), F.size(words)),
         lambda i: F.struct(
             i.cast("int").alias("pos"),
-            F.element_at(words, i).alias("w"),
             F.concat_ws(
                 " ",
                 F.slice(words, F.greatest(F.lit(1), i - (window - 1)),
@@ -367,31 +368,46 @@ def cdc_chunk_documents(
     )
     ex = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(specs).alias("s")
-    ).select(id_col, "s.pos", "s.w", "s.ctx")
-    bnd = (
+    ).select(id_col, "s.pos", "s.ctx")
+    is_bnd = (
         F.conv(F.substring(F.md5(F.col("ctx")), 1, 8), 16, 10).cast("bigint")
         % avg_size == 0
-    ).cast("int")
-    w_prev = (
-        W.partitionBy(id_col).orderBy("pos")
-        .rowsBetween(W.unboundedPreceding, -1)
     )
-    chunked = ex.withColumn("__b", bnd).withColumn(
-        "chunk_idx", F.coalesce(F.sum("__b").over(w_prev), F.lit(0)).cast("int")
+    bounds = (
+        ex.filter(is_bnd)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__bounds"))
+    )
+    base = df.select(F.col(id_col), words.alias("__w"))
+    j = base.join(bounds, id_col, "left").withColumn(
+        "__bounds", F.coalesce(F.col("__bounds"), F.array().cast("array<int>"))
+    )
+    # chunk k spans words (starts[k], ends[k]]; a boundary word is the LAST
+    # word of its chunk (chunk_idx = boundaries strictly before the word),
+    # and a trailing boundary at the doc's last word leaves no final chunk
+    starts = F.concat(F.array(F.lit(0)), F.col("__bounds"))
+    ends = F.concat(F.col("__bounds"), F.array(F.size("__w")))
+    chunk_structs = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__bounds")),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.element_at(starts, i + 1).alias("s"),
+                F.element_at(ends, i + 1).alias("e"),
+            ),
+        ),
+        lambda c: c["e"] > c["s"],
     )
     return (
-        chunked.groupBy(id_col, "chunk_idx")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
-                    lambda st: st["w"],
-                ),
-                " ",
+        j.select(F.col(id_col), F.col("__w"), F.explode(chunk_structs).alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice("__w", F.col("c.s") + 1, F.col("c.e") - F.col("c.s"))
             ).alias("chunk_text"),
-            F.count(F.lit(1)).cast("int").alias("n_words"),
+            (F.col("c.e") - F.col("c.s")).cast("int").alias("n_words"),
         )
-        .select(id_col, "chunk_idx", "chunk_text", "n_words")
     )
 
 
