@@ -71,6 +71,9 @@ HEADLINE = [
     "window_cron_lastfriday",
     "dedup_fuzzy_keep",
     "pipeline_cdc_chunks",
+    # round 5: radius similarity search, word-distribution entropy
+    "ann_range_search",
+    "text_entropy",
 ]
 
 

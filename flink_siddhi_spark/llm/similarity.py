@@ -129,6 +129,44 @@ def cosine_topk(
     return _two_phase_topk(scored, k)
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float = 0.5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Radius search: ALL corpus neighbors with cosine >= ``threshold`` per
+    query (excluding self-matches by id) — the fixed-similarity companion
+    to ``cosine_topk``'s fixed-count contract (dedup sweeps and recall
+    audits want "everything above t", not "the best k").
+
+    100 TB shape: ONE streamed pass over the corpus against the broadcast
+    query set — the corpus never shuffles at all (no rank, no aggregation;
+    the threshold filter runs inside the scan's codegen stage), so output
+    cost is exactly |matches|. Norms are precomputed per side and the dot
+    product unrolls into codegen'd arithmetic."""
+    dim = _dim_of(corpus, emb_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
+        norm(emb_col, dim).alias("q_norm"),
+    )
+    c = _spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(emb_col).alias("c_emb"),
+        norm(emb_col, dim).alias("c_norm"),
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(safe_div(dot("q_emb", "c_emb", dim),
+                             F.col("q_norm") * F.col("c_norm")), 6),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 def assign_centroids(
     corpus: DataFrame,
     centroids: DataFrame,

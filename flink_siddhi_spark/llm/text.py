@@ -8,7 +8,7 @@ fingerprinting over a ``documents(doc_id, text, ...)`` table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny stopword lists for the n-gram/stopword language heuristic
@@ -234,6 +234,41 @@ def unigram_lm_score(
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("__nlp").cast("double").alias("sum_neg_log2p"),
+        )
+    )
+
+
+def word_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document word-distribution entropy (bits): H = -sum over distinct
+    words of (c/n)*log2(c/n) — a standard quality/repetition signal (near-0
+    = degenerate repetition, high = diverse vocabulary; complements
+    ``repetition_ratio`` which only looks at adjacent duplication).
+
+    Scale shape: explode words -> ONE (doc, word) hash-aggregate with
+    map-side partials -> per-doc sum; both aggregates cluster on the doc
+    id, so Catalyst plans the second as a partial-free reuse of the first
+    exchange. Per-term contributions are rounded to 6 decimals and summed
+    through DECIMAL(25,6) (the repo-wide deterministic-float contract:
+    result independent of partition count and accumulation order)."""
+    w = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__w")
+    )
+    tc = w.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__c"))
+    # n per doc via a window over the same doc-id clustering (no second
+    # scan); entropy contribution per distinct word
+    dn = Window.partitionBy(id_col)
+    term = tc.withColumn("__n", F.sum("__c").over(dn))
+    p = F.col("__c") / F.col("__n")
+    contrib = F.round(-p * F.log2(p), 6).cast("decimal(25,6)")
+    return (
+        term.withColumn("__h", contrib)
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("__h").cast("double").alias("entropy_bits"),
         )
     )
 

@@ -614,3 +614,76 @@ def test_real_y4m_frame_sampling_through_spark(spark):
     with pytest.raises(Exception, match="YUV4MPEG2|ffmpeg"):
         M.sample_frames(other, every_n=2, fake=False).collect()
     assert len(M.sample_frames(other, every_n=2, frame_bytes=64).collect()) == 1
+
+
+def test_range_search_matches_threshold_and_topk(spark):
+    """round-5: radius search returns exactly the pairs with cos >= t, and
+    agrees with cosine_topk on the pairs both contracts cover; zero-norm
+    corpus vectors are excluded (NULL cosine under ANSI), never an error."""
+    from flink_siddhi_spark.llm.similarity import cosine_topk, range_search
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+        (3, [0.7, 0.7]), (4, [0.0, 0.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = embs.filter("vec_id = 0")
+    got = {(r.neighbor_id, r.cos) for r in range_search(embs, q, threshold=0.5).collect()}
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6) if na and nb else None
+
+    want = {
+        (i, cos(rows[0][1], e)) for i, e in rows[1:]
+        if cos(rows[0][1], e) is not None and cos(rows[0][1], e) >= 0.5
+    }
+    assert got == want, (got, want)
+    # every top-k hit above the radius must be a range hit with equal score
+    topk = cosine_topk(embs, q, k=3).collect()
+    for r in topk:
+        if r.cos >= 0.5:
+            assert (r.neighbor_id, r.cos) in got
+
+
+def test_word_entropy_known_values(spark):
+    """round-5: H = log2(n) for all-distinct words, 0 for a single repeated
+    word, and the mixed case matches the closed form."""
+    from flink_siddhi_spark.llm.text import word_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x x x x"), (3, "a a b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in word_entropy(df).collect()}
+    assert got[1].n_words == 4 and got[1].n_distinct == 4
+    assert abs(got[1].entropy_bits - 2.0) < 1e-6
+    assert got[2].entropy_bits == 0.0 and got[2].n_distinct == 1
+    import math
+
+    h3 = round(-(2 / 3) * math.log2(2 / 3), 6) + round(-(1 / 3) * math.log2(1 / 3), 6)
+    assert abs(got[3].entropy_bits - h3) < 1e-9
+
+
+def test_containment_prefix_plan_matches_naive(spark):
+    """round-5: the prefix-filtered containment plan is output-identical to
+    the naive join-and-count plan (lossless SSJoin prefix bound), including
+    under a df-cut."""
+    from pyspark.sql import functions as F
+
+    from flink_siddhi_spark.llm import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    for cut in (None, 8):
+        naive = D._containment_scores_naive(docs, "text", "doc_id", 3, cut)
+        pref = D._containment_scores_prefix(
+            docs, 0.6, "text", "doc_id", 3, cut, None, 500
+        )
+        t = lambda d: d.filter(
+            (F.col("common") / F.col("na") >= 0.6)
+            | (F.col("common") / F.col("nb") >= 0.6)
+        )
+        assert t(naive).exceptAll(t(pref)).count() == 0
+        assert t(pref).exceptAll(t(naive)).count() == 0
