@@ -107,13 +107,12 @@ class StreamingPlanner(BatchPlanner):
         wname = si.window.name.lower() if si.window is not None else ""
         if retain:
             if wname not in ("unique", "firstunique", "sort", "frequent",
-                             "lossyfrequent", "delay", "batch") \
-                    or self._query_has_agg(q):
+                             "lossyfrequent", "delay", "batch"):
                 raise UnsupportedFeatureException(
                     f"#window.{si.window.name}: retention windows follow the "
                     "final-contents contract — batch mode only (streaming "
-                    "supports row-wise unique/firstUnique/sort/frequent/"
-                    "lossyFrequent/delay/batch)"
+                    "supports unique/firstUnique/sort/frequent/"
+                    "lossyFrequent/delay/batch, row-wise or aggregated)"
                 )
         df = self._with_watermark(df, schema)
         names = {si.stream, si.alias} if si.alias else {si.stream}
@@ -127,6 +126,27 @@ class StreamingPlanner(BatchPlanner):
             df = self._apply_stream_fns(df, si, set(df.columns))
             resolver = self._plain_resolver(set(df.columns), names)
         extra_cols: tuple = ()
+        if retain and self._query_has_agg(q):
+            # round 5: REVISED aggregates over the retained set — each
+            # micro-batch updates the retained contents in keyed state and
+            # emits the full re-aggregated result tagged with a __snapshot
+            # id (a changelog: rows carrying the max id are the current
+            # revision, and after the final batch they equal the batch-mode
+            # aggregate — the same contract as the row snapshots).
+            if wname == "delay":
+                if schema.ts_field is None:
+                    raise SiddhiPlannerException(
+                        "#window.delay needs an event-time stream"
+                    )
+                shift = W._arg_ms(si.window, 0)
+                df = df.withColumn(
+                    schema.ts_field, F.col(schema.ts_field) + F.lit(shift)
+                )
+                if TS_COL in df.columns:
+                    df = df.withColumn(TS_COL, F.col(TS_COL) + F.lit(shift))
+            return self._streaming_retained_agg(
+                df, q, si, schema, (q.partition_by or {}).get(si.stream)
+            )
         if retain:
             if wname == "delay":
                 # identical to batch: shift the event-time columns by t —
@@ -336,6 +356,178 @@ class StreamingPlanner(BatchPlanner):
             proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
 
+    def _streaming_retained_agg(
+        self, df: DataFrame, q: A.Query, si: A.SingleInput, schema,
+        pkey: Optional[str],
+    ) -> DataFrame:
+        """Aggregation over a retention window's contents, REVISED per
+        micro-batch (round 5): keyed state holds the retained set (the same
+        retention rules as the row snapshots — sort top-n, frequent /
+        lossyFrequent combos, unique / firstUnique representatives, batch /
+        delay retain-everything) and every batch emits the full
+        re-aggregated, group-by'd result tagged with ``__snapshot``. Rows
+        carrying the max id are the current revision; after the last batch
+        they equal the batch-mode aggregate (parity-tested across >= 2
+        micro-batches). This is Spark's update-mode emission expressed in
+        an append-mode changelog, so it composes with the repo's
+        append-only sinks.
+
+        State: sort / unique / firstUnique are bounded (top-n / one row per
+        key combo); frequent / lossyFrequent / batch / delay retain every
+        event of the state key by CONTRACT (the reference's own retention
+        growth) — at scale shard with ``partition with`` (state key = the
+        partition key, matching the batch planner's implicit pkey
+        grouping) or use batch mode. Select items: group-key refs,
+        ``count()``, or ``agg(column)``; complex expressions and
+        having/order-by stay batch-only (clear rejection)."""
+        wname = si.window.name.lower()
+        if q.order_by or q.limit is not None:
+            raise UnsupportedFeatureException("order by / limit need batch mode")
+        key_names: list[str] = []
+        for ge in q.group_by:
+            if not isinstance(ge, A.Ref) or ge.name not in df.columns:
+                raise UnsupportedFeatureException(
+                    "streaming retained-set aggregation needs plain column "
+                    "group keys (computed keys: batch mode)"
+                )
+            key_names.append(ge.name)
+        if pkey and pkey not in key_names:
+            # the batch planner folds `partition with` keys into the
+            # grouping (plans/planner.py) — mirror it so pkey refs resolve
+            key_names.append(pkey)
+        field_types = {f.name: f.dataType for f in df.schema.fields}
+        plan, carry, out_fields = self._plan_stateful_items(
+            q, key_names, field_types, allow_cur=False,
+            what=f"#window.{wname} retained-set aggregation",
+        )
+        out_fields = out_fields + [T.StructField(SNAPSHOT_COL, T.IntegerType())]
+        out_schema = T.StructType(out_fields)
+        out_names = [f.name for f in out_fields]
+        out_cols = [c for c in df.columns if c != "__event_time"]
+        ord_cols = ([TS_COL] if schema.ts_field is not None else []) + [
+            f for f in schema.fields if f != schema.ts_field
+        ]
+        ord_cols = [c for c in ord_cols if c in out_cols]
+        state_schema = T.StructType(
+            [T.StructField("rows", T.BinaryType()), T.StructField("snap", T.IntegerType())]
+        )
+        # retention parameters (same shapes as _streaming_retention_snapshot)
+        sort_by = sort_asc = combo_keys = ukeys = None
+        top_n = freq_n = None
+        min_frac: Optional[float] = None
+        keep = "last"
+        # plain-function alias: the proc closure must not capture self (the
+        # planner holds the catalog's DataFrames — unpicklable on executors)
+        agg_over = StreamingPlanner._agg_over
+        if wname == "sort":
+            top_n, sort_keys = W._sort_args(si.window)
+            sort_by = [k for k, _ in sort_keys] + ord_cols
+            sort_asc = [asc for _, asc in sort_keys] + [True] * len(ord_cols)
+        elif wname in ("frequent", "lossyfrequent"):
+            if wname == "lossyfrequent":
+                support = W._arg_num(si.window, 0)
+                idx, error = 1, 0.0
+                if len(si.window.args) > 1 and isinstance(si.window.args[1], A.Literal) \
+                        and si.window.args[1].kind in ("float", "double"):
+                    error = W._arg_num(si.window, 1)
+                    idx = 2
+                min_frac = support - error
+                freq_n = None
+            else:
+                freq_n = W._arg_ms(si.window, 0)
+                idx = 1
+            combo_keys = [a.name for a in si.window.args[idx:] if isinstance(a, A.Ref)]
+            combo_keys = combo_keys or [f for f in schema.fields if f in out_cols]
+        elif wname in ("unique", "firstunique"):
+            ukeys = [a.name for a in si.window.args if isinstance(a, A.Ref)]
+            if not ukeys:
+                raise SiddhiPlannerException(
+                    f"#window.{si.window.name} needs key attribute(s)"
+                )
+            keep = "first" if wname == "firstunique" else "last"
+        # batch / delay: retain everything
+
+        def proc(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+            import math as _math
+            import pickle as _pickle
+
+            new = pd.concat([p[out_cols] for p in pdfs], ignore_index=True)
+            snap = 0
+            if state.exists:
+                blob, snap = state.get
+                stored = _pickle.loads(bytes(blob))[new.columns]
+                rows = pd.concat([stored, new], ignore_index=True)
+            else:
+                rows = new
+            rows = rows.sort_values(ord_cols, kind="mergesort").reset_index(drop=True)
+            if wname == "sort":
+                rows = rows.sort_values(sort_by, ascending=sort_asc, kind="mergesort")
+                rows = rows.head(top_n)
+                retained = rows
+            elif wname in ("frequent", "lossyfrequent"):
+                counts = (
+                    rows.groupby(combo_keys, sort=False, dropna=False)
+                    .size()
+                    .reset_index(name="__n")
+                    .sort_values(
+                        ["__n"] + combo_keys,
+                        ascending=[False] + [True] * len(combo_keys),
+                        kind="mergesort",
+                    )
+                )
+                if min_frac is not None:
+                    top = counts[counts["__n"] >= min_frac * len(rows)][combo_keys]
+                else:
+                    top = counts.head(freq_n)[combo_keys]
+                retained = rows.merge(top, on=combo_keys, how="inner")
+            elif wname in ("unique", "firstunique"):
+                rows = rows.drop_duplicates(ukeys, keep=keep)
+                retained = rows
+            else:  # batch / delay: everything
+                retained = rows
+            retained = retained.sort_values(ord_cols, kind="mergesort").reset_index(drop=True)
+            snap += 1
+            state.update((_pickle.dumps(rows.reset_index(drop=True)), snap))
+
+            def clean(series):
+                return [
+                    v for v in (x.item() if hasattr(x, "item") else x for x in series)
+                    if v is not None and not (isinstance(v, float) and _math.isnan(v))
+                ]
+
+            if key_names:
+                groups = list(retained.groupby(key_names, sort=False, dropna=False))
+            else:
+                groups = [((), retained)]
+            recs = []
+            for gkey, g in groups:
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                rec = []
+                for out_name, kind, col in plan:
+                    if kind == "key":
+                        rec.append(gkey[key_names.index(col)])
+                    elif kind == "count":
+                        rec.append(len(g))
+                    else:
+                        rec.append(agg_over(kind, clean(g[col])))
+                rec.append(snap)
+                recs.append(rec)
+            if recs:
+                yield pd.DataFrame(recs, columns=out_names)
+
+        if pkey:
+            keys = [pkey]
+        else:
+            W.warn_global_order(
+                f"streaming #window.{wname} aggregation (global retained set)"
+            )
+            df = df.withColumn("__gk", F.lit(1))
+            keys = ["__gk"]
+        return df.groupBy(*keys).applyInPandasWithState(
+            proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+
     def _streaming_agg(self, df: DataFrame, q: A.Query, si: A.SingleInput, resolver) -> DataFrame:
         if q.order_by or q.limit is not None:
             raise UnsupportedFeatureException("order by / limit need batch mode")
@@ -374,21 +566,48 @@ class StreamingPlanner(BatchPlanner):
             win_start = F.lit(None).cast("bigint")
             win_end = F.lit(None).cast("bigint")
         elif wclass == "batch" and si.window.name.lower() in ("cron", "externaltimebatch"):
-            # cron (fixed-period AND calendar/quartz forms) and
-            # externalTimeBatch lower to pure bucket-expression columns in
-            # batch mode (operators/windows.py add_bucket) — the same
-            # streaming-safe shape as window extensions: group the
-            # update/complete-mode aggregation by the bucket column.
-            # windowStart()/windowEnd() come from the bucket lowering.
+            # cron and externalTimeBatch in streaming mode. FIXED-PERIOD
+            # schedules (and externalTimeBatch over the stream's own
+            # ts_field) lower to a NATIVE window() over the watermarked
+            # event-time column — same bucket boundaries as the batch
+            # lowering, but the state store can EVICT closed windows once
+            # the watermark passes them (round-5 ADVICE: the bucket-column
+            # grouping keeps one state row per elapsed period per key
+            # forever). Calendar/quartz cron forms and externalTimeBatch
+            # over a non-ts attribute keep the bucket-expression grouping —
+            # their bucket is not a fixed-width time window, so state there
+            # is unbounded-by-schedule (documented: run them update/complete
+            # with a TTL'd state store, or batch mode).
             ts_field = self.stream_schema(si.stream).ts_field
             if ts_field is None:
                 raise SiddhiPlannerException(
                     f"#window.{si.window.name}: stream has no ts_field"
                 )
-            bw = W.add_bucket(df, si.window, ts_field, [], [])
-            df = bw.df
-            group_cols = [F.col(W.BUCKET_COL)] + group_cols
-            win_start, win_end = bw.win_start, bw.win_end
+            native = None
+            wname_l = si.window.name.lower()
+            if wname_l == "cron":
+                kind, arg, anchor = W._cron_schedule(si.window)
+                if kind == "period":
+                    native = (int(arg), int(anchor) % int(arg))
+            else:  # externaltimebatch
+                fld = si.window.args[0]
+                if isinstance(fld, A.Ref) and fld.name == ts_field:
+                    native = (int(W._arg_ms(si.window, 1)), 0)
+            if native is not None:
+                period, start = native
+                wcol = F.window(
+                    F.col("__event_time"),
+                    f"{period} milliseconds", f"{period} milliseconds",
+                    f"{start} milliseconds",
+                )
+                group_cols = [wcol.alias("__nw")] + group_cols
+                win_start = F.unix_millis(F.col("__nw.start"))
+                win_end = F.unix_millis(F.col("__nw.end"))
+            else:
+                bw = W.add_bucket(df, si.window, ts_field, [], [])
+                df = bw.df
+                group_cols = [F.col(W.BUCKET_COL)] + group_cols
+                win_start, win_end = bw.win_start, bw.win_end
         elif wclass == "batch":
             name = si.window.name.lower()
             if name == "lengthbatch":

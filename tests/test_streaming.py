@@ -772,9 +772,10 @@ def test_streaming_partitioned_sort_snapshots(spark, tmp_path):
     assert latest["b"][1] == {(2, 10.0)}
 
 
-def test_streaming_retention_with_aggregation_rejected(spark, tmp_path):
-    """Aggregations over streaming retention windows have no incremental
-    shape (the retained set is revised per batch) — clean plan-time error."""
+def test_streaming_retained_agg_boundaries(spark, tmp_path):
+    """round-5: retained-set AGGREGATION streams (revised per batch); the
+    remaining batch-only boundary is clearly rejected — complex select
+    expressions, computed group keys, and order by / limit."""
     from flink_siddhi_spark.errors import UnsupportedFeatureException
     from flink_siddhi_spark.siddhiql.parser import parse
 
@@ -784,15 +785,27 @@ def test_streaming_retention_with_aggregation_rejected(spark, tmp_path):
     stream = file_stream(spark, path, EVENT_SCHEMA)
     cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
     planner = StreamingPlanner(cep.catalog, cep.extensions)
-    q = parse("from s#window.sort(2, price) select sum(price) as t insert into Out;").queries[0]
-    with pytest.raises(UnsupportedFeatureException, match="retention"):
+    # these COMPILE now (revised-aggregate path)
+    for cql in (
+        "from s#window.sort(2, price) select sum(price) as t insert into Out;",
+        "from s#window.lossyFrequent(0.1) select count() as n insert into Out;",
+    ):
+        planner.compile_query(parse(cql).queries[0])
+    # complex select expression over the retained set: batch mode only
+    q = parse("from s#window.sort(2, price) select sum(price) / count() as m "
+              "insert into Out;").queries[0]
+    with pytest.raises(UnsupportedFeatureException, match="select items"):
         planner.compile_query(q)
-    # round-4: row-wise lossyFrequent/delay/batch STREAM now; what still
-    # rejects is any retention window under an aggregate
-    q2 = parse("from s#window.lossyFrequent(0.1) select count() as n "
-               "insert into Out;").queries[0]
-    with pytest.raises(UnsupportedFeatureException, match="retention"):
+    # computed group key: batch mode only
+    q2 = parse("from s#window.sort(2, price) select count() as n "
+               "group by id * 2 insert into Out;").queries[0]
+    with pytest.raises(UnsupportedFeatureException, match="group keys"):
         planner.compile_query(q2)
+    # order by / limit: batch mode only
+    q3 = parse("from s#window.sort(2, price) select count() as n "
+               "order by n limit 1 insert into Out;").queries[0]
+    with pytest.raises(UnsupportedFeatureException, match="order by / limit"):
+        planner.compile_query(q3)
 
 
 def test_streaming_mid_pattern_every(spark, tmp_path):
@@ -1119,3 +1132,109 @@ def test_streaming_delay_and_batch_windows(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(tuple(r) for r in spark.sql("SELECT * FROM m_btch").collect())
     assert got == [(1, 1.0), (2, 2.0)], got
+
+
+def _retained_agg_parity(spark, tmp_path, tag, cql_text, rows1, rows2):
+    """Run cql_text over 2 micro-batches; return (final-snapshot rows set,
+    batch-mode rows set) for the same query on the full data."""
+    cep = SiddhiCEP(spark)
+    stream = _two_batch_stream(spark, tmp_path / f"in_{tag}", rows1, rows2)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp", ts_field="timestamp")
+    planner = StreamingPlanner(cep.catalog, cep.extensions)
+    out = run_stream(cep, planner, cql_text, "Out", f"m_{tag}", tmp_path).collect()
+    snaps = {}
+    for r in out:
+        d = r.asDict()
+        snap = d.pop("__snapshot")
+        snaps.setdefault(snap, set()).add(tuple(sorted(d.items())))
+    bcep = SiddhiCEP(spark)
+    bdf = spark.createDataFrame(rows1 + rows2, EVENT_SCHEMA)
+    bcep.register_stream("s", bdf, "id", "name", "price", "timestamp", ts_field="timestamp")
+    batch = bcep.from_("s").cql(cql_text).returns("Out").collect()
+    bset = {tuple(sorted(r.asDict().items())) for r in batch}
+    return snaps, bset
+
+
+def test_streaming_sort_window_revised_aggregate(spark, tmp_path):
+    """round-5: aggregates over a sort window's retained top-n, revised per
+    micro-batch; the final snapshot equals the batch-mode aggregate."""
+    rows1 = [(1, "a", 30.0, 1000), (2, "a", 10.0, 2000)]
+    rows2 = [(3, "b", 5.0, 3000), (4, "b", 40.0, 4000)]
+    snaps, bset = _retained_agg_parity(
+        spark, tmp_path, "sort_agg",
+        "from s#window.sort(2, price) select count() as n, sum(price) as total, "
+        "min(price) as lo insert into Out",
+        rows1, rows2,
+    )
+    assert snaps[max(snaps)] == bset
+    # batch 1 revision aggregates only batch-1's retained set {30, 10}
+    assert snaps[min(snaps)] == {
+        (("lo", 10.0), ("n", 2), ("total", 40.0))
+    }
+
+
+def test_streaming_frequent_window_revised_aggregate(spark, tmp_path):
+    rows1 = [(1, "x", 1.0, 1000), (2, "x", 2.0, 2000), (3, "y", 3.0, 3000)]
+    rows2 = [(4, "y", 4.0, 4000), (5, "y", 5.0, 5000), (6, "z", 6.0, 6000)]
+    snaps, bset = _retained_agg_parity(
+        spark, tmp_path, "freq_agg",
+        "from s#window.frequent(1, name) select name, count() as n, "
+        "avg(price) as mean group by name insert into Out",
+        rows1, rows2,
+    )
+    assert snaps[max(snaps)] == bset
+    # after batch 1 'x' leads (2 events); after batch 2 'y' leads (3 events)
+    assert snaps[min(snaps)] == {(("mean", 1.5), ("n", 2), ("name", "x"))}
+    assert snaps[max(snaps)] == {(("mean", 4.0), ("n", 3), ("name", "y"))}
+
+
+def test_streaming_unique_window_revised_aggregate(spark, tmp_path):
+    # unique(name): last event per name is retained; sum revises as
+    # representatives are replaced across batches
+    rows1 = [(1, "a", 10.0, 1000), (2, "b", 20.0, 2000)]
+    rows2 = [(3, "a", 70.0, 3000), (4, "c", 1.0, 4000)]
+    snaps, bset = _retained_agg_parity(
+        spark, tmp_path, "uniq_agg",
+        "from s#window.unique(name) select count() as n, sum(price) as total "
+        "insert into Out",
+        rows1, rows2,
+    )
+    assert snaps[max(snaps)] == bset
+    assert snaps[min(snaps)] == {(("n", 2), ("total", 30.0))}
+    assert snaps[max(snaps)] == {(("n", 3), ("total", 91.0))}
+
+
+def test_streaming_batch_window_revised_aggregate(spark, tmp_path):
+    # #window.batch retains everything: running aggregate, grouped by name
+    rows1 = [(1, "a", 1.0, 1000), (2, "b", 2.0, 2000)]
+    rows2 = [(3, "a", 3.0, 3000)]
+    snaps, bset = _retained_agg_parity(
+        spark, tmp_path, "batch_agg",
+        "from s#window.batch() select name, count() as n, max(price) as hi "
+        "group by name insert into Out",
+        rows1, rows2,
+    )
+    assert snaps[max(snaps)] == bset
+    assert snaps[max(snaps)] == {
+        (("hi", 3.0), ("n", 2), ("name", "a")),
+        (("hi", 2.0), ("n", 1), ("name", "b")),
+    }
+
+
+def test_streaming_partitioned_sort_revised_aggregate(spark, tmp_path):
+    """partition with shards the retained-set state per key, matching the
+    batch planner's implicit pkey grouping."""
+    rows1 = [(1, "a", 30.0, 1000), (2, "b", 10.0, 2000)]
+    rows2 = [(3, "a", 5.0, 3000), (4, "b", 40.0, 4000)]
+    snaps, bset = _retained_agg_parity(
+        spark, tmp_path, "psort_agg",
+        "partition with (name of s) begin "
+        "from s#window.sort(1, price) select name, sum(price) as total "
+        "insert into Out end",
+        rows1, rows2,
+    )
+    assert snaps[max(snaps)] == bset
+    assert snaps[max(snaps)] == {
+        (("name", "a"), ("total", 5.0)),
+        (("name", "b"), ("total", 10.0)),
+    }
