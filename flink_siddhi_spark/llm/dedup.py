@@ -951,6 +951,16 @@ def _containment_scores_prefix(
         # both scoring sides so candidate rows never shuffle with array
         # payloads attached (at web scale the hash equi-join is the plan)
         la, lb = F.broadcast(la), F.broadcast(lb)
+    else:
+        # above the broadcast cutoff the default SortMergeJoin SORTS the
+        # candidate stream with ~kB shingle-array payloads attached — at
+        # 100x duplicate density (334k canon docs, ~11M dense pairs) that
+        # sort spilled >45 GB of local disk. A shuffled hash join builds
+        # the hash table from the per-doc array side (one row per doc) and
+        # streams the skinny candidate rows through it — array-attached
+        # rows are never sorted.
+        la = la.hint("shuffle_hash")
+        lb = lb.hint("shuffle_hash")
     return (
         cand.join(la, "id_a")
         .join(lb, "id_b")
