@@ -474,6 +474,18 @@ DENSE_PAIR_DEFAULTS = {
     # df — is what blows up the pair space (miss probability for a true
     # pair at threshold t is ~(1-t)^prefix_cap; scores stay exact)
     "prefix_cap": 4,
+    # containment candidates scored per contained doc in capped mode: at
+    # extreme duplicate density the prefix filter stops pruning (the 100x
+    # probe measured 227M candidate pairs from 334k canon docs because
+    # every "rare" shingle has df ~150 — the whole vocabulary is dense),
+    # and scoring that many pairs with ~0.5 kB shingle arrays attached is
+    # ~200 GB of join intermediate. Ranking candidates per contained doc
+    # by shared-PREFIX-hit count and keeping the top candidate_cap bounds
+    # scoring volume linearly in corpus size; true near-dups share the
+    # whole prefix (hit count = prefix length) so drops happen only inside
+    # duplicate groups larger than candidate_cap, where per_doc_cap keeps
+    # just the strongest few anyway.
+    "candidate_cap": 64,
 }
 # LSH candidate buckets cap lower than exact-fingerprint buckets: members of
 # one banding bucket are mutually-likely near-dups, so the star pairs
@@ -731,7 +743,7 @@ def ngram_containment_pairs(
     df: DataFrame, threshold: float = 0.8, text_col: str = "text",
     id_col: str = "doc_id", n: int = 3, per_doc_cap: Optional[int] = None,
     max_shingle_df: Optional[int] = None, prefix_cap: Optional[int] = None,
-    auto_cap: bool = True,
+    candidate_cap: Optional[int] = None, auto_cap: bool = True,
 ) -> DataFrame:
     """Asymmetric near-dup: containment(A, B) = |sh(A) ∩ sh(B)| / |sh(A)| —
     flags docs mostly CONTAINED in another (quotes, scraped excerpts,
@@ -785,11 +797,23 @@ def ngram_containment_pairs(
     candidate count still tracks pair density (measured 8.3M candidates
     from 35k canon docs at 10x).
 
+    ``candidate_cap``: score at most this many candidates per contained
+    doc, ranked by shared-prefix-hit count (desc, container id asc) — the
+    knob that bounds SCORING volume at extreme duplicate density, where
+    the prefix filter itself stops pruning because no shingle is rare
+    (measured: 227M candidate pairs from 334k canon docs at 100x density
+    — ~200 GB of array-attached join intermediate without this cap). A
+    true pair is dropped only when the contained doc has ``candidate_cap``
+    other candidates with at least its hit count; near-identical docs hit
+    the full prefix, so drops concentrate inside duplicate groups larger
+    than ``candidate_cap`` — exactly where ``per_doc_cap`` keeps only the
+    strongest few containers anyway. Scores of surviving pairs stay exact.
+
     ``auto_cap``: when none of the knobs was passed and the corpus exceeds
     ``DENSE_PAIR_AUTOCAP_LIMIT`` rows, the capped production configuration
-    (``per_doc_cap``/``max_shingle_df``/``prefix_cap`` from
-    ``DENSE_PAIR_DEFAULTS``) is applied with a warning; ``auto_cap=False``
-    keeps the exact contract.
+    (``per_doc_cap``/``max_shingle_df``/``prefix_cap``/``candidate_cap``
+    from ``DENSE_PAIR_DEFAULTS``) is applied with a warning;
+    ``auto_cap=False`` keeps the exact contract.
 
     Shingle identity inside the candidate join and the intersection is a
     64-bit ``xxhash64`` of the shingle string (8-byte join keys and ~8x
@@ -805,6 +829,7 @@ def ngram_containment_pairs(
         and per_doc_cap is None
         and max_shingle_df is None
         and prefix_cap is None
+        and candidate_cap is None
         and big
     ):
         import warnings
@@ -821,14 +846,16 @@ def ngram_containment_pairs(
         per_doc_cap = DENSE_PAIR_DEFAULTS["per_doc_cap"]
         max_shingle_df = DENSE_PAIR_DEFAULTS["max_shingle_df"]
         prefix_cap = DENSE_PAIR_DEFAULTS["prefix_cap"]
+        candidate_cap = DENSE_PAIR_DEFAULTS["candidate_cap"]
     # plan choice is COST-BASED, not semantic: both plans emit the identical
     # (pair, score) set. Small corpora (and streaming inputs, which cannot
     # be probed) take the naive join-and-count plan — fewer stages, fast
     # when sum(df^2) is small; large corpora take the prefix-filtered plan
     # whose candidate join scales with prefix-df x df instead of df^2.
-    if big or prefix_cap is not None:
+    if big or prefix_cap is not None or candidate_cap is not None:
         both = _containment_scores_prefix(
-            df, threshold, text_col, id_col, n, max_shingle_df, prefix_cap, n_rows
+            df, threshold, text_col, id_col, n, max_shingle_df, prefix_cap,
+            candidate_cap, n_rows
         )
     else:
         both = _containment_scores_naive(df, text_col, id_col, n, max_shingle_df)
@@ -886,7 +913,8 @@ def _containment_scores_naive(
 
 def _containment_scores_prefix(
     df: DataFrame, threshold: float, text_col: str, id_col: str, n: int,
-    max_shingle_df: Optional[int], prefix_cap: Optional[int], n_rows,
+    max_shingle_df: Optional[int], prefix_cap: Optional[int],
+    candidate_cap: Optional[int], n_rows,
 ) -> DataFrame:
     """Undirected (id_a, id_b, common, na, nb) via the prefix-filtered plan
     (see ``ngram_containment_pairs`` docstring). All per-shingle work runs
@@ -931,15 +959,28 @@ def _containment_scores_prefix(
     # candidates: (prefix of contained) x (full set of container), both
     # directions normalized to one undirected pair; the exact score filter
     # decides — the prefix only bounds who gets scored
-    cand = (
-        pref.join(full, "__h")
-        .filter(F.col("__pid") != F.col("__fid"))
-        .select(
-            F.least("__pid", "__fid").alias("id_a"),
-            F.greatest("__pid", "__fid").alias("id_b"),
+    cand_raw = pref.join(full, "__h").filter(F.col("__pid") != F.col("__fid"))
+    if candidate_cap is not None:
+        # rank candidates per contained doc by how many of its prefix
+        # shingles the container shares (only small ints and ids shuffle
+        # here — the map-side combine collapses the per-hash fan-out before
+        # the exchange) and keep the strongest candidate_cap. A pair
+        # survives if it makes EITHER endpoint's cut (union semantics, same
+        # as the two lossless prefix directions).
+        hits = cand_raw.groupBy("__pid", "__fid").agg(
+            F.count(F.lit(1)).alias("__hits")
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        wk = Window.partitionBy("__pid").orderBy(
+            F.col("__hits").desc(), F.col("__fid").asc()
+        )
+        cand_raw = (
+            hits.withColumn("__ck", F.row_number().over(wk))
+            .filter(F.col("__ck") <= candidate_cap)
+        )
+    cand = cand_raw.select(
+        F.least("__pid", "__fid").alias("id_a"),
+        F.greatest("__pid", "__fid").alias("id_b"),
+    ).dropDuplicates(["id_a", "id_b"])
     la = docarr.select(
         F.col(id_col).alias("id_a"), F.col("__arr").alias("__sa"), F.col("n_sh").alias("na")
     )

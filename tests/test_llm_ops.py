@@ -679,7 +679,7 @@ def test_containment_prefix_plan_matches_naive(spark):
     for cut in (None, 8):
         naive = D._containment_scores_naive(docs, "text", "doc_id", 3, cut)
         pref = D._containment_scores_prefix(
-            docs, 0.6, "text", "doc_id", 3, cut, None, 500
+            docs, 0.6, "text", "doc_id", 3, cut, None, None, 500
         )
         t = lambda d: d.filter(
             (F.col("common") / F.col("na") >= 0.6)
@@ -687,3 +687,19 @@ def test_containment_prefix_plan_matches_naive(spark):
         )
         assert t(naive).exceptAll(t(pref)).count() == 0
         assert t(pref).exceptAll(t(naive)).count() == 0
+
+
+def test_containment_candidate_cap(spark):
+    """round-5: candidate_cap bounds scoring volume per contained doc. A
+    non-binding cap is output-identical to the exact contract; a tight cap
+    emits a subset (never an invented pair), with scores still exact."""
+    from flink_siddhi_spark.llm.dedup import ngram_containment_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = ngram_containment_pairs(docs, threshold=0.6, auto_cap=False)
+    loose = ngram_containment_pairs(docs, threshold=0.6, candidate_cap=100_000)
+    assert exact.exceptAll(loose).count() == 0
+    assert loose.exceptAll(exact).count() == 0
+    tight = ngram_containment_pairs(docs, threshold=0.6, candidate_cap=1)
+    assert tight.exceptAll(exact).count() == 0
+    assert tight.count() > 0
