@@ -805,6 +805,24 @@ def q_text_entropy(spark, sf_dir):
     return word_entropy(_docs(spark, sf_dir))
 
 
+def q_ann_knn_graph(spark, sf_dir):
+    # round-5: exact self-kNN graph — numpy bulk scorer (one mapInPandas
+    # corpus pass against the broadcast query matrix, per-dimension fold
+    # for bit parity with the JVM dot and the oracle); the IVF-bucketed
+    # knn_graph mode is the beyond-broadcast-ceiling scale path
+    from flink_siddhi_spark.llm.similarity import knn_graph
+
+    return knn_graph(_embs(spark, sf_dir), k=3)
+
+
+def q_text_readability(spark, sf_dir):
+    # round-5: LIX readability — syllable-free, so exactly reproducible
+    # across engines; pure codegen over one scan
+    from flink_siddhi_spark.llm.text import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate, but DETERMINISTIC (seeded centroids + rounded-cosine
     # tiebreaks) — so the DuckDB oracle replicates the same IVF exactly
@@ -1098,9 +1116,11 @@ _R5_WINDOW = [
     "text_token_count",
     "text_fingerprint",
     "pipeline_domain_quota",
-    # 11-12: new in round 5
+    # 11-14: new in round 5
     "ann_range_search",
     "text_entropy",
+    "ann_knn_graph",
+    "text_readability",
     # 13-50: the stalest r3-green (windows / joins / tables / multimodal /
     # patterns / r3 ops), relational basics rotated out
     "window_time_batch",
@@ -1139,8 +1159,9 @@ _R5_WINDOW = [
     "text_classifier",
     "pipeline_interleave",
     "tpch_q6_forecast",
-    "tpch_q12ish_priority",
-    "dedup_semantic",
+    # tpch_q12ish_priority and dedup_semantic rotated out to make room for
+    # the two late-round-5 additions above; both are r3-green and join the
+    # round-6 leads with the other never-in-r5 entries.
 ]
 
 
@@ -1272,6 +1293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round 5 ---
         "ann_range_search": q_ann_range_search,
         "text_entropy": q_text_entropy,
+        "ann_knn_graph": q_ann_knn_graph,
+        "text_readability": q_text_readability,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2140,6 +2163,27 @@ def oracle_sql() -> dict[str, str]:
             "round(" + _cos_sql("q.q_emb", "c.embedding") + ", 6) cos "
             "FROM embeddings c, q WHERE c.vec_id != q.query_id) "
             "SELECT query_id, neighbor_id, cos FROM scored WHERE cos >= 0.35"
+        ),
+        "ann_knn_graph": (
+            "WITH scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id, "
+            "round(" + _cos_sql("q.embedding", "c.embedding") + ", 6) cos "
+            "FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id) "
+            "SELECT query_id, neighbor_id, cos, rank FROM "
+            "(SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neighbor_id) AS INT) rank FROM scored "
+            "WHERE cos IS NOT NULL AND NOT isnan(cos)) "
+            "WHERE rank <= 3"
+        ),
+        "text_readability": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) n_words, "
+            "CAST(len(list_filter(string_split(text, ' '), "
+            "w -> length(w) > 6)) AS BIGINT) n_long_words, "
+            "greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, "
+            "'[.!?]')) AS BIGINT)) n_sentences FROM documents) "
+            "SELECT doc_id, n_words, n_long_words, n_sentences, "
+            "round(n_words / n_sentences + "
+            "100.0 * n_long_words / greatest(n_words, 1), 6) lix FROM t"
         ),
         "text_entropy": (
             "WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) wd "

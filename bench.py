@@ -71,9 +71,12 @@ HEADLINE = [
     "window_cron_lastfriday",
     "dedup_fuzzy_keep",
     "pipeline_cdc_chunks",
-    # round 5: radius similarity search, word-distribution entropy
+    # round 5: radius similarity search, word-distribution entropy,
+    # exact self-kNN graph (numpy bulk scorer), LIX readability
     "ann_range_search",
     "text_entropy",
+    "ann_knn_graph",
+    "text_readability",
 ]
 
 

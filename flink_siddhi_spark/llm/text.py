@@ -273,6 +273,37 @@ def word_entropy(
     )
 
 
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LIX readability (Björnsson's läsbarhetsindex):
+    ``words/sentences + 100 * long_words/words`` with long = >6 chars —
+    the standard readability formula that needs NO syllable heuristic, so
+    it is exactly reproducible across engines (a cheap quality signal for
+    curriculum filtering: ~20 very easy prose, ~60 technical text).
+
+    Scale shape: pure per-row codegen'd expressions over one scan — word
+    split, a regexp sentence-terminator count, and a lambda filter for
+    long words; no shuffle, no UDF. Sentence count floors at 1 (headline
+    fragments without terminal punctuation read as one sentence)."""
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words).cast("bigint")
+    n_long = F.size(F.filter(words, lambda w: F.length(w) > 6)).cast("bigint")
+    n_sent = F.greatest(
+        F.lit(1).cast("bigint"), F.regexp_count(F.col(text_col), F.lit(r"[.!?]"))
+    )
+    lix = F.round(
+        n_words / n_sent + F.lit(100.0) * n_long / F.greatest(n_words, F.lit(1)), 6
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_long.alias("n_long_words"),
+        n_sent.alias("n_sentences"),
+        lix.alias("lix"),
+    )
+
+
 def corpus_source_stats(
     df: DataFrame, source_col: str = "source", text_col: str = "text",
     lang_col: str = "lang",

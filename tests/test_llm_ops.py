@@ -689,6 +689,53 @@ def test_containment_prefix_plan_matches_naive(spark):
         assert t(pref).exceptAll(t(naive)).count() == 0
 
 
+def test_knn_graph(spark, sf_dir):
+    """round-5: exact self-kNN graph (numpy bulk scorer) is bit-identical
+    to the join-formulation top-k, and the IVF-bucketed mode clears a
+    recall gate against it."""
+    from flink_siddhi_spark.llm.similarity import cosine_topk, knn_graph
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    g = knn_graph(embs, k=3)
+    rows = g.collect()
+    n = embs.count()
+    assert len(rows) == 3 * n
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    assert {r.rank for r in rows} == {1, 2, 3}
+    # bit parity with the join formulation (same fold, same rounding,
+    # same (cos desc, neighbor asc) order)
+    ref = cosine_topk(embs, embs, k=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, ref.collect()))
+    # IVF mode: bounded candidate sets; recall vs exact on these
+    # near-uniform synthetic embeddings (no real cluster structure, the
+    # worst case for bucket pruning) measured 0.70 at 4-of-8 probed
+    # buckets — gate at 0.6 (deterministic: seeded centroids, no RNG)
+    approx = {(r.query_id, r.neighbor_id)
+              for r in knn_graph(embs, k=3, n_centroids=8, n_probe=4).collect()}
+    exact = {(r.query_id, r.neighbor_id) for r in rows}
+    assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_readability(spark):
+    """round-5: LIX = words/sentences + 100*long_words/words, long = >6
+    chars, sentence count floored at 1."""
+    from flink_siddhi_spark.llm.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "short words here. but procedural normativity endures!"),
+         (2, "no terminal punctuation")],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in readability(df).collect()}
+    # doc 1: 7 words, 2 sentences, long: procedural normativity endures!
+    # ("endures!" is 8 chars incl punctuation -> long)
+    assert out[1].n_words == 7 and out[1].n_sentences == 2
+    assert out[1].lix == round(7 / 2 + 100 * out[1].n_long_words / 7, 6)
+    # doc 2: sentence floor of 1
+    assert out[2].n_sentences == 1
+    assert out[2].lix == round(3 / 1 + 100 * out[2].n_long_words / 3, 6)
+
+
 def test_containment_candidate_cap(spark):
     """round-5: candidate_cap bounds scoring volume per contained doc. A
     non-binding cap is output-identical to the exact contract; a tight cap
