@@ -104,10 +104,23 @@ def cosine_topk(
     k: int = 5,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    engine: str = "numpy",
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self-matches by id).
 
-    Deterministic ranking: (rounded cosine desc, neighbor id asc)."""
+    Deterministic ranking: (rounded cosine desc, neighbor id asc).
+
+    ``engine="numpy"`` (default) scores each corpus Arrow batch against
+    the collected query matrix inside ``mapInPandas`` with per-dimension
+    fold accumulation — bit-identical to the JVM fold at ~10-50x the
+    throughput (the unrolled JVM dot evaluates per PAIR on the
+    interpreted expression path, ~3-15 us/pair measured; invisible with
+    10 queries, dominant at self-kNN pair counts). ``engine="join"``
+    keeps the broadcast-join formulation — an independent implementation
+    retained as the cross-validation reference (pytest pins the two
+    engines' outputs equal)."""
+    if engine == "numpy":
+        return _matmul_topk(corpus, queries, k, emb_col, id_col)
     dim = _dim_of(corpus, emb_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
@@ -263,13 +276,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     centroids: str = "seed",
     kmeans_iters: int = 5,
+    engine: str = "numpy",
 ) -> DataFrame:
     """Approximate top-k: probe only the n_probe closest centroid buckets.
 
     ``centroids="seed"`` (default): the first ``n_centroids`` corpus vectors
     by id — deterministic without iteration, kept as the oracle-checkable
     mode. ``centroids="kmeans"``: spherical k-means via ``kmeans_centroids``
-    — the production-recall path (see tests/test_llm_ops.py recall gate)."""
+    — the production-recall path (see tests/test_llm_ops.py recall gate).
+
+    ``engine="numpy"`` (default) scores each bucket's members against that
+    bucket's probing queries in numpy (see ``_bucketed_matmul_topk`` — the
+    JVM per-pair expression path costs ~3-15 us/pair); ``engine="join"``
+    keeps the broadcast-join formulation as the cross-validation
+    reference (pytest pins the two engines' outputs equal)."""
     dim = _dim_of(corpus, emb_col)
     if centroids == "kmeans":
         centroids = kmeans_centroids(
@@ -297,6 +317,8 @@ def ivf_topk(
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "q_emb", "q_norm", "centroid_id")
     )
+    if engine == "numpy":
+        return _bucketed_matmul_topk(assigned, probes, k, emb_col, id_col)
     scored = (
         assigned.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col(id_col))
@@ -307,20 +329,91 @@ def ivf_topk(
     return _two_phase_topk(scored, k)
 
 
-def _self_knn_matmul(
-    corpus: DataFrame, k: int, emb_col: str, id_col: str
+def _np_chunked_topk(qids, Q, qn, cids_all, C_all, cn_all, k):
+    """Shared numpy block scorer for the three bulk ANN paths (flat,
+    bucketed, cogrouped): yields per-chunk local top-k DataFrames.
+
+    Determinism contract (the reason this is hand-rolled rather than one
+    ``Q @ C.T``): the cosine numerator accumulates DIMENSION-BY-DIMENSION
+    in float64 — the exact IEEE operation sequence of the codegen'd fold
+    ``0.0 + x0*y0 + x1*y1 + ...`` — so scores round-trip bit-identically
+    against the JVM join formulation and the DuckDB oracle (BLAS
+    pairwise/SIMD summation would differ in the last ulp and could flip a
+    6-decimal rounding). Chunking bounds the score matrix at ~32M float64
+    (~256 MB); ties rank (cos desc, neighbor asc) via a stable argsort
+    over neighbor-ascending inputs; NaN (zero-norm or self) sorts last
+    and is dropped on emit."""
+    import numpy as np
+    import pandas as pd
+
+    nq, dim = Q.shape
+    chunk = max(1, 32_000_000 // max(nq, 1))
+    for s in range(0, len(cids_all), chunk):
+        cids = cids_all[s:s + chunk]
+        C = C_all[s:s + chunk]
+        cn = cn_all[s:s + chunk]
+        nc = len(cids)
+        if nc == 0:
+            continue
+        acc = np.zeros((nq, nc))
+        tmp = np.empty((nq, nc))
+        for j in range(dim):
+            np.multiply(Q[:, j][:, None], C[:, j][None, :], out=tmp)
+            acc += tmp
+        den = qn[:, None] * cn[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(den != 0, acc / den, np.nan)
+        cos = np.round(cos, 6)
+        cos[qids[:, None] == cids[None, :]] = np.nan  # self-matches
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+        top = np.take_along_axis(cos, idx, axis=1)
+        out = pd.DataFrame({
+            "query_id": np.repeat(qids, idx.shape[1]),
+            "neighbor_id": cids[idx].ravel(),
+            "cos": top.ravel(),
+        })
+        out = out[~out["cos"].isna()]
+        if len(out):
+            yield out
+
+
+def _np_fold_norms(M):
+    """Per-row L2 norms with the same per-dimension fold as ``norm()``."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0])
+    for j in range(M.shape[1]):
+        acc += M[:, j] * M[:, j]
+    return np.sqrt(acc)
+
+
+def _np_emb_matrix(values, dim):
+    """float32 -> float64 embedding matrix from an Arrow/pandas column."""
+    import numpy as np
+
+    if not len(values):
+        return np.zeros((0, dim))
+    return np.asarray(
+        [np.asarray(v, dtype=np.float32) for v in values], dtype=np.float32
+    ).astype(np.float64)
+
+
+def _matmul_topk(
+    corpus: DataFrame, queries: DataFrame, k: int, emb_col: str, id_col: str
 ) -> DataFrame:
-    """Exact self-kNN scorer for ``knn_graph`` (see its docstring for the
-    design rationale). Determinism contract: the cosine is accumulated
-    dimension-by-dimension in float64 from the float32 inputs — the exact
-    IEEE operation sequence of the codegen'd fold ``0.0 + x0*y0 + x1*y1 +
-    ...`` — and rounded to 6 decimals before ranking, so scores and
-    rankings are bit-identical to the JVM join formulation and the DuckDB
-    oracle."""
+    """Bulk numpy top-k scorer behind ``cosine_topk`` / exact
+    ``knn_graph`` (see their docstrings for the design rationale). The
+    query side is collected to the driver (the broadcast-model contract —
+    identical ceiling to the broadcast join it replaces, just explicit).
+    Determinism contract: the cosine is accumulated dimension-by-dimension
+    in float64 from the float32 inputs — the exact IEEE operation sequence
+    of the codegen'd fold ``0.0 + x0*y0 + x1*y1 + ...`` — and rounded to 6
+    decimals before ranking, so scores and rankings are bit-identical to
+    the JVM join formulation and the DuckDB oracle."""
     import numpy as np
 
     spark = corpus.sparkSession
-    rows = corpus.select(id_col, emb_col).collect()  # broadcast-model
+    rows = queries.select(id_col, emb_col).collect()  # broadcast-model
     qids = np.asarray([r[0] for r in rows], dtype=np.int64)
     Q = np.asarray([r[1] for r in rows], dtype=np.float32).astype(np.float64)
     bq = spark.sparkContext.broadcast((qids, Q))
@@ -328,57 +421,127 @@ def _self_knn_matmul(
 
     def score(batches):
         import numpy as np
-        import pandas as pd
 
         qids, Q = bq.value
-        nq, dim = Q.shape
-        # query norms, same per-dimension fold as norm()
-        qacc = np.zeros(nq)
-        for j in range(dim):
-            qacc += Q[:, j] * Q[:, j]
-        qn = np.sqrt(qacc)
-        # bound the q x chunk score matrix at ~32M float64 (~256 MB)
-        chunk = max(1, 32_000_000 // max(nq, 1))
+        qn = _np_fold_norms(Q)
         for pdf in batches:
-            # neighbor-id ascending INSIDE the batch so the stable sort on
-            # cos below breaks ties exactly like (cos desc, neighbor asc)
+            # neighbor-id ascending INSIDE the batch so the stable sort in
+            # the block scorer breaks ties exactly like (cos desc,
+            # neighbor asc)
             pdf = pdf.sort_values(id_col, ignore_index=True)
             cids_all = pdf[id_col].to_numpy(dtype=np.int64)
-            C_all = np.asarray(
-                [np.asarray(v, dtype=np.float32) for v in pdf[emb_col]],
-                dtype=np.float32,
-            ).astype(np.float64) if len(pdf) else np.zeros((0, dim))
-            for s in range(0, len(pdf), chunk):
-                cids = cids_all[s:s + chunk]
-                C = C_all[s:s + chunk]
-                nc = C.shape[0]
-                if nc == 0:
-                    continue
-                cacc = np.zeros(nc)
-                acc = np.zeros((nq, nc))
-                for j in range(dim):
-                    cacc += C[:, j] * C[:, j]
-                    acc += Q[:, j][:, None] * C[:, j][None, :]
-                cn = np.sqrt(cacc)
-                den = qn[:, None] * cn[None, :]
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    cos = np.where(den != 0, acc / den, np.nan)
-                cos = np.round(cos, 6)
-                cos[qids[:, None] == cids[None, :]] = np.nan  # self
-                # stable argsort on -cos: ties keep the cid-asc batch
-                # order; NaN sorts last and is dropped on emit
-                idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
-                top = np.take_along_axis(cos, idx, axis=1)
-                out = pd.DataFrame({
-                    "query_id": np.repeat(qids, idx.shape[1]),
-                    "neighbor_id": cids[idx].ravel(),
-                    "cos": top.ravel(),
-                })
-                out = out[~out["cos"].isna()]
-                if len(out):
-                    yield out
+            C_all = _np_emb_matrix(pdf[emb_col], Q.shape[1])
+            cn_all = _np_fold_norms(C_all)
+            yield from _np_chunked_topk(qids, Q, qn, cids_all, C_all, cn_all, k)
 
     local = _spread(corpus.select(id_col, emb_col)).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _bucketed_matmul_topk(
+    assigned: DataFrame, probes: DataFrame, k: int, emb_col: str, id_col: str
+) -> DataFrame:
+    """Bulk numpy scorer for the IVF shapes: corpus rows meet only the
+    queries probing their bucket. The probe list (query embedding + norm
+    per probed bucket) is collected to the driver and broadcast as
+    per-bucket matrices — the same small-query-side contract as the
+    broadcast join it replaces; the corpus streams through one
+    ``mapInPandas`` pass grouped by bucket id per Arrow batch. Same
+    bit-parity determinism contract as ``_matmul_topk``."""
+    import numpy as np
+
+    spark = assigned.sparkSession
+    prows = probes.select("query_id", "q_emb", "q_norm", "centroid_id").collect()
+    buckets: dict = {}
+    for r in sorted(prows, key=lambda r: (r[3], r[0])):
+        buckets.setdefault(r[3], []).append(r)
+    bmats = {
+        cid: (
+            np.asarray([r[0] for r in rs], dtype=np.int64),
+            np.asarray([r[1] for r in rs], dtype=np.float32).astype(np.float64),
+            np.asarray([r[2] for r in rs], dtype=np.float64),
+        )
+        for cid, rs in buckets.items()
+    }
+    bb = spark.sparkContext.broadcast(bmats)
+    schema = "query_id bigint, neighbor_id bigint, cos double"
+
+    def score(batches):
+        import numpy as np
+
+        bmats = bb.value
+        for pdf in batches:
+            pdf = pdf.sort_values(id_col, ignore_index=True)
+            for cid, sub in pdf.groupby("centroid_id", sort=False):
+                got = bmats.get(cid)
+                if got is None or not len(sub):
+                    continue
+                qids, Q, qn = got
+                cids_all = sub[id_col].to_numpy(dtype=np.int64)
+                C_all = _np_emb_matrix(sub[emb_col], Q.shape[1])
+                cn_all = sub["__nrm"].to_numpy(dtype=np.float64)
+                yield from _np_chunked_topk(
+                    qids, Q, qn, cids_all, C_all, cn_all, k
+                )
+
+    local = assigned.select(id_col, emb_col, "__nrm", "centroid_id").mapInPandas(
+        score, schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _cogroup_bucket_topk(
+    probes: DataFrame, assigned: DataFrame, k: int, emb_col: str, id_col: str
+) -> DataFrame:
+    """Fully-distributed bucket scorer for self-kNN IVF: NOTHING touches
+    the driver — probes (query side) and assigned (member side) cogroup
+    on the bucket id (one exchange each), and each bucket's probers x
+    members block is scored in numpy inside ``applyInPandas``. This is
+    the shape for query sets too large to collect (self-kNN: the query
+    set IS the corpus). Same bit-parity determinism contract as
+    ``_matmul_topk``."""
+    import pandas as pd
+
+    schema = "query_id bigint, neighbor_id bigint, cos double"
+
+    def score(left, right):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []})
+        if not len(left) or not len(right):
+            return empty
+        left = left.sort_values("query_id", ignore_index=True)
+        right = right.sort_values(id_col, ignore_index=True)
+        qids = left["query_id"].to_numpy(dtype=np.int64)
+        Q = _np_emb_matrix(left["q_emb"], 0)
+        qn = left["q_norm"].to_numpy(dtype=np.float64)
+        cids_all = right[id_col].to_numpy(dtype=np.int64)
+        C_all = _np_emb_matrix(right[emb_col], Q.shape[1])
+        cn_all = right["__nrm"].to_numpy(dtype=np.float64)
+        outs = list(_np_chunked_topk(qids, Q, qn, cids_all, C_all, cn_all, k))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    local = (
+        probes.groupby("centroid_id")
+        .cogroup(assigned.select(id_col, emb_col, "__nrm", "centroid_id")
+                 .groupby("centroid_id"))
+        .applyInPandas(score, schema)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -420,16 +583,17 @@ def knn_graph(
     never shuffles; only <= k * n_queries rows per partition do.
 
     ``n_centroids=N`` — IVF approximation, the 100 TB shape: vectors meet
-    only inside shared centroid buckets via a plain EQUI-join on the
-    bucket id. Unlike ``ivf_topk`` (few queries, broadcast probe list),
-    self-kNN's "query set" IS the corpus, so nothing is broadcast: each
-    side shuffles once, keyed by bucket, and each vector probes its
-    ``n_probe`` nearest buckets (map-side-combined ``collect_list`` top-N
-    per vector — one row per (vector, probe) enters the join, no Window
-    sort over embedding payloads)."""
+    only inside shared centroid buckets. Unlike ``ivf_topk`` (few
+    queries, driver-held probe matrices), self-kNN's "query set" IS the
+    corpus, so nothing touches the driver: probers and members COGROUP on
+    the bucket id (one exchange per side) and each bucket's block is
+    scored in numpy inside ``applyInPandas`` (``_cogroup_bucket_topk``).
+    Each vector probes its ``n_probe`` nearest buckets via a
+    map-side-combined ``collect_list`` top-N — one row per (vector,
+    probe) enters the cogroup, no Window sort over embedding payloads."""
     dim = _dim_of(corpus, emb_col)
     if n_centroids is None:
-        return _self_knn_matmul(corpus, k, emb_col, id_col)
+        return _matmul_topk(corpus, corpus, k, emb_col, id_col)
     centroids = corpus.orderBy(id_col).limit(n_centroids)
     assigned = assign_centroids(corpus, centroids, emb_col, id_col, None)
     c = centroids.select(
@@ -467,11 +631,4 @@ def knn_graph(
             F.explode(F.col("__top.cid")).alias("centroid_id"),
         )
     )
-    scored = (
-        assigned.join(probes, "centroid_id")
-        .filter(F.col("query_id") != F.col(id_col))
-        .withColumn("cos", F.round(safe_div(dot("q_emb", emb_col, dim),
-                                            F.col("q_norm") * F.col("__nrm")), 6))
-        .withColumn("neighbor_id", F.col(id_col))
-    )
-    return _two_phase_topk(scored, k)
+    return _cogroup_bucket_topk(probes, assigned, k, emb_col, id_col)

@@ -702,9 +702,9 @@ def test_knn_graph(spark, sf_dir):
     assert len(rows) == 3 * n
     assert all(r.query_id != r.neighbor_id for r in rows)
     assert {r.rank for r in rows} == {1, 2, 3}
-    # bit parity with the join formulation (same fold, same rounding,
-    # same (cos desc, neighbor asc) order)
-    ref = cosine_topk(embs, embs, k=3)
+    # bit parity with the independent JVM join formulation (same fold,
+    # same rounding, same (cos desc, neighbor asc) order)
+    ref = cosine_topk(embs, embs, k=3, engine="join")
     assert sorted(map(tuple, rows)) == sorted(map(tuple, ref.collect()))
     # IVF mode: bounded candidate sets; recall vs exact on these
     # near-uniform synthetic embeddings (no real cluster structure, the
@@ -714,6 +714,25 @@ def test_knn_graph(spark, sf_dir):
               for r in knn_graph(embs, k=3, n_centroids=8, n_probe=4).collect()}
     exact = {(r.query_id, r.neighbor_id) for r in rows}
     assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_ann_engine_parity(spark, sf_dir):
+    """round-5: the numpy bulk scorers are bit-identical to the JVM join
+    formulations for cosine_topk and ivf_topk (same fold order, same
+    rounding, same total order) — the two engines cross-validate."""
+    from pyspark.sql import functions as F
+
+    from flink_siddhi_spark.llm.similarity import cosine_topk, ivf_topk
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, cosine_topk(embs, queries, k=5).collect()))
+    b = sorted(map(tuple, cosine_topk(embs, queries, k=5, engine="join").collect()))
+    assert a == b
+    a = sorted(map(tuple, ivf_topk(embs, queries, n_centroids=8, n_probe=2, k=5).collect()))
+    b = sorted(map(tuple, ivf_topk(embs, queries, n_centroids=8, n_probe=2, k=5,
+                                   engine="join").collect()))
+    assert a == b
 
 
 def test_readability(spark):

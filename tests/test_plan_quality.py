@@ -91,13 +91,27 @@ def test_ann_two_phase_topk_shape(spark):
     p = _plan(spark, "ann_cosine_topk")
     assert "MapInPandas" in p, p
     assert "WindowGroupLimit" in p, p
-    # the only hash exchange is the tiny post-truncation merge; the pair
-    # stream side (plan text BELOW MapInPandas) must reach it straight
-    # from the scoring join — cosine_topk's join is the DOCUMENTED exact
-    # BroadcastNestedLoopJoin baseline (non-equi: query_id != neighbor_id)
+    # round-5: scoring moved INSIDE the MapInPandas pass (numpy bulk
+    # scorer vs the interpreted ~3-15us/pair JVM expression path), so the
+    # corpus reaches it straight from the scan — no join, no hash
+    # exchange below the local top-k at all; the only exchange is the
+    # tiny post-truncation merge
     pre, _, post = p.partition("MapInPandas")
     assert "Exchange hashpartitioning" not in post, p
-    assert "BroadcastNestedLoopJoin" in post, p
+    assert "Join" not in post, p
+    # the JVM join engine stays available as the cross-validation
+    # reference, with its documented BroadcastNestedLoopJoin shape
+    # (non-equi: query_id != neighbor_id)
+    from pyspark.sql import functions as F
+
+    from flink_siddhi_spark.llm.similarity import cosine_topk
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    dfj = cosine_topk(embs, embs.filter(F.col("vec_id") < 10), k=5,
+                      engine="join")
+    dfj.write.format("noop").mode("overwrite").save()
+    pj = dfj._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in pj, pj
 
     p = _plan(spark, "ann_ivf_topk")
     # ivf's pair stream also truncates locally before the merge. Exchanges
