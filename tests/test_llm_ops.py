@@ -735,6 +735,36 @@ def test_ann_engine_parity(spark, sf_dir):
     assert a == b
 
 
+def test_ann_engine_parity_property(spark):
+    """round-5: property-based engine parity — on random embedding sets
+    (zero vectors, negatives, duplicates, shared prefixes) the numpy bulk
+    scorer and the JVM join formulation return identical rows."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_siddhi_spark.llm.similarity import cosine_topk
+
+    vec = st.lists(
+        st.sampled_from([0.0, 1.0, -1.0, 0.5, 2.0, -0.25]), min_size=4, max_size=4
+    )
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(st.lists(vec, min_size=2, max_size=12))
+    def check(vecs):
+        df = spark.createDataFrame(
+            [(i, v, 0) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<float>, label int",
+        )
+        a = sorted(map(tuple, cosine_topk(df, df, k=3).collect()))
+        b = sorted(map(tuple, cosine_topk(df, df, k=3, engine="join").collect()))
+        assert a == b, (vecs, a, b)
+
+    check()
+
+
 def test_readability(spark):
     """round-5: LIX = words/sentences + 100*long_words/words, long = >6
     chars, sentence count floored at 1."""
