@@ -726,9 +726,12 @@ def test_ann_engine_parity(spark, sf_dir):
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = embs.filter(F.col("vec_id") < 10)
-    a = sorted(map(tuple, cosine_topk(embs, queries, k=5).collect()))
+    a = sorted(map(tuple, cosine_topk(embs, queries, k=5, engine="numpy").collect()))
     b = sorted(map(tuple, cosine_topk(embs, queries, k=5, engine="join").collect()))
     assert a == b
+    # engine="auto" is cost-based only — output identical to both
+    c = sorted(map(tuple, cosine_topk(embs, queries, k=5).collect()))
+    assert a == c
     a = sorted(map(tuple, ivf_topk(embs, queries, n_centroids=8, n_probe=2, k=5).collect()))
     b = sorted(map(tuple, ivf_topk(embs, queries, n_centroids=8, n_probe=2, k=5,
                                    engine="join").collect()))
@@ -758,7 +761,7 @@ def test_ann_engine_parity_property(spark):
             [(i, v, 0) for i, v in enumerate(vecs)],
             "vec_id bigint, embedding array<float>, label int",
         )
-        a = sorted(map(tuple, cosine_topk(df, df, k=3).collect()))
+        a = sorted(map(tuple, cosine_topk(df, df, k=3, engine="numpy").collect()))
         b = sorted(map(tuple, cosine_topk(df, df, k=3, engine="join").collect()))
         assert a == b, (vecs, a, b)
 

@@ -88,29 +88,35 @@ def test_ann_two_phase_topk_shape(spark):
     phase 1 is a MapInPandas local top-k on the scan side, so the scored
     |corpus| x |queries| pair stream never shuffles; the merge rank runs as
     WindowGroupLimit over k * n_partitions survivors."""
+    # whichever engine cost-based "auto" picks at this SF, the structural
+    # two-phase markers must hold: a MapInPandas local top-k ahead of a
+    # WindowGroupLimit merge
     p = _plan(spark, "ann_cosine_topk")
     assert "MapInPandas" in p, p
     assert "WindowGroupLimit" in p, p
-    # round-5: scoring moved INSIDE the MapInPandas pass (numpy bulk
-    # scorer vs the interpreted ~3-15us/pair JVM expression path), so the
-    # corpus reaches it straight from the scan — no join, no hash
-    # exchange below the local top-k at all; the only exchange is the
-    # tiny post-truncation merge
-    pre, _, post = p.partition("MapInPandas")
-    assert "Exchange hashpartitioning" not in post, p
-    assert "Join" not in post, p
-    # the JVM join engine stays available as the cross-validation
-    # reference, with its documented BroadcastNestedLoopJoin shape
-    # (non-equi: query_id != neighbor_id)
+
     from pyspark.sql import functions as F
 
     from flink_siddhi_spark.llm.similarity import cosine_topk
 
+    def plan_of(df):
+        df.write.format("noop").mode("overwrite").save()
+        return df._jdf.queryExecution().executedPlan().toString()
+
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    dfj = cosine_topk(embs, embs.filter(F.col("vec_id") < 10), k=5,
-                      engine="join")
-    dfj.write.format("noop").mode("overwrite").save()
-    pj = dfj._jdf.queryExecution().executedPlan().toString()
+    q = embs.filter(F.col("vec_id") < 10)
+    # round-5 numpy engine: scoring runs INSIDE the MapInPandas pass (the
+    # interpreted JVM expression path costs ~3-15us/pair), so the corpus
+    # reaches it straight from the scan — no join and no hash exchange
+    # below the local top-k; the only exchange is the tiny merge
+    pn = plan_of(cosine_topk(embs, q, k=5, engine="numpy"))
+    pre, _, post = pn.partition("MapInPandas")
+    assert "Exchange hashpartitioning" not in post, pn
+    assert "Join" not in post, pn
+    # the JVM join engine stays available as the cross-validation
+    # reference, with its documented BroadcastNestedLoopJoin shape
+    # (non-equi: query_id != neighbor_id)
+    pj = plan_of(cosine_topk(embs, q, k=5, engine="join"))
     assert "BroadcastNestedLoopJoin" in pj, pj
 
     p = _plan(spark, "ann_ivf_topk")
