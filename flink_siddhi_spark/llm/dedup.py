@@ -541,7 +541,13 @@ _ROWCOUNT_CACHE: dict = {}
 def _corpus_rowcount(df: DataFrame):
     """Row count of a (batch) corpus projection: free parquet-footer read
     when the plan allows (``_plan_rowcount``), else a count job memoized by
-    the analyzed plan's semantic hash. None for streaming inputs."""
+    the analyzed plan's semantic hash. None for streaming inputs.
+
+    Caveat: the memo keys on the PLAN, not the data — if the underlying
+    table gains rows mid-session (append/insert under the same logical
+    plan), the stale count can under-trigger the autocap until the session
+    (or the 256-entry cache) rolls over. Size probes here gate plan choice
+    and cap warnings, never correctness of emitted rows."""
     if df.isStreaming:
         return None
     n = _plan_rowcount(df)
@@ -756,7 +762,10 @@ def ngram_containment_pairs(
     common shingles with B drawn from A's PREFIX under a global
     rarest-first shingle order (df asc, shingle asc) — if A's prefix missed
     B entirely, all common shingles would fit in A's suffix of length
-    ``ceil(t*|sh(A)|) - 1 < common``, a contradiction. So the candidate
+    ``ceil(t*|sh(A)|) - 1 < common``, a contradiction. (The implementation
+    uses one extra prefix shingle beyond this textbook bound because the
+    final filter tests the 6-decimal-ROUNDED ratio, which
+    ``common = ceil(t*|sh(A)|) - 1`` can still pass.) So the candidate
     join is prefix-shingles x all-shingles instead of the full self-join:
     on a dense-vocabulary corpus the fan-out drops ~10x (measured 137M ->
     16M rows at 10x duplicate density), and — unlike the full join — the
@@ -822,8 +831,16 @@ def ngram_containment_pairs(
     by 1; at ~10^2 shingles per doc that is P ~ 1e-15 per pair —
     negligible against the oracle at any testable scale and the industry
     trade at web scale."""
-    n_rows = _corpus_rowcount(df.select(id_col))
-    big = n_rows is not None and n_rows > DENSE_PAIR_AUTOCAP_LIMIT
+    if prefix_cap is not None or candidate_cap is not None:
+        # an explicit prefix/candidate cap forces the prefix plan, so the
+        # size probe decides nothing — skip it (n_rows only gates the
+        # scoring-side broadcast, and None conservatively picks the
+        # shuffled hash join)
+        n_rows = None
+        big = False
+    else:
+        n_rows = _corpus_rowcount(df.select(id_col))
+        big = n_rows is not None and n_rows > DENSE_PAIR_AUTOCAP_LIMIT
     if (
         auto_cap
         and per_doc_cap is None
@@ -947,8 +964,14 @@ def _containment_scores_prefix(
         .localCheckpoint(eager=False)
     )
     # lossless prefix length for the contained direction (SSJoin bound):
-    # n_sh - ceil(t*n_sh) + 1; prefix_cap shortens it (capped mode)
-    p = (F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1).cast("int")
+    # n_sh - ceil(t*n_sh) + 2. The textbook bound is +1 (common >=
+    # ceil(t*n_sh)), but the emitted filter tests the 6-DECIMAL-ROUNDED
+    # ratio, which common = ceil(t*n_sh) - 1 can still pass via round-up
+    # (round(common/na, 6) >= t while common/na < t); one extra slack
+    # shingle covers that weakest passing common for any na < ~1e6
+    # shingles, keeping the prefix plan's pair set identical to the naive
+    # plan's. prefix_cap shortens the prefix (capped mode).
+    p = (F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 2).cast("int")
     if prefix_cap is not None:
         p = F.least(p, F.lit(int(prefix_cap)))
     pref = docarr.select(

@@ -126,6 +126,10 @@ def cosine_topk(
     keep the join; the pair estimate uses the free row-count probe
     (parquet footer / memoized count) and unknown sizes choose numpy
     (the scale-safe side)."""
+    if engine != "join" and not (
+        _integral_ids(corpus, id_col) and _integral_ids(queries, id_col)
+    ):
+        engine = "join"  # numpy ships ids as int64; join is type-agnostic
     if engine == "auto":
         from .dedup import _corpus_rowcount
 
@@ -334,6 +338,10 @@ def ivf_topk(
         .filter(F.col("__r") <= n_probe)
         .select("query_id", "q_emb", "q_norm", "centroid_id")
     )
+    if engine == "numpy" and not (
+        _integral_ids(corpus, id_col) and _integral_ids(queries, id_col)
+    ):
+        engine = "join"  # numpy ships ids as int64; join is type-agnostic
     if engine == "numpy":
         return _bucketed_matmul_topk(assigned, probes, k, emb_col, id_col)
     scored = (
@@ -344,6 +352,60 @@ def ivf_topk(
         .withColumn("neighbor_id", F.col(id_col))
     )
     return _two_phase_topk(scored, k)
+
+
+def _merge_rank(local: DataFrame, k: int) -> DataFrame:
+    """Shared phase-2 merge for the numpy scorers: rank the per-partition
+    local top-k survivors with the SAME (cos desc, neighbor asc) total
+    order phase 1 truncated with — one tiny exchange of <= k * n_partitions
+    rows per query. Kept as ONE helper so the three engines cannot drift
+    out of the engine-parity contract."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _integral_ids(df: DataFrame, col: str) -> bool:
+    """True when ``col`` is an integral type an int64 can hold — the numpy
+    engines ship ids through Arrow as int64 (and widen output ids to
+    bigint); any other id type falls back to the type-agnostic join
+    engines."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    return isinstance(
+        df.schema[col].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
+
+
+def _np_round6(arr):
+    """Round to 6 decimals with Spark's ``F.round`` semantics. Spark rounds
+    the double's SHORTEST-DECIMAL representation HALF_UP (BigDecimal.valueOf
+    = Double.toString), while ``np.round`` rounds the binary-scaled value
+    half-to-even — they disagree exactly on values whose shortest repr ends
+    in a 7th-decimal 5 (e.g. 0.5000005: Spark -> 0.500001, numpy -> 0.5).
+    Vectorized fast path everywhere; only cells within ~1e-8 of the scaled
+    halfway point (measure-zero in practice) take the exact decimal path."""
+    import numpy as np
+
+    y = np.round(arr, 6)
+    with np.errstate(invalid="ignore"):
+        scaled = arr * 1e6
+        frac = np.abs(scaled - np.floor(scaled) - 0.5)
+        mask = frac < 1e-8
+    if mask.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("1e-6")
+        y[mask] = [
+            float(Decimal(repr(float(v))).quantize(q6, ROUND_HALF_UP))
+            for v in arr[mask]
+        ]
+    return y
 
 
 def _np_chunked_topk(qids, Q, qn, cids_all, C_all, cn_all, k):
@@ -380,7 +442,7 @@ def _np_chunked_topk(qids, Q, qn, cids_all, C_all, cn_all, k):
         den = qn[:, None] * cn[None, :]
         with np.errstate(invalid="ignore", divide="ignore"):
             cos = np.where(den != 0, acc / den, np.nan)
-        cos = np.round(cos, 6)
+        cos = _np_round6(cos)
         cos[qids[:, None] == cids[None, :]] = np.nan  # self-matches
         idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
         top = np.take_along_axis(cos, idx, axis=1)
@@ -430,11 +492,15 @@ def _matmul_topk(
     import numpy as np
 
     spark = corpus.sparkSession
+    schema = "query_id bigint, neighbor_id bigint, cos double"
     rows = queries.select(id_col, emb_col).collect()  # broadcast-model
+    if not rows:
+        # empty query set: a (0,)-shaped Q would crash the fold on the
+        # executors; the join engine returns an empty frame here too
+        return spark.createDataFrame([], schema + ", rank int")
     qids = np.asarray([r[0] for r in rows], dtype=np.int64)
     Q = np.asarray([r[1] for r in rows], dtype=np.float32).astype(np.float64)
     bq = spark.sparkContext.broadcast((qids, Q))
-    schema = f"query_id bigint, neighbor_id bigint, cos double"
 
     def score(batches):
         import numpy as np
@@ -452,14 +518,7 @@ def _matmul_topk(
             yield from _np_chunked_topk(qids, Q, qn, cids_all, C_all, cn_all, k)
 
     local = _spread(corpus.select(id_col, emb_col)).mapInPandas(score, schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _merge_rank(local, k)
 
 
 def _bucketed_matmul_topk(
@@ -511,14 +570,7 @@ def _bucketed_matmul_topk(
     local = assigned.select(id_col, emb_col, "__nrm", "centroid_id").mapInPandas(
         score, schema
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _merge_rank(local, k)
 
 
 def _cogroup_bucket_topk(
@@ -559,14 +611,7 @@ def _cogroup_bucket_topk(
                  .groupby("centroid_id"))
         .applyInPandas(score, schema)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _merge_rank(local, k)
 
 
 def knn_graph(
@@ -608,6 +653,17 @@ def knn_graph(
     Each vector probes its ``n_probe`` nearest buckets via a
     map-side-combined ``collect_list`` top-N — one row per (vector,
     probe) enters the cogroup, no Window sort over embedding payloads."""
+    if not _integral_ids(corpus, id_col):
+        # the numpy scorers ship ids as int64; exact mode has a
+        # type-agnostic join fallback, the cogroup IVF mode does not
+        if n_centroids is None:
+            return cosine_topk(corpus, corpus, k, emb_col, id_col,
+                               engine="join")
+        raise ValueError(
+            f"knn_graph IVF mode requires an integral {id_col!r} column "
+            "(ids travel through Arrow as int64); map non-integral ids to "
+            "a surrogate key first"
+        )
     dim = _dim_of(corpus, emb_col)
     if n_centroids is None:
         return _matmul_topk(corpus, corpus, k, emb_col, id_col)
@@ -637,7 +693,12 @@ def knn_graph(
             F.first("q_norm").alias("q_norm"),
             F.slice(
                 F.sort_array(F.collect_list(F.struct(
-                    (-F.col("cos_c")).alias("nc"),
+                    # NULL cos_c (zero-norm centroid) must sort LAST like
+                    # ivf_topk's cos_c.desc() (nulls-last) probe order —
+                    # a bare negation would sort the NULL struct field
+                    # FIRST and hand every probe slot to a degenerate
+                    # centroid
+                    F.coalesce(-F.col("cos_c"), F.lit(float("inf"))).alias("nc"),
                     F.col("centroid_id").alias("cid"),
                 ))),
                 1, n_probe,

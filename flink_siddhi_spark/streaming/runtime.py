@@ -67,6 +67,86 @@ from ..operators.pattern import PK_COL, STREAM_COL, _run_nfa, _vec
 SNAPSHOT_COL = "__snapshot"
 
 
+def _retention_spec(window, schema, out_cols, ord_cols) -> dict:
+    """Parse a retention window's arguments (#window.sort / frequent /
+    lossyFrequent / unique / firstUnique / batch / delay) into ONE spec
+    dict shared by the row-snapshot and revised-aggregate stateful
+    operators — a single copy of the retention semantics so the two
+    cannot drift."""
+    wname = window.name.lower()
+    spec = {
+        "wname": wname, "sort_by": None, "sort_asc": None, "top_n": None,
+        "combo_keys": None, "freq_n": None, "min_frac": None,
+        "ukeys": None, "keep": "last",
+    }
+    if wname == "sort":
+        n, sort_keys = W._sort_args(window)
+        spec["top_n"] = n
+        spec["sort_by"] = [k for k, _ in sort_keys] + ord_cols
+        spec["sort_asc"] = [asc for _, asc in sort_keys] + [True] * len(ord_cols)
+    elif wname in ("frequent", "lossyfrequent"):
+        if wname == "lossyfrequent":
+            # retained combos are those with count >= (support - error) *
+            # total (the batch exact-count contract) instead of the top-n
+            support = W._arg_num(window, 0)
+            idx, error = 1, 0.0
+            if len(window.args) > 1 and isinstance(window.args[1], A.Literal) \
+                    and window.args[1].kind in ("float", "double"):
+                error = W._arg_num(window, 1)
+                idx = 2
+            spec["min_frac"] = support - error
+        else:
+            spec["freq_n"] = W._arg_ms(window, 0)
+            idx = 1
+        ck = [a.name for a in window.args[idx:] if isinstance(a, A.Ref)]
+        spec["combo_keys"] = ck or [f for f in schema.fields if f in out_cols]
+    elif wname in ("unique", "firstunique"):
+        ukeys = [a.name for a in window.args if isinstance(a, A.Ref)]
+        if not ukeys:
+            raise SiddhiPlannerException(
+                f"#window.{window.name} needs key attribute(s)"
+            )
+        spec["ukeys"] = ukeys
+        spec["keep"] = "first" if wname == "firstunique" else "last"
+    # batch / delay: retain everything
+    return spec
+
+
+def _retain(rows: pd.DataFrame, spec: dict):
+    """(rows_to_store, retained) for one state key under ``spec``. The
+    caller pre-sorts ``rows`` by the batch total order (ord_cols); the
+    retained frame comes back ordered only as far as the retention rules
+    order it — each caller applies its own output ordering."""
+    wname = spec["wname"]
+    if wname == "sort":
+        rows = (
+            rows.sort_values(spec["sort_by"], ascending=spec["sort_asc"],
+                             kind="mergesort")
+            .head(spec["top_n"]).reset_index(drop=True)
+        )
+        return rows, rows
+    if wname in ("frequent", "lossyfrequent"):
+        ck = spec["combo_keys"]
+        counts = (
+            rows.groupby(ck, sort=False, dropna=False)
+            .size()
+            .reset_index(name="__n")
+            .sort_values(["__n"] + ck, ascending=[False] + [True] * len(ck),
+                         kind="mergesort")
+        )
+        if spec["min_frac"] is not None:
+            top = counts[counts["__n"] >= spec["min_frac"] * len(rows)][ck]
+        else:
+            top = counts.head(spec["freq_n"])[ck]
+        return rows, rows.merge(top, on=ck, how="inner")
+    if wname in ("unique", "firstunique"):
+        rows = rows.drop_duplicates(spec["ukeys"], keep=spec["keep"]).reset_index(
+            drop=True
+        )
+        return rows, rows
+    return rows, rows  # batch / delay: everything
+
+
 class StreamingPlanner(BatchPlanner):
     """Lowers the SiddhiQL AST onto streaming DataFrames.
 
@@ -134,34 +214,13 @@ class StreamingPlanner(BatchPlanner):
             # revision, and after the final batch they equal the batch-mode
             # aggregate — the same contract as the row snapshots).
             if wname == "delay":
-                if schema.ts_field is None:
-                    raise SiddhiPlannerException(
-                        "#window.delay needs an event-time stream"
-                    )
-                shift = W._arg_ms(si.window, 0)
-                df = df.withColumn(
-                    schema.ts_field, F.col(schema.ts_field) + F.lit(shift)
-                )
-                if TS_COL in df.columns:
-                    df = df.withColumn(TS_COL, F.col(TS_COL) + F.lit(shift))
+                df = self._shift_delay(df, si, schema)
             return self._streaming_retained_agg(
                 df, q, si, schema, (q.partition_by or {}).get(si.stream)
             )
         if retain:
             if wname == "delay":
-                # identical to batch: shift the event-time columns by t —
-                # eventTimestamp() reads TS_COL, so shift it and the raw
-                # ts attribute together
-                if schema.ts_field is None:
-                    raise SiddhiPlannerException(
-                        "#window.delay needs an event-time stream"
-                    )
-                shift = W._arg_ms(si.window, 0)
-                df = df.withColumn(
-                    schema.ts_field, F.col(schema.ts_field) + F.lit(shift)
-                )
-                if TS_COL in df.columns:
-                    df = df.withColumn(TS_COL, F.col(TS_COL) + F.lit(shift))
+                df = self._shift_delay(df, si, schema)
             elif wname == "batch":
                 pass  # retains everything: row-wise pass-through
             elif wname in ("unique", "firstunique"):
@@ -175,6 +234,18 @@ class StreamingPlanner(BatchPlanner):
                 raise UnsupportedFeatureException("order by / limit need batch mode")
             return self._select_rowwise(df, q, resolver, schema.fields, extra_cols)
         return self._streaming_agg(df, q, si, resolver)
+
+    def _shift_delay(self, df: DataFrame, si: A.SingleInput, schema) -> DataFrame:
+        """#window.delay — identical to batch: shift the event-time columns
+        by t. ``eventTimestamp()`` reads ``TS_COL``, so shift it and the
+        raw ts attribute together."""
+        if schema.ts_field is None:
+            raise SiddhiPlannerException("#window.delay needs an event-time stream")
+        shift = W._arg_ms(si.window, 0)
+        df = df.withColumn(schema.ts_field, F.col(schema.ts_field) + F.lit(shift))
+        if TS_COL in df.columns:
+            df = df.withColumn(TS_COL, F.col(TS_COL) + F.lit(shift))
+        return df
 
     def _streaming_unique(self, df: DataFrame, si: A.SingleInput, schema) -> DataFrame:
         """Keyed last/first-event state for #window.unique / firstUnique.
@@ -273,33 +344,9 @@ class StreamingPlanner(BatchPlanner):
         state_schema = T.StructType(
             [T.StructField("rows", T.BinaryType()), T.StructField("snap", T.IntegerType())]
         )
-        min_frac: Optional[float] = None
-        if wname == "sort":
-            n, sort_keys = W._sort_args(si.window)
-            by = [k for k, _ in sort_keys] + ord_cols
-            ascending = [asc for _, asc in sort_keys] + [True] * len(ord_cols)
-            top_n: Optional[int] = n
-            combo_keys: list[str] = []
-        elif wname == "lossyfrequent":
-            # same snapshot machinery as frequent, but the retained combos
-            # are those with count >= (support - error) * total (the batch
-            # exact-count contract) instead of the top-n
-            support = W._arg_num(si.window, 0)
-            idx, error = 1, 0.0
-            if len(si.window.args) > 1 and isinstance(si.window.args[1], A.Literal) \
-                    and si.window.args[1].kind in ("float", "double"):
-                error = W._arg_num(si.window, 1)
-                idx = 2
-            n = None
-            combo_keys = [a.name for a in si.window.args[idx:] if isinstance(a, A.Ref)]
-            combo_keys = combo_keys or [f for f in schema.fields if f in out_cols]
-            by, ascending, top_n = ord_cols, [True] * len(ord_cols), None
-            min_frac = support - error
-        else:  # frequent
-            n = W._arg_ms(si.window, 0)
-            combo_keys = [a.name for a in si.window.args[1:] if isinstance(a, A.Ref)]
-            combo_keys = combo_keys or [f for f in schema.fields if f in out_cols]
-            by, ascending, top_n = ord_cols, [True] * len(ord_cols), None
+        spec = _retention_spec(si.window, schema, out_cols, ord_cols)
+        by = spec["sort_by"] or ord_cols
+        ascending = spec["sort_asc"] or [True] * len(by)
 
         def _restore(blob, like: pd.DataFrame) -> pd.DataFrame:
             import pickle as _pickle
@@ -310,6 +357,8 @@ class StreamingPlanner(BatchPlanner):
             return stored[like.columns]
 
         def proc(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+            import pickle as _pickle
+
             new = pd.concat([p[out_cols] for p in pdfs], ignore_index=True)
             snap = 0
             if state.exists:
@@ -317,30 +366,11 @@ class StreamingPlanner(BatchPlanner):
                 rows = pd.concat([_restore(blob, new), new], ignore_index=True)
             else:
                 rows = new
-            rows = rows.sort_values(by, ascending=ascending, kind="mergesort").reset_index(
-                drop=True
-            )
-            if top_n is not None:  # sort window: retained set = global top-n
-                rows = rows.head(top_n).reset_index(drop=True)
-                retained = rows
-            else:  # frequent window: events of the n most-frequent key combos
-                counts = (
-                    rows.groupby(combo_keys, sort=False, dropna=False)
-                    .size()
-                    .reset_index(name="__n")
-                    .sort_values(["__n"] + combo_keys, ascending=[False] + [True] * len(combo_keys),
-                                 kind="mergesort")
-                )
-                if min_frac is not None:
-                    top = counts[counts["__n"] >= min_frac * len(rows)][combo_keys]
-                else:
-                    top = counts.head(n)[combo_keys]
-                retained = rows.merge(top, on=combo_keys, how="inner")
-                retained = retained.sort_values(by, ascending=ascending, kind="mergesort")
+            rows = rows.sort_values(ord_cols, kind="mergesort").reset_index(drop=True)
+            rows, retained = _retain(rows, spec)
+            retained = retained.sort_values(by, ascending=ascending, kind="mergesort")
             snap += 1
-            import pickle as _pickle
-
-            state.update((_pickle.dumps(rows), snap))
+            state.update((_pickle.dumps(rows.reset_index(drop=True)), snap))
             out = retained.reset_index(drop=True).copy()
             out[SNAPSHOT_COL] = snap
             out[SNAPSHOT_COL] = out[SNAPSHOT_COL].astype("int32")
@@ -368,7 +398,11 @@ class StreamingPlanner(BatchPlanner):
         re-aggregated, group-by'd result tagged with ``__snapshot``. Rows
         carrying the max id are the current revision; after the last batch
         they equal the batch-mode aggregate (parity-tested across >= 2
-        micro-batches). This is Spark's update-mode emission expressed in
+        micro-batches). An EMPTY grouped revision emits one marker row
+        whose every non-snapshot field is NULL (consumers select the max
+        snapshot, then drop the marker) — without it, a revision that
+        shrinks to zero groups would leave max-snapshot readers pointing
+        at the stale previous revision. This is Spark's update-mode emission expressed in
         an append-mode changelog, so it composes with the repo's
         append-only sinks.
 
@@ -411,41 +445,13 @@ class StreamingPlanner(BatchPlanner):
         state_schema = T.StructType(
             [T.StructField("rows", T.BinaryType()), T.StructField("snap", T.IntegerType())]
         )
-        # retention parameters (same shapes as _streaming_retention_snapshot)
-        sort_by = sort_asc = combo_keys = ukeys = None
-        top_n = freq_n = None
-        min_frac: Optional[float] = None
-        keep = "last"
+        # retention parameters: ONE shared parse + compute with the row
+        # snapshots (_retention_spec/_retain) so the two operators cannot
+        # drift apart.
+        spec = _retention_spec(si.window, schema, out_cols, ord_cols)
         # plain-function alias: the proc closure must not capture self (the
         # planner holds the catalog's DataFrames — unpicklable on executors)
         agg_over = StreamingPlanner._agg_over
-        if wname == "sort":
-            top_n, sort_keys = W._sort_args(si.window)
-            sort_by = [k for k, _ in sort_keys] + ord_cols
-            sort_asc = [asc for _, asc in sort_keys] + [True] * len(ord_cols)
-        elif wname in ("frequent", "lossyfrequent"):
-            if wname == "lossyfrequent":
-                support = W._arg_num(si.window, 0)
-                idx, error = 1, 0.0
-                if len(si.window.args) > 1 and isinstance(si.window.args[1], A.Literal) \
-                        and si.window.args[1].kind in ("float", "double"):
-                    error = W._arg_num(si.window, 1)
-                    idx = 2
-                min_frac = support - error
-                freq_n = None
-            else:
-                freq_n = W._arg_ms(si.window, 0)
-                idx = 1
-            combo_keys = [a.name for a in si.window.args[idx:] if isinstance(a, A.Ref)]
-            combo_keys = combo_keys or [f for f in schema.fields if f in out_cols]
-        elif wname in ("unique", "firstunique"):
-            ukeys = [a.name for a in si.window.args if isinstance(a, A.Ref)]
-            if not ukeys:
-                raise SiddhiPlannerException(
-                    f"#window.{si.window.name} needs key attribute(s)"
-                )
-            keep = "first" if wname == "firstunique" else "last"
-        # batch / delay: retain everything
 
         def proc(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
             import math as _math
@@ -460,31 +466,7 @@ class StreamingPlanner(BatchPlanner):
             else:
                 rows = new
             rows = rows.sort_values(ord_cols, kind="mergesort").reset_index(drop=True)
-            if wname == "sort":
-                rows = rows.sort_values(sort_by, ascending=sort_asc, kind="mergesort")
-                rows = rows.head(top_n)
-                retained = rows
-            elif wname in ("frequent", "lossyfrequent"):
-                counts = (
-                    rows.groupby(combo_keys, sort=False, dropna=False)
-                    .size()
-                    .reset_index(name="__n")
-                    .sort_values(
-                        ["__n"] + combo_keys,
-                        ascending=[False] + [True] * len(combo_keys),
-                        kind="mergesort",
-                    )
-                )
-                if min_frac is not None:
-                    top = counts[counts["__n"] >= min_frac * len(rows)][combo_keys]
-                else:
-                    top = counts.head(freq_n)[combo_keys]
-                retained = rows.merge(top, on=combo_keys, how="inner")
-            elif wname in ("unique", "firstunique"):
-                rows = rows.drop_duplicates(ukeys, keep=keep)
-                retained = rows
-            else:  # batch / delay: everything
-                retained = rows
+            rows, retained = _retain(rows, spec)
             retained = retained.sort_values(ord_cols, kind="mergesort").reset_index(drop=True)
             snap += 1
             state.update((_pickle.dumps(rows.reset_index(drop=True)), snap))
@@ -513,8 +495,18 @@ class StreamingPlanner(BatchPlanner):
                         rec.append(agg_over(kind, clean(g[col])))
                 rec.append(snap)
                 recs.append(rec)
-            if recs:
-                yield pd.DataFrame(recs, columns=out_names)
+            if not recs:
+                # an empty GROUPED revision (the retained set aggregates to
+                # zero groups — e.g. lossyFrequent where no combo clears
+                # the support) must still advance the visible snapshot, or
+                # max-__snapshot readers would mistake the previous
+                # non-empty revision for current. Emit ONE marker row with
+                # every non-snapshot field NULL; consumers drop it after
+                # selecting the max snapshot (a real group row always has
+                # its aggregates present — only the pathological
+                # no-count, null-key, all-null-agg group is ambiguous).
+                recs.append([None] * (len(out_names) - 1) + [snap])
+            yield pd.DataFrame(recs, columns=out_names)
 
         if pkey:
             keys = [pkey]

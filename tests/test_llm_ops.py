@@ -788,6 +788,45 @@ def test_readability(spark):
     assert out[2].lix == round(3 / 1 + 100 * out[2].n_long_words / 3, 6)
 
 
+def test_containment_prefix_rounding_slack(spark):
+    """round-5 review fix: the final filter tests the ROUNDED ratio, so
+    common = ceil(t*na) - 1 can pass (2/3 = 0.666667 >= 0.666667); the
+    textbook prefix bound misses such pairs when the unshared shingle is
+    the rarest. The +1 slack keeps prefix plan == naive plan."""
+    from flink_siddhi_spark.llm.dedup import ngram_containment_pairs
+
+    # A's shingles {x y z, y z w, z w v}; B shares the 2 non-rarest; B has
+    # 4 shingles so only the A->B direction passes (2/3 rounded), and both
+    # docs' TEXTBOOK prefixes consist solely of df-1 shingles the other
+    # side lacks
+    df = spark.createDataFrame(
+        [(1, "x y z w v"), (2, "q y z w v r")], "doc_id bigint, text string"
+    )
+    t = 0.666667
+    naive = sorted(map(tuple,
+        ngram_containment_pairs(df, threshold=t, auto_cap=False).collect()))
+    assert (1, 2, 0.666667) in naive
+    pref = sorted(map(tuple,
+        ngram_containment_pairs(df, threshold=t, candidate_cap=10**6).collect()))
+    assert naive == pref
+
+
+def test_knn_graph_zero_norm_centroid(spark):
+    """round-5 review fix: a zero-norm seed centroid must sort LAST in the
+    probe order (NULL cosine), not claim every probe slot."""
+    from flink_siddhi_spark.llm.similarity import knn_graph
+
+    rows = [(0, [0.0, 0.0, 0.0, 0.0], 0)] + [
+        (i, [1.0, 0.1 * i, 0.0, 0.0], 0) for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    g = knn_graph(df, k=2, n_centroids=2, n_probe=1).collect()
+    # the five real vectors all probe the real centroid's bucket and find
+    # real neighbors; the zero vector has no ranked edges
+    assert {r.query_id for r in g} == {1, 2, 3, 4, 5}, g
+    assert all(r.neighbor_id != 0 for r in g)
+
+
 def test_containment_candidate_cap(spark):
     """round-5: candidate_cap bounds scoring volume per contained doc. A
     non-binding cap is output-identical to the exact contract; a tight cap

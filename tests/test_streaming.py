@@ -1146,7 +1146,11 @@ def _retained_agg_parity(spark, tmp_path, tag, cql_text, rows1, rows2):
     for r in out:
         d = r.asDict()
         snap = d.pop("__snapshot")
-        snaps.setdefault(snap, set()).add(tuple(sorted(d.items())))
+        s = snaps.setdefault(snap, set())
+        # an all-null row is the empty-revision marker: the revision
+        # exists (advances the snapshot) and holds zero groups
+        if any(v is not None for v in d.values()):
+            s.add(tuple(sorted(d.items())))
     bcep = SiddhiCEP(spark)
     bdf = spark.createDataFrame(rows1 + rows2, EVENT_SCHEMA)
     bcep.register_stream("s", bdf, "id", "name", "price", "timestamp", ts_field="timestamp")
@@ -1186,6 +1190,26 @@ def test_streaming_frequent_window_revised_aggregate(spark, tmp_path):
     # after batch 1 'x' leads (2 events); after batch 2 'y' leads (3 events)
     assert snaps[min(snaps)] == {(("mean", 1.5), ("n", 2), ("name", "x"))}
     assert snaps[max(snaps)] == {(("mean", 4.0), ("n", 3), ("name", "y"))}
+
+
+def test_streaming_revised_aggregate_empty_revision(spark, tmp_path):
+    """round-5 review fix: a grouped revision that shrinks to ZERO groups
+    (no lossyFrequent combo clears the support once a second name arrives)
+    must still advance the snapshot — the empty-revision marker row makes
+    max-__snapshot read as the empty set, matching batch mode."""
+    rows1 = [(1, "a", 1.0, 1000)]
+    rows2 = [(2, "b", 1.0, 2000)]
+    snaps, bset = _retained_agg_parity(
+        spark, tmp_path, "lossy_empty",
+        "from s#window.lossyFrequent(0.9, name) select name, count() as n "
+        "group by name insert into Out",
+        rows1, rows2,
+    )
+    assert bset == set()
+    # batch 1: 'a' clears 0.9*1; batch 2: neither name clears 0.9*2
+    assert snaps[min(snaps)] == {(("n", 1), ("name", "a"))}
+    assert max(snaps) > min(snaps)
+    assert snaps[max(snaps)] == set() == bset
 
 
 def test_streaming_unique_window_revised_aggregate(spark, tmp_path):
