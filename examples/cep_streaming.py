@@ -34,7 +34,6 @@ def main() -> int:
 
     from flink_siddhi_spark import SiddhiCEP
     from flink_siddhi_spark.sources.streams import to_memory
-    from flink_siddhi_spark.streaming.runtime import StreamingPlanner
 
     spark = (
         SparkSession.builder.master("local[4]")
@@ -65,8 +64,8 @@ def main() -> int:
             "events", stream, "event_id", "user_id", "event_type", "value", "ts",
             ts_field="ts",
         )
-        planner = StreamingPlanner(cep.catalog, cep.extensions)
-
+        # cql() sees the streaming-registered source and compiles on the
+        # StreamingPlanner automatically — same plan text as batch mode
         plans = {
             "pattern (error -> purchase per user, within 1 min)": (
                 "partition with (user_id of events) begin "
@@ -84,10 +83,8 @@ def main() -> int:
                 "select event_id, value insert into Out"
             ),
         }
-        from flink_siddhi_spark.siddhiql.parser import parse
-
         for i, (title, cql) in enumerate(plans.items()):
-            df = planner.compile_query(parse(cql).queries[0])
+            df = cep.from_("events").cql(cql).returns("Out")
             name = f"out_{i}"
             sq = to_memory(df, name, checkpoint=os.path.join(tmp, f"ck_{name}"))
             sq.awaitTermination(60)

@@ -29,6 +29,7 @@ from .errors import (
     DuplicatedStreamException,
     SiddhiPlannerException,
     UndefinedStreamException,
+    UnsupportedFeatureException,
 )
 from .plans.planner import BatchPlanner
 from .schema import StreamSchema
@@ -39,13 +40,18 @@ from .siddhiql.parser import parse
 class SiddhiCEP:
     """Engine environment: stream catalog + extensions (SiddhiCEP.java:56-230)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, watermark_delay: str = "10 seconds"):
         self.spark = spark
         self.catalog: dict[str, StreamSchema] = {}
         self.extensions: dict[str, Callable] = {}
         self.aggregations: dict[str, A.AggregationDef] = {}
         self.triggers: dict[str, int] = {}  # name -> period_ms
         self._agg_cache: dict = {}  # (agg name, gran) -> materialized rollup
+        # late-data tolerance applied to every event-time stream when a plan
+        # compiles in streaming mode (cql() auto-dispatches on streaming
+        # inputs) — the knob the reference lacks (it drains on Flink
+        # watermarks, AbstractSiddhiOperator.java:237-247)
+        self.watermark_delay = watermark_delay
 
     # -------------------------------------------------------------- registry
     def register_stream(
@@ -193,6 +199,14 @@ class ExecutionSiddhiStream:
             self.cep._agg_cache = {
                 k: v for k, v in self.cep._agg_cache.items() if k[0] != adef.name
             }
+        # cql() is mode-agnostic like the reference's single engine: if ANY
+        # registered stream is a streaming DataFrame the plan compiles on
+        # the StreamingPlanner (which itself lowers batch-registered inputs
+        # identically to BatchPlanner per query), else pure batch.
+        streaming_mode = any(
+            s.df is not None and s.df.isStreaming
+            for s in self.cep.catalog.values()
+        )
         for trig in self.plan.triggers:
             # batch contract: no wall-clock elapses during a batch computation,
             # so the tick stream is empty (schema'd); streaming mode swaps in
@@ -201,15 +215,29 @@ class ExecutionSiddhiStream:
 
             self.cep.triggers[trig.name] = trig.period_ms
             if trig.name not in self.cep.catalog:
-                empty = self.cep.spark.createDataFrame(
-                    [], T.StructType([T.StructField("triggered_time", T.LongType())])
-                )
+                if streaming_mode:
+                    from .sources.streams import trigger_stream
+
+                    tick = trigger_stream(self.cep.spark, trig.period_ms)
+                else:
+                    tick = self.cep.spark.createDataFrame(
+                        [], T.StructType([T.StructField("triggered_time", T.LongType())])
+                    )
                 self.cep.catalog[trig.name] = StreamSchema(
-                    trig.name, empty, ["triggered_time"], ts_field="triggered_time"
+                    trig.name, tick, ["triggered_time"], ts_field="triggered_time"
                 )
-        planner = BatchPlanner(
-            self.cep.catalog, self.cep.extensions, self.cep.aggregations
-        )
+        if streaming_mode:
+            from .streaming.runtime import StreamingPlanner
+
+            planner = StreamingPlanner(
+                self.cep.catalog, self.cep.extensions,
+                watermark_delay=self.cep.watermark_delay,
+                aggregations=self.cep.aggregations,
+            )
+        else:
+            planner = BatchPlanner(
+                self.cep.catalog, self.cep.extensions, self.cep.aggregations
+            )
         planner._agg_cache = self.cep._agg_cache  # share rollups across cql calls
         for d in self.plan.definitions:
             if d.name in self.cep.catalog:
@@ -277,6 +305,13 @@ class ExecutionSiddhiStream:
 
                 q2 = dataclasses.replace(q, select=sel)
         stream_df = planner.compile_query(q2)
+        if stream_df.isStreaming:
+            raise UnsupportedFeatureException(
+                f"continuous DML into table '{table_id}' from a streaming "
+                "source: attach the plan via streaming/tables.py "
+                "(foreachBatch) — the batch cql() table contract needs a "
+                "bounded source"
+            )
         if q.dml is None:
             # `insert into <table>`: append, casting to the table's types
             ins = stream_df

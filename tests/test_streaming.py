@@ -1371,3 +1371,49 @@ def test_control_lifecycle_output_sets(spark, tmp_path):
     assert out_ids("p1") == {1, 3, 4, 5, 6}  # frozen at deletion
     assert out_ids("p2") == {1, 2, 4, 6, 7}
     qm.stop_all()
+
+
+def test_cql_auto_streaming_dispatch(spark, tmp_path):
+    """round-5: cql() is mode-agnostic like the reference's single engine —
+    a streaming-registered stream compiles on the StreamingPlanner
+    automatically (no separate streaming API), and the same plan text over
+    the same rows batch-registered still compiles batch (returns a
+    non-streaming DataFrame with identical final contents)."""
+    rows1 = [(1, "a", 1.0, 1000), (2, "a", 3.0, 2000)]
+    rows2 = [(3, "b", 5.0, 3000)]
+    cql_text = ("from s#window.unique(name) select name, price "
+                "insert into Out")
+    stream = _two_batch_stream(spark, tmp_path / "in_auto", rows1, rows2)
+    cep = SiddhiCEP(spark)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp",
+                        ts_field="timestamp")
+    out = cep.from_("s").cql(cql_text).returns("Out")
+    assert out.isStreaming
+    q = to_memory(out, "m_auto", checkpoint=str(tmp_path / "ck_auto"))
+    q.awaitTermination(60)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM m_auto").collect()}
+    bcep = SiddhiCEP(spark)
+    bdf = spark.createDataFrame(rows1 + rows2, EVENT_SCHEMA)
+    bcep.register_stream("s", bdf, "id", "name", "price", "timestamp",
+                         ts_field="timestamp")
+    bout = bcep.from_("s").cql(cql_text).returns("Out")
+    assert not bout.isStreaming
+    assert got == {tuple(r) for r in bout.collect()} == {("a", 3.0), ("b", 5.0)}
+
+
+def test_cql_streaming_table_dml_clean_error(spark, tmp_path):
+    """Continuous DML into a cql() table from a streaming source names the
+    foreachBatch path instead of leaking Spark's union/DML internals."""
+    from flink_siddhi_spark.errors import UnsupportedFeatureException
+
+    rows = [(1, "a", 1.0, 1000)]
+    path = write_events(spark, tmp_path / "in_dml", rows)
+    cep = SiddhiCEP(spark)
+    stream = file_stream(spark, path, EVENT_SCHEMA)
+    cep.register_stream("s", stream, "id", "name", "price", "timestamp",
+                        ts_field="timestamp")
+    with pytest.raises(UnsupportedFeatureException, match="foreachBatch"):
+        cep.from_("s").cql(
+            "define table T (name string, price double); "
+            "from s select name, price insert into T"
+        )
