@@ -823,6 +823,40 @@ def q_text_readability(spark, sf_dir):
     return readability(_docs(spark, sf_dir))
 
 
+def q_events_sessionize(spark, sf_dir):
+    # round-5 late: relational gap sessionization (30 min) — one exchange on
+    # the user key; the closing (user, session) groupBy reuses it
+    from flink_siddhi_spark.analytics import sessionize
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_events_retention(spark, sf_dir):
+    # round-5 late: cohort-retention matrix — event log collapses to
+    # distinct (user, day) first; everything after runs on user-day scale
+    from flink_siddhi_spark.analytics import retention_cohorts
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+def q_pipeline_mixture_weights(spark, sf_dir):
+    # round-5 late: domain-mixture rebalancing weights (uniform token
+    # target) — one source-key hash aggregate, arithmetic on |sources| rows
+    from flink_siddhi_spark.llm.pipeline import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir))
+
+
+def q_text_zipf(spark, sf_dir):
+    # round-5 late: corpus rank-frequency (Zipf) table — word hash-agg +
+    # TakeOrderedAndProject; only top_n rows leave the aggregation
+    from flink_siddhi_spark.llm.text import zipf_table
+
+    return zipf_table(_docs(spark, sf_dir))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate, but DETERMINISTIC (seeded centroids + rounded-cosine
     # tiebreaks) — so the DuckDB oracle replicates the same IVF exactly
@@ -1295,6 +1329,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": q_text_entropy,
         "ann_knn_graph": q_ann_knn_graph,
         "text_readability": q_text_readability,
+        # --- round-5 late additions (outside the r5 window; these four
+        # join the round-6 leads with the other never-in-r5 entries) ---
+        "events_sessionize": q_events_sessionize,
+        "events_retention": q_events_retention,
+        "pipeline_mixture_weights": q_pipeline_mixture_weights,
+        "text_zipf": q_text_zipf,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2184,6 +2224,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_words, n_long_words, n_sentences, "
             "round(n_words / n_sentences + "
             "100.0 * n_long_words / greatest(n_words, 1), 6) lix FROM t"
+        ),
+        "events_sessionize": (
+            "WITH e AS (SELECT user_id, ts, event_id, value, epoch_ms(ts) ms "
+            "FROM events), "
+            "f AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL "
+            "OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END nf "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(nf) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sid FROM f) "
+            "SELECT user_id, CAST(sid AS BIGINT) session_id, "
+            "min(ms) start_ms, max(ms) end_ms, "
+            "CAST(count(*) AS BIGINT) n_events, "
+            "CAST(sum(CAST(round(value, 6) AS DECIMAL(25,6))) AS DOUBLE) "
+            "total_value FROM s GROUP BY user_id, sid"
+        ),
+        "events_retention": (
+            "WITH days AS (SELECT DISTINCT user_id u, CAST(ts AS DATE) d "
+            "FROM events), "
+            "c AS (SELECT u, d, min(d) OVER (PARTITION BY u) cd FROM days) "
+            "SELECT strftime(cd, '%Y-%m-%d') cohort_day, "
+            "CAST(date_diff('day', cd, d) AS INT) day_offset, "
+            "CAST(count(DISTINCT u) AS BIGINT) n_users FROM c GROUP BY 1, 2"
+        ),
+        "pipeline_mixture_weights": (
+            "WITH s AS (SELECT source, CAST(count(*) AS BIGINT) n_docs, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) n_tokens "
+            "FROM documents GROUP BY source) "
+            "SELECT source, n_docs, n_tokens, "
+            "round(n_tokens / (sum(n_tokens) OVER ()), 6) token_share, "
+            "round((1.0 / (count(*) OVER ())) / "
+            "(n_tokens / (sum(n_tokens) OVER ())), 6) weight FROM s"
+        ),
+        "text_zipf": (
+            "WITH c AS (SELECT unnest(string_split(lower(text), ' ')) term "
+            "FROM documents), "
+            "f AS (SELECT term, CAST(count(*) AS BIGINT) freq FROM c "
+            "GROUP BY term ORDER BY freq DESC, term ASC LIMIT 200), "
+            "r AS (SELECT row_number() OVER (ORDER BY freq DESC, term ASC) rk, "
+            "term, freq FROM f) "
+            "SELECT CAST(rk AS INT) rank, term, freq, "
+            "round(log10(rk), 6) log_rank, round(log10(freq), 6) log_freq FROM r"
         ),
         "text_entropy": (
             "WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) wd "

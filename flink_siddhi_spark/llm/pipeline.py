@@ -559,3 +559,45 @@ def hash_embeddings(
         ).cast("double")
         comps.append((h / F.lit(float(2 ** 31)) - 1.0))
     return df.withColumn("embedding", F.array(*comps))
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    targets: Optional[Mapping[str, float]] = None,
+) -> DataFrame:
+    """Per-source sampling weights for domain-mixture rebalancing: the
+    multiplier each source's documents need so the TOKEN mixture matches
+    ``targets`` (source -> desired token fraction; default uniform across
+    observed sources). weight > 1 = upsample, < 1 = downsample — the
+    numbers a curation run feeds straight into ``weighted_sample``.
+
+    Scale shape: ONE hash aggregate on the source key with map-side
+    partials (the only stage that sees document-scale data); the share /
+    weight arithmetic runs on |sources| rows via an unpartitioned window,
+    which is a deliberate single-task stage over a handful of rows.
+    Output: (source, n_docs, n_tokens, token_share, weight), rounded to 6
+    decimals under the repo's deterministic-decimal contract."""
+    toks = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    if targets is None:
+        target = F.lit(1.0) / F.count(F.lit(1)).over(everything)
+    else:
+        pairs = [x for kv in targets.items() for x in kv]
+        target = F.coalesce(
+            F.create_map(*[F.lit(v) for v in pairs])[F.col("source")],
+            F.lit(0.0),
+        )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target / share, 6).alias("weight"),
+    )

@@ -453,3 +453,37 @@ def dedup_stats(
             F.round(1 - F.col("n_unique") / F.col("n_docs"), 6),
         )
     )
+
+
+def zipf_table(
+    df: DataFrame, text_col: str = "text", top_n: int = 200,
+) -> DataFrame:
+    """Corpus rank-frequency table (the Zipf curve): the ``top_n`` most
+    frequent words with their 1-based rank and log10 coordinates — the
+    standard corpus-health artifact (a natural corpus tracks
+    log f ~ -log r; template/boilerplate contamination shows up as a
+    flattened head, degenerate generation as a cliff). Ties rank
+    deterministically by (count desc, word asc).
+
+    Scale shape: one (word) hash aggregate with map-side partials, then
+    TakeOrderedAndProject for the top-n — no global sort, no second
+    shuffle; only ``top_n`` rows leave the aggregation. Log coordinates
+    are per-row arithmetic on exact bigint counts, so both engines round
+    the same doubles."""
+    counts = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(int(top_n))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    return counts.select(
+        F.row_number().over(w).alias("rank"),
+        "term",
+        "freq",
+    ).select(
+        "rank", "term", "freq",
+        F.round(F.log10("rank"), 6).alias("log_rank"),
+        F.round(F.log10("freq"), 6).alias("log_freq"),
+    )
