@@ -77,6 +77,11 @@ HEADLINE = [
     "text_entropy",
     "ann_knn_graph",
     "text_readability",
+    # round 5 late: relational event analytics + corpus mixture/zipf stats
+    "events_sessionize",
+    "events_retention",
+    "pipeline_mixture_weights",
+    "text_zipf",
 ]
 
 
