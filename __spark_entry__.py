@@ -857,6 +857,82 @@ def q_text_zipf(spark, sf_dir):
     return zipf_table(_docs(spark, sf_dir))
 
 
+def q_events_funnel(spark, sf_dir):
+    # round-5 late: ordered conversion funnel (signup -> view -> click ->
+    # purchase within 24h of signup) — filter-then-ONE-user-keyed-aggregate;
+    # the sequential min-chain is codegen array algebra, nothing event-scale
+    # leaves stage one
+    from flink_siddhi_spark.analytics import funnel
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return funnel(
+        load_table(spark, sf_dir, "events"),
+        ["signup", "view", "click", "purchase"],
+        within_ms=86_400_000,
+    )
+
+
+def q_events_active_rolling(spark, sf_dir):
+    # round-5 late: DAU + trailing-7-day active users — distinct (user, day)
+    # first, then a bounded x7 day fan-out + hash count-distinct; avoids the
+    # BNL range join Spark would plan for d BETWEEN d-6 AND d
+    from flink_siddhi_spark.analytics import rolling_active_users
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
+def q_events_interval_join(spark, sf_dir):
+    # round-5 late: bucketed interval join — error events land in their
+    # containing session's [start_ms, end_ms] via a (user, time-bucket)
+    # EQUI-join (each point has exactly one bucket, so no dedup stage);
+    # the naive BETWEEN formulation would be a nested-loop product
+    from flink_siddhi_spark.analytics import interval_join, sessionize
+    from flink_siddhi_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = sessionize(events)
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        F.col("event_id").alias("err_id"),
+    )
+    return (
+        interval_join(
+            sessions, errors, "start_ms", "end_ms", "ms", keys=["user_id"]
+        )
+        .groupBy("user_id", "session_id", "start_ms", "n_events")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+
+
+def q_events_zscore(spark, sf_dir):
+    # round-5 late: per-type z-score outliers — k-row decimal-summed stats
+    # broadcast back onto the event scan; the event side never shuffles
+    from flink_siddhi_spark.analytics import zscore_anomalies
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return zscore_anomalies(load_table(spark, sf_dir, "events"), threshold=2.0)
+
+
+def q_pipeline_stratified_sample(spark, sf_dir):
+    # round-5 late: exact-count stratified sample (20% per lang, integer-ppm
+    # keep predicate) — one stratum-keyed exchange shared by count + rank
+    from flink_siddhi_spark.llm.pipeline import stratified_sample_exact
+
+    return stratified_sample_exact(_docs(spark, sf_dir), 0.2).select(
+        "doc_id", "lang", "srank"
+    )
+
+
+def q_text_source_rollup(spark, sf_dir):
+    # round-5 late: ROLLUP(source, lang) corpus totals — one expand +
+    # hash-aggregate pass for leaf cells, subtotals, and the grand total
+    from flink_siddhi_spark.llm.text import source_rollup
+
+    return source_rollup(_docs(spark, sf_dir))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate, but DETERMINISTIC (seeded centroids + rounded-cosine
     # tiebreaks) — so the DuckDB oracle replicates the same IVF exactly
@@ -1335,6 +1411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "pipeline_mixture_weights": q_pipeline_mixture_weights,
         "text_zipf": q_text_zipf,
+        "events_funnel": q_events_funnel,
+        "events_active_rolling": q_events_active_rolling,
+        "events_interval_join": q_events_interval_join,
+        "events_zscore": q_events_zscore,
+        "pipeline_stratified_sample": q_pipeline_stratified_sample,
+        "text_source_rollup": q_text_source_rollup,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2265,6 +2347,86 @@ def oracle_sql() -> dict[str, str]:
             "term, freq FROM f) "
             "SELECT CAST(rk AS INT) rank, term, freq, "
             "round(log10(rk), 6) log_rank, round(log10(freq), 6) log_freq FROM r"
+        ),
+        "events_funnel": (
+            "WITH f AS (SELECT user_id, "
+            "list(epoch_ms(ts)) FILTER (WHERE event_type = 'signup') l0, "
+            "list(epoch_ms(ts)) FILTER (WHERE event_type = 'view') l1, "
+            "list(epoch_ms(ts)) FILTER (WHERE event_type = 'click') l2, "
+            "list(epoch_ms(ts)) FILTER (WHERE event_type = 'purchase') l3 "
+            "FROM events GROUP BY user_id), "
+            "c0 AS (SELECT *, list_min(l0) t0 FROM f), "
+            "c1 AS (SELECT *, list_min(list_filter(l1, "
+            "x -> x > t0 AND x <= t0 + 86400000)) t1 FROM c0), "
+            "c2 AS (SELECT *, list_min(list_filter(l2, "
+            "x -> x > t1 AND x <= t0 + 86400000)) t2 FROM c1), "
+            "c3 AS (SELECT *, list_min(list_filter(l3, "
+            "x -> x > t2 AND x <= t0 + 86400000)) t3 FROM c2) "
+            "SELECT CAST(0 AS INT) step_idx, 'signup' step, count(t0) n_users FROM c3 "
+            "UNION ALL SELECT 1, 'view', count(t1) FROM c3 "
+            "UNION ALL SELECT 2, 'click', count(t2) FROM c3 "
+            "UNION ALL SELECT 3, 'purchase', count(t3) FROM c3"
+        ),
+        "events_active_rolling": (
+            "WITH du AS (SELECT DISTINCT user_id u, CAST(ts AS DATE) d "
+            "FROM events), "
+            "cal AS (SELECT DISTINCT d FROM du), "
+            "roll AS (SELECT c.d, CAST(count(DISTINCT du.u) AS BIGINT) "
+            "rolling_users FROM cal c JOIN du "
+            "ON du.d BETWEEN c.d - 6 AND c.d GROUP BY c.d), "
+            "dau AS (SELECT d, CAST(count(DISTINCT u) AS BIGINT) dau "
+            "FROM du GROUP BY d) "
+            'SELECT strftime(dau.d, \'%Y-%m-%d\') AS "day", dau.dau, '
+            "roll.rolling_users FROM dau JOIN roll ON dau.d = roll.d"
+        ),
+        "events_interval_join": (
+            "WITH e AS (SELECT user_id, ts, event_id, value, epoch_ms(ts) ms "
+            "FROM events), "
+            "f AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL "
+            "OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END nf "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(nf) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sid FROM f), "
+            "sess AS (SELECT user_id, CAST(sid AS BIGINT) session_id, "
+            "min(ms) start_ms, max(ms) end_ms, "
+            "CAST(count(*) AS BIGINT) n_events FROM s "
+            "GROUP BY user_id, sid), "
+            "err AS (SELECT user_id, epoch_ms(ts) ms FROM events "
+            "WHERE event_type = 'error') "
+            "SELECT sess.user_id, sess.session_id, sess.start_ms, "
+            "sess.n_events, CAST(count(*) AS BIGINT) n_errors "
+            "FROM sess JOIN err ON err.user_id = sess.user_id "
+            "AND err.ms BETWEEN sess.start_ms AND sess.end_ms "
+            "GROUP BY 1, 2, 3, 4"
+        ),
+        "events_zscore": (
+            "WITH st AS (SELECT event_type, "
+            "CAST(sum(CAST(round(value, 6) AS DECIMAL(25,6))) AS DOUBLE) "
+            "/ count(*) m, "
+            "CAST(sum(CAST(round(value * value, 6) AS DECIMAL(25,6))) "
+            "AS DOUBLE) / count(*) m2 FROM events GROUP BY event_type), "
+            "sd AS (SELECT event_type, m, sqrt(m2 - m * m) s FROM st), "
+            "z AS (SELECT e.event_id, e.event_type, e.value, "
+            "round((e.value - m) / (CASE WHEN s > 0 THEN s END), 6) z "
+            "FROM events e JOIN sd USING (event_type)) "
+            "SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 2.0"
+        ),
+        "pipeline_stratified_sample": (
+            # fraction 0.2 -> ppm 200000; keep iff (srank-1)*1e6 < n_s*ppm
+            "SELECT doc_id, lang, srank FROM ("
+            "SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8), "
+            "doc_id) AS INT) srank, "
+            "count(*) OVER (PARTITION BY lang) n FROM documents) "
+            "WHERE (CAST(srank AS BIGINT) - 1) * 1000000 < n * 200000"
+        ),
+        "text_source_rollup": (
+            "SELECT coalesce(source, '(all)') source, "
+            "coalesce(lang, '(all)') lang, "
+            "CAST(count(*) AS BIGINT) n_docs, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) n_tokens, "
+            "CAST(grouping(source, lang) AS INT) lvl "
+            "FROM documents GROUP BY ROLLUP(source, lang)"
         ),
         "text_entropy": (
             "WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) wd "

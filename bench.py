@@ -82,6 +82,14 @@ HEADLINE = [
     "events_retention",
     "pipeline_mixture_weights",
     "text_zipf",
+    # round 5 late 2: funnel / rolling actives / interval join / z-score
+    # anomalies / exact stratified sample / rollup totals
+    "events_funnel",
+    "events_active_rolling",
+    "events_interval_join",
+    "events_zscore",
+    "pipeline_stratified_sample",
+    "text_source_rollup",
 ]
 
 

@@ -1,4 +1,6 @@
-"""Set-based event-log analytics: gap sessionization and cohort retention.
+"""Set-based event-log analytics: gap sessionization, cohort retention,
+ordered conversion funnels, rolling active users, bucketed interval joins,
+and per-group z-score anomaly flagging.
 
 The CQL surface covers these *stream-wise* (``#window.session`` aggregates a
 user's whole session history; patterns sequence events) — these are the
@@ -18,6 +20,8 @@ exactly.
 """
 
 from __future__ import annotations
+
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -65,6 +69,215 @@ def sessionize(
         F.sum(F.round(F.col(value_col), 6).cast("decimal(25,6)"))
         .cast("double")
         .alias("total_value"),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    within_ms: Optional[int] = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: one row per step with the number of users
+    who reached it *in order* — step i+1 counts only events strictly after
+    the user's step-i time (earliest-completion semantics: each step's time
+    is the minimum eligible one). With ``within_ms``, every later step must
+    also land within that horizon of the user's step-0 time ("window
+    funnel", ClickHouse ``windowFunnel`` shape).
+
+    This is the batch companion of the CQL pattern query
+    ``every A -> B -> C`` (`operators/pattern.py`): patterns enumerate the
+    matches; the funnel counts, per step, how many users have at least one.
+
+    Scale shape: irrelevant event types are filtered before the only wide
+    stage; ONE hash aggregate on the user key collects per-step timestamp
+    arrays (bounded by that user's per-type event counts — map-side
+    combined); the sequential min-chain is whole-stage-codegen array
+    algebra, and the final count is a tiny global rollup of k partials. No
+    window function, no self-join, nothing event-scale leaves stage one.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    per_user = (
+        df.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(
+            *[
+                F.collect_list(F.when(F.col(type_col) == s, ms)).alias(f"__t{i}")
+                for i, s in enumerate(steps)
+            ]
+        )
+    )
+    # sequential min-chain: t0 = min(step0 times); t_i = min(step_i times
+    # strictly after t_{i-1}, and within the horizon of t0 if given).
+    # NB: the predicates MUST be one-parameter lambdas — F.filter treats a
+    # second parameter as the array index, so binding loop state through a
+    # default argument would silently compare against the index.
+    def _eligible(prev, t0):
+        if within_ms is None:
+            return lambda x: x > prev
+        horizon = t0 + F.lit(int(within_ms))
+        return lambda x: (x > prev) & (x <= horizon)
+
+    t = [F.array_min(F.col("__t0"))]
+    for i in range(1, len(steps)):
+        t.append(F.array_min(F.filter(F.col(f"__t{i}"), _eligible(t[i - 1], t[0]))))
+    reached = per_user.select(
+        *[t[i].isNotNull().cast("bigint").alias(f"__r{i}") for i in range(len(steps))]
+    )
+    counts = reached.agg(
+        *[F.sum(f"__r{i}").alias(f"__c{i}") for i in range(len(steps))]
+    )
+    # unpivot the single count row into (step_idx, step, n_users)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.coalesce(F.col(f"__c{i}"), F.lit(0)).alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(pairs).alias("f")).select(
+        "f.step_idx", "f.step", "f.n_users"
+    )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day DAU and trailing ``window_days``-day active users (the
+    rolling WAU/MAU board metric). One row per day present in the log:
+    ``(day, dau, rolling_users)``.
+
+    COUNT(DISTINCT) over a sliding day range is not decomposable as a
+    window frame, so the scale-first shape is: collapse the event log to
+    distinct (user, day) FIRST (the only event-scale stage), then fan each
+    user-day out to the ≤``window_days`` days it contributes to (codegen
+    ``sequence``+``explode`` — a bounded ×W row multiplier on user-day
+    scale, NOT event scale), semi-join onto observed days to drop
+    phantom trailing days, and close with one hash count-distinct per day.
+    The range-join formulation a warehouse would use (d BETWEEN d-6 AND d)
+    is exactly what this avoids: Spark plans that as BNL join; the explode
+    is shuffle-equi-joinable and AQE-friendly.
+    """
+    days = (
+        df.select(F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d"))
+        .distinct()
+    )
+    cal = days.select("d").distinct()
+    fan = days.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), window_days - 1))
+        ).alias("day"),
+    )
+    rolling = (
+        fan.join(F.broadcast(cal).withColumnRenamed("d", "day"), "day")
+        .groupBy("day")
+        .agg(F.count_distinct("u").alias("rolling_users"))
+    )
+    dau = days.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct("u").alias("dau")
+    )
+    return (
+        dau.join(rolling, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "rolling_users",
+        )
+    )
+
+
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str,
+    end_col: str,
+    point_col: str,
+    keys: Sequence[str] = (),
+    bucket: int = 3_600_000,
+) -> DataFrame:
+    """Bucketed interval join: every row of ``points`` is matched to the
+    ``intervals`` rows whose ``[start_col, end_col]`` (inclusive) contains
+    its ``point_col``, optionally also equi-matching on ``keys``. Returns
+    interval columns + the point columns.
+
+    Scale shape: the naive formulation (``p BETWEEN s AND e``) has no
+    equi-key, so Spark plans a broadcast-nested-loop or cartesian product —
+    quadratic at 100 TB. Here each interval explodes to the time buckets it
+    covers (``sequence`` over ``bucket``-sized units — bounded by interval
+    length / bucket), each point computes its single containing bucket, and
+    the join is a plain shuffled EQUI-join on (keys…, bucket) with the
+    exact range predicate as a post-filter. A point has exactly ONE bucket,
+    so no dedup stage is needed — each qualifying (interval, point) pair is
+    emitted exactly once. This is the standard bin-bucketing lowering for
+    range joins (Databricks range-join hints, Sedona spatial bins).
+    """
+    b = F.lit(int(bucket))
+    iv = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / b).cast("bigint"),
+                (F.col(end_col) / b).cast("bigint"),
+            )
+        ),
+    )
+    pt = points.withColumn("__bkt", (F.col(point_col) / b).cast("bigint"))
+    on = [*keys, "__bkt"]
+    joined = iv.join(pt, on=on).filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
+    )
+    return joined.drop("__bkt")
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    threshold: float = 2.0,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group z-score outliers: events whose value deviates from their
+    group's mean by more than ``threshold`` population standard deviations.
+    Output: (id, group, value, z) with z rounded to 6 decimals.
+
+    Determinism contract: mean and E[x²] are computed from per-row-rounded
+    DECIMAL(25,6) sums, so they are independent of partition count and
+    accumulation order (double-precision running sums are not) — the DuckDB
+    oracle replays the exact same decimals. Scale shape: one hash aggregate
+    on the group key builds the k-row stats table, which BROADCASTS back
+    onto the event scan — the event-scale side never shuffles.
+    """
+    v6 = F.round(F.col(value_col), 6).cast("decimal(25,6)")
+    sq6 = F.round(F.col(value_col) * F.col(value_col), 6).cast("decimal(25,6)")
+    stats = df.groupBy(group_col).agg(
+        (F.sum(v6).cast("double") / F.count(F.lit(1))).alias("__mean"),
+        (F.sum(sq6).cast("double") / F.count(F.lit(1))).alias("__m2"),
+    )
+    stats = stats.withColumn(
+        "__std", F.sqrt(F.col("__m2") - F.col("__mean") * F.col("__mean"))
+    )
+    z = F.round(
+        (F.col(value_col) - F.col("__mean"))
+        / F.when(F.col("__std") > 0, F.col("__std")),
+        6,
+    )
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) > threshold)
+        .select(id_col, group_col, value_col, "z")
     )
 
 

@@ -109,6 +109,51 @@ def train_split(
     return df.withColumn("split", expr)
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    fraction: float,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Exact-count stratified sampling: keeps ``ceil(fraction * n_s)`` rows
+    from every stratum (fraction quantized to 1e-6), chosen by
+    deterministic hash order — unlike ``sample_hash`` (whose per-stratum
+    keep-count is binomial around the rate), the per-stratum proportions
+    here are EXACT, which is what evaluation-set construction needs. Adds
+    ``srank``, the row's 1-based hash-order rank within its stratum.
+
+    The keep predicate is pure 64-bit integer arithmetic —
+    ``(srank-1) * 1_000_000 < n_s * ppm`` is exactly ``srank <=
+    ceil(n_s * ppm / 1e6)`` with no division — because ``ceil(fraction *
+    count)`` in doubles is wrong in both directions at scale (0.2*65 =
+    13.000000000000002 → 14; precision loss past 2^53 rows). Integer math
+    is also what makes the DuckDB oracle replay it bit-for-bit.
+
+    Scale shape: one shuffle on the stratum key; the per-stratum count and
+    the row_number ranking share that single exchange (two Window operators,
+    same partitioning — Catalyst inserts one Exchange). Same skew bound as
+    ``domain_quota``: a stratum sorts on one task; AQE skew-split covers a
+    dominant stratum."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fraction must be in (0, 1]")
+    ppm = max(1, int(round(fraction * 1_000_000)))
+    order = Window.partitionBy(stratum_col).orderBy(
+        _hash_hex(F.col(id_col), salt, 8), F.col(id_col)
+    )
+    whole = Window.partitionBy(stratum_col)
+    n_s = F.count(F.lit(1)).over(whole)
+    return (
+        df.withColumn("srank", F.row_number().over(order).cast("int"))
+        .withColumn("__n", n_s)
+        .filter(
+            (F.col("srank").cast("bigint") - 1) * F.lit(1_000_000)
+            < F.col("__n") * F.lit(ppm)
+        )
+        .drop("__n")
+    )
+
+
 def domain_quota(
     df: DataFrame,
     quota: int,

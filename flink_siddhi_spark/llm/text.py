@@ -340,6 +340,45 @@ def corpus_source_stats(
     return base.join(ent, "source")
 
 
+def source_rollup(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hierarchical corpus totals via ROLLUP(source, lang): one row per
+    (source, lang) cell, per-source subtotal, and grand total, with doc and
+    whitespace-token counts. ``lvl`` is the grouping id (0 = leaf cell,
+    1 = source subtotal, 3 = grand total); rolled-up dimension values read
+    ``(all)``.
+
+    Scale shape: Catalyst lowers ROLLUP to ONE expand + hash-aggregate pass
+    (each input row contributes to its 3 grouping sets in the same stage) —
+    vs the 3 scans + union a naive subtotal query costs. Token counting is
+    a codegen ``size(split(...))``; nothing but the k-cell result leaves
+    the aggregation."""
+    toks = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("__nt"),
+    )
+    return (
+        toks.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.grouping_id().cast("int").alias("lvl"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("(all)")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("(all)")).alias("lang"),
+            "n_docs",
+            "n_tokens",
+            "lvl",
+        )
+    )
+
+
 def classifier_score(
     df: DataFrame,
     weights: DataFrame | None = None,

@@ -1,13 +1,21 @@
 """Round-5 late additions: set-based event analytics (sessionize, cohort
-retention) and the corpus mixture/zipf statistics."""
+retention, funnel, rolling active users, interval join, z-score anomalies)
+and the corpus mixture/zipf/rollup/stratified-sample statistics."""
 
 import datetime as dt
 
 import pytest
 
-from flink_siddhi_spark.analytics import retention_cohorts, sessionize
-from flink_siddhi_spark.llm.pipeline import mixture_weights
-from flink_siddhi_spark.llm.text import zipf_table
+from flink_siddhi_spark.analytics import (
+    funnel,
+    interval_join,
+    retention_cohorts,
+    rolling_active_users,
+    sessionize,
+    zscore_anomalies,
+)
+from flink_siddhi_spark.llm.pipeline import mixture_weights, stratified_sample_exact
+from flink_siddhi_spark.llm.text import source_rollup, zipf_table
 
 
 def _ts(s):
@@ -109,6 +117,181 @@ def test_zipf_table_ranks_and_ties(spark):
 
     assert out[1].log_rank == round(math.log10(2), 6)
     assert out[0].log_freq == round(math.log10(3), 6)
+
+
+FUNNEL_SCHEMA = "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string"
+
+
+def _fev(i, s, u, t):
+    return (i, _ts(s), u, t)
+
+
+def test_funnel_sequential_order(spark):
+    rows = [
+        # u1 converts in order; u2 has the purchase BEFORE the click (the
+        # click->purchase edge must not count it); u3 only views
+        _fev(1, "2026-01-01 10:00:00", 1, "view"),
+        _fev(2, "2026-01-01 10:05:00", 1, "click"),
+        _fev(3, "2026-01-01 10:10:00", 1, "purchase"),
+        _fev(4, "2026-01-01 10:00:00", 2, "view"),
+        _fev(5, "2026-01-01 09:00:00", 2, "purchase"),
+        _fev(6, "2026-01-01 10:05:00", 2, "click"),
+        _fev(7, "2026-01-01 10:00:00", 3, "view"),
+    ]
+    df = spark.createDataFrame(rows, FUNNEL_SCHEMA)
+    got = {r.step: r.n_users for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_earliest_completion_not_greedy(spark):
+    # earliest-completion semantics: t1 is the FIRST click after t0 even if
+    # a later click would enable a purchase — u1's purchase at 10:02 is
+    # counted because it follows the first click (10:01), not the last
+    rows = [
+        _fev(1, "2026-01-01 10:00:00", 1, "view"),
+        _fev(2, "2026-01-01 10:01:00", 1, "click"),
+        _fev(3, "2026-01-01 10:02:00", 1, "purchase"),
+        _fev(4, "2026-01-01 10:03:00", 1, "click"),
+    ]
+    df = spark.createDataFrame(rows, FUNNEL_SCHEMA)
+    got = {r.step: r.n_users for r in funnel(df, ["view", "click", "purchase"]).collect()}
+    assert got["purchase"] == 1
+
+
+def test_funnel_within_horizon(spark):
+    rows = [
+        # u1: click 2h after view -> outside a 1h horizon
+        _fev(1, "2026-01-01 10:00:00", 1, "view"),
+        _fev(2, "2026-01-01 12:00:00", 1, "click"),
+        # u2: click 30min after view -> inside
+        _fev(3, "2026-01-01 10:00:00", 2, "view"),
+        _fev(4, "2026-01-01 10:30:00", 2, "click"),
+    ]
+    df = spark.createDataFrame(rows, FUNNEL_SCHEMA)
+    got = {
+        r.step: r.n_users
+        for r in funnel(df, ["view", "click"], within_ms=3_600_000).collect()
+    }
+    assert got == {"view": 2, "click": 1}
+
+
+def test_funnel_strictly_after_and_empty(spark):
+    # same-timestamp click does NOT satisfy "strictly after"; empty input
+    # yields all-zero counts (not an empty frame)
+    rows = [
+        _fev(1, "2026-01-01 10:00:00", 1, "view"),
+        _fev(2, "2026-01-01 10:00:00", 1, "click"),
+    ]
+    df = spark.createDataFrame(rows, FUNNEL_SCHEMA)
+    got = {r.step: r.n_users for r in funnel(df, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 0}
+    empty = spark.createDataFrame([], FUNNEL_SCHEMA)
+    got0 = {r.step: r.n_users for r in funnel(empty, ["view", "click"]).collect()}
+    assert got0 == {"view": 0, "click": 0}
+    with pytest.raises(ValueError):
+        funnel(df, ["view"])
+
+
+def test_rolling_active_users(spark):
+    rows = [
+        # u1 active day1 + day3; u2 active day1; day2 has no events at all
+        # (and must not appear); day3's trailing-7 window covers day1
+        _fev(1, "2026-01-01 10:00:00", 1, "view"),
+        _fev(2, "2026-01-01 11:00:00", 2, "view"),
+        _fev(3, "2026-01-03 10:00:00", 1, "view"),
+    ]
+    df = spark.createDataFrame(rows, FUNNEL_SCHEMA)
+    got = {r.day: (r.dau, r.rolling_users) for r in rolling_active_users(df).collect()}
+    assert got == {"2026-01-01": (2, 2), "2026-01-03": (1, 2)}
+    # a 1-day window degenerates to DAU
+    got1 = {
+        r.day: (r.dau, r.rolling_users)
+        for r in rolling_active_users(df, window_days=1).collect()
+    }
+    assert got1 == {"2026-01-01": (2, 2), "2026-01-03": (1, 1)}
+
+
+def test_interval_join_bucket_boundaries(spark):
+    iv = spark.createDataFrame(
+        [(1, 1000, 5000), (2, 7000, 7000)], "iv_id int, s bigint, e bigint"
+    )
+    pts = spark.createDataFrame(
+        [(10, 1000), (11, 5000), (12, 5001), (13, 7000), (14, 6999)],
+        "p_id int, p bigint",
+    )
+    # bucket smaller than the interval -> interval spans several buckets;
+    # inclusive bounds on both ends; each matching pair appears EXACTLY once
+    got = sorted(
+        (r.iv_id, r.p_id)
+        for r in interval_join(iv, pts, "s", "e", "p", bucket=1024).collect()
+    )
+    assert got == [(1, 10), (1, 11), (2, 13)]
+
+
+def test_interval_join_keys(spark):
+    iv = spark.createDataFrame([(1, 0, 10_000)], "k int, s bigint, e bigint")
+    pts = spark.createDataFrame([(1, 500), (2, 500)], "k int, p bigint")
+    got = interval_join(iv, pts, "s", "e", "p", keys=["k"]).collect()
+    assert len(got) == 1 and got[0].k == 1
+
+
+def test_zscore_anomalies(spark):
+    # group 'a': nine 10.0s and one 110.0 -> mean 20, var 900, std 30,
+    # z(110) = 3; the 10.0 rows sit at z = -1/3 and must not be flagged
+    rows = [(i, "a", 10.0) for i in range(9)] + [(9, "a", 110.0)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    got = zscore_anomalies(df, threshold=2.0).collect()
+    assert [(r.event_id, r.z) for r in got] == [(9, 3.0)]
+    # constant group: std 0 -> no flags (and no division error)
+    const = spark.createDataFrame(
+        [(1, "c", 5.0), (2, "c", 5.0)], "event_id bigint, event_type string, value double"
+    )
+    assert zscore_anomalies(const).collect() == []
+
+
+def test_stratified_sample_exact_counts(spark):
+    rows = [(i, "en" if i < 10 else "de") for i in range(13)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_sample_exact(df, 0.2, stratum_col="lang").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.lang, []).append(r.srank)
+    # ceil(0.2*10)=2 en rows, ceil(0.2*3)=1 de row, ranks contiguous from 1
+    assert sorted(by["en"]) == [1, 2] and by["de"] == [1]
+    # determinism: same call returns the same doc_ids
+    again = {r.doc_id for r in stratified_sample_exact(df, 0.2, stratum_col="lang").collect()}
+    assert again == {r.doc_id for r in out}
+    # fraction 1.0 keeps everything; bad fractions reject
+    assert stratified_sample_exact(df, 1.0, stratum_col="lang").count() == 13
+    with pytest.raises(ValueError):
+        stratified_sample_exact(df, 0.0)
+
+
+def test_stratified_sample_integer_ppm_boundary(spark):
+    # 0.2 * 65 rows: double math gives 13.000000000000002 -> ceil 14 (wrong);
+    # integer ppm keeps exactly 13
+    df = spark.createDataFrame([(i, "x") for i in range(65)], "doc_id bigint, lang string")
+    assert stratified_sample_exact(df, 0.2, stratum_col="lang").count() == 13
+
+
+def test_source_rollup_levels(spark):
+    rows = [
+        (1, "a b", "s1", "en"),
+        (2, "c", "s1", "de"),
+        (3, "d e f", "s2", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string, lang string")
+    got = {
+        (r.source, r.lang): (r.n_docs, r.n_tokens, r.lvl)
+        for r in source_rollup(df).collect()
+    }
+    assert got[("s1", "en")] == (1, 2, 0)
+    assert got[("s1", "de")] == (1, 1, 0)
+    assert got[("s2", "en")] == (1, 3, 0)
+    assert got[("s1", "(all)")] == (2, 3, 1)
+    assert got[("s2", "(all)")] == (1, 3, 1)
+    assert got[("(all)", "(all)")] == (3, 6, 3)
+    assert len(got) == 6
 
 
 def test_sessionize_single_exchange(spark):

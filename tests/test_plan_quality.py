@@ -144,3 +144,45 @@ def test_cdc_chunks_single_doc_exchange(spark):
     p = _plan(spark, "pipeline_cdc_chunks")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "NestedLoop" not in p and "BatchEvalPython" not in p, p
+
+
+def test_funnel_single_user_exchange(spark):
+    """round-5 late: the funnel is ONE user-keyed hash aggregate (array
+    collect) + a tiny global rollup — no window, no join, no Python."""
+    p = _plan(spark, "events_funnel")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p and "Window" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_interval_join_is_equi_join(spark):
+    """round-5 late: the bucketed interval join must plan as an EQUI-join
+    (hash or sort-merge) — never the nested-loop product the naive
+    BETWEEN formulation degenerates to."""
+    p = _plan(spark, "events_interval_join")
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+
+
+def test_zscore_broadcasts_stats(spark):
+    """round-5 late: the k-row per-type stats broadcast back onto the event
+    scan — the event-scale side contributes its single aggregation shuffle
+    and nothing else."""
+    p = _plan(spark, "events_zscore")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_stratified_sample_single_exchange(spark):
+    """round-5 late: per-stratum count and rank share one stratum-keyed
+    exchange (two Window ops, same partitioning)."""
+    p = _plan(spark, "pipeline_stratified_sample")
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_source_rollup_one_expand(spark):
+    """round-5 late: ROLLUP lowers to one Expand + one aggregation exchange,
+    not a union of per-level scans."""
+    p = _plan(spark, "text_source_rollup")
+    assert "Expand" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Union" not in p, p
