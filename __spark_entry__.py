@@ -933,6 +933,25 @@ def q_text_source_rollup(spark, sf_dir):
     return source_rollup(_docs(spark, sf_dir))
 
 
+def q_events_transitions(spark, sf_dir):
+    # round-5 late: first-order Markov transition matrix — one user-keyed
+    # lag window, then hash-agg onto a |types|^2 count table; the
+    # normalizing window runs on k^2 rows, not event scale
+    from flink_siddhi_spark.analytics import event_transitions
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def q_text_bigram_pmi(spark, sf_dir):
+    # round-5 late: top collocations by PMI — codegen transform+explode
+    # bigrams (no word-scale self-join), vocab-bounded aggregates,
+    # TakeOrderedAndProject cut
+    from flink_siddhi_spark.llm.text import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate, but DETERMINISTIC (seeded centroids + rounded-cosine
     # tiebreaks) — so the DuckDB oracle replicates the same IVF exactly
@@ -1417,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zscore": q_events_zscore,
         "pipeline_stratified_sample": q_pipeline_stratified_sample,
         "text_source_rollup": q_text_source_rollup,
+        "events_transitions": q_events_transitions,
+        "text_bigram_pmi": q_text_bigram_pmi,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2427,6 +2448,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(len(string_split(text, ' '))) AS BIGINT) n_tokens, "
             "CAST(grouping(source, lang) AS INT) lvl "
             "FROM documents GROUP BY ROLLUP(source, lang)"
+        ),
+        "events_transitions": (
+            "WITH p AS (SELECT event_type to_type, "
+            "lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) from_type FROM events), "
+            "c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) n "
+            "FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, "
+            "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER "
+            "(PARTITION BY from_type) AS DOUBLE), 6) p FROM c"
+        ),
+        "text_bigram_pmi": (
+            "WITH ws AS (SELECT string_split(lower(text), ' ') l "
+            "FROM documents), "
+            "bic AS (SELECT l[i] w1, l[i+1] w2, CAST(count(*) AS BIGINT) n_xy "
+            "FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) i FROM ws) "
+            "GROUP BY 1, 2), "
+            "uc AS (SELECT w, CAST(count(*) AS BIGINT) c FROM "
+            "(SELECT unnest(l) w FROM ws) GROUP BY w), "
+            "tot AS (SELECT sum(n_xy) nn FROM bic), "
+            "s AS (SELECT w1, w2, n_xy, "
+            "round(log2((CAST(n_xy AS DOUBLE) * CAST(nn AS DOUBLE)) / "
+            "(CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE))), 6) pmi "
+            "FROM bic JOIN uc x ON bic.w1 = x.w "
+            "JOIN uc y ON bic.w2 = y.w, tot WHERE n_xy >= 5) "
+            "SELECT w1, w2, n_xy, pmi FROM s ORDER BY pmi DESC, w1, w2 "
+            "LIMIT 100"
         ),
         "text_entropy": (
             "WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) wd "

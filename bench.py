@@ -90,6 +90,8 @@ HEADLINE = [
     "events_zscore",
     "pipeline_stratified_sample",
     "text_source_rollup",
+    "events_transitions",
+    "text_bigram_pmi",
 ]
 
 

@@ -281,6 +281,45 @@ def zscore_anomalies(
     )
 
 
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    one row per observed (from_type, to_type) pair with its count and the
+    row-normalized transition probability ``p = n / Σ_to n`` (rounded to 6
+    decimals — integer counts divide identically in any engine).
+
+    This is the batch companion of CQL sequence patterns (``A -> B``): the
+    pattern finds the matches, the matrix summarizes where a user's next
+    event goes. Scale shape: one user-keyed exchange for the lag window
+    (partition-local sort), then hash aggregation onto the ≤|types|² count
+    table; the normalizing window runs on that k²-row frame, not event
+    scale."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        df.select(
+            F.col(user_col), F.col(ts_col), F.col(id_col),
+            F.col(type_col).alias("to_type"),
+        )
+        .withColumn("from_type", F.lag("to_type").over(w))
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("p"),
+    )
+
+
 def retention_cohorts(
     df: DataFrame,
     user_col: str = "user_id",

@@ -340,6 +340,65 @@ def corpus_source_stats(
     return base.join(ent, "source")
 
 
+def bigram_pmi(
+    df: DataFrame,
+    min_count: int = 5,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent lowercase
+    word pairs with ``pmi = log2(n_xy * N / (n_x * n_y))`` (N = total
+    bigram tokens), filtered to ``n_xy >= min_count`` and cut to the
+    ``top_n`` by (pmi desc, w1, w2). The classic phrase-mining signal
+    (word2vec phrase pass, RAKE-style keyphrases) for a pretraining corpus.
+
+    Determinism: all inputs to the log are exact integer counts; the
+    expression multiplies/divides doubles in a fixed order mirrored by the
+    oracle, and the final round(…, 6) + total-order LIMIT make the cut
+    reproducible. Scale shape: bigrams come from a codegen
+    ``transform``+``explode`` over the word array (no self-join at word
+    scale); two hash aggregates (bigram counts — vocab²-bounded, unigram
+    counts — vocab-bounded); the unigram side joins twice (AQE broadcasts
+    it when it fits); the grand total is a 1-row broadcast crossJoin; the
+    cut is TakeOrderedAndProject, never a global sort."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    pairs = F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda x, i: F.struct(x.alias("w1"), F.get(words, i + 1).alias("w2")),
+    )
+    bi = (
+        df.select(F.explode(pairs).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    uni = (
+        df.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = bi.agg(F.sum("n_xy").alias("__N"))
+    scored = (
+        bi.filter(F.col("n_xy") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("__cx")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("__cy")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.round(
+                F.log2(
+                    (F.col("n_xy").cast("double") * F.col("__N").cast("double"))
+                    / (F.col("__cx").cast("double") * F.col("__cy").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_n)
+
+
 def source_rollup(
     df: DataFrame,
     source_col: str = "source",

@@ -302,3 +302,52 @@ def test_sessionize_single_exchange(spark):
     )
     plan = sessionize(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_event_transitions_counts_and_rows(spark):
+    rows = [
+        # u1: a -> b -> a ; u2: b (no transition; first event has no prev)
+        _fev(1, "2026-01-01 10:00:00", 1, "a"),
+        _fev(2, "2026-01-01 10:01:00", 1, "b"),
+        _fev(3, "2026-01-01 10:02:00", 1, "a"),
+        _fev(4, "2026-01-01 10:00:00", 2, "b"),
+    ]
+    from flink_siddhi_spark.analytics import event_transitions
+
+    df = spark.createDataFrame(rows, FUNNEL_SCHEMA)
+    got = {(r.from_type, r.to_type): (r.n, r.p) for r in event_transitions(df).collect()}
+    # u2's lone event must NOT create a cross-user (a -> b) or (b -> ...) edge
+    assert got == {("a", "b"): (1, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_event_transitions_normalization(spark):
+    rows = [
+        _fev(1, "2026-01-01 10:00:00", 1, "a"),
+        _fev(2, "2026-01-01 10:01:00", 1, "b"),
+        _fev(3, "2026-01-01 10:02:00", 1, "a"),
+        _fev(4, "2026-01-01 10:03:00", 1, "c"),
+        _fev(5, "2026-01-01 10:04:00", 1, "a"),
+        _fev(6, "2026-01-01 10:05:00", 1, "b"),
+    ]
+    from flink_siddhi_spark.analytics import event_transitions
+
+    df = spark.createDataFrame(rows, FUNNEL_SCHEMA)
+    got = {(r.from_type, r.to_type): r.p for r in event_transitions(df).collect()}
+    assert got[("a", "b")] == round(2 / 3, 6)
+    assert got[("a", "c")] == round(1 / 3, 6)
+
+
+def test_bigram_pmi_values(spark):
+    from flink_siddhi_spark.llm.text import bigram_pmi
+    import math
+
+    # "x y" always adjacent (5 times); "x z" never adjacent; filler words
+    rows = [(i, "x y p q r") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {(r.w1, r.w2): (r.n_xy, r.pmi) for r in bigram_pmi(df, min_count=5).collect()}
+    # 20 bigrams total; x:5, y:5 -> pmi(x,y) = log2(5*20/(5*5)) = 2
+    assert got[("x", "y")] == (5, round(math.log2(4.0), 6))
+    # min_count filter: nothing below 5 appears
+    assert all(n >= 5 for n, _ in got.values())
+    # top_n cut with total-order tiebreak
+    assert len(bigram_pmi(df, min_count=1, top_n=2).collect()) == 2

@@ -186,3 +186,24 @@ def test_source_rollup_one_expand(spark):
     assert "Expand" in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "Union" not in p, p
+
+
+def test_transitions_single_event_scale_exchange(spark):
+    """round-5 late: one user-keyed exchange at event scale; the normalizing
+    window and count aggregate run on the |types|^2 table."""
+    p = _plan(spark, "events_transitions")
+    assert "BatchEvalPython" not in p and "NestedLoop" not in p, p
+
+
+def test_bigram_pmi_no_word_scale_join(spark):
+    """round-5 late: bigrams come from transform+explode, the cut is
+    TakeOrdered — never a global Sort before the limit. The single
+    BroadcastNestedLoopJoin is the documented 1-row grand-total
+    crossJoin (same pattern as text_tfidf/lm_score); anything beyond
+    that one is a regression."""
+    p = _plan(spark, "text_bigram_pmi")
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1 and "Cartesian" not in p, p
+    assert "BatchEvalPython" not in p, p
+    # the min_count filter must run BEFORE the unigram joins
+    assert p.index("n_xy") < p.index("BroadcastHashJoin"), p
