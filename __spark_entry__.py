@@ -952,6 +952,15 @@ def q_text_bigram_pmi(spark, sf_dir):
     return bigram_pmi(_docs(spark, sf_dir))
 
 
+def q_text_textrank(spark, sf_dir):
+    # round-5 late: TextRank keywords — 10 fixed PageRank iterations over
+    # the bigram graph, 12-decimal decimal-summed contributions so the
+    # ITERATIVE fixed point is engine-exact and fully oracle-checked
+    from flink_siddhi_spark.llm.text import textrank_keywords
+
+    return textrank_keywords(_docs(spark, sf_dir))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate, but DETERMINISTIC (seeded centroids + rounded-cosine
     # tiebreaks) — so the DuckDB oracle replicates the same IVF exactly
@@ -1438,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_rollup": q_text_source_rollup,
         "events_transitions": q_events_transitions,
         "text_bigram_pmi": q_text_bigram_pmi,
+        "text_textrank": q_text_textrank,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -1474,6 +1484,44 @@ def _cos_sql(a: str, b: str) -> str:
         f"({dot.format(a=a, b=b)} / "
         f"(sqrt({dot.format(a=a, b=a)}) * sqrt({dot.format(a=b, b=b)})))"
     )
+
+
+def _textrank_sql(n_iter: int = 10, min_count: int = 5, top_n: int = 50) -> str:
+    """Unrolled TextRank oracle: the same fixed-point iteration the Spark
+    operator runs (llm/text.py textrank_keywords), one chained CTE per
+    round — the 12-decimal per-edge rounding + DECIMAL(38,12) sums make
+    every iteration engine-exact, which is what lets an ITERATIVE float
+    algorithm be value-hash-compared at all."""
+    dbl = "CAST(0.85 AS DOUBLE)"
+    tele = f"(CAST(1.0 AS DOUBLE) - {dbl}) / nct.n"
+    parts = [
+        "WITH ws AS (SELECT string_split(lower(text), ' ') l FROM documents), "
+        "bic AS (SELECT l[i] w1, l[i+1] w2, CAST(count(*) AS BIGINT) n_xy "
+        "FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) i FROM ws) "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_count}), "
+        "nodes AS (SELECT DISTINCT w FROM "
+        "(SELECT w1 w FROM bic UNION ALL SELECT w2 FROM bic)), "
+        "nct AS (SELECT CAST(count(*) AS BIGINT) n FROM nodes), "
+        "outw AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) wout "
+        "FROM bic GROUP BY w1), "
+        "pr0 AS (SELECT w, round(CAST(1.0 AS DOUBLE) / nct.n, 12) r "
+        "FROM nodes, nct)"
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f", c{k} AS (SELECT e.w2 w, CAST(sum(CAST(round("
+            "p.r * e.n_xy / o.wout, 12) AS DECIMAL(38,12))) AS DOUBLE) s "
+            f"FROM pr{k-1} p JOIN bic e ON e.w1 = p.w "
+            "JOIN outw o ON o.w1 = p.w GROUP BY e.w2)"
+            f", pr{k} AS (SELECT nd.w, round({tele} + {dbl} * "
+            f"coalesce(c.s, CAST(0.0 AS DOUBLE)), 12) r "
+            f"FROM nodes nd LEFT JOIN c{k} c ON c.w = nd.w, nct)"
+        )
+    parts.append(
+        f" SELECT w word, r score FROM pr{n_iter} "
+        f"ORDER BY r DESC, w LIMIT {top_n}"
+    )
+    return "".join(parts)
 
 
 def _lsh_cand_ctes() -> str:
@@ -2476,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w1, w2, n_xy, pmi FROM s ORDER BY pmi DESC, w1, w2 "
             "LIMIT 100"
         ),
+        "text_textrank": _textrank_sql(),
         "text_entropy": (
             "WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) wd "
             "FROM documents), "

@@ -120,6 +120,14 @@ SCALE_QUERIES = [
     # round 4 additions: end-to-end fuzzy dedup composition + CDC chunking
     "dedup_fuzzy_keep",
     "pipeline_cdc_chunks",
+    # round 5 late: event-analytics family at 10x (amplified by NEW USERS —
+    # the realistic growth axis: per-user history length stays constant, so
+    # user-keyed windows/aggregates must scale linearly; a super-linear
+    # ratio here means a stage is accidentally global)
+    "events_sessionize",
+    "events_funnel",
+    "events_interval_join",
+    "events_transitions",
 ]
 # exact containment at 10x density is the documented pair-output quadratic
 # (measured 269s in round 3, SCALE.md) — the scale section now measures the
@@ -129,13 +137,15 @@ SCALE_QUERIES = [
 
 
 def _amplified_dir(spark, sf_dir: str, factor: int) -> str:
-    """Write a deterministic factor-x amplification of documents/embeddings
-    to a temp dir (only the two tables the dedup/ANN family reads)."""
+    """Write a deterministic factor-x amplification of documents/embeddings/
+    events to a temp dir (the tables the dedup/ANN/event-analytics families
+    read). Dir is versioned (_v2 added events) so a stale cache from an
+    earlier bench layout regenerates instead of failing the section."""
     import tempfile
 
     from pyspark.sql import functions as F
 
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{factor}x")
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_scale_{factor}x_v2")
     marker = os.path.join(out, "_done")
     if os.path.exists(marker):
         return out
@@ -174,6 +184,19 @@ def _amplified_dir(spark, sf_dir: str, factor: int) -> str:
     for c in ecopies[1:]:
         eamp = eamp.unionByName(c)
     eamp.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # events grow by NEW USERS (ids shifted per copy): per-user history
+    # length is invariant, so user-keyed operators should scale linearly
+    vcopies = []
+    for i in range(factor):
+        vcopies.append(
+            events.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * 100_000_000))
+        )
+    vamp = vcopies[0]
+    for c in vcopies[1:]:
+        vamp = vamp.unionByName(c)
+    vamp.write.mode("overwrite").parquet(f"{out}/events.parquet")
     with open(marker, "w") as f:
         f.write("ok")
     return out

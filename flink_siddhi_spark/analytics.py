@@ -72,6 +72,49 @@ def sessionize(
     )
 
 
+def sessionize_stream(
+    df: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of :func:`sessionize` on Structured Streaming's native
+    ``session_window`` — unbounded event logs sessionize with watermark-bound
+    state instead of a per-user history sort. Same output columns, two
+    documented semantic deltas (pinned by the parity test):
+
+    - ``end_ms`` is SS's window end = last event + gap; the relational op's
+      ``end_ms`` is the last event itself (streaming end = batch end + gap).
+    - a gap of EXACTLY ``gap_ms`` splits here (half-open session windows
+      merge only on overlap) but stays in-session in the relational op
+      (strict ``>`` split). Off-boundary inputs agree exactly.
+    - sessions are emitted in append mode once the watermark passes their
+      end; ``session_id`` (an arrival-order ordinal) is not computable
+      without a total per-user history, so the streaming twin keys sessions
+      by ``start_ms`` instead.
+    """
+    gap = f"{int(gap_ms)} milliseconds"
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col(value_col), 6).cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.unix_millis(F.col("session_window.start")).alias("start_ms"),
+            F.unix_millis(F.col("session_window.end")).alias("end_ms"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def funnel(
     df: DataFrame,
     steps: Sequence[str],

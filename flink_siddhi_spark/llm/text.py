@@ -399,6 +399,95 @@ def bigram_pmi(
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_n)
 
 
+def textrank_keywords(
+    df: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    min_count: int = 5,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus keywords by TextRank: PageRank over the directed bigram
+    co-occurrence graph (edge u→v weighted by adjacency count, edges below
+    ``min_count`` pruned), ``n_iter`` fixed synchronous iterations,
+    rank(v) = (1-d)/N + d·Σ_u rank(u)·w(u,v)/wout(u). Dangling nodes leak
+    rank (documented variant — no redistribution), ties break on the word.
+
+    Determinism contract (what makes an ITERATIVE float algorithm
+    oracle-checkable at all): every per-edge contribution is rounded to 12
+    decimals and summed through DECIMAL(38,12); each iteration's rank is
+    re-rounded to 12 decimals; the teleport term is computed as
+    ``(1.0 - d)/N`` in doubles on both engines. With identical inputs each
+    iteration is then bit-identical in any engine and any partitioning —
+    the DuckDB oracle unrolls the same 10 iterations as chained CTEs.
+
+    Scale shape: the edge table (vocab²-bounded after the min_count cut)
+    builds once and is localCheckpointed; each iteration is one
+    edge⋈ranks join (ranks = |vocab| rows — AQE broadcasts it), a hash
+    aggregate onto the in-neighbor key, and a left join back to the node
+    list; ranks are localCheckpointed per round so the loop's lineage stays
+    flat (same pattern as dedup_clusters' label propagation). Only the
+    scalar node count touches the driver."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    pairs = F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda x, i: F.struct(x.alias("w1"), F.get(words, i + 1).alias("w2")),
+    )
+    bi = (
+        df.select(F.explode(pairs).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    nodes = (
+        bi.select(F.col("w1").alias("w"))
+        .union(bi.select(F.col("w2").alias("w")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col("w").alias("word"), F.lit(0.0).alias("score")
+        ).limit(0)
+    outw = bi.groupBy("w1").agg(F.sum("n_xy").alias("wout"))
+    edges = bi.join(outw, "w1").localCheckpoint()
+    teleport = F.lit(1.0 - damping) / F.lit(float(n))
+    ranks = nodes.select(
+        "w", F.round(F.lit(1.0) / F.lit(float(n)), 12).alias("r")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("w", "w1"), "w1")
+            .select(
+                F.col("w2").alias("w"),
+                F.round(F.col("r") * F.col("n_xy") / F.col("wout"), 12)
+                .cast("decimal(38,12)")
+                .alias("c"),
+            )
+            .groupBy("w")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "w", "left")
+            .select(
+                "w",
+                F.round(
+                    teleport
+                    + F.lit(float(damping)) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.orderBy(F.desc("r"), "w")
+        .limit(top_n)
+        .select(F.col("w").alias("word"), F.col("r").alias("score"))
+    )
+
+
 def source_rollup(
     df: DataFrame,
     source_col: str = "source",

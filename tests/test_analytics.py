@@ -351,3 +351,32 @@ def test_bigram_pmi_values(spark):
     assert all(n >= 5 for n, _ in got.values())
     # top_n cut with total-order tiebreak
     assert len(bigram_pmi(df, min_count=1, top_n=2).collect()) == 2
+
+
+def test_textrank_deterministic_and_ranked(spark):
+    from flink_siddhi_spark.llm.text import textrank_keywords
+
+    # hub word "x" is followed by many distinct words; "y" only follows x
+    rows = [(i, "x y x z x w q x") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = textrank_keywords(df, min_count=2, top_n=10).collect()
+    scores = {r.word: r.score for r in out}
+    # x receives from y/z/w (each sends 100% to x) -> highest rank
+    assert out[0].word == "x"
+    assert all(0.0 < s < 1.0 for s in scores.values())
+    # deterministic across runs (fixed iterations + decimal sums)
+    again = {r.word: r.score for r in textrank_keywords(df, min_count=2, top_n=10).collect()}
+    assert again == scores
+    # rank mass: every node's score >= teleport floor (1-d)/N
+    n = len(scores)
+    assert all(s >= round((1.0 - 0.85) / n, 6) for s in scores.values())
+
+
+def test_textrank_empty_graph(spark):
+    from flink_siddhi_spark.llm.text import textrank_keywords
+
+    # min_count prunes every edge -> typed empty result, no div-by-zero
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    out = textrank_keywords(df, min_count=99)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["word", "score"]

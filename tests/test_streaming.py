@@ -1417,3 +1417,60 @@ def test_cql_streaming_table_dml_clean_error(spark, tmp_path):
             "define table T (name string, price double); "
             "from s select name, price insert into T"
         )
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """round-5 late: analytics.sessionize (relational) vs sessionize_stream
+    (native SS session_window) on the same event set — counts and decimal
+    value totals must agree per (user, start); streaming end = batch end +
+    gap by SS's window definition. A far-future sentinel advances the
+    watermark so every real session flushes in append mode; the sentinel's
+    own session stays in state and never appears."""
+    import datetime as dt
+
+    from flink_siddhi_spark.analytics import sessionize, sessionize_stream
+
+    def ts(m):
+        return dt.datetime(2026, 1, 1, 10, 0, 0) + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: two sessions (31-min gap); u2: one 2-event session
+        (1, ts(0), 1, 1.5),
+        (2, ts(9), 1, 2.25),
+        (3, ts(41), 1, 4.0),
+        (4, ts(0), 2, 7.0),
+        (5, ts(10), 2, 1.0),
+        # watermark sentinel: +1 day, throwaway user
+        (99, ts(24 * 60), 999, 0.0),
+    ]
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    src = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "sess_in")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = file_stream(spark, path, schema)
+    out = sessionize_stream(stream)
+    q = to_memory(out, "m_sessionize", checkpoint=str(tmp_path / "ck_sessionize"),
+                  output_mode="append")
+    q.awaitTermination(60)
+    got = {
+        (r.user_id, r.start_ms): (r.end_ms, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM m_sessionize").collect()
+    }
+
+    batch = {
+        (r.user_id, r.start_ms): (r.end_ms, r.n_events, r.total_value)
+        for r in sessionize(spark.read.parquet(path)).collect()
+        if r.user_id != 999
+    }
+    assert set(got) == set(batch), (got, batch)
+    gap = 30 * 60 * 1000
+    for k, (end_ms, n, tot) in batch.items():
+        s_end, s_n, s_tot = got[k]
+        assert s_end == end_ms + gap, (k, s_end, end_ms)
+        assert (s_n, s_tot) == (n, tot), (k, got[k], batch[k])
