@@ -961,6 +961,50 @@ def q_text_textrank(spark, sf_dir):
     return textrank_keywords(_docs(spark, sf_dir))
 
 
+def q_events_hll_users(spark, sf_dir):
+    # round-5 late: HyperLogLog distinct users per event type — md5-register
+    # sketch so the SAME sketch is computable in DuckDB (the estimate is a
+    # deterministic function of the input multiset, hence value-hashable).
+    # Small groups exercise the linear-counting branch. Plan: one
+    # (type, register) hash-agg (≤ k·m rows survive map-side combine), one
+    # k·m-row final agg — nothing quadratic, nothing on the driver.
+    from flink_siddhi_spark.sketch import hll_distinct
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return hll_distinct(
+        load_table(spark, sf_dir, "events"), "user_id", ["event_type"], prefix_hex=2
+    )
+
+
+def q_text_hll_shingles(spark, sf_dir):
+    # round-5 late: corpus-wide distinct 3-gram shingle estimate — the raw
+    # HLL branch (16k+ distinct at sf0.01 vs m=256 registers); n_exact rides
+    # along so the output exposes the sketch's relative error
+    from flink_siddhi_spark.llm.dedup import shingle_table
+    from flink_siddhi_spark.sketch import hll_distinct
+
+    sh = shingle_table(_docs(spark, sf_dir)).withColumnRenamed("shingle", "sh")
+    return hll_distinct(sh, "sh", [], prefix_hex=2)
+
+
+def q_text_cms_heavyhitters(spark, sf_dir):
+    # round-5 late: count-min-sketch frequency estimates for the top-50
+    # 3-gram shingles (occurrences, not per-doc distinct). Pure-integer
+    # sketch -> engine-exact; built from the aggregated (key, count) table
+    # so the d-fold hashing is vocab-bounded, not corpus-bounded
+    from flink_siddhi_spark.sketch import cms_heavy_hitters
+
+    words = F.split(F.lower(F.col("text")), " ")
+    grams = F.when(F.size(words) < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 3),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+        )
+    )
+    occ = _docs(spark, sf_dir).select(F.explode(grams).alias("k"))
+    return cms_heavy_hitters(occ, "k", top_n=50)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate, but DETERMINISTIC (seeded centroids + rounded-cosine
     # tiebreaks) — so the DuckDB oracle replicates the same IVF exactly
@@ -1448,6 +1492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": q_events_transitions,
         "text_bigram_pmi": q_text_bigram_pmi,
         "text_textrank": q_text_textrank,
+        "events_hll_users": q_events_hll_users,
+        "text_hll_shingles": q_text_hll_shingles,
+        "text_cms_heavyhitters": q_text_cms_heavyhitters,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -1522,6 +1569,20 @@ def _textrank_sql(n_iter: int = 10, min_count: int = 5, top_n: int = 50) -> str:
         f"ORDER BY r DESC, w LIMIT {top_n}"
     )
     return "".join(parts)
+
+
+def _hll_sql_local(value_expr, from_clause, group_cols, prefix_hex=2) -> str:
+    """HLL oracle — the sketch module owns the (shared) SQL builder so the
+    Spark operator and its oracle can never drift apart."""
+    from flink_siddhi_spark.sketch import hll_sql
+
+    return hll_sql(value_expr, from_clause, group_cols, prefix_hex=prefix_hex)
+
+
+def _cms_sql_local(key_expr_cte, top_n=50) -> str:
+    from flink_siddhi_spark.sketch import cms_sql
+
+    return cms_sql(key_expr_cte, top_n=top_n)
 
 
 def _lsh_cand_ctes() -> str:
@@ -2525,6 +2586,25 @@ def oracle_sql() -> dict[str, str]:
             "LIMIT 100"
         ),
         "text_textrank": _textrank_sql(),
+        "events_hll_users": _hll_sql_local(
+            "user_id", "events", ["event_type"], prefix_hex=2
+        ),
+        "text_hll_shingles": _hll_sql_local(
+            "sh",
+            "(WITH dw AS (SELECT doc_id, string_split(lower(text), ' ') w "
+            "FROM documents) "
+            "SELECT unnest(CASE WHEN len(w) < 3 THEN CAST([] AS VARCHAR[]) "
+            "ELSE list_distinct(list_transform(range(1, len(w)-1), "
+            "i -> array_to_string(w[i:i+2], ' '))) END) sh FROM dw)",
+            [],
+            prefix_hex=2,
+        ),
+        "text_cms_heavyhitters": _cms_sql_local(
+            "WITH dw AS (SELECT string_split(lower(text), ' ') w FROM documents) "
+            "SELECT array_to_string(w[i:i+2], ' ') k "
+            "FROM (SELECT w, unnest(range(1, len(w)-1)) i FROM dw WHERE len(w) >= 3)",
+            top_n=50,
+        ),
         "text_entropy": (
             "WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) wd "
             "FROM documents), "
