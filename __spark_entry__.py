@@ -1005,6 +1005,17 @@ def q_text_cms_heavyhitters(spark, sf_dir):
     return cms_heavy_hitters(occ, "k", top_n=50)
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    # round-5 late: exact substring dedup (Lee et al. 2022 shape, word
+    # granularity) — maximal duplicated 8-gram spans per doc. One shuffle
+    # for the gram-occurrence window count, one doc-keyed repartition
+    # shared by the island merge and the span aggregate; linear in corpus
+    # word count
+    from flink_siddhi_spark.llm.dedup import repeated_ngram_spans
+
+    return repeated_ngram_spans(_docs(spark, sf_dir), n=8)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate, but DETERMINISTIC (seeded centroids + rounded-cosine
     # tiebreaks) — so the DuckDB oracle replicates the same IVF exactly
@@ -1495,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_users": q_events_hll_users,
         "text_hll_shingles": q_text_hll_shingles,
         "text_cms_heavyhitters": q_text_cms_heavyhitters,
+        "dedup_substring_spans": q_dedup_substring_spans,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2598,6 +2610,27 @@ def oracle_sql() -> dict[str, str]:
             "i -> array_to_string(w[i:i+2], ' '))) END) sh FROM dw)",
             [],
             prefix_hex=2,
+        ),
+        "dedup_substring_spans": (
+            "WITH dw AS (SELECT doc_id, string_split(lower(text), ' ') w "
+            "FROM documents), "
+            "gi AS (SELECT doc_id, i - 1 pos, "
+            "md5(array_to_string(w[i:i+7], ' ')) gh "
+            "FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) i "
+            "FROM dw WHERE len(w) >= 8)), "
+            "hits AS (SELECT doc_id, pos FROM "
+            "(SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) cnt FROM gi) "
+            "WHERE cnt >= 2), "
+            "brk AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END b "
+            "FROM hits), "
+            "isl AS (SELECT doc_id, pos, sum(b) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) island FROM brk) "
+            "SELECT doc_id, CAST(min(pos) AS BIGINT) start_word, "
+            "CAST(max(pos) + 7 AS BIGINT) end_word, "
+            "CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) n_words, "
+            "CAST(count(*) AS BIGINT) n_grams "
+            "FROM isl GROUP BY doc_id, island ORDER BY doc_id, start_word"
         ),
         "text_cms_heavyhitters": _cms_sql_local(
             "WITH dw AS (SELECT string_split(lower(text), ' ') w FROM documents) "

@@ -98,6 +98,73 @@ def ngram_jaccard_pairs(
     return out
 
 
+def repeated_ngram_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_repeats: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated word-span regions per document: every word n-gram
+    occurring >= ``min_repeats`` times anywhere in the corpus (other docs OR
+    the same doc) marks its position duplicated; overlapping/abutting
+    duplicated grams merge into maximal spans (exact substring dedup a la
+    Lee et al. 2022, at word rather than byte granularity).
+
+    Output: one row per maximal span — ``doc_id, start_word, end_word``
+    (0-based, inclusive), ``n_words``, ``n_grams``.
+
+    Scale shape (all linear in corpus word count): gram instances carry an
+    md5 key; occurrence counts come from a count-over-gram-hash window (ONE
+    shuffle of the instance table — no second exchange for a join back);
+    survivors repartition once onto the doc key, where the island merge
+    (lag + running sum) and the span aggregate share the same partitioning.
+    A boilerplate gram that floods one hash partition is the skew risk; at
+    extreme df, pre-aggregating counts and broadcasting the viral set would
+    be the salting path (same treatment as minhash_lsh_pairs' autocap).
+    """
+    if n < 1 or min_repeats < 2:
+        raise ValueError("need n >= 1 and min_repeats >= 2")
+    words = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.when(F.size(words) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+    gi = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "__g")
+    ).select(id_col, "pos", F.md5(F.col("__g")).alias("__gh"))
+    hits = (
+        gi.withColumn("__cnt", F.count(F.lit(1)).over(Window.partitionBy("__gh")))
+        .filter(F.col("__cnt") >= min_repeats)
+        .select(id_col, "pos")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    # new island when this gram's start is past the previous gram's covered
+    # range +1 (gram at p covers words [p, p+n-1]; p' <= p+n overlaps/abuts)
+    brk = F.when(F.col("pos") - F.lag("pos").over(w_doc) > n, 1).otherwise(0)
+    islands = hits.withColumn("__brk", brk).withColumn(
+        "__island", F.sum("__brk").over(w_doc)
+    )
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("bigint").alias("start_word"),
+            (F.max("pos") + n - 1).cast("bigint").alias("end_word"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "start_word",
+            "end_word",
+            (F.col("end_word") - F.col("start_word") + 1).alias("n_words"),
+            "n_grams",
+        )
+        .orderBy(id_col, "start_word")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, num_hashes: int = 8, text_col: str = "text",
     id_col: str = "doc_id", n: int = 3,

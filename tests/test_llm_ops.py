@@ -841,3 +841,54 @@ def test_containment_candidate_cap(spark):
     tight = ngram_containment_pairs(docs, threshold=0.6, candidate_cap=1)
     assert tight.exceptAll(exact).count() == 0
     assert tight.count() > 0
+
+
+def test_repeated_ngram_spans_boundaries_and_merge(spark):
+    from flink_siddhi_spark.llm.dedup import repeated_ngram_spans
+
+    shared = "alpha beta gamma delta"  # 4 words -> one 4-gram
+    rows = [
+        # doc 1: shared phrase at words 2..5; doc 2: same phrase at 0..3
+        (1, "one two " + shared + " tail1 tail2"),
+        (2, shared + " other words here"),
+        # doc 3: nothing repeated
+        (3, "unique content nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id): (r.start_word, r.end_word, r.n_words, r.n_grams)
+        for r in repeated_ngram_spans(df, n=4).collect()
+    }
+    assert got == {1: (2, 5, 4, 1), 2: (0, 3, 4, 1)}
+
+
+def test_repeated_ngram_spans_within_doc_and_islands(spark):
+    from flink_siddhi_spark.llm.dedup import repeated_ngram_spans
+
+    # the same 3-gram twice INSIDE one doc counts as repeated (min_repeats
+    # spans the whole corpus incl. self); the two occurrences are separated
+    # by > n words so they form TWO islands
+    txt = "a b c x1 x2 x3 x4 x5 a b c"
+    df = spark.createDataFrame([(7, txt)], "doc_id bigint, text string")
+    spans = [tuple(r) for r in repeated_ngram_spans(df, n=3).collect()]
+    assert spans == [(7, 0, 2, 3, 1), (7, 8, 10, 3, 1)]
+    # overlapping duplicated grams merge into ONE maximal span
+    two = spark.createDataFrame(
+        [(1, "p q r s t u"), (2, "p q r s t u")], "doc_id bigint, text string"
+    )
+    merged = [tuple(r) for r in repeated_ngram_spans(two, n=3).collect()]
+    assert merged == [(1, 0, 5, 6, 4), (2, 0, 5, 6, 4)]
+
+
+def test_repeated_ngram_spans_validation_and_short_docs(spark):
+    import pytest as _pytest
+
+    from flink_siddhi_spark.llm.dedup import repeated_ngram_spans
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    # shorter than n -> no grams -> no rows
+    assert repeated_ngram_spans(df, n=8).collect() == []
+    with _pytest.raises(ValueError):
+        repeated_ngram_spans(df, n=0)
+    with _pytest.raises(ValueError):
+        repeated_ngram_spans(df, min_repeats=1)
