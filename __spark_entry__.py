@@ -1016,6 +1016,21 @@ def q_dedup_substring_spans(spark, sf_dir):
     return repeated_ngram_spans(_docs(spark, sf_dir), n=8)
 
 
+def q_pipeline_bloom_contamination(spark, sf_dir):
+    # round-5 late: Bloom-gate decontamination — the benchmark side ships
+    # as an 8 KB literal bitmap (m=16^4 bits, k=4 md5 hashes) instead of a
+    # broadcast shingle table; corpus probe is map-only + ONE per-doc agg.
+    # No false negatives (superset of pipeline_contamination's doc set,
+    # pinned in pytest); the oracle replays membership as a positions
+    # semi-join with count(DISTINCT hash_i) = k
+    from flink_siddhi_spark.llm.pipeline import bloom_contamination
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return bloom_contamination(corpus, benchmark, n=3)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate, but DETERMINISTIC (seeded centroids + rounded-cosine
     # tiebreaks) — so the DuckDB oracle replicates the same IVF exactly
@@ -1507,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hll_shingles": q_text_hll_shingles,
         "text_cms_heavyhitters": q_text_cms_heavyhitters,
         "dedup_substring_spans": q_dedup_substring_spans,
+        "pipeline_bloom_contamination": q_pipeline_bloom_contamination,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2240,6 +2256,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(DISTINCT b.bench_id) AS BIGINT) n_bench_docs "
             "FROM csh c JOIN bsh b ON c.s = b.s GROUP BY c.doc_id "
             "HAVING count(DISTINCT c.s) >= 1"
+        ),
+        "pipeline_bloom_contamination": (
+            "WITH " + _shingle_cte("csh0", " WHERE source != 'src0'") + ", "
+            + _shingle_cte("bsh0", " WHERE source = 'src0'") + ", "
+            "bp AS (SELECT DISTINCT "
+            "substring(md5(CAST(i AS VARCHAR) || ':' || s), 1, 4) p "
+            "FROM (SELECT unnest(sh) s FROM bsh0), "
+            "unnest(generate_series(0, 3)) t(i)), "
+            "cp AS (SELECT doc_id, s, i, "
+            "substring(md5(CAST(i AS VARCHAR) || ':' || s), 1, 4) p "
+            "FROM (SELECT doc_id, unnest(sh) s FROM csh0), "
+            "unnest(generate_series(0, 3)) t(i)), "
+            "pass AS (SELECT doc_id, s FROM cp JOIN bp USING (p) "
+            "GROUP BY doc_id, s HAVING count(DISTINCT i) = 4) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) n_maybe_hits FROM pass "
+            "GROUP BY doc_id"
         ),
         "pipeline_pack": (
             "WITH t AS (SELECT doc_id, "

@@ -92,6 +92,13 @@ HEADLINE = [
     "text_source_rollup",
     "events_transitions",
     "text_bigram_pmi",
+    # round 5 late 3: iterative TextRank, HLL + CMS sketches, exact
+    # substring-span dedup
+    "text_textrank",
+    "events_hll_users",
+    "text_hll_shingles",
+    "text_cms_heavyhitters",
+    "dedup_substring_spans",
 ]
 
 
@@ -128,6 +135,14 @@ SCALE_QUERIES = [
     "events_funnel",
     "events_interval_join",
     "events_transitions",
+    # round 5 late 3: substring spans grow with duplicate density (every
+    # copied doc's whole text becomes a span — pair-FREE by design, so the
+    # ratio should stay linear where containment's pair output exploded);
+    # textrank's graph is vocab-bounded (iterations cost ~constant, only
+    # the bigram explode scales); the HLL sketch is register-bounded
+    "dedup_substring_spans",
+    "text_textrank",
+    "text_hll_shingles",
 ]
 # exact containment at 10x density is the documented pair-output quadratic
 # (measured 269s in round 3, SCALE.md) — the scale section now measures the

@@ -40,6 +40,12 @@ from ..operators.prefix import global_row_number
 from .dedup import _spread, shingle_table
 
 
+def _shl1(bit: Column) -> Column:
+    """``1L << bit`` with a COLUMN shift amount (pyspark's F.shiftleft only
+    accepts a Python int for numBits; the SQL function takes a column)."""
+    return F.call_function("shiftleft", F.lit(1).cast("long"), bit)
+
+
 def _hash_hex(col: Column, salt: str, nchars: int = 2) -> Column:
     """First ``nchars`` hex digits of md5('<salt>:' + str(col)) — an engine-
     portable uniform hash usable with plain lexicographic compares."""
@@ -203,6 +209,89 @@ def contamination_ngram(
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
         .filter(F.col("n_hit_ngrams") >= min_hits)
+    )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    m_hex: int = 4,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter decontamination gate: like :func:`contamination_ngram`
+    but the benchmark side collapses to an m-bit Bloom bitmap (m = 16^m_hex,
+    ``k`` md5-derived hash functions) that ships to every task as a literal
+    longs array — 16^4 bits = 8 KB instead of a broadcast shingle table.
+    This is the 100 TB shape when the benchmark suite itself is large: the
+    probe side stays a map-only scan + ONE per-doc aggregate regardless of
+    benchmark size, and the bitmap build is one |bench-shingle|-bounded
+    aggregate onto m/64 rows.
+
+    Bloom semantics: NO false negatives (every truly-contaminated shingle
+    passes), false positives at rate ~(n_bits_set/m)^k — so the output is a
+    superset of :func:`contamination_ngram`'s doc set, suitable as a cheap
+    first-pass gate before the exact verifier. Returns
+    ``(doc_id, n_maybe_hits)`` for docs with >= ``min_hits`` passing
+    shingles.
+
+    Engine-exact: hash i maps a shingle to position md5(i ':' shingle)[:m_hex]
+    (a hex string — the DuckDB oracle replays membership as a positions
+    semi-join with count(DISTINCT i) = k, which is pointwise-identical to
+    the bitmap test). The m/64-longs driver round-trip is the broadcast-
+    model pattern (same as kmeans centroids), not a data collect.
+    """
+    if not 1 <= m_hex <= 8 or k < 1:
+        raise ValueError("m_hex in [1, 8] and k >= 1 required")
+    m = 16 ** m_hex
+
+    def positions(sh: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", i.cast("string"), sh)), 1, m_hex
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+
+    bench_sh = shingle_table(benchmark.select(id_col, text_col), text_col, id_col, n)
+    bits_rows = (
+        bench_sh.select(F.explode(positions(F.col("shingle"))).alias("p"))
+        .distinct()
+        .groupBy((F.col("p") / 64).cast("int").alias("w"))
+        .agg(
+            F.bit_or(_shl1((F.col("p") % 64).cast("int")))
+            .alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * ((m + 63) // 64)
+    for r in bits_rows:
+        words[r.w] = r.bits
+    if not bits_rows:
+        # empty benchmark -> nothing can be contaminated
+        return corpus.select(F.col(id_col)).limit(0).withColumn(
+            "n_maybe_hits", F.lit(0).cast("bigint")
+        )
+    bitmap = F.array([F.lit(wd).cast("long") for wd in words])
+    member = lambda p: (  # noqa: E731
+        F.element_at(bitmap, (p / 64).cast("int") + 1).bitwiseAND(
+            _shl1((p % 64).cast("int"))
+        )
+        != 0
+    )
+    c = shingle_table(_spread(corpus.select(id_col, text_col)), text_col, id_col, n)
+    passed = c.filter(F.forall(positions(F.col("shingle")), member))
+    return (
+        passed.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_maybe_hits"))
+        .filter(F.col("n_maybe_hits") >= min_hits)
     )
 
 

@@ -210,3 +210,37 @@ def test_fuzzy_dedup_keep_no_duplicates_is_identity(spark):
          (3, "red orange yellow green blue indigo")],
         "doc_id long, text string")
     assert sorted(r.doc_id for r in fuzzy_dedup_keep(df).collect()) == [1, 2, 3]
+
+
+def test_bloom_contamination_no_false_negatives(docs):
+    # Bloom gate must flag a SUPERSET of the exact contamination docs
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    exact = {r.doc_id: r.n_hit_ngrams
+             for r in P.contamination_ngram(corpus, bench, n=3).collect()}
+    bloom = {r.doc_id: r.n_maybe_hits
+             for r in P.bloom_contamination(corpus, bench, n=3).collect()}
+    assert set(exact) <= set(bloom)
+    # a flagged doc's maybe-hits can only exceed its true hits
+    assert all(bloom[d] >= exact[d] for d in exact)
+
+
+def test_bloom_contamination_false_positives_at_tiny_m(docs):
+    # m = 16 bits with 4 hashes saturates the bitmap -> everything passes;
+    # demonstrates the false-positive side is REAL and bounded by design
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    tiny = P.bloom_contamination(corpus, bench, n=3, m_hex=1, k=2)
+    wide = P.bloom_contamination(corpus, bench, n=3, m_hex=4, k=4)
+    assert tiny.count() >= wide.count()
+
+
+def test_bloom_contamination_empty_benchmark_and_validation(spark, docs):
+    empty = docs.limit(0)
+    out = P.bloom_contamination(docs, empty, n=3)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_maybe_hits"]
+    with pytest.raises(ValueError):
+        P.bloom_contamination(docs, docs, m_hex=0)
+    with pytest.raises(ValueError):
+        P.bloom_contamination(docs, docs, k=0)
