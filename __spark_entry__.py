@@ -1031,6 +1031,20 @@ def q_pipeline_bloom_contamination(spark, sf_dir):
     return bloom_contamination(corpus, benchmark, n=3)
 
 
+def q_text_gopher_rules(spark, sf_dir):
+    # round-5 late: Gopher-style quality rules (Rae et al. 2021) with
+    # per-rule audit booleans — pure codegen string expressions, no
+    # shuffle, no UDF
+    from flink_siddhi_spark.llm.text import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir)).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "n_stopword_hits", "rule_word_count",
+        "rule_mean_word_len", "rule_symbol_ratio", "rule_alpha_words",
+        "rule_stopwords", "gopher_pass",
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate, but DETERMINISTIC (seeded centroids + rounded-cosine
     # tiebreaks) — so the DuckDB oracle replicates the same IVF exactly
@@ -1523,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_heavyhitters": q_text_cms_heavyhitters,
         "dedup_substring_spans": q_dedup_substring_spans,
         "pipeline_bloom_contamination": q_pipeline_bloom_contamination,
+        "text_gopher_rules": q_text_gopher_rules,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2711,6 +2726,29 @@ def oracle_sql() -> dict[str, str]:
             "round(CASE WHEN nw < 5 THEN 0.0 ELSE "
             "least(1.0, nw / 100.0) * 0.5 + least(1.0, (hits / nw) * 5.0) * 0.5 END, 6) quality "
             "FROM t"
+        ),
+        "text_gopher_rules": (
+            "WITH t AS (SELECT doc_id, length(text) nc, "
+            "string_split(lower(text), ' ') w, "
+            "length(text) - length(replace(text, '#', '')) nh, "
+            "(length(text) - length(replace(text, '...', ''))) / 3.0 ne "
+            "FROM documents), "
+            "u AS (SELECT doc_id, nc, nh, ne, len(w) nw, "
+            "len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) alpha, "
+            f"len(list_filter(w, x -> x IN {en})) hits FROM t), "
+            "v AS (SELECT doc_id, nw, (nc - (nw - 1)) / nw mwl, "
+            "(nh + ne) / nw sym, alpha / nw af, hits FROM u) "
+            "SELECT doc_id, CAST(nw AS BIGINT) n_words, "
+            "round(mwl, 6) mean_word_len, round(sym, 6) symbol_ratio, "
+            "round(af, 6) alpha_word_frac, CAST(hits AS BIGINT) n_stopword_hits, "
+            "nw >= 10 AND nw <= 100000 rule_word_count, "
+            "mwl >= 3.0 AND mwl <= 10.0 rule_mean_word_len, "
+            "sym <= 0.1 rule_symbol_ratio, "
+            "af >= 0.8 rule_alpha_words, "
+            "hits >= 2 rule_stopwords, "
+            "(nw >= 10 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0) "
+            "AND sym <= 0.1 AND af >= 0.8 AND hits >= 2 gopher_pass "
+            "FROM v"
         ),
         "text_language_id": (
             "WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) n, "

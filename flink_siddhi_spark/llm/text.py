@@ -66,6 +66,67 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1 repetition
+    rules live in :func:`repetition_ratio`; these are the length/shape
+    heuristics). Emits one boolean per rule plus the conjunction
+    ``gopher_pass`` so downstream can audit WHICH rule dropped a doc — the
+    standard pretraining-filter requirement (silent drops are undebuggable
+    at 100 TB).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; '#'/'…'-to-word symbol ratio <=
+    max_symbol_ratio; fraction of words containing an alphabetic char >=
+    min_alpha_word_frac; >= min_stopwords distinct-position stopword hits.
+
+    All pure codegen string expressions — no shuffle, no UDF; ratios round
+    to 6 decimals (engine-exact compare contract)."""
+    text = F.col(text_col)
+    words = F.split(F.lower(text), " ")
+    n_words = F.size(words)
+    n_chars = F.length(text)
+    mean_wl = (n_chars - (n_words - 1)) / n_words
+    n_hash = n_chars - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (
+        n_chars - F.length(F.regexp_replace(text, "\\.\\.\\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / n_words
+    )
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS)))
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_mean = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    r_symbol = symbol_ratio <= max_symbol_ratio
+    r_alpha = alpha_frac >= min_alpha_word_frac
+    r_stop = stop_hits >= min_stopwords
+    return (
+        df.withColumn("n_words", n_words.cast("bigint"))
+        .withColumn("mean_word_len", F.round(mean_wl, 6))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 6))
+        .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
+        .withColumn("n_stopword_hits", stop_hits.cast("bigint"))
+        .withColumn("rule_word_count", r_words)
+        .withColumn("rule_mean_word_len", r_mean)
+        .withColumn("rule_symbol_ratio", r_symbol)
+        .withColumn("rule_alpha_words", r_alpha)
+        .withColumn("rule_stopwords", r_stop)
+        .withColumn(
+            "gopher_pass", r_words & r_mean & r_symbol & r_alpha & r_stop
+        )
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit language heuristic (deterministic; no external models)."""
     words = F.split(F.lower(F.col(text_col)), " ")

@@ -892,3 +892,40 @@ def test_repeated_ngram_spans_validation_and_short_docs(spark):
         repeated_ngram_spans(df, n=0)
     with _pytest.raises(ValueError):
         repeated_ngram_spans(df, min_repeats=1)
+
+
+def test_gopher_rules_per_rule_flags(spark):
+    from flink_siddhi_spark.llm.text import gopher_rules
+
+    rows = [
+        # passes everything: 12 words, normal lengths, stopwords, alphabetic
+        (1, "the cat sat on the mat and then the dog sat down"),
+        # too short (< 10 words)
+        (2, "the of short text here"),
+        # symbol-heavy: hashes push symbol ratio over 0.1
+        (3, "the # # # # of # # # # words # # go # here sometimes"),
+        # huge mean word length (> 10)
+        (4, " ".join(["supercalifragilistic"] * 12) + " the of"),
+        # numeric words fail the alpha fraction
+        (5, "the of 1 2 3 4 5 6 7 8 9 10 11 12"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert got[1].gopher_pass
+    assert not got[2].rule_word_count and not got[2].gopher_pass
+    assert not got[3].rule_symbol_ratio and not got[3].gopher_pass
+    assert not got[4].rule_mean_word_len and not got[4].gopher_pass
+    assert not got[5].rule_alpha_words and not got[5].gopher_pass
+    # stopword rule: doc 1 has plenty
+    assert got[1].n_stopword_hits >= 2 and got[1].rule_stopwords
+
+
+def test_gopher_rules_ellipsis_counting(spark):
+    from flink_siddhi_spark.llm.text import gopher_rules
+
+    # 2 ellipses + 1 hash over 12 words -> ratio 3/12 = 0.25 > 0.1
+    txt = "the fox ... jumps over ... the # lazy dog again today"
+    df = spark.createDataFrame([(1, txt)], "doc_id bigint, text string")
+    r = gopher_rules(df).collect()[0]
+    assert r.symbol_ratio == 0.25
+    assert not r.rule_symbol_ratio
