@@ -43,29 +43,19 @@ def _hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_distinct(
-    df: DataFrame,
-    value_col: str,
-    group_cols: Sequence[str] = (),
-    prefix_hex: int = 2,
-) -> DataFrame:
-    """HyperLogLog distinct-count estimate of ``value_col`` per group.
-
-    ``prefix_hex`` hex chars of md5 pick the register (m = 16^prefix_hex);
-    the register value is 1 + leading-zero-bits of the remaining 128-4p bits.
-    Small-range (linear counting) and raw-HLL branches follow Flajolet et
-    al. 2007. NULL values are ignored (COUNT DISTINCT semantics).
-
-    Output: group cols + ``n_exact`` (true distinct, for error inspection) +
-    ``hll_estimate`` (BIGINT) + ``hll_registers_used``.
-    """
+def _check_prefix(prefix_hex: int) -> int:
     p = int(prefix_hex)
     if not 1 <= p <= 8:
         raise ValueError("prefix_hex must be in [1, 8]")
-    m = 16 ** p
-    tail_len = 32 - p
-    gcols = [F.col(c) for c in group_cols]
+    return p
 
+
+def _reg_and_rho(value_col: str, p: int):
+    """(register, rho) column pair for one value: register = first ``p`` md5
+    hex chars; rho = 1 + leading-zero-bits of the remaining 128-4p bits,
+    via portable string ops (4 bits per leading '0' char + the intra-nibble
+    zeros of the first non-zero char)."""
+    tail_len = 32 - p
     h = F.md5(F.col(value_col).cast("string").cast("binary"))
     reg = F.substring(h, 1, p)
     trimmed = F.expr(
@@ -82,18 +72,22 @@ def hll_distinct(
     rho = F.when(F.length(trimmed) == 0, F.lit(4 * tail_len + 1)).otherwise(
         (F.lit(tail_len) - F.length(trimmed)) * 4 + intra + 1
     )
+    return reg, rho
 
-    regs = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*gcols, reg.alias("__reg"))
-        .agg(F.max(rho).alias("__rho"))
-    )
-    # exact distinct for error inspection — same shuffle key layout, cheap
-    exact = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*gcols)
-        .agg(F.countDistinct(value_col).alias("n_exact"))
-    )
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: Sequence[str] = (),
+    prefix_hex: int = 2,
+) -> DataFrame:
+    """Finish an HLL estimate from a ``(group..., __reg, __rho)`` register
+    table — the shared tail of :func:`hll_distinct` and the batch reader of
+    :func:`hll_register_stream`'s streamed register sink. Mergeability is
+    HLL's whole point: register tables from different partitions, batches,
+    or days combine by ``max(__rho)`` per register before this finisher."""
+    p = _check_prefix(prefix_hex)
+    m = 16 ** p
+    gcols = list(group_cols)
     z_present = F.sum(
         F.round(F.pow(F.lit(2.0), -F.col("__rho")), 12).cast("decimal(38,12)")
     ).cast("double")
@@ -111,13 +105,90 @@ def hll_distinct(
         (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(e_raw)
-    out = agg.withColumn("hll_estimate", F.round(est, 0).cast("bigint")).drop("__zp")
+    return agg.withColumn("hll_estimate", F.round(est, 0).cast("bigint")).drop(
+        "__zp"
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    prefix_hex: int = 2,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``value_col`` per group.
+
+    ``prefix_hex`` hex chars of md5 pick the register (m = 16^prefix_hex);
+    the register value is 1 + leading-zero-bits of the remaining 128-4p bits.
+    Small-range (linear counting) and raw-HLL branches follow Flajolet et
+    al. 2007. NULL values are ignored (COUNT DISTINCT semantics).
+
+    Output: group cols + ``n_exact`` (true distinct, for error inspection —
+    drop it at real scale) + ``hll_estimate`` (BIGINT) +
+    ``hll_registers_used``.
+    """
+    p = _check_prefix(prefix_hex)
+    gcols = [F.col(c) for c in group_cols]
+    reg, rho = _reg_and_rho(value_col, p)
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols, reg.alias("__reg"))
+        .agg(F.max(rho).alias("__rho"))
+    )
+    # exact distinct for error inspection — same shuffle key layout, cheap
+    exact = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*gcols)
+        .agg(F.countDistinct(value_col).alias("n_exact"))
+    )
+    out = hll_estimate_from_registers(regs, group_cols, prefix_hex=p)
     if group_cols:
         joined = out.join(exact, list(group_cols))
     else:
         joined = out.crossJoin(F.broadcast(exact))
     return joined.select(
         *group_cols, "n_exact", "hll_estimate", "hll_registers_used"
+    )
+
+
+def hll_register_stream(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    prefix_hex: int = 2,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming HLL: per-(event-time window, group) register table as a
+    watermark-bounded Structured Streaming aggregate.
+
+    The production sketch shape: REGISTERS stream (state = one max-rho int
+    per (window, group, register) — bounded by m per group per window, and
+    EVICTED when the watermark closes the window); estimates materialize at
+    read time via :func:`hll_estimate_from_registers` over the sunk register
+    table. This sidesteps chaining two stateful aggregates inside one
+    streaming query, and keeps the sink mergeable across days/backfills
+    (max per register), which a materialized estimate would not be.
+
+    Output (append mode once the watermark passes): ``window_start_ms,
+    window_end_ms, group..., __reg, __rho``.
+    """
+    p = _check_prefix(prefix_hex)
+    reg, rho = _reg_and_rho(value_col, p)
+    win = F.window(F.col(ts_col), window_duration)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(win, *[F.col(c) for c in group_cols], reg.alias("__reg"))
+        .agg(F.max(rho).alias("__rho"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            F.unix_millis(F.col("window.end")).alias("window_end_ms"),
+            *group_cols,
+            "__reg",
+            "__rho",
+        )
     )
 
 

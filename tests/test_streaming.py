@@ -1474,3 +1474,81 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         s_end, s_n, s_tot = got[k]
         assert s_end == end_ms + gap, (k, s_end, end_ms)
         assert (s_n, s_tot) == (n, tot), (k, got[k], batch[k])
+
+
+def test_streaming_hll_registers_match_batch(spark, tmp_path):
+    """round-5 late: hll_register_stream — registers stream as a
+    watermark-bounded agg (state evicted at window close), estimates finish
+    from the sunk register table. The streamed registers and the estimates
+    computed from them must equal the batch sketch on the same data."""
+    import datetime as dt
+
+    from flink_siddhi_spark.sketch import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_register_stream,
+    )
+
+    day0 = dt.datetime(2026, 2, 1)
+    rows = []
+    eid = 0
+    for day in range(2):
+        for typ in ("click", "view"):
+            for u in range(40):
+                eid += 1
+                rows.append(
+                    (eid, day0 + dt.timedelta(days=day, minutes=u),
+                     (u * 7) % 25, typ)  # 25 distinct users per (day, type)
+                )
+    rows.append((9999, day0 + dt.timedelta(days=30), 1, "sentinel"))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    src = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "hll_in")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = file_stream(spark, path, schema)
+    regs = hll_register_stream(stream, "user_id", ["event_type"])
+    q = to_memory(regs, "m_hll_regs", checkpoint=str(tmp_path / "ck_hll"),
+                  output_mode="append")
+    q.awaitTermination(60)
+    streamed = spark.sql(
+        "SELECT * FROM m_hll_regs WHERE event_type != 'sentinel'"
+    )
+
+    # register-level parity vs a batch groupBy on the same (day, type) keys
+    batch = spark.read.parquet(path).filter(F.col("event_type") != "sentinel")
+    batch = batch.withColumn(
+        "window_start_ms",
+        F.unix_millis(F.date_trunc("day", F.col("ts"))),
+    )
+    got = {(r.window_start_ms, r.event_type, r["__reg"]): r["__rho"]
+           for r in streamed.collect()}
+    from flink_siddhi_spark.sketch import _reg_and_rho
+
+    reg, rho = _reg_and_rho("user_id", 2)
+    want = {(r.window_start_ms, r.event_type, r.r): r.mx
+            for r in batch.groupBy("window_start_ms", "event_type",
+                                   reg.alias("r"))
+            .agg(F.max(rho).alias("mx")).collect()}
+    assert got == want and len(got) > 0
+
+    # estimate-level parity: finisher over streamed registers == hll_distinct
+    est_stream = {
+        (r.window_start_ms, r.event_type): (r.hll_estimate, r.hll_registers_used)
+        for r in hll_estimate_from_registers(
+            streamed, ["window_start_ms", "event_type"]
+        ).collect()
+    }
+    for (day, typ), (est, used) in est_stream.items():
+        b = hll_distinct(
+            batch.filter((F.col("window_start_ms") == day)
+                         & (F.col("event_type") == typ)),
+            "user_id",
+        ).collect()[0]
+        assert (est, used) == (b.hll_estimate, b.hll_registers_used)
+        assert b.n_exact == 25
