@@ -99,6 +99,9 @@ HEADLINE = [
     "text_hll_shingles",
     "text_cms_heavyhitters",
     "dedup_substring_spans",
+    # round 5 late 4: bloom decontamination gate + gopher quality rules
+    "pipeline_bloom_contamination",
+    "text_gopher_rules",
 ]
 
 

@@ -237,6 +237,83 @@ def hll_sql(
     )
 
 
+def _cms_cell(row, width_hex: int, key=None):
+    """CMS cell key for hash-row ``row``: md5(row ':' key)[:width_hex]."""
+    key = F.col("k") if key is None else key
+    return F.substring(
+        F.md5(
+            F.concat_ws(":", row.cast("string"), key.cast("string")).cast("binary")
+        ),
+        1,
+        width_hex,
+    )
+
+
+def cms_cell_stream(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width_hex: int = 3,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming count-min sketch: per-(event-time window) cell totals as a
+    watermark-bounded aggregate — the CMS analogue of
+    :func:`hll_register_stream`. State is one count per (window, row, cell):
+    bounded by depth·16^width_hex per window and evicted at window close.
+    Cell sinks merge across windows/backfills by SUM (CMS cells are
+    counters), and :func:`cms_estimate_from_cells` probes candidates at
+    read time. Output: ``window_start_ms, window_end_ms, __row, __cell,
+    __total``."""
+    if depth < 1 or not 1 <= width_hex <= 8:
+        raise ValueError("depth >= 1 and width_hex in [1, 8] required")
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    melted = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(ts_col), F.col(key_col).alias("k"), F.explode(rows).alias("__row"))
+        .withColumn("__cell", _cms_cell(F.col("__row"), width_hex))
+    )
+    return (
+        melted.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), "__row", "__cell")
+        .agg(F.count(F.lit(1)).alias("__total"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            F.unix_millis(F.col("window.end")).alias("window_end_ms"),
+            "__row",
+            "__cell",
+            "__total",
+        )
+    )
+
+
+def cms_estimate_from_cells(
+    cells: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width_hex: int = 3,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Probe a (possibly streamed-and-sunk) CMS cell table for candidate
+    keys: estimate = min over rows of the matching cell total, per group.
+    ``cells`` must carry ``group..., __row, __cell, __total``; ``candidates``
+    one key per row (join is |candidates|·depth vs the depth·width cell
+    table — broadcastable)."""
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    probe = candidates.select(
+        F.col(key_col).alias("k"), F.explode(rows).alias("__row")
+    ).withColumn("__cell", _cms_cell(F.col("__row"), width_hex))
+    gcols = list(group_cols)
+    return (
+        cells.join(F.broadcast(probe), ["__row", "__cell"])
+        .groupBy(*gcols, "k")
+        .agg(F.min("__total").alias("cms_estimate"))
+        .select(*gcols, F.col("k").alias(key_col), "cms_estimate")
+    )
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     key_col: str,

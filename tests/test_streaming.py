@@ -1552,3 +1552,56 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
         ).collect()[0]
         assert (est, used) == (b.hll_estimate, b.hll_registers_used)
         assert b.n_exact == 25
+
+
+def test_streaming_cms_cells_match_batch(spark, tmp_path):
+    """round-5 late: cms_cell_stream — cell totals stream as a
+    watermark-bounded agg; estimates probe the sunk cell table and must
+    match the batch CMS on the same data (and stay >= exact counts)."""
+    import datetime as dt
+
+    from flink_siddhi_spark.sketch import (
+        cms_cell_stream,
+        cms_estimate_from_cells,
+        cms_heavy_hitters,
+    )
+
+    day0 = dt.datetime(2026, 3, 1)
+    rows = []
+    for i in range(600):
+        rows.append((i, day0 + dt.timedelta(seconds=i), f"k{i % 30}"))
+    rows.append((9999, day0 + dt.timedelta(days=30), "sentinel"))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("word", T.StringType()),
+    ])
+    src = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "cms_in")
+    src.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stream = file_stream(spark, path, schema)
+    cells = cms_cell_stream(stream, "word", depth=4, width_hex=1)
+    q = to_memory(cells, "m_cms_cells", checkpoint=str(tmp_path / "ck_cms"),
+                  output_mode="append")
+    q.awaitTermination(60)
+    day_ms = int(day0.timestamp() * 1000)
+    sunk = spark.sql(
+        f"SELECT * FROM m_cms_cells WHERE window_start_ms = {day_ms}"
+    )
+
+    cand = spark.createDataFrame([(f"k{i}",) for i in range(30)], "word string")
+    est = {
+        r.word: r.cms_estimate
+        for r in cms_estimate_from_cells(sunk, cand, "word",
+                                         depth=4, width_hex=1).collect()
+    }
+    batch = spark.read.parquet(path).filter(F.col("word") != "sentinel")
+    want = {r.k: (r.n_exact, r.cms_estimate)
+            for r in cms_heavy_hitters(batch.select(F.col("word").alias("k")),
+                                       "k", depth=4, width_hex=1,
+                                       top_n=30).collect()}
+    assert set(est) == set(want) and len(est) == 30
+    for w, (exact, batch_est) in want.items():
+        assert est[w] == batch_est, (w, est[w], batch_est)
+        assert est[w] >= exact == 20
