@@ -1045,6 +1045,40 @@ def q_text_gopher_rules(spark, sf_dir):
     )
 
 
+def q_pipeline_dsir_weights(spark, sf_dir):
+    # round-5 wave 4: DSIR importance weights (Xie et al. 2023) — hashed
+    # unigram buckets, target = lang='en' exemplars; m-row log-ratio map
+    # broadcasts back, only the doc-keyed sum shuffles at corpus scale
+    from flink_siddhi_spark.llm.pipeline import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+def q_events_topk_paths(spark, sf_dir):
+    # round-5 wave 4: most frequent 3-step event-type paths — one
+    # user-keyed lead() window, hash agg to |types|^3 rows, TakeOrdered
+    from flink_siddhi_spark.analytics import topk_paths
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return topk_paths(load_table(spark, sf_dir, "events"))
+
+
+def q_text_inverted_index(spark, sf_dir):
+    # round-5 wave 4: inverted index with capped posting lists — one
+    # term-keyed exchange serves rank + df/tf, groupBy reuses it
+    from flink_siddhi_spark.llm.text import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir))
+
+
+def q_text_source_kl(spark, sf_dir):
+    # round-5 wave 4: per-source KL vs corpus unigram distribution — one
+    # corpus-scale (source, word) agg; KL math on vocab-scale rows
+    from flink_siddhi_spark.llm.text import source_kl
+
+    return source_kl(_docs(spark, sf_dir))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     # approximate, but DETERMINISTIC (seeded centroids + rounded-cosine
     # tiebreaks) — so the DuckDB oracle replicates the same IVF exactly
@@ -1538,6 +1572,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": q_dedup_substring_spans,
         "pipeline_bloom_contamination": q_pipeline_bloom_contamination,
         "text_gopher_rules": q_text_gopher_rules,
+        "pipeline_dsir_weights": q_pipeline_dsir_weights,
+        "events_topk_paths": q_events_topk_paths,
+        "text_inverted_index": q_text_inverted_index,
+        "text_source_kl": q_text_source_kl,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2749,6 +2787,65 @@ def oracle_sql() -> dict[str, str]:
             "(nw >= 10 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0) "
             "AND sym <= 0.1 AND af >= 0.8 AND hits >= 2 gopher_pass "
             "FROM v"
+        ),
+        "pipeline_dsir_weights": (
+            # identical md5 bucket hashing + add-one smoothing + round-12
+            # DECIMAL(38,12) sums as llm.pipeline.dsir_weights (m = 256)
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(lower(text), ' ')) wd, lang = 'en' ist "
+            "FROM documents), "
+            "wb AS (SELECT doc_id, ist, "
+            "substring(md5('dsir:' || wd), 1, 2) bk FROM w), "
+            "b AS (SELECT bk, count(*) nr, "
+            "sum(CASE WHEN ist THEN 1 ELSE 0 END) nt FROM wb GROUP BY bk), "
+            "t AS (SELECT sum(nr) tr, sum(nt) tt FROM b), "
+            "l AS (SELECT bk, CAST(round("
+            "ln((nt + 1.0) / (tt + 256.0)) - ln((nr + 1.0) / (tr + 256.0)), 12) "
+            "AS DECIMAL(38,12)) lam FROM b, t) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) n_words, "
+            "round(CAST(sum(lam) AS DOUBLE), 6) dsir_logw "
+            "FROM wb JOIN l USING (bk) GROUP BY doc_id"
+        ),
+        "events_topk_paths": (
+            "WITH p AS (SELECT event_type || '>' || "
+            "lead(event_type, 1) OVER w || '>' || "
+            "lead(event_type, 2) OVER w path, "
+            "lead(event_type, 2) OVER w lst FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "c AS (SELECT path, CAST(count(*) AS BIGINT) n_paths FROM p "
+            "WHERE lst IS NOT NULL GROUP BY path "
+            "ORDER BY n_paths DESC, path ASC LIMIT 20) "
+            "SELECT CAST(row_number() OVER "
+            "(ORDER BY n_paths DESC, path ASC) AS INT) rank, path, n_paths "
+            "FROM c"
+        ),
+        "text_inverted_index": (
+            "WITH w AS (SELECT doc_id, "
+            "unnest(string_split(lower(text), ' ')) term FROM documents), "
+            "tc AS (SELECT term, doc_id, count(*) tfd FROM w "
+            "GROUP BY term, doc_id), "
+            "r AS (SELECT term, doc_id, "
+            "row_number() OVER (PARTITION BY term ORDER BY doc_id) rn, "
+            "count(*) OVER (PARTITION BY term) df, "
+            "sum(tfd) OVER (PARTITION BY term) tf FROM tc) "
+            "SELECT term, CAST(max(df) AS BIGINT) df, "
+            "CAST(max(tf) AS BIGINT) tf, "
+            "array_to_string(list_sort(list(doc_id)), ',') postings "
+            "FROM r WHERE rn <= 20 GROUP BY term"
+        ),
+        "text_source_kl": (
+            "WITH sw AS (SELECT source, "
+            "unnest(string_split(lower(text), ' ')) wd FROM documents), "
+            "c AS (SELECT source, wd, count(*) c FROM sw GROUP BY source, wd), "
+            "g AS (SELECT *, sum(c) OVER (PARTITION BY source) ng FROM c), "
+            "cw AS (SELECT wd, sum(c) cw FROM c GROUP BY wd), "
+            "t AS (SELECT sum(c) n FROM c), "
+            "k AS (SELECT source, ng, CAST(round("
+            "(c / ng) * (log2(c / ng) - log2(cw / n)), 12) "
+            "AS DECIMAL(38,12)) kl FROM g JOIN cw USING (wd), t) "
+            "SELECT source, CAST(max(ng) AS BIGINT) n_words, "
+            "CAST(count(*) AS BIGINT) n_distinct, "
+            "round(CAST(sum(kl) AS DOUBLE), 6) kl_bits FROM k GROUP BY source"
         ),
         "text_language_id": (
             "WITH t AS (SELECT doc_id, len(string_split(lower(text), ' ')) n, "

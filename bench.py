@@ -102,6 +102,12 @@ HEADLINE = [
     # round 5 late 4: bloom decontamination gate + gopher quality rules
     "pipeline_bloom_contamination",
     "text_gopher_rules",
+    # round 5 wave 4: DSIR importance weights, top-k event paths, capped
+    # inverted index, per-source KL divergence
+    "pipeline_dsir_weights",
+    "events_topk_paths",
+    "text_inverted_index",
+    "text_source_kl",
 ]
 
 

@@ -391,3 +391,49 @@ def retention_cohorts(
         )
         .agg(F.count_distinct(F.col("u")).alias("n_users"))
     )
+
+
+def topk_paths(
+    df: DataFrame,
+    depth: int = 3,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Most frequent length-``depth`` event-type paths across per-user
+    ordered histories (sequential-pattern mining's bread-and-butter "what
+    do users do next" report): one row per top path, ranked by count with
+    the path string as the deterministic tiebreak.
+
+    This generalizes ``event_transitions`` (depth=2 un-normalized) and is
+    the batch companion of chained CQL sequences (``A -> B -> C``).
+
+    Scale shape: ONE user-keyed exchange for the lead() window
+    (partition-local sort shared by all depth-1 leads), hash aggregation
+    onto the ≤|types|^depth path-count table, then TakeOrderedAndProject
+    for the global top-n — event-scale rows never sit in a global sort;
+    the final rank window runs on exactly ``top_n`` rows."""
+    if depth < 2:
+        raise ValueError("depth must be >= 2")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, depth)
+    ]
+    path = df.select(
+        F.concat_ws(">", *steps).alias("__path"),
+        steps[-1].alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    counts = (
+        path.groupBy("__path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("__path").asc())
+        .limit(top_n)
+    )
+    rk = Window.orderBy(F.col("n_paths").desc(), F.col("__path").asc())
+    return counts.select(
+        F.row_number().over(rk).cast("int").alias("rank"),
+        F.col("__path").alias("path"),
+        "n_paths",
+    )

@@ -735,3 +735,73 @@ def mixture_weights(
         F.round(share, 6).alias("token_share"),
         F.round(target / share, 6).alias("weight"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_hex: int = 2,
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much more
+    likely its hashed-unigram bag is under the TARGET domain's word
+    distribution than under the raw corpus distribution. ``target`` is a
+    boolean Column marking the in-corpus exemplar rows (e.g. a trusted
+    source); the log-weight is the input to importance resampling /
+    ``weighted_sample``.
+
+    Features are md5 hash buckets (m = 16^prefix_hex), the same
+    engine-portable hashing the sketch module uses, so a DuckDB oracle
+    replays the exact weights. Probabilities are add-one smoothed; the
+    per-bucket log-ratio is rounded to 12 decimals and per-doc sums run
+    through DECIMAL(38,12) (deterministic across partitionings/engines).
+
+    Scale shape: two corpus passes, no corpus-scale shuffle beyond the
+    doc-keyed sum — pass 1 aggregates word counts into the m-row bucket
+    table (map-side partials collapse to m keys); pass 2 equi-joins the
+    exploded words to the BROADCAST m-row log-ratio map and sums per doc.
+    The global-stats-then-broadcast-back shape is the same as
+    ``mixture_weights`` / z-score; nothing document-scale ever sits in a
+    wide stage.
+    """
+    p = int(prefix_hex)
+    if not 1 <= p <= 4:
+        raise ValueError("prefix_hex must be in [1, 4]")
+    m = 16 ** p
+    w = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__w"),
+        target.alias("__is_t"),
+    ).withColumn(
+        "__b", F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("__w"))), 1, p)
+    )
+    buckets = w.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__nr"),
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__nt"),
+    )
+    totals = buckets.agg(
+        F.sum("__nr").alias("__tr"), F.sum("__nt").alias("__tt")
+    )
+    lam = (
+        buckets.crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.round(
+                F.log((F.col("__nt") + 1.0) / (F.col("__tt") + float(m)))
+                - F.log((F.col("__nr") + 1.0) / (F.col("__tr") + float(m))),
+                12,
+            )
+            .cast("decimal(38,12)")
+            .alias("__lam"),
+        )
+    )
+    return (
+        w.join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.sum("__lam").cast("double"), 6).alias("dsir_logw"),
+        )
+    )

@@ -735,3 +735,99 @@ def zipf_table(
         F.round(F.log10("rank"), 6).alias("log_rank"),
         F.round(F.log10("freq"), 6).alias("log_freq"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    postings_cap: int = 20,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Corpus inverted index: one row per term with document frequency,
+    total term frequency, and a bounded posting list (the ``postings_cap``
+    LOWEST doc ids, comma-joined — capped so a viral term cannot blow up a
+    single output row). The retrieval-side companion of ``tfidf_top_terms``;
+    with ``max_df`` set, stopword-scale terms (df > max_df) drop out
+    entirely, the standard IR guard that also removes the one skew risk at
+    100 TB (a billion-doc stopword otherwise sorts inside one task).
+
+    Scale shape: (term, doc) hash-aggregate, then ONE term-keyed exchange
+    whose partition-local sort serves row_number AND the full-frame df/tf
+    aggregates; the final per-term groupBy reuses that clustering
+    (Catalyst plans no further exchange). Posting arrays are ≤cap elements
+    by construction before any collect_list runs."""
+    w = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__t")
+    )
+    tc = w.groupBy("__t", id_col).agg(F.count(F.lit(1)).alias("__tfd"))
+    ws = Window.partitionBy("__t").orderBy(id_col)
+    full = ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = tc.select(
+        "__t",
+        F.col(id_col),
+        F.row_number().over(ws).alias("__rn"),
+        F.count(F.lit(1)).over(full).alias("__df"),
+        F.sum("__tfd").over(full).alias("__tf"),
+    ).filter(F.col("__rn") <= postings_cap)
+    if max_df is not None:
+        ranked = ranked.filter(F.col("__df") <= max_df)
+    return ranked.groupBy(F.col("__t").alias("term")).agg(
+        F.max("__df").alias("df"),
+        F.max("__tf").alias("tf"),
+        F.concat_ws(",", F.sort_array(F.collect_list(id_col))).alias("postings"),
+    )
+
+
+def source_kl(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source KL divergence (bits) of the source's unigram distribution
+    from the corpus distribution — the standard domain-shift / outlier-source
+    signal when curating a multi-source corpus (high KL = the source's
+    vocabulary differs sharply from the blend; pairs with
+    ``mixture_weights`` and ``dsir_weights``).
+
+    KL(s‖c) = Σ_w p_s(w)·log2(p_s(w)/p_c(w)) over the source's words (p_c
+    is never 0 where p_s > 0, so no smoothing is needed). Per-term
+    contributions round to 12 decimals and sum through DECIMAL(38,12)
+    (repo-wide deterministic-decimal contract).
+
+    Scale shape: ONE corpus-scale hash aggregate onto the (source, word)
+    count table; everything after (word totals, source totals, the KL sum)
+    re-aggregates that ≤|sources|×|vocab| frame, with the word-marginal
+    join planned broadcast-side at vocab scale."""
+    sw = (
+        df.select(
+            F.col(group_col).alias("source"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__w"),
+        )
+        .groupBy("source", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        # truncate lineage so the word-marginal / total branches re-aggregate
+        # the |sources|x|vocab| table instead of re-running the corpus-scale
+        # explode+shuffle (same pattern as the LSH signature checkpoint)
+        .localCheckpoint(eager=False)
+    )
+    wg = Window.partitionBy("source")
+    cw = sw.groupBy("__w").agg(F.sum("__c").alias("__cw"))
+    tot = sw.agg(F.sum("__c").alias("__n"))
+    term = (
+        sw.withColumn("__ng", F.sum("__c").over(wg))
+        .join(cw, "__w")
+        .crossJoin(F.broadcast(tot))
+    )
+    ps = F.col("__c") / F.col("__ng")
+    pc = F.col("__cw") / F.col("__n")
+    contrib = F.round(ps * (F.log2(ps) - F.log2(pc)), 12).cast("decimal(38,12)")
+    return (
+        term.withColumn("__kl", contrib)
+        .groupBy("source")
+        .agg(
+            F.max("__ng").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.sum("__kl").cast("double"), 6).alias("kl_bits"),
+        )
+    )

@@ -207,3 +207,45 @@ def test_bigram_pmi_no_word_scale_join(spark):
     assert "BatchEvalPython" not in p, p
     # the min_count filter must run BEFORE the unigram joins
     assert p.index("n_xy") < p.index("BroadcastHashJoin"), p
+
+
+def test_dsir_weights_broadcast_map(spark):
+    """round-5 wave 4: the m-row log-ratio map must broadcast back onto the
+    exploded words — the only corpus-scale shuffle is the doc-keyed sum;
+    the bucket aggregate collapses to m keys via map-side partials."""
+    p = _plan(spark, "pipeline_dsir_weights")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    # the only NestedLoop allowed is the blessed 1-row Cross totals build
+    assert p.count("BroadcastNestedLoopJoin") <= 1 and "Cross" in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_topk_paths_takeordered(spark):
+    """round-5 wave 4: one user-keyed exchange for the lead window, then
+    TakeOrderedAndProject — event-scale rows never enter a global sort."""
+    p = _plan(spark, "events_topk_paths")
+    assert "TakeOrderedAndProject" in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "Join" not in p and "BatchEvalPython" not in p, p
+
+
+def test_inverted_index_reuses_term_clustering(spark):
+    """round-5 wave 4: the term-keyed window (rank + df/tf) and the final
+    per-term groupBy share one clustering — (term,doc) agg + term window =
+    exactly two exchanges, and postings are capped BEFORE collect_list."""
+    p = _plan(spark, "text_inverted_index")
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "WindowGroupLimit" in p or "Window" in p, p
+    assert "BatchEvalPython" not in p and "NestedLoop" not in p, p
+
+
+def test_source_kl_single_corpus_exchange(spark):
+    """round-5 wave 4: ONE corpus-scale exchange — the (source,word) agg;
+    the word-marginal join and KL math run at vocab scale."""
+    p = _plan(spark, "text_source_kl")
+    assert "BatchEvalPython" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p  # 1-row totals build
+    assert "SortMergeJoin" not in p, p
+    # the corpus-scale (source,word) aggregate materializes ONCE: the
+    # word-marginal branch re-aggregates the checkpointed vocab-scale table
+    assert p.count("Generate explode") <= 1, p
