@@ -915,6 +915,24 @@ def q_events_zscore(spark, sf_dir):
     return zscore_anomalies(load_table(spark, sf_dir, "events"), threshold=2.0)
 
 
+def q_events_rfm(spark, sf_dir):
+    # round-5 wave 5: RFM segmentation — one user-keyed agg, percentile
+    # thresholds broadcast back; NO global sort / ntile single-partition
+    from flink_siddhi_spark.analytics import rfm_segments
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return rfm_segments(load_table(spark, sf_dir, "events"))
+
+
+def q_events_cooccurrence(spark, sf_dir):
+    # round-5 wave 5: market-basket lift over per-user type sets — pairs
+    # generated map-side from sorted arrays, aggregate at |types|^2 scale
+    from flink_siddhi_spark.analytics import cooccurrence_lift
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return cooccurrence_lift(load_table(spark, sf_dir, "events"))
+
+
 def q_pipeline_stratified_sample(spark, sf_dir):
     # round-5 late: exact-count stratified sample (20% per lang, integer-ppm
     # keep predicate) — one stratum-keyed exchange shared by count + rank
@@ -1576,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_paths": q_events_topk_paths,
         "text_inverted_index": q_text_inverted_index,
         "text_source_kl": q_text_source_kl,
+        "events_rfm": q_events_rfm,
+        "events_cooccurrence": q_events_cooccurrence,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2637,6 +2657,50 @@ def oracle_sql() -> dict[str, str]:
             "round((e.value - m) / (CASE WHEN s > 0 THEN s END), 6) z "
             "FROM events e JOIN sd USING (event_type)) "
             "SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 2.0"
+        ),
+        "events_rfm": (
+            # same shapes as analytics.rfm_segments (n_bins=5): decimal-summed
+            # monetary, interpolated percentile thresholds rounded to 6,
+            # strict </> bucket comparisons
+            "WITH pu AS (SELECT user_id, max(CAST(ts AS DATE)) ld, "
+            "CAST(count(*) AS BIGINT) frequency, "
+            "round(CAST(sum(CAST(round(value, 6) AS DECIMAL(25,6))) "
+            "AS DOUBLE), 6) monetary FROM events GROUP BY user_id), "
+            "r AS (SELECT user_id, CAST(date_diff('day', ld, "
+            "(SELECT max(ld) FROM pu)) AS BIGINT) recency_days, "
+            "frequency, monetary FROM pu), "
+            "t AS (SELECT "
+            + ", ".join(
+                f"round(quantile_cont(CAST({c} AS DOUBLE), {i / 5}), 6) {c[0]}{i}"
+                for c in ("recency_days", "frequency", "monetary")
+                for i in range(1, 5)
+            )
+            + " FROM r) "
+            "SELECT user_id, recency_days, frequency, monetary, "
+            "r_score, f_score, m_score, "
+            "CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || "
+            "CAST(m_score AS VARCHAR) segment FROM ("
+            "SELECT r.*, "
+            "CAST(1 + (recency_days < r1)::INT + (recency_days < r2)::INT + "
+            "(recency_days < r3)::INT + (recency_days < r4)::INT AS INT) r_score, "
+            "CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT + "
+            "(frequency > f3)::INT + (frequency > f4)::INT AS INT) f_score, "
+            "CAST(1 + (monetary > m1)::INT + (monetary > m2)::INT + "
+            "(monetary > m3)::INT + (monetary > m4)::INT AS INT) m_score "
+            "FROM r, t)"
+        ),
+        "events_cooccurrence": (
+            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), "
+            "n AS (SELECT count(DISTINCT user_id) n FROM ut), "
+            "s AS (SELECT event_type t, count(*) n_t FROM ut GROUP BY t), "
+            "p AS (SELECT a.event_type type_a, b.event_type type_b, "
+            "count(*) n_ab FROM ut a JOIN ut b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2) "
+            "SELECT type_a, type_b, CAST(n_ab AS BIGINT) n_ab, "
+            "CAST(sa.n_t AS BIGINT) n_a, CAST(sb.n_t AS BIGINT) n_b, "
+            "round(CAST(n_ab * n.n AS DOUBLE) / (sa.n_t * sb.n_t), 6) lift, "
+            "round(CAST(n_ab AS DOUBLE) / n.n, 6) support "
+            "FROM p JOIN s sa ON sa.t = type_a JOIN s sb ON sb.t = type_b, n"
         ),
         "pipeline_stratified_sample": (
             # fraction 0.2 -> ppm 200000; keep iff (srank-1)*1e6 < n_s*ppm

@@ -437,3 +437,156 @@ def topk_paths(
         F.col("__path").alias("path"),
         "n_paths",
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    n_bins: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM segmentation: per-user Recency (days since last event, relative
+    to the corpus max day), Frequency (event count), and Monetary (summed
+    value), each scored 1..n_bins against corpus-wide percentile thresholds
+    (higher score = better: recent / frequent / high-spend), plus the
+    concatenated segment label ("555" = best customers).
+
+    The classic warehouse companion of CEP user tracking — the streaming
+    side watches individual journeys, this summarizes the whole population.
+
+    Scale shape: ONE user-keyed hash aggregate builds the per-user RFM
+    table; the 3×(n_bins-1) percentile thresholds come from one tiny
+    aggregate over it and BROADCAST back (1-row cross join) — there is no
+    global sort and no ntile window, which would single-partition at
+    billion-user scale. Determinism: monetary sums through round-6
+    DECIMAL(25,6); thresholds are exact interpolated percentiles rounded
+    to 6, so bucket edges compare identically in any engine."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    v6 = F.round(F.col(value_col), 6).cast("decimal(25,6)")
+    per_user = (
+        df.groupBy(user_col)
+        .agg(
+            F.max(F.to_date(ts_col)).alias("__last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(v6).cast("double"), 6).alias("monetary"),
+        )
+        # the ref-day probe, the threshold aggregate, and the final scoring
+        # pass all read this user-scale table — truncate lineage so the
+        # event-scale aggregate runs ONCE, not once per consumer
+        .localCheckpoint(eager=False)
+    )
+    ref = per_user.agg(F.max("__last_day").alias("__ref_day"))
+    per_user = per_user.crossJoin(F.broadcast(ref)).select(
+        F.col(user_col),
+        F.datediff("__ref_day", "__last_day").cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    qs = [i / n_bins for i in range(1, n_bins)]
+    thresholds = per_user.agg(
+        *[
+            F.round(F.percentile(F.col(c).cast("double"), F.lit(q)), 6).alias(
+                f"__{c}_t{i}"
+            )
+            for c in ("recency_days", "frequency", "monetary")
+            for i, q in enumerate(qs)
+        ]
+    )
+    scored = per_user.crossJoin(F.broadcast(thresholds))
+
+    def _score(col: str, lower_is_better: bool):
+        s = F.lit(1)
+        for i in range(len(qs)):
+            t = F.col(f"__{col}_t{i}")
+            hit = (F.col(col) < t) if lower_is_better else (F.col(col) > t)
+            s = s + hit.cast("int")
+        return s.cast("int")
+
+    scored = scored.select(
+        F.col(user_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        _score("recency_days", True).alias("r_score"),
+        _score("frequency", False).alias("f_score"),
+        _score("monetary", False).alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment", F.concat("r_score", "f_score", "m_score")
+    )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    max_types_per_user: int = 1000,
+) -> DataFrame:
+    """Market-basket association over the event log: for every unordered
+    pair of event types that co-occur in at least one user's history, the
+    co-occurring-user count and the lift ``P(a,b) / (P(a)·P(b))`` (>1 =
+    the types attract, <1 = they repel). The unordered companion of
+    ``event_transitions`` / ``topk_paths`` — order-free affinity instead
+    of sequence.
+
+    Scale shape: events collapse to distinct (user, type) via ONE
+    user-keyed hash aggregate (collect_set bounded by ``max_types_per_user``
+    — a user touching more types than that raises rather than silently
+    skewing a task); pairs are generated map-side from each user's sorted
+    type array, so the pair aggregate runs at ≤|types|² scale and the
+    1-row user-count total broadcasts back. Lift is a pure integer ratio
+    rounded to 6 — engine-exact."""
+    sets = (
+        df.groupBy(user_col)
+        .agg(F.array_sort(F.collect_set(type_col)).alias("__ts"))
+        # pair, single-type, and user-count branches all read this
+        # user-scale table — one event-scale aggregate, not three
+        .localCheckpoint(eager=False)
+    )
+    guard = F.when(
+        F.size("__ts") > max_types_per_user,
+        F.raise_error(
+            F.concat(
+                F.lit("cooccurrence_lift: user exceeds max_types_per_user="),
+                F.lit(str(max_types_per_user)),
+            )
+        ),
+    ).otherwise(F.col("__ts"))
+    sets = sets.select(F.col(user_col), guard.alias("__ts"))
+    n_users = sets.agg(F.count(F.lit(1)).alias("__n"))
+    singles = sets.select(F.explode("__ts").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    pairs_expr = F.flatten(
+        F.transform(
+            "__ts",
+            lambda a, i: F.transform(
+                F.slice("__ts", i + 2, F.size("__ts")),
+                lambda b: F.struct(a.alias("type_a"), b.alias("type_b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pairs_expr).alias("p"))
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    a = singles.select(F.col("t").alias("type_a"), F.col("n_t").alias("n_a"))
+    b = singles.select(F.col("t").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(a), "type_a")
+        .join(F.broadcast(b), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round((F.col("n_ab") * F.col("__n")) / (F.col("n_a") * F.col("n_b")), 6).alias("lift"),
+            F.round(F.col("n_ab") / F.col("__n"), 6).alias("support"),
+        )
+    )

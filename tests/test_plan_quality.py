@@ -249,3 +249,30 @@ def test_source_kl_single_corpus_exchange(spark):
     # the corpus-scale (source,word) aggregate materializes ONCE: the
     # word-marginal branch re-aggregates the checkpointed vocab-scale table
     assert p.count("Generate explode") <= 1, p
+
+
+def test_rfm_no_global_sort(spark):
+    """round-5 wave 5: RFM must not plan a global sort / single-partition
+    WINDOW (the ntile trap) — one user-keyed agg, thresholds broadcast.
+    (SinglePartition exchanges for the 1-row ref-day/percentile FINAL
+    aggregates are fine: they move k partial rows, not data.)"""
+    p = _plan(spark, "events_rfm")
+    assert "Exchange rangepartitioning" not in p, p
+    assert "Window" not in p, p  # no global-order window anywhere
+    assert "BatchEvalPython" not in p, p
+    # 1-row broadcasts only (ref day twice — once per consumer of the
+    # user-scale frame — plus thresholds); all build sides are single rows
+    assert p.count("BroadcastNestedLoopJoin") <= 3, p
+    # the event-scale user aggregate materializes ONCE (checkpoint): the
+    # final plan reads it back, it does not re-run per consumer
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_cooccurrence_pairs_generated_map_side(spark):
+    """round-5 wave 5: pairs come from per-user sorted arrays (no self-join
+    of the (user,type) table); the pair aggregate runs at |types|^2 scale."""
+    p = _plan(spark, "events_cooccurrence")
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p, p
+    # checkpointed user-set table feeds pair + 2 single-type aggregates
+    assert p.count("Exchange hashpartitioning") <= 3, p

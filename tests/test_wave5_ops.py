@@ -1,0 +1,106 @@
+"""Round-5 wave 5: RFM segmentation and event-type co-occurrence lift."""
+
+import datetime as dt
+
+import pytest
+
+from flink_siddhi_spark.analytics import cooccurrence_lift, rfm_segments
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double"
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_rfm_metrics_and_scores(spark):
+    rows = [
+        # user 1: 2 events, last on the ref day, 15.0 total
+        (1, _ts("2026-01-10 00:00:00"), 1, "a", 10.0),
+        (2, _ts("2026-01-01 00:00:00"), 1, "b", 5.0),
+        # user 2: 2 events, stale (7 days), 101.0 total
+        (3, _ts("2026-01-02 00:00:00"), 2, "a", 100.0),
+        (4, _ts("2026-01-03 00:00:00"), 2, "a", 1.0),
+        # user 3: 1 event, 1 day old, 2.0 total
+        (5, _ts("2026-01-09 00:00:00"), 3, "c", 2.0),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    got = {r.user_id: r for r in rfm_segments(df, n_bins=3).collect()}
+    assert (got[1].recency_days, got[1].frequency, got[1].monetary) == (0, 2, 15.0)
+    assert (got[2].recency_days, got[2].frequency, got[2].monetary) == (7, 2, 101.0)
+    assert (got[3].recency_days, got[3].frequency, got[3].monetary) == (1, 1, 2.0)
+    # most-recent user gets the top recency score, biggest spender top m
+    assert got[1].r_score == 3 and got[2].r_score == 1
+    assert got[2].m_score == 3 and got[3].m_score == 1
+    assert got[1].segment == "322"
+
+
+def test_rfm_single_user_is_all_ones(spark):
+    # one user: every metric equals every threshold, strict compares never
+    # fire, all scores are the floor
+    rows = [(1, _ts("2026-01-01 00:00:00"), 1, "a", 1.0)]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    r = rfm_segments(df).collect()[0]
+    assert (r.r_score, r.f_score, r.m_score, r.segment) == (1, 1, 1, "111")
+
+
+def test_rfm_n_bins_validation(spark):
+    df = spark.createDataFrame([], EVENTS_SCHEMA)
+    with pytest.raises(ValueError):
+        rfm_segments(df, n_bins=1)
+
+
+def test_cooccurrence_lift_values(spark):
+    # 4 users: {a,b}, {a,b}, {a}, {c} -> lift(a,b) = (2/4)/((3/4)(2/4)) = 4/3
+    rows = [
+        (1, _ts("2026-01-01 00:00:00"), 1, "a", 0.0),
+        (2, _ts("2026-01-01 00:01:00"), 1, "b", 0.0),
+        (3, _ts("2026-01-01 00:00:00"), 2, "a", 0.0),
+        (4, _ts("2026-01-01 00:01:00"), 2, "b", 0.0),
+        (5, _ts("2026-01-01 00:00:00"), 3, "a", 0.0),
+        (6, _ts("2026-01-01 00:00:00"), 4, "c", 0.0),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    out = cooccurrence_lift(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b, r.n_ab, r.n_a, r.n_b) == ("a", "b", 2, 3, 2)
+    assert r.lift == round(2 * 4 / (3 * 2), 6) and r.support == 0.5
+
+
+def test_cooccurrence_pairs_are_unordered_and_distinct(spark):
+    # repeated events of the same type in one user count once; pair emitted
+    # once with types in sorted order
+    rows = [
+        (1, _ts("2026-01-01 00:00:00"), 1, "z", 0.0),
+        (2, _ts("2026-01-01 00:01:00"), 1, "a", 0.0),
+        (3, _ts("2026-01-01 00:02:00"), 1, "z", 0.0),
+        (4, _ts("2026-01-01 00:03:00"), 1, "a", 0.0),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    out = cooccurrence_lift(df).collect()
+    assert [(r.type_a, r.type_b, r.n_ab) for r in out] == [("a", "z", 1)]
+
+
+def test_cooccurrence_max_types_guard(spark):
+    rows = [
+        (i, _ts("2026-01-01 00:00:00"), 1, f"t{i}", 0.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    with pytest.raises(Exception, match="max_types_per_user"):
+        cooccurrence_lift(df, max_types_per_user=3).collect()
+
+
+def test_cooccurrence_three_way_user(spark):
+    # one user with {a,b,c} emits all three unordered pairs
+    rows = [
+        (1, _ts("2026-01-01 00:00:00"), 1, "a", 0.0),
+        (2, _ts("2026-01-01 00:01:00"), 1, "b", 0.0),
+        (3, _ts("2026-01-01 00:02:00"), 1, "c", 0.0),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    pairs = {(r.type_a, r.type_b) for r in cooccurrence_lift(df).collect()}
+    assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}
