@@ -915,6 +915,16 @@ def q_events_zscore(spark, sf_dir):
     return zscore_anomalies(load_table(spark, sf_dir, "events"), threshold=2.0)
 
 
+def q_multimodal_image_neardup(spark, sf_dir):
+    # round-5 wave 5: REAL BMP round-trip (encode -> decode -> aHash) feeding
+    # pigeonhole-banded Hamming dedup. The oracle replays the fingerprint
+    # analytically from the text that seeded the pixels, so any codec or
+    # banding bug breaks the value hash — the decode path is load-bearing.
+    from flink_siddhi_spark.llm.multimodal import image_neardup_pairs, text_to_bmp
+
+    return image_neardup_pairs(text_to_bmp(_docs(spark, sf_dir)), max_hamming=7)
+
+
 def q_events_rfm(spark, sf_dir):
     # round-5 wave 5: RFM segmentation — one user-keyed agg, percentile
     # thresholds broadcast back; NO global sort / ntile single-partition
@@ -1596,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_source_kl": q_text_source_kl,
         "events_rfm": q_events_rfm,
         "events_cooccurrence": q_events_cooccurrence,
+        "multimodal_image_neardup": q_multimodal_image_neardup,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -1786,6 +1797,37 @@ def _simhash_hamming_sql(bits: int = 16, max_hamming: int = 2) -> str:
         "FROM ex a JOIN ex b ON a.band = b.band AND a.val = b.val "
         "AND a.doc_id < b.doc_id) "
         f"WHERE hamming <= {max_hamming}"
+    )
+
+
+def _image_neardup_sql(max_hamming: int = 7, side: int = 8, bands: int = 8) -> str:
+    """Analytic replay of llm.multimodal's text->BMP->decode->aHash->banding
+    pipeline: pixel channels are the first three md5 bytes of the (wrapped)
+    word that seeded them, so the fingerprint computes from text alone —
+    if Spark's real codec round-trip disturbs a single byte, the value hash
+    diverges."""
+    hv = "(instr('0123456789abcdef', substring(h, {o}, 1)) - 1)"
+
+    def byte(o: int) -> str:
+        return f"(16 * {hv.format(o=o)} + {hv.format(o=o + 1)})"
+
+    n = side * side
+    per = n // bands
+    return (
+        "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') ws FROM documents), "
+        f"px AS (SELECT doc_id, i, md5(ws[(i % len(ws)) + 1]) h FROM w, range({n}) t(i)), "
+        f"g AS (SELECT doc_id, i, {byte(1)} + {byte(3)} + {byte(5)} gsum FROM px), "
+        "tot AS (SELECT doc_id, sum(gsum) total FROM g GROUP BY doc_id), "
+        f"bits AS (SELECT g.doc_id, i, CASE WHEN gsum * {n} > total THEN 1 ELSE 0 END bt "
+        "FROM g JOIN tot USING (doc_id)), "
+        f"bands AS (SELECT doc_id, i // {per} band, "
+        f"CAST(sum(bt << (i % {per})) AS INT) val FROM bits GROUP BY doc_id, band), "
+        "cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b FROM bands a "
+        "JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id), "
+        "ham AS (SELECT id_a, id_b, CAST(sum(bit_count(xor(x.val, y.val))) AS INT) hamming "
+        "FROM cand JOIN bands x ON x.doc_id = id_a "
+        "JOIN bands y ON y.doc_id = id_b AND y.band = x.band GROUP BY 1, 2) "
+        f"SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {max_hamming}"
     )
 
 
@@ -2658,6 +2700,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN sd USING (event_type)) "
             "SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 2.0"
         ),
+        "multimodal_image_neardup": _image_neardup_sql(),
         "events_rfm": (
             # same shapes as analytics.rfm_segments (n_bins=5): decimal-summed
             # monetary, interpolated percentile thresholds rounded to 6,

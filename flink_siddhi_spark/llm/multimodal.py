@@ -411,3 +411,164 @@ def audio_features(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.select("media_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+# ------------------------------------------------- image near-dup (aHash)
+def _word_pixels(text: str, side: int) -> list[list[tuple[int, int, int]]]:
+    """Deterministic side x side RGB thumbnail for a document: pixel i
+    (row-major) takes its channels from the first three md5 bytes of word
+    ``i mod n_words`` of the lowercased text — words WRAP rather than pad,
+    so every pixel carries document content (constant padding would render
+    all short docs as near-identical mostly-flat images and hub them into
+    one spurious near-dup cluster). Near-identical docs therefore render
+    near-identical images — the dedup testbed a real image corpus would
+    provide natively."""
+    import hashlib
+
+    words = (text or "").lower().split(" ")
+    px = []
+    for y in range(side):
+        row = []
+        for x in range(side):
+            w = words[(y * side + x) % len(words)]
+            d = hashlib.md5(w.encode("utf-8")).digest()
+            row.append((d[0], d[1], d[2]))
+        px.append(row)
+    return px
+
+
+def text_to_bmp(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", side: int = 8
+) -> DataFrame:
+    """Render each document as a REAL 24-bit BMP payload (``encode_bmp``) —
+    the adapter that turns the text testdata into an image corpus whose
+    bytes round-trip through the actual codec. Arrow-batched mapInPandas;
+    output (media_id, payload)."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [
+                        encode_bmp(_word_pixels(t, side)) for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def image_ahash(
+    df: DataFrame,
+    bands: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprints over REAL decoded BMP
+    pixels: bit_i = (pixel i's channel sum x n_pixels > corpus-of-the-image
+    total) — integer-exact, no float mean — packed into ``bands`` equal
+    bit-groups (array<int>) ready for pigeonhole banding. The whole decode
+    -> grayscale -> threshold path runs on the actual codec output, so a
+    corrupted payload fails loudly here, not downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ahash(p):
+            _w, _h, pixels = decode_bmp(bytes(p))
+            gs = [r + g + b for row in pixels for (r, g, b) in row]
+            n = len(gs)
+            if n % bands:
+                raise ValueError(f"{n} pixels do not split into {bands} bands")
+            total = sum(gs)
+            bits = [1 if g * n > total else 0 for g in gs]
+            per = n // bands
+            return [
+                sum(bits[b * per + j] << j for j in range(per))
+                for b in range(bands)
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "ahash": [ahash(p) for p in pdf[payload_col]],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    return df.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def image_neardup_pairs(
+    images: DataFrame,
+    max_hamming: int = 7,
+    bands: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance:
+    (id_a, id_b, hamming) for every pair whose aHash fingerprints differ in
+    at most ``max_hamming`` of the 64 bits. LOSSLESS by pigeonhole as long
+    as ``max_hamming < bands``: a pair within the budget must agree on at
+    least one whole band, so the banded equi-join misses nothing — enforced
+    here rather than documented.
+
+    Scale shape: fingerprints are ``bands`` small ints per image — the
+    payload column never enters the join. Candidates come from a banded
+    self-EQUI-join (same shape as ``dedup.simhash_hamming_pairs``; dense
+    dup-buckets bound fan-out by group size, and the LSH autocap treatment
+    applies unchanged if a corpus needs it). Hamming is one codegen'd
+    zip_with/bit_count fold; duplicate candidates collapse AFTER scoring so
+    the distinct runs on the final narrow rows."""
+    if not 0 <= max_hamming < bands:
+        raise ValueError(
+            f"max_hamming must be in [0, bands) for lossless banding "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    # both join arms read the fingerprints — materialize ONCE so the
+    # encode/decode mapInPandas pass doesn't run twice (same pattern as
+    # the LSH signature checkpoint in llm.dedup)
+    ah = image_ahash(images, bands, payload_col, id_col).localCheckpoint(
+        eager=False
+    )
+    ex = ah.select(
+        F.col("media_id"),
+        F.col("ahash"),
+        F.posexplode("ahash").alias("band", "val"),
+    )
+    a = ex.select(
+        F.col("media_id").alias("id_a"),
+        F.col("ahash").alias("__ha"),
+        "band",
+        "val",
+    )
+    b = ex.select(
+        F.col("media_id").alias("id_b"),
+        F.col("ahash").alias("__hb"),
+        "band",
+        "val",
+    )
+    ham = F.aggregate(
+        F.zip_with("__ha", "__hb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -276,3 +276,18 @@ def test_cooccurrence_pairs_generated_map_side(spark):
     assert "BatchEvalPython" not in p, p
     # checkpointed user-set table feeds pair + 2 single-type aggregates
     assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_image_neardup_joins_fingerprints_not_payloads(spark):
+    """round-5 wave 5: the banded self-join runs on the checkpointed
+    8-int fingerprint table — payload bytes never enter a shuffle, and the
+    encode/decode mapInPandas pass materializes once, not per join arm."""
+    p = _plan(spark, "multimodal_image_neardup")
+    assert "NestedLoop" not in p, p
+    # fingerprints materialize once: both join arms scan the checkpoint RDD,
+    # and no MapInPandas (so no second decode pass) appears above it
+    assert "Scan ExistingRDD" in p and "MapInPandas" not in p, p
+    # the join is an EQUI-join on (band, val) and payloads are long gone
+    assert "Join [band" in p and "payload" not in p, p
+    # the hamming budget prunes INSIDE the join, before any downstream op
+    assert "<= 7" in p.split("Join")[1], p

@@ -104,3 +104,82 @@ def test_cooccurrence_three_way_user(spark):
     df = spark.createDataFrame(rows, EVENTS_SCHEMA)
     pairs = {(r.type_a, r.type_b) for r in cooccurrence_lift(df).collect()}
     assert pairs == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+# ---------------------------------------------------- image near-dup (aHash)
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string"
+
+
+def _imgs(spark, texts):
+    from flink_siddhi_spark.llm.multimodal import text_to_bmp
+
+    rows = [(i, t, "en", "s") for i, t in enumerate(texts)]
+    return text_to_bmp(spark.createDataFrame(rows, DOCS_SCHEMA))
+
+
+def test_image_neardup_exact_dup_is_hamming_zero(spark):
+    from flink_siddhi_spark.llm.multimodal import image_neardup_pairs
+
+    imgs = _imgs(spark, ["aa bb cc dd", "aa bb cc dd", "zz yy xx wv uu tt"])
+    out = image_neardup_pairs(imgs, max_hamming=7).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(0, 1, 0)]
+
+
+def test_image_ahash_is_codec_round_trip(spark):
+    # the Spark fingerprint must equal one computed straight from the
+    # generator's pixel math — i.e. encode_bmp/decode_bmp round-trip cleanly
+    from flink_siddhi_spark.llm.multimodal import _word_pixels, image_ahash
+
+    text = "the quick brown fox jumps over the lazy dog"
+    imgs = _imgs(spark, [text])
+    got = image_ahash(imgs).collect()[0].ahash
+    gs = [r + g + b for row in _word_pixels(text, 8) for (r, g, b) in row]
+    total = sum(gs)
+    bits = [1 if g * 64 > total else 0 for g in gs]
+    want = [sum(bits[b * 8 + j] << j for j in range(8)) for b in range(8)]
+    assert got == want
+
+
+def test_image_neardup_banding_is_lossless(spark):
+    # pigeonhole guarantee: banded pairs == brute-force pairs at the same
+    # threshold, on a corpus dense with near-dups
+    from flink_siddhi_spark.llm.multimodal import image_ahash, image_neardup_pairs
+    import itertools
+
+    texts = []
+    for i in range(12):
+        words = [f"w{j}" if j != i else "CHANGED" for j in range(12)]
+        texts.append(" ".join(words))
+    texts += [" ".join(f"w{j}" for j in range(12))] * 2
+    imgs = _imgs(spark, texts)
+    hashes = {r.media_id: r.ahash for r in image_ahash(imgs).collect()}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    brute = sorted(
+        (a, b, ham(hashes[a], hashes[b]))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if ham(hashes[a], hashes[b]) <= 7
+    )
+    banded = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in image_neardup_pairs(imgs, max_hamming=7).collect()
+    )
+    assert banded == brute and len(brute) >= 1
+
+
+def test_image_neardup_threshold_validation(spark):
+    from flink_siddhi_spark.llm.multimodal import image_neardup_pairs
+
+    imgs = _imgs(spark, ["a b c"])
+    with pytest.raises(ValueError, match="lossless"):
+        image_neardup_pairs(imgs, max_hamming=8, bands=8)
+
+
+def test_image_ahash_band_divisibility(spark):
+    from flink_siddhi_spark.llm.multimodal import image_ahash
+
+    imgs = _imgs(spark, ["a b c"])
+    with pytest.raises(Exception, match="bands"):
+        image_ahash(imgs, bands=7).collect()
