@@ -915,6 +915,17 @@ def q_events_zscore(spark, sf_dir):
     return zscore_anomalies(load_table(spark, sf_dir, "events"), threshold=2.0)
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    # round-5 wave 5: product-quantized ADC top-k — approximate but
+    # DETERMINISTIC (seeded codebook, round-6 argmin, id tiebreaks) so the
+    # DuckDB oracle replays codes, reconstructions, and ranks exactly
+    from flink_siddhi_spark.llm.similarity import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return pq_topk(embs, queries, m=8, n_codes=16, k=5)
+
+
 def q_multimodal_image_neardup(spark, sf_dir):
     # round-5 wave 5: REAL BMP round-trip (encode -> decode -> aHash) feeding
     # pigeonhole-banded Hamming dedup. The oracle replays the fingerprint
@@ -1607,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": q_events_rfm,
         "events_cooccurrence": q_events_cooccurrence,
         "multimodal_image_neardup": q_multimodal_image_neardup,
+        "ann_pq_topk": q_ann_pq_topk,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -1797,6 +1809,42 @@ def _simhash_hamming_sql(bits: int = 16, max_hamming: int = 2) -> str:
         "FROM ex a JOIN ex b ON a.band = b.band AND a.val = b.val "
         "AND a.doc_id < b.doc_id) "
         f"WHERE hamming <= {max_hamming}"
+    )
+
+
+def _pq_topk_sql(m: int = 8, n_codes: int = 16, k: int = 5, dim: int = 64) -> str:
+    """Analytic replay of llm.similarity.pq_encode/pq_topk: seed codebook,
+    per-subspace round-6 squared-L2 argmin (code-id tiebreak), quantized
+    reconstruction, asymmetric cosine rank. The distance fold groups
+    identically to the Spark literal expression (left fold from 0.0 over
+    sub dims), so codes — and therefore reconstructions and ranks — are
+    engine-exact."""
+    sub = dim // m
+    t = "(CAST(e.embedding[{i}] AS DOUBLE) - CAST(ce[{i}] AS DOUBLE))"
+    d_expr = " + ".join(
+        f"{t.format(i=f'j*{sub}+{d + 1}')} * {t.format(i=f'j*{sub}+{d + 1}')}"
+        for d in range(sub)
+    )
+    return (
+        "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 c, "
+        f"embedding ce FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_codes})), "
+        "enc AS (SELECT e.vec_id, t.j, cent.c code "
+        f"FROM embeddings e, range({m}) t(j), cent "
+        "QUALIFY row_number() OVER (PARTITION BY e.vec_id, t.j "
+        f"ORDER BY round(0.0 + {d_expr}, 6) ASC, cent.c ASC) = 1), "
+        "xh AS (SELECT vec_id, flatten(list(cs ORDER BY j)) recon FROM ("
+        f"SELECT enc.vec_id, enc.j, ce[enc.j*{sub}+1 : enc.j*{sub}+{sub}] cs "
+        "FROM enc JOIN cent ON cent.c = enc.code) GROUP BY vec_id), "
+        "q AS (SELECT vec_id query_id, embedding qe FROM embeddings "
+        "WHERE vec_id < 10), "
+        "scored AS (SELECT query_id, x.vec_id neighbor_id, "
+        "round(" + _cos_sql("qe", "x.recon") + ", 6) cos FROM q, xh x "
+        "WHERE x.vec_id != query_id) "
+        "SELECT query_id, neighbor_id, cos, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id) AS INT) rank FROM scored "
+        "WHERE cos IS NOT NULL AND NOT isnan(cos)) "
+        f"WHERE rank <= {k}"
     )
 
 
@@ -2701,6 +2749,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 2.0"
         ),
         "multimodal_image_neardup": _image_neardup_sql(),
+        "ann_pq_topk": _pq_topk_sql(),
         "events_rfm": (
             # same shapes as analytics.rfm_segments (n_bins=5): decimal-summed
             # monetary, interpolated percentile thresholds rounded to 6,

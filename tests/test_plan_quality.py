@@ -291,3 +291,14 @@ def test_image_neardup_joins_fingerprints_not_payloads(spark):
     assert "Join [band" in p and "payload" not in p, p
     # the hamming budget prunes INSIDE the join, before any downstream op
     assert "<= 7" in p.split("Join")[1], p
+
+
+def test_pq_topk_zero_shuffle_until_merge(spark):
+    """round-5 wave 5: PQ = one mapInPandas encode pass feeding the
+    two-phase scorer (numpy or, below the cost crossover, the broadcast
+    join) — the corpus never hash-shuffles; the only hash exchange is the
+    tiny k*n_partitions merge above the local top-k."""
+    p = _plan(spark, "ann_pq_topk")
+    assert "MapInPandas" in p and "WindowGroupLimit" in p, p
+    assert "SortMergeJoin" not in p and "BatchEvalPython" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p

@@ -183,3 +183,100 @@ def test_image_ahash_band_divisibility(spark):
     imgs = _imgs(spark, ["a b c"])
     with pytest.raises(Exception, match="bands"):
         image_ahash(imgs, bands=7).collect()
+
+
+# ------------------------------------------------- product quantization (PQ)
+def _embs_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_pq_engines_identical(spark):
+    # the numpy mapInPandas encoder and the pure-Catalyst literal projection
+    # must agree bit-for-bit: codes AND float32 reconstructions
+    from flink_siddhi_spark.llm.similarity import pq_encode
+
+    embs = _embs_df(spark)
+    a = {r.vec_id: r for r in pq_encode(embs, engine="numpy").collect()}
+    b = {r.vec_id: r for r in pq_encode(embs, engine="expr").collect()}
+    assert set(a) == set(b) and len(a) == embs.count()
+    for vid in a:
+        assert list(a[vid].codes) == list(b[vid].codes), vid
+        assert list(a[vid].recon) == list(b[vid].recon), vid
+
+
+def test_pq_codebook_vectors_encode_to_themselves(spark):
+    # seed vector c has distance 0 to codebook entry c in every subspace
+    from flink_siddhi_spark.llm.similarity import pq_encode
+
+    embs = _embs_df(spark)
+    enc = {r.vec_id: list(r.codes) for r in pq_encode(embs, n_codes=16).collect()}
+    for c in range(16):
+        assert enc[c] == [c] * 8, (c, enc[c])
+
+
+def test_pq_recon_is_codebook_gather(spark):
+    # reconstruction = concatenation of the chosen codebook subvectors
+    from flink_siddhi_spark.llm.similarity import pq_encode
+
+    embs = _embs_df(spark)
+    cb = {r.vec_id: list(r.embedding) for r in embs.filter("vec_id < 16").collect()}
+    got = {r.vec_id: r for r in pq_encode(embs).filter("vec_id IN (33, 77)").collect()}
+    for vid, r in got.items():
+        want = []
+        for j, c in enumerate(r.codes):
+            want += cb[c][j * 8 : (j + 1) * 8]
+        assert list(r.recon) == want, vid
+
+
+def test_pq_dim_divisibility(spark):
+    from flink_siddhi_spark.llm.similarity import pq_encode
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_encode(_embs_df(spark), m=7)
+
+
+def test_pq_empty_corpus(spark):
+    from flink_siddhi_spark.llm.similarity import pq_encode
+
+    empty = _embs_df(spark).filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        pq_encode(empty)
+
+
+def test_pq_topk_ranks_against_reconstructions(spark):
+    # ADC ranks by cosine(query, recon) — cross-check one query by hand
+    from flink_siddhi_spark.llm.similarity import pq_encode, pq_topk
+
+    embs = _embs_df(spark)
+    q = embs.filter("vec_id = 0")
+    out = [
+        (r.rank, r.neighbor_id, r.cos)
+        for r in pq_topk(embs, q, k=3).orderBy("rank").collect()
+    ]
+    import numpy as np
+
+    qv = np.asarray(
+        q.collect()[0].embedding, dtype=np.float32
+    ).astype(np.float64)
+    recon = {
+        r.vec_id: np.asarray(r.recon, dtype=np.float32).astype(np.float64)
+        for r in pq_encode(embs).collect()
+    }
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    import math
+
+    scored = []
+    for vid, rv in recon.items():
+        if vid == 0:
+            continue
+        den = math.sqrt(fold_dot(qv, qv)) * math.sqrt(fold_dot(rv, rv))
+        scored.append((round(fold_dot(qv, rv) / den, 6), -vid, vid))
+    scored.sort(reverse=True)
+    want = [(i + 1, vid, cos) for i, (cos, _n, vid) in enumerate(scored[:3])]
+    assert out == want
