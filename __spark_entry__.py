@@ -1611,6 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": q_dedup_substring_spans,
         "pipeline_bloom_contamination": q_pipeline_bloom_contamination,
         "text_gopher_rules": q_text_gopher_rules,
+        # --- round-5 waves 4-5 (registered after the frozen _R5_WINDOW;
+        # all eight join the round-6 window leads) ---
         "pipeline_dsir_weights": q_pipeline_dsir_weights,
         "events_topk_paths": q_events_topk_paths,
         "text_inverted_index": q_text_inverted_index,
@@ -2963,13 +2965,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM wb JOIN l USING (bk) GROUP BY doc_id"
         ),
         "events_topk_paths": (
+            # NULL-propagating || matches the Spark side's F.concat: a NULL
+            # event_type anywhere kills the whole path (never a truncated one)
             "WITH p AS (SELECT event_type || '>' || "
             "lead(event_type, 1) OVER w || '>' || "
-            "lead(event_type, 2) OVER w path, "
-            "lead(event_type, 2) OVER w lst FROM events "
+            "lead(event_type, 2) OVER w path FROM events "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "c AS (SELECT path, CAST(count(*) AS BIGINT) n_paths FROM p "
-            "WHERE lst IS NOT NULL GROUP BY path "
+            "WHERE path IS NOT NULL GROUP BY path "
             "ORDER BY n_paths DESC, path ASC LIMIT 20) "
             "SELECT CAST(row_number() OVER "
             "(ORDER BY n_paths DESC, path ASC) AS INT) rank, path, n_paths "

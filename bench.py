@@ -108,6 +108,12 @@ HEADLINE = [
     "events_topk_paths",
     "text_inverted_index",
     "text_source_kl",
+    # round 5 wave 5: RFM segmentation, co-occurrence lift, image near-dup
+    # (real BMP round-trip), product-quantized ANN
+    "events_rfm",
+    "events_cooccurrence",
+    "multimodal_image_neardup",
+    "ann_pq_topk",
 ]
 
 
@@ -152,6 +158,14 @@ SCALE_QUERIES = [
     "dedup_substring_spans",
     "text_textrank",
     "text_hll_shingles",
+    # round 5 waves 4-5: image near-dup emits pairs (the verbatim-copy
+    # third of the amplified corpus forms 10-copy groups -> ~45 hamming-0
+    # pairs each, so output grows ~quadratically IN GROUP SIZE by contract
+    # while join work stays bucket-bounded); PQ is linear (encode pass +
+    # two-phase scoring); RFM is user-amplified and must stay linear
+    "multimodal_image_neardup",
+    "ann_pq_topk",
+    "events_rfm",
 ]
 # exact containment at 10x density is the documented pair-output quadratic
 # (measured 269s in round 3, SCALE.md) — the scale section now measures the

@@ -421,10 +421,14 @@ def topk_paths(
     steps = [F.col(type_col)] + [
         F.lead(type_col, i).over(w) for i in range(1, depth)
     ]
-    path = df.select(
-        F.concat_ws(">", *steps).alias("__path"),
-        steps[-1].alias("__last"),
-    ).filter(F.col("__last").isNotNull())
+    # F.concat NULL-propagates (like SQL ||): a NULL event_type anywhere in
+    # the window kills the whole path instead of concat_ws's silent skip,
+    # which would count a truncated 'a>c' as a depth-3 path
+    sep = [F.lit(">")] * (len(steps) - 1)
+    interleaved = [c for pair in zip(steps[:-1], sep) for c in pair] + [steps[-1]]
+    path = df.select(F.concat(*interleaved).alias("__path")).filter(
+        F.col("__path").isNotNull()
+    )
     counts = (
         path.groupBy("__path")
         .agg(F.count(F.lit(1)).alias("n_paths"))

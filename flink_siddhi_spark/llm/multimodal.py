@@ -426,13 +426,17 @@ def _word_pixels(text: str, side: int) -> list[list[tuple[int, int, int]]]:
     import hashlib
 
     words = (text or "").lower().split(" ")
+    rgb = {}  # words wrap, so hash each distinct word once, not per pixel
     px = []
     for y in range(side):
         row = []
         for x in range(side):
             w = words[(y * side + x) % len(words)]
-            d = hashlib.md5(w.encode("utf-8")).digest()
-            row.append((d[0], d[1], d[2]))
+            c = rgb.get(w)
+            if c is None:
+                d = hashlib.md5(w.encode("utf-8")).digest()
+                c = rgb[w] = (d[0], d[1], d[2])
+            row.append(c)
         px.append(row)
     return px
 
@@ -485,9 +489,14 @@ def image_ahash(
             n = len(gs)
             if n % bands:
                 raise ValueError(f"{n} pixels do not split into {bands} bands")
+            per = n // bands
+            if per > 63:
+                raise ValueError(
+                    f"{per} bits per band overflow a 64-bit band value — "
+                    f"raise bands (got {bands} for {n} pixels)"
+                )
             total = sum(gs)
             bits = [1 if g * n > total else 0 for g in gs]
-            per = n // bands
             return [
                 sum(bits[b * per + j] << j for j in range(per))
                 for b in range(bands)
@@ -501,10 +510,12 @@ def image_ahash(
                 }
             )
 
+    # LongType bands: at bands=8 a 16x16 image packs 32 bits per band,
+    # which overflows int32 (bit 31 set -> Arrow conversion crash)
     schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
-            T.StructField("ahash", T.ArrayType(T.IntegerType())),
+            T.StructField("ahash", T.ArrayType(T.LongType())),
         ]
     )
     return df.select(id_col, payload_col).mapInPandas(run, schema)
