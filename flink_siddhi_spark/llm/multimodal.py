@@ -527,6 +527,7 @@ def image_neardup_pairs(
     bands: int = 8,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash Hamming distance:
     (id_a, id_b, hamming) for every pair whose aHash fingerprints differ in
@@ -537,11 +538,18 @@ def image_neardup_pairs(
 
     Scale shape: fingerprints are ``bands`` small ints per image — the
     payload column never enters the join. Candidates come from a banded
-    self-EQUI-join (same shape as ``dedup.simhash_hamming_pairs``; dense
-    dup-buckets bound fan-out by group size, and the LSH autocap treatment
-    applies unchanged if a corpus needs it). Hamming is one codegen'd
-    zip_with/bit_count fold; duplicate candidates collapse AFTER scoring so
-    the distinct runs on the final narrow rows."""
+    self-EQUI-join (same shape as ``dedup.simhash_hamming_pairs``).
+    Hamming is one codegen'd zip_with/bit_count fold; duplicate candidates
+    collapse AFTER scoring so the distinct runs on the final narrow rows.
+
+    ``max_bucket``: the pair OUTPUT is quadratic in duplicate-group size
+    by contract (a 100-copy image group alone is 4,950 pairs — the 100x
+    probe measured 21.2M output pairs / 230s on the uniformly-amplified
+    corpus, SCALE.md). Buckets larger than ``max_bucket`` instead emit
+    only star pairs (min-id member, other) — O(m) — which
+    ``dedup.dedup_clusters`` recovers transitively, the same treatment
+    ``minhash_lsh_pairs`` applies. Default None keeps the exact all-pairs
+    contract (the oracle-gated mode)."""
     if not 0 <= max_hamming < bands:
         raise ValueError(
             f"max_hamming must be in [0, bands) for lossless banding "
@@ -558,11 +566,17 @@ def image_neardup_pairs(
         F.col("ahash"),
         F.posexplode("ahash").alias("band", "val"),
     )
+    if max_bucket is not None:
+        stats = ex.groupBy("band", "val").agg(
+            F.count(F.lit(1)).alias("__bn"), F.min("media_id").alias("__bmin")
+        )
+        ex = ex.join(stats, ["band", "val"])
     a = ex.select(
         F.col("media_id").alias("id_a"),
         F.col("ahash").alias("__ha"),
         "band",
         "val",
+        *([F.col("__bn"), F.col("__bmin")] if max_bucket is not None else []),
     )
     b = ex.select(
         F.col("media_id").alias("id_b"),
@@ -575,10 +589,14 @@ def image_neardup_pairs(
         F.lit(0),
         lambda acc, x: acc + x,
     ).cast("int")
+    joined = a.join(b, ["band", "val"]).filter(F.col("id_a") < F.col("id_b"))
+    if max_bucket is not None:
+        # oversize buckets: only the min-id anchor emits pairs — O(m)
+        joined = joined.filter(
+            (F.col("__bn") <= max_bucket) | (F.col("id_a") == F.col("__bmin"))
+        )
     return (
-        a.join(b, ["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", ham)
+        joined.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])

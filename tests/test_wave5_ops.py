@@ -322,3 +322,16 @@ def test_topk_paths_null_type_kills_whole_path(spark):
     df = spark.createDataFrame(rows, EVENTS_SCHEMA[: EVENTS_SCHEMA.rfind(",")])
     out = sorted(r.path for r in topk_paths(df).collect())
     assert out == ["c>d>e"], out
+
+
+def test_image_neardup_star_cap(spark):
+    # above max_bucket, a dup group emits only anchor->member star pairs
+    # (O(m)); the exact default emits all C(m,2); hamming values unchanged
+    from flink_siddhi_spark.llm.multimodal import image_neardup_pairs
+
+    imgs = _imgs(spark, ["dup text here"] * 6)
+    exact = image_neardup_pairs(imgs, max_hamming=7).collect()
+    assert len(exact) == 15  # C(6,2)
+    capped = image_neardup_pairs(imgs, max_hamming=7, max_bucket=3).collect()
+    assert sorted((r.id_a, r.id_b) for r in capped) == [(0, i) for i in range(1, 6)]
+    assert all(r.hamming == 0 for r in capped)
