@@ -926,6 +926,17 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(embs, queries, m=8, n_codes=16, k=5)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir):
+    # round-5 wave 6: the full IVF-PQ index (coarse bucket pruning over
+    # product-quantized reconstructions) — deterministic end-to-end, so
+    # the oracle replays codes -> buckets -> probed ranks exactly
+    from flink_siddhi_spark.llm.similarity import ivfpq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(embs, queries, n_centroids=8, n_probe=2, k=5)
+
+
 def q_multimodal_image_neardup(spark, sf_dir):
     # round-5 wave 5: REAL BMP round-trip (encode -> decode -> aHash) feeding
     # pigeonhole-banded Hamming dedup. The oracle replays the fingerprint
@@ -1621,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cooccurrence": q_events_cooccurrence,
         "multimodal_image_neardup": q_multimodal_image_neardup,
         "ann_pq_topk": q_ann_pq_topk,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -1814,13 +1826,12 @@ def _simhash_hamming_sql(bits: int = 16, max_hamming: int = 2) -> str:
     )
 
 
-def _pq_topk_sql(m: int = 8, n_codes: int = 16, k: int = 5, dim: int = 64) -> str:
-    """Analytic replay of llm.similarity.pq_encode/pq_topk: seed codebook,
-    per-subspace round-6 squared-L2 argmin (code-id tiebreak), quantized
-    reconstruction, asymmetric cosine rank. The distance fold groups
-    identically to the Spark literal expression (left fold from 0.0 over
-    sub dims), so codes — and therefore reconstructions and ranks — are
-    engine-exact."""
+def _pq_xh_ctes(m: int = 8, n_codes: int = 16, dim: int = 64) -> str:
+    """Shared CTE chain replaying llm.similarity.pq_encode: seed codebook,
+    per-subspace round-6 squared-L2 argmin (code-id tiebreak), and the
+    quantized reconstruction table ``xh(vec_id, recon)``. The distance fold
+    groups identically to the Spark expression (left fold from 0.0 over sub
+    dims), so codes — and therefore reconstructions — are engine-exact."""
     sub = dim // m
     t = "(CAST(e.embedding[{i}] AS DOUBLE) - CAST(ce[{i}] AS DOUBLE))"
     d_expr = " + ".join(
@@ -1828,7 +1839,7 @@ def _pq_topk_sql(m: int = 8, n_codes: int = 16, k: int = 5, dim: int = 64) -> st
         for d in range(sub)
     )
     return (
-        "WITH cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 c, "
+        "cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 c, "
         f"embedding ce FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {n_codes})), "
         "enc AS (SELECT e.vec_id, t.j, cent.c code "
         f"FROM embeddings e, range({m}) t(j), cent "
@@ -1836,12 +1847,50 @@ def _pq_topk_sql(m: int = 8, n_codes: int = 16, k: int = 5, dim: int = 64) -> st
         f"ORDER BY round(0.0 + {d_expr}, 6) ASC, cent.c ASC) = 1), "
         "xh AS (SELECT vec_id, flatten(list(cs ORDER BY j)) recon FROM ("
         f"SELECT enc.vec_id, enc.j, ce[enc.j*{sub}+1 : enc.j*{sub}+{sub}] cs "
-        "FROM enc JOIN cent ON cent.c = enc.code) GROUP BY vec_id), "
+        "FROM enc JOIN cent ON cent.c = enc.code) GROUP BY vec_id)"
+    )
+
+
+def _pq_topk_sql(m: int = 8, n_codes: int = 16, k: int = 5, dim: int = 64) -> str:
+    """Analytic replay of llm.similarity.pq_topk: PQ reconstruction +
+    asymmetric cosine rank."""
+    return (
+        f"WITH {_pq_xh_ctes(m, n_codes, dim)}, "
         "q AS (SELECT vec_id query_id, embedding qe FROM embeddings "
         "WHERE vec_id < 10), "
         "scored AS (SELECT query_id, x.vec_id neighbor_id, "
         "round(" + _cos_sql("qe", "x.recon") + ", 6) cos FROM q, xh x "
         "WHERE x.vec_id != query_id) "
+        "SELECT query_id, neighbor_id, cos, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id) AS INT) rank FROM scored "
+        "WHERE cos IS NOT NULL AND NOT isnan(cos)) "
+        f"WHERE rank <= {k}"
+    )
+
+
+def _ivfpq_topk_sql(
+    n_centroids: int = 8, n_probe: int = 2, m: int = 8, n_codes: int = 16,
+    k: int = 5, dim: int = 64,
+) -> str:
+    """Analytic replay of llm.similarity.ivfpq_topk: the full IVF-PQ index —
+    PQ reconstructions, coarse centroids = the first n_centroids
+    RECONSTRUCTIONS by id, bucket assignment and probing by rounded cosine
+    (id tiebreaks), asymmetric scoring of probed buckets only."""
+    return (
+        f"WITH {_pq_xh_ctes(m, n_codes, dim)}, "
+        "ccent AS (SELECT vec_id cid, recon cemb FROM "
+        f"(SELECT * FROM xh ORDER BY vec_id LIMIT {n_centroids})), "
+        "assigned AS (SELECT x.vec_id, x.recon, cid FROM xh x, ccent "
+        "QUALIFY row_number() OVER (PARTITION BY x.vec_id ORDER BY "
+        "round(" + _cos_sql("x.recon", "cemb") + ", 6) DESC, cid) = 1), "
+        "probes AS (SELECT q.vec_id qid, q.embedding qemb, cid "
+        "FROM embeddings q, ccent WHERE q.vec_id < 10 "
+        "QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"round({_cos_sql('q.embedding', 'cemb')}, 6) DESC, cid) <= {n_probe}), "
+        "scored AS (SELECT p.qid query_id, a.vec_id neighbor_id, "
+        "round(" + _cos_sql("p.qemb", "a.recon") + ", 6) cos "
+        "FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id != p.qid) "
         "SELECT query_id, neighbor_id, cos, rank FROM ("
         "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
         "ORDER BY cos DESC, neighbor_id) AS INT) rank FROM scored "
@@ -2752,6 +2801,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_image_neardup": _image_neardup_sql(),
         "ann_pq_topk": _pq_topk_sql(),
+        "ann_ivfpq_topk": _ivfpq_topk_sql(),
         "events_rfm": (
             # same shapes as analytics.rfm_segments (n_bins=5): decimal-summed
             # monetary, interpolated percentile thresholds rounded to 6,

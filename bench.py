@@ -114,6 +114,8 @@ HEADLINE = [
     "events_cooccurrence",
     "multimodal_image_neardup",
     "ann_pq_topk",
+    # round 5 wave 6: the composed IVF-PQ index
+    "ann_ivfpq_topk",
 ]
 
 
@@ -362,12 +364,26 @@ def main() -> int:
                 )
                 return ngram_containment_pairs(canon, threshold=0.8)
 
+            def _image_neardup_cap(_s, d):
+                # production star-capped config (exact all-pairs contract
+                # stays oracle-gated at sf<=0.1; at 100x density the exact
+                # pair output is quadratic in group size — SCALE.md)
+                from flink_siddhi_spark.llm.multimodal import (
+                    image_neardup_pairs,
+                    text_to_bmp,
+                )
+
+                return image_neardup_pairs(
+                    text_to_bmp(_load_docs(d)), max_hamming=7, max_bucket=64
+                )
+
             capped = {
                 "dedup_simhash_hamming_cap5": lambda _s, d: simhash_hamming_pairs(
                     _load_docs(d), bits=16, max_hamming=2, max_bucket=256,
                     per_doc_cap=5,
                 ),
                 "dedup_containment_canon": _containment_canon,
+                "multimodal_image_neardup_cap64": _image_neardup_cap,
             }
             sdir = _amplified_dir(spark, sf_dir, SCALE_FACTOR)
             scaled: dict[str, float] = {}

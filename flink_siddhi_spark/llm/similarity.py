@@ -917,3 +917,41 @@ def pq_topk(
     enc = pq_encode(corpus, m, n_codes, emb_col, id_col)
     recon = enc.select(F.col(id_col), F.col("recon").alias(emb_col))
     return cosine_topk(recon, queries, k, emb_col, id_col, engine)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    engine: str = "auto",
+) -> DataFrame:
+    """IVF-PQ: the standard production ANN architecture — a coarse
+    inverted-file index prunes the scan to ``n_probe`` buckets, and
+    product-quantized reconstructions stand in for the raw vectors inside
+    them (asymmetric distance). Composes ``pq_encode`` + ``ivf_topk``
+    directly: bucket assignment AND scoring both run on the reconstruction,
+    which is exactly what a codes-only store (m bytes/vector) can compute
+    at 100 TB — raw floats never need to exist after encode.
+
+    Deterministic end-to-end (seeded codebook + seeded coarse centroids +
+    round-6 argmins with id tiebreaks), so the DuckDB oracle replays the
+    full index: codes -> reconstructions -> bucket lists -> probed ranks.
+    (Residual encoding — PQ over x minus its coarse centroid — is the
+    recall refinement on top of this shape; the composition point is
+    identical.)"""
+    enc = pq_encode(corpus, m, n_codes, emb_col, id_col)
+    # ivf_topk reads its corpus several times (coarse centroids, bucket
+    # assignment, scoring) — materialize the encode pass ONCE
+    recon = enc.select(F.col(id_col), F.col("recon").alias(emb_col)).localCheckpoint(
+        eager=False
+    )
+    return ivf_topk(
+        recon, queries, n_centroids, n_probe, k, emb_col, id_col,
+        engine=engine,
+    )

@@ -302,3 +302,14 @@ def test_pq_topk_zero_shuffle_until_merge(spark):
     assert "MapInPandas" in p and "WindowGroupLimit" in p, p
     assert "SortMergeJoin" not in p and "BatchEvalPython" not in p, p
     assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_ivfpq_composition_shape(spark):
+    """round-5 wave 6: IVF-PQ = checkpointed PQ reconstruction feeding the
+    IVF probe/score path — no sort-merge join, no Python row UDFs; the
+    probed-bucket scoring truncates locally before the merge."""
+    p = _plan(spark, "ann_ivfpq_topk")
+    assert "SortMergeJoin" not in p and "BatchEvalPython" not in p, p
+    assert "WindowGroupLimit" in p, p
+    # the encode pass is checkpointed: the visible plan reads ExistingRDD
+    assert "Scan ExistingRDD" in p, p

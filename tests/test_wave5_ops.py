@@ -335,3 +335,41 @@ def test_image_neardup_star_cap(spark):
     capped = image_neardup_pairs(imgs, max_hamming=7, max_bucket=3).collect()
     assert sorted((r.id_a, r.id_b) for r in capped) == [(0, i) for i in range(1, 6)]
     assert all(r.hamming == 0 for r in capped)
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    # probing ALL coarse buckets degenerates IVF-PQ to plain PQ ADC —
+    # the compositions must agree exactly
+    from flink_siddhi_spark.llm.similarity import ivfpq_topk, pq_topk
+
+    embs = _embs_df(spark)
+    q = embs.filter("vec_id < 5")
+    full = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in ivfpq_topk(embs, q, n_centroids=4, n_probe=4, k=5).collect()
+    )
+    pq = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in pq_topk(embs, q, k=5).collect()
+    )
+    assert full == pq
+
+
+def test_ivfpq_recall_against_exact(spark):
+    # pruned probing is approximate — gate recall@5 vs the exact ranker
+    from flink_siddhi_spark.llm.similarity import cosine_topk, ivfpq_topk
+
+    embs = _embs_df(spark)
+    q = embs.filter("vec_id < 20")
+    exact = {}
+    for r in cosine_topk(embs, q, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivfpq_topk(embs, q, n_centroids=8, n_probe=4, k=5).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    total = sum(len(v) for v in exact.values())
+    # random (clusterless) embeddings + a 16-entry codebook is the
+    # worst case for PQ; random recall@5 over 500 candidates is ~1%,
+    # measured IVF-PQ recall here is ~24% — gate well above chance
+    assert hits / total >= 0.15, (hits, total)
