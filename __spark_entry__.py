@@ -926,6 +926,15 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(embs, queries, m=8, n_codes=16, k=5)
 
 
+def q_pipeline_dsir_resample(spark, sf_dir):
+    # round-5 wave 6: DSIR's selection step — Gumbel-top-k importance
+    # resampling over the hashed-unigram log-weights (hash-derived noise,
+    # so the sample is deterministic and key-for-key oracle-replayable)
+    from flink_siddhi_spark.llm.pipeline import dsir_resample
+
+    return dsir_resample(_docs(spark, sf_dir), F.col("lang") == "en", n_out=100)
+
+
 def q_ann_ivfpq_topk(spark, sf_dir):
     # round-5 wave 6: the full IVF-PQ index (coarse bucket pruning over
     # product-quantized reconstructions) — deterministic end-to-end, so
@@ -1633,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_neardup": q_multimodal_image_neardup,
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "pipeline_dsir_resample": q_pipeline_dsir_resample,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -1823,6 +1833,27 @@ def _simhash_hamming_sql(bits: int = 16, max_hamming: int = 2) -> str:
         "FROM ex a JOIN ex b ON a.band = b.band AND a.val = b.val "
         "AND a.doc_id < b.doc_id) "
         f"WHERE hamming <= {max_hamming}"
+    )
+
+
+def _dsir_weights_sql() -> str:
+    """Analytic replay of llm.pipeline.dsir_weights: identical md5 bucket
+    hashing + add-one smoothing + round-12 DECIMAL(38,12) sums (m = 256)."""
+    return (
+        "WITH w AS (SELECT doc_id, "
+        "unnest(string_split(lower(text), ' ')) wd, lang = 'en' ist "
+        "FROM documents), "
+        "wb AS (SELECT doc_id, ist, "
+        "substring(md5('dsir:' || wd), 1, 2) bk FROM w), "
+        "b AS (SELECT bk, count(*) nr, "
+        "sum(CASE WHEN ist THEN 1 ELSE 0 END) nt FROM wb GROUP BY bk), "
+        "t AS (SELECT sum(nr) tr, sum(nt) tt FROM b), "
+        "l AS (SELECT bk, CAST(round("
+        "ln((nt + 1.0) / (tt + 256.0)) - ln((nr + 1.0) / (tr + 256.0)), 12) "
+        "AS DECIMAL(38,12)) lam FROM b, t) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) n_words, "
+        "round(CAST(sum(lam) AS DOUBLE), 6) dsir_logw "
+        "FROM wb JOIN l USING (bk) GROUP BY doc_id"
     )
 
 
@@ -2996,23 +3027,18 @@ def oracle_sql() -> dict[str, str]:
             "AND sym <= 0.1 AND af >= 0.8 AND hits >= 2 gopher_pass "
             "FROM v"
         ),
-        "pipeline_dsir_weights": (
-            # identical md5 bucket hashing + add-one smoothing + round-12
-            # DECIMAL(38,12) sums as llm.pipeline.dsir_weights (m = 256)
-            "WITH w AS (SELECT doc_id, "
-            "unnest(string_split(lower(text), ' ')) wd, lang = 'en' ist "
-            "FROM documents), "
-            "wb AS (SELECT doc_id, ist, "
-            "substring(md5('dsir:' || wd), 1, 2) bk FROM w), "
-            "b AS (SELECT bk, count(*) nr, "
-            "sum(CASE WHEN ist THEN 1 ELSE 0 END) nt FROM wb GROUP BY bk), "
-            "t AS (SELECT sum(nr) tr, sum(nt) tt FROM b), "
-            "l AS (SELECT bk, CAST(round("
-            "ln((nt + 1.0) / (tt + 256.0)) - ln((nr + 1.0) / (tr + 256.0)), 12) "
-            "AS DECIMAL(38,12)) lam FROM b, t) "
-            "SELECT doc_id, CAST(count(*) AS BIGINT) n_words, "
-            "round(CAST(sum(lam) AS DOUBLE), 6) dsir_logw "
-            "FROM wb JOIN l USING (bk) GROUP BY doc_id"
+        "pipeline_dsir_weights": _dsir_weights_sql(),
+        "pipeline_dsir_resample": (
+            # Gumbel-top-k over the dsir weights: u from the first 8 md5 hex
+            # digits, g = -ln(-ln u), key = round(logw + g, 6) — identical
+            # noise + key math as llm.pipeline.dsir_resample
+            f"WITH dw AS ({_dsir_weights_sql()}), "
+            "k AS (SELECT doc_id, n_words, dsir_logw, round(dsir_logw + "
+            "-ln(-ln((CAST(('0x' || substring(md5('dsir-g:' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)), "
+            "6) gumbel_key FROM dw) "
+            "SELECT doc_id, n_words, dsir_logw, gumbel_key FROM k "
+            "ORDER BY gumbel_key DESC, doc_id LIMIT 100"
         ),
         "events_topk_paths": (
             # NULL-propagating || matches the Spark side's F.concat: a NULL

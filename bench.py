@@ -114,8 +114,9 @@ HEADLINE = [
     "events_cooccurrence",
     "multimodal_image_neardup",
     "ann_pq_topk",
-    # round 5 wave 6: the composed IVF-PQ index
+    # round 5 wave 6: the composed IVF-PQ index + DSIR Gumbel-top-k resample
     "ann_ivfpq_topk",
+    "pipeline_dsir_resample",
 ]
 
 

@@ -805,3 +805,44 @@ def dsir_weights(
             F.round(F.sum("__lam").cast("double"), 6).alias("dsir_logw"),
         )
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target: Column,
+    n_out: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_hex: int = 2,
+    seed: str = "dsir-g",
+) -> DataFrame:
+    """The DSIR selection step: importance resampling without replacement
+    via the Gumbel-top-k trick — key_i = logw_i + Gumbel(0,1), take the
+    ``n_out`` largest keys. Sampling ∝ exp(logw) this way never
+    materializes exp(logw) (which under/overflows across a corpus-scale
+    weight range); the noise is hash-derived (first 8 md5 hex digits →
+    uniform in (0,1)), so the sample is DETERMINISTIC and the DuckDB
+    oracle replays it key-for-key (round-6 keys).
+
+    Scale shape: ``dsir_weights``'s passes plus one map-side key
+    projection and a TakeOrderedAndProject for the global top-n — no
+    full sort; only n_out rows survive per partition before the merge."""
+    w = dsir_weights(df, target, text_col, id_col, prefix_hex)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / float(2**32)
+    key = F.round(F.col("dsir_logw") + -F.log(-F.log(u)), 6)
+    return (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(n_out)
+    )

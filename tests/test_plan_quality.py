@@ -313,3 +313,13 @@ def test_ivfpq_composition_shape(spark):
     assert "WindowGroupLimit" in p, p
     # the encode pass is checkpointed: the visible plan reads ExistingRDD
     assert "Scan ExistingRDD" in p, p
+
+
+def test_dsir_resample_takeordered(spark):
+    """round-5 wave 6: Gumbel-top-k ends in TakeOrderedAndProject — the
+    corpus never enters a global sort; the broadcast log-ratio map shape
+    is inherited from dsir_weights."""
+    p = _plan(spark, "pipeline_dsir_resample")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange rangepartitioning" not in p, p
+    assert "BatchEvalPython" not in p, p

@@ -138,3 +138,37 @@ def test_source_kl_positive_for_divergent_source(spark):
     df = spark.createDataFrame(rows, DOCS_SCHEMA)
     got = {r.source: r for r in source_kl(df).collect()}
     assert got["skew"].kl_bits > got["flat"].kl_bits >= 0.0
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    # corpus: 30 target-vocab docs, 30 off-domain docs; a 20-doc resample
+    # must be dominated by the target-like ones
+    from flink_siddhi_spark.llm.pipeline import dsir_resample
+
+    rows = [(i, "aa bb aa bb", "en" if i < 5 else "de", "s") for i in range(30)]
+    rows += [(100 + i, "zz yy zz yy", "de", "s") for i in range(30)]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    out = dsir_resample(df, F.col("lang") == "en", n_out=20).collect()
+    assert len(out) == 20
+    target_like = sum(1 for r in out if r.doc_id < 100)
+    assert target_like >= 15, target_like
+
+
+def test_dsir_resample_is_deterministic_and_ranked(spark):
+    from flink_siddhi_spark.llm.pipeline import dsir_resample
+
+    rows = [(i, f"w{i} aa bb", "en" if i % 2 else "de", "s") for i in range(40)]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    a = [(r.doc_id, r.gumbel_key) for r in dsir_resample(df, F.col("lang") == "en", n_out=10).collect()]
+    b = [(r.doc_id, r.gumbel_key) for r in dsir_resample(df, F.col("lang") == "en", n_out=10).collect()]
+    assert a == b and len(a) == 10
+    keys = [k for _i, k in a]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_dsir_resample_small_corpus_returns_all(spark):
+    from flink_siddhi_spark.llm.pipeline import dsir_resample
+
+    rows = [(i, "aa bb", "en", "s") for i in range(3)]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    assert len(dsir_resample(df, F.col("lang") == "en", n_out=50).collect()) == 3
