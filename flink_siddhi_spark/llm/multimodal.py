@@ -474,13 +474,17 @@ def image_ahash(
     bands: int = 8,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Average-hash (aHash) perceptual fingerprints over REAL decoded BMP
     pixels: bit_i = (pixel i's channel sum x n_pixels > corpus-of-the-image
     total) — integer-exact, no float mean — packed into ``bands`` equal
     bit-groups (array<int>) ready for pigeonhole banding. The whole decode
     -> grayscale -> threshold path runs on the actual codec output, so a
-    corrupted payload fails loudly here, not downstream."""
+    corrupted payload fails loudly here, not downstream. ``keep_cols``
+    pass through unchanged (e.g. an event-time column for the streaming
+    dedup — a stateless mapInPandas works on streaming inputs, but a
+    post-hoc join to recover them would not)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def ahash(p):
@@ -503,12 +507,13 @@ def image_ahash(
             ]
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col],
-                    "ahash": [ahash(p) for p in pdf[payload_col]],
-                }
-            )
+            out = {
+                "media_id": pdf[id_col],
+                "ahash": [ahash(p) for p in pdf[payload_col]],
+            }
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     # LongType bands: at bands=8 a 16x16 image packs 32 bits per band,
     # which overflows int32 (bit 31 set -> Arrow conversion crash)
@@ -517,8 +522,9 @@ def image_ahash(
             T.StructField("media_id", T.LongType()),
             T.StructField("ahash", T.ArrayType(T.LongType())),
         ]
+        + [df.schema[c] for c in keep_cols]
     )
-    return df.select(id_col, payload_col).mapInPandas(run, schema)
+    return df.select(id_col, payload_col, *keep_cols).mapInPandas(run, schema)
 
 
 def image_neardup_pairs(
@@ -601,3 +607,58 @@ def image_neardup_pairs(
         .select("id_a", "id_b", "hamming")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def streaming_image_dedup(
+    df: DataFrame,
+    ts_col: str | None = None,
+    within: str = "10 minutes",
+    bands: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual image dedup for CONTINUOUS ingest: only the first image
+    per aHash fingerprint survives — so re-ENCODED byte-identical-pixel
+    copies dedup too, which a payload-md5 key would miss. The multimodal
+    twin of ``dedup.streaming_exact_dedup`` and the same state story:
+    with ``ts_col`` the stream is watermarked and state is one fingerprint
+    string per unique image inside the ``within`` horizon
+    (``dropDuplicatesWithinWatermark``), evicted after it; without a
+    timestamp the state is the full fingerprint set (bounded backfills).
+
+    The decode -> fingerprint stage is a STATELESS Arrow mapInPandas, so
+    it runs per micro-batch with no state of its own; the only stateful
+    op is the keyed dedup. Batch mode keeps the min-``id_col`` image per
+    fingerprint (deterministic canonical pick — batch has no arrival
+    order), matching the batch dedup family's survivor rule.
+
+    Output: (media_id[, ts_col], ahash) for the surviving images."""
+    keep = (ts_col,) if ts_col is not None else ()
+    ah = image_ahash(df, bands, payload_col, id_col, keep_cols=keep)
+    fp = F.concat_ws(",", *[F.col("ahash")[i] for i in range(bands)])
+    out = ah.withColumn("__fp", fp)
+    if ts_col is not None and df.isStreaming:
+        dt = dict(df.dtypes).get(ts_col, "")
+        tcol = (
+            F.col(ts_col)
+            if dt.startswith("timestamp")
+            else F.timestamp_millis(F.col(ts_col).cast("bigint"))
+        )
+        out = (
+            out.withColumn("__wm", tcol)
+            .withWatermark("__wm", within)
+            .dropDuplicatesWithinWatermark(["__fp"])
+            .drop("__wm")
+        )
+    elif df.isStreaming:
+        out = out.dropDuplicates(["__fp"])
+    else:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("__fp").orderBy("media_id")
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    return out.drop("__fp")

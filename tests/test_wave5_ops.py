@@ -373,3 +373,49 @@ def test_ivfpq_recall_against_exact(spark):
     # worst case for PQ; random recall@5 over 500 candidates is ~1%,
     # measured IVF-PQ recall here is ~24% — gate well above chance
     assert hits / total >= 0.15, (hits, total)
+
+
+def test_streaming_image_dedup_across_batches(spark, tmp_path):
+    # perceptual dedup on a continuous image stream: a re-arrived identical
+    # image in a LATER micro-batch is suppressed by the fingerprint state;
+    # batch mode keeps the min-id survivor per fingerprint
+    from flink_siddhi_spark.llm.multimodal import (
+        _word_pixels,
+        encode_bmp,
+        streaming_image_dedup,
+    )
+    from flink_siddhi_spark.sources.streams import to_memory
+
+    def bmp(text):
+        return bytearray(encode_bmp(_word_pixels(text, 8)))
+
+    d = str(tmp_path / "in_imgdedup")
+    schema = "media_id long, payload binary, ts long"
+    # >= 3 distinct words per image: a 2-word text wraps into a period-2
+    # pixel pattern with only two possible fingerprints (aHash on periodic
+    # images is degenerate by nature, not a bug)
+    a = "alpha one two three four five six seven"
+    b = "beta nine ten eleven twelve thirteen moon sun"
+    g = "gamma river stone cloud ember frost glade star"
+    spark.createDataFrame(
+        [(1, bmp(a), 1000), (2, bmp(b), 2000)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(
+        [(3, bmp(a), 3000), (4, bmp(g), 4000)], schema
+    ).coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    out = streaming_image_dedup(stream, ts_col="ts", within="1 minute")
+    q = to_memory(out.select("media_id"), "m_imgdedup",
+                  checkpoint=str(tmp_path / "ck_imgdedup"))
+    q.awaitTermination(60)
+    got = {r.media_id for r in spark.sql("SELECT * FROM m_imgdedup").collect()}
+    assert {1, 2, 4} <= got and 3 not in got
+    # batch mode: min-id survivor per fingerprint, same definition
+    bdf = spark.createDataFrame(
+        [(9, bmp(a), 1000), (5, bmp(a), 3000)], schema
+    )
+    got_b = [r.media_id for r in streaming_image_dedup(bdf).collect()]
+    assert got_b == [5]
