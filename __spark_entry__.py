@@ -926,6 +926,17 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(embs, queries, m=8, n_codes=16, k=5)
 
 
+def q_ann_sq_topk(spark, sf_dir):
+    # round-5 wave 6: int8 scalar-quantized top-k (SQ8) — per-dimension
+    # affine codes against corpus min/max; floor(v+0.5) code rounding is a
+    # pure binary op so the DuckDB oracle replays codes and ranks exactly
+    from flink_siddhi_spark.llm.similarity import sq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return sq_topk(embs, queries, k=5)
+
+
 def q_pipeline_dsir_resample(spark, sf_dir):
     # round-5 wave 6: DSIR's selection step — Gumbel-top-k importance
     # resampling over the hashed-unigram log-weights (hash-derived noise,
@@ -1643,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "pipeline_dsir_resample": q_pipeline_dsir_resample,
+        "ann_sq_topk": q_ann_sq_topk,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -1922,6 +1934,36 @@ def _ivfpq_topk_sql(
         "scored AS (SELECT p.qid query_id, a.vec_id neighbor_id, "
         "round(" + _cos_sql("p.qemb", "a.recon") + ", 6) cos "
         "FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id != p.qid) "
+        "SELECT query_id, neighbor_id, cos, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id) AS INT) rank FROM scored "
+        "WHERE cos IS NOT NULL AND NOT isnan(cos)) "
+        f"WHERE rank <= {k}"
+    )
+
+
+def _sq_topk_sql(k: int = 5, dim: int = 64) -> str:
+    """Analytic replay of llm.similarity.sq_encode/sq_topk: per-dimension
+    min/max, floor(v+0.5) int8 codes, float32 (REAL) reconstructions, and
+    the asymmetric cosine rank — expression grouping matches the Spark
+    projection term for term."""
+    x = "CAST(e.embedding[st.d + 1] AS DOUBLE)"
+    recon = (
+        f"CASE WHEN mx - mn > 0 THEN CAST(mn + "
+        f"(floor(({x} - mn) * 255.0 / (mx - mn) + 0.5) * (mx - mn)) / 255.0 "
+        f"AS REAL) ELSE CAST(mn AS REAL) END"
+    )
+    return (
+        "WITH st AS (SELECT t.d, min(CAST(e.embedding[t.d + 1] AS DOUBLE)) mn, "
+        "max(CAST(e.embedding[t.d + 1] AS DOUBLE)) mx "
+        f"FROM embeddings e, range({dim}) t(d) GROUP BY t.d), "
+        f"r AS (SELECT e.vec_id, st.d, {recon} rd FROM embeddings e, st), "
+        "xh AS (SELECT vec_id, list(rd ORDER BY d) recon FROM r GROUP BY vec_id), "
+        "q AS (SELECT vec_id query_id, embedding qe FROM embeddings "
+        "WHERE vec_id < 10), "
+        "scored AS (SELECT query_id, x.vec_id neighbor_id, "
+        "round(" + _cos_sql("qe", "x.recon") + ", 6) cos FROM q, xh x "
+        "WHERE x.vec_id != query_id) "
         "SELECT query_id, neighbor_id, cos, rank FROM ("
         "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
         "ORDER BY cos DESC, neighbor_id) AS INT) rank FROM scored "
@@ -2833,6 +2875,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_neardup": _image_neardup_sql(),
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),
+        "ann_sq_topk": _sq_topk_sql(),
         "events_rfm": (
             # same shapes as analytics.rfm_segments (n_bins=5): decimal-summed
             # monetary, interpolated percentile thresholds rounded to 6,

@@ -115,8 +115,10 @@ HEADLINE = [
     "multimodal_image_neardup",
     "ann_pq_topk",
     # round 5 wave 6: the composed IVF-PQ index + DSIR Gumbel-top-k resample
+    # + SQ8 scalar-quantized ANN
     "ann_ivfpq_topk",
     "pipeline_dsir_resample",
+    "ann_sq_topk",
 ]
 
 

@@ -323,3 +323,13 @@ def test_dsir_resample_takeordered(spark):
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_sq_topk_map_only_encode(spark):
+    """round-5 wave 6: SQ8 encode is a map-only projection over the scan
+    (1-row stats broadcast back) — the corpus never hash-shuffles; the
+    only hash exchange is the top-k merge."""
+    p = _plan(spark, "ann_sq_topk")
+    assert "SortMergeJoin" not in p and "BatchEvalPython" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p
+    assert "WindowGroupLimit" in p, p

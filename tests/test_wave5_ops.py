@@ -419,3 +419,51 @@ def test_streaming_image_dedup_across_batches(spark, tmp_path):
     )
     got_b = [r.media_id for r in streaming_image_dedup(bdf).collect()]
     assert got_b == [5]
+
+
+# ------------------------------------------------ scalar quantization (SQ8)
+def test_sq_engines_identical_and_high_fidelity(spark):
+    from flink_siddhi_spark.llm.similarity import cosine_topk, sq_topk
+
+    embs = _embs_df(spark)
+    q = embs.filter("vec_id < 20")
+    a = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in sq_topk(embs, q, k=5, engine="numpy").collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in sq_topk(embs, q, k=5, engine="join").collect()
+    )
+    assert a == b
+    # SQ8 is high-fidelity (256 levels/dim): recall@5 vs exact must be high
+    exact = {}
+    for r in cosine_topk(embs, q, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for qid, _rk, nid, _c in a:
+        approx.setdefault(qid, set()).add(nid)
+    hits = sum(len(exact[k] & approx.get(k, set())) for k in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9, (hits, total)
+
+
+def test_sq_constant_dimension_is_safe(spark):
+    # a constant dimension has zero range: codes to 0, reconstructs to the
+    # constant, and cosines stay finite
+    from flink_siddhi_spark.llm.similarity import sq_encode
+
+    rows = [(i, [1.0, float(i), 0.0, float(-i)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    enc = {r.vec_id: r for r in sq_encode(df).collect()}
+    for i in range(6):
+        assert enc[i].codes[0] == 0 and enc[i].recon[0] == 1.0
+        assert enc[i].codes[2] == 0 and enc[i].recon[2] == 0.0
+    assert enc[5].codes[1] == 255 and enc[0].codes[1] == 0
+
+
+def test_sq_empty_corpus(spark):
+    from flink_siddhi_spark.llm.similarity import sq_encode
+
+    with pytest.raises(ValueError, match="empty"):
+        sq_encode(_embs_df(spark).filter("vec_id < 0"))
