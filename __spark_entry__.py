@@ -926,6 +926,14 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(embs, queries, m=8, n_codes=16, k=5)
 
 
+def q_text_dataset_card(spark, sf_dir):
+    # round-5 wave 6: the one-row corpus dataset card — totals, exact
+    # dup-rate, cardinalities, dominant language, token percentiles
+    from flink_siddhi_spark.llm.text import dataset_card
+
+    return dataset_card(_docs(spark, sf_dir))
+
+
 def q_ann_sq_topk(spark, sf_dir):
     # round-5 wave 6: int8 scalar-quantized top-k (SQ8) — per-dimension
     # affine codes against corpus min/max; floor(v+0.5) code rounding is a
@@ -1655,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "pipeline_dsir_resample": q_pipeline_dsir_resample,
         "ann_sq_topk": q_ann_sq_topk,
+        "text_dataset_card": q_text_dataset_card,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2876,6 +2885,27 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),
         "ann_sq_topk": _sq_topk_sql(),
+        "text_dataset_card": (
+            "WITH b AS (SELECT lang, source, "
+            "len(string_split(lower(text), ' ')) nw, "
+            "length(text) nc, md5(text) h FROM documents), "
+            "m AS (SELECT CAST(count(*) AS BIGINT) n_docs, "
+            "CAST(sum(nw) AS BIGINT) n_tokens, "
+            "CAST(sum(nc) AS BIGINT) n_chars, "
+            "CAST(count(DISTINCT h) AS BIGINT) n_distinct_texts, "
+            "CAST(count(DISTINCT source) AS BIGINT) n_sources, "
+            "CAST(count(DISTINCT lang) AS BIGINT) n_langs, "
+            "round(quantile_cont(CAST(nw AS DOUBLE), 0.5), 6) p50_tokens, "
+            "round(quantile_cont(CAST(nw AS DOUBLE), 0.9), 6) p90_tokens "
+            "FROM b), "
+            "t AS (SELECT lang, CAST(count(*) AS BIGINT) n FROM b "
+            "GROUP BY lang ORDER BY n DESC, lang LIMIT 1) "
+            "SELECT n_docs, n_tokens, n_chars, n_distinct_texts, "
+            "round(1.0 - n_distinct_texts / CAST(n_docs AS DOUBLE), 6) dup_rate, "
+            "n_sources, n_langs, t.lang top_lang, "
+            "round(t.n / CAST(n_docs AS DOUBLE), 6) top_lang_share, "
+            "p50_tokens, p90_tokens FROM m, t"
+        ),
         "events_rfm": (
             # same shapes as analytics.rfm_segments (n_bins=5): decimal-summed
             # monetary, interpolated percentile thresholds rounded to 6,

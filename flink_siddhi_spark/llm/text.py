@@ -831,3 +831,76 @@ def source_kl(
             F.round(F.sum("__kl").cast("double"), 6).alias("kl_bits"),
         )
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row corpus summary — the numbers a dataset card publishes:
+    doc/token/char totals, exact-duplicate rate (md5 text identity),
+    source/language cardinalities, the dominant language with its share,
+    and exact token-length percentiles. The one-call companion of
+    ``source_stats``/``dedup_stats`` when the report is per-corpus, not
+    per-source.
+
+    Scale shape: ONE corpus pass builds a checkpointed narrow projection
+    (lang, source, token count, char count, text hash); the main aggregate
+    (counts, sums, distincts, interpolated percentiles) and the tiny
+    language-count table both re-read it, and the 1-row top-language pick
+    broadcasts back. Nothing document-scale shuffles except the two-phase
+    distinct counts. Determinism: shares/percentiles round to 6; the
+    top-language tie breaks to the lexicographically smallest language."""
+    words = F.size(F.split(F.lower(F.col(text_col)), " "))
+    base = (
+        df.select(
+            F.col(lang_col).alias("__lang"),
+            F.col(source_col).alias("__src"),
+            words.alias("__nw"),
+            F.length(text_col).alias("__nc"),
+            F.md5(F.col(text_col)).alias("__h"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    main = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nw").cast("bigint").alias("n_tokens"),
+        F.sum("__nc").cast("bigint").alias("n_chars"),
+        F.count_distinct("__h").alias("n_distinct_texts"),
+        F.count_distinct("__src").alias("n_sources"),
+        F.count_distinct("__lang").alias("n_langs"),
+        F.round(F.percentile(F.col("__nw").cast("double"), F.lit(0.5)), 6).alias(
+            "p50_tokens"
+        ),
+        F.round(F.percentile(F.col("__nw").cast("double"), F.lit(0.9)), 6).alias(
+            "p90_tokens"
+        ),
+    )
+    top = (
+        base.groupBy("__lang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.min(F.struct((-F.col("__n")).alias("nn"), F.col("__lang").alias("lg"))).alias("__t"))
+        .select(
+            F.col("__t.lg").alias("top_lang"),
+            (-F.col("__t.nn")).cast("bigint").alias("__topn"),
+        )
+    )
+    return main.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "n_distinct_texts",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs").cast("double"), 6
+        ).alias("dup_rate"),
+        "n_sources",
+        "n_langs",
+        "top_lang",
+        F.round(F.col("__topn") / F.col("n_docs").cast("double"), 6).alias(
+            "top_lang_share"
+        ),
+        "p50_tokens",
+        "p90_tokens",
+    )

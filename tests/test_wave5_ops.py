@@ -467,3 +467,31 @@ def test_sq_empty_corpus(spark):
 
     with pytest.raises(ValueError, match="empty"):
         sq_encode(_embs_df(spark).filter("vec_id < 0"))
+
+
+def test_dataset_card_values(spark):
+    from flink_siddhi_spark.llm.text import dataset_card
+
+    rows = [
+        (1, "a b c", "en", "s1"),
+        (2, "a b c", "en", "s1"),      # exact dup of 1
+        (3, "d e f g", "de", "s2"),
+        (4, "h", "en", "s1"),
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    r = dataset_card(df).collect()[0]
+    assert (r.n_docs, r.n_tokens, r.n_distinct_texts) == (4, 11, 3)
+    assert r.dup_rate == 0.25
+    assert (r.n_sources, r.n_langs) == (2, 2)
+    assert (r.top_lang, r.top_lang_share) == ("en", 0.75)
+    assert r.p50_tokens == 3.0 and r.p90_tokens == round(3.7, 6)
+
+
+def test_dataset_card_top_lang_tiebreak(spark):
+    # equal counts: the lexicographically smallest language wins
+    from flink_siddhi_spark.llm.text import dataset_card
+
+    rows = [(1, "x", "fr", "s"), (2, "y", "de", "s")]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    r = dataset_card(df).collect()[0]
+    assert r.top_lang == "de" and r.top_lang_share == 0.5
