@@ -926,6 +926,15 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(embs, queries, m=8, n_codes=16, k=5)
 
 
+def q_events_attribution(spark, sf_dir):
+    # round-5 wave 6: last-touch attribution — one user-keyed ignore-nulls
+    # carry-forward window; organic conversions keep NULL touch columns
+    from flink_siddhi_spark.analytics import last_touch_attribution
+    from flink_siddhi_spark.sources.tables import load_table
+
+    return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
 def q_text_dataset_card(spark, sf_dir):
     # round-5 wave 6: the one-row corpus dataset card — totals, exact
     # dup-rate, cardinalities, dominant language, token percentiles
@@ -1664,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_dsir_resample": q_pipeline_dsir_resample,
         "ann_sq_topk": q_ann_sq_topk,
         "text_dataset_card": q_text_dataset_card,
+        "events_attribution": q_events_attribution,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2885,6 +2895,23 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),
         "ann_sq_topk": _sq_topk_sql(),
+        "events_attribution": (
+            "WITH e AS (SELECT *, CASE WHEN event_type IN ('click', 'view') "
+            "THEN struct_pack(ts := ts, id := event_id, tp := event_type) "
+            "END tch FROM events), "
+            "c AS (SELECT event_id, user_id, ts, event_type, "
+            "last_value(tch IGNORE NULLS) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING) lt FROM e), "
+            "p AS (SELECT *, lt IS NOT NULL AND "
+            "epoch_ms(ts) - epoch_ms(lt.ts) <= 3600000 ok FROM c "
+            "WHERE event_type = 'purchase') "
+            "SELECT event_id conversion_id, user_id, ts conversion_ts, "
+            "CASE WHEN ok THEN lt.id END touch_id, "
+            "CASE WHEN ok THEN lt.tp END touch_type, "
+            "CASE WHEN ok THEN CAST(epoch_ms(ts) - epoch_ms(lt.ts) AS BIGINT) "
+            "END ms_since_touch FROM p"
+        ),
         "text_dataset_card": (
             "WITH b AS (SELECT lang, source, "
             "len(string_split(lower(text), ' ')) nw, "

@@ -119,6 +119,8 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "pipeline_dsir_resample",
     "ann_sq_topk",
+    "text_dataset_card",
+    "events_attribution",
 ]
 
 

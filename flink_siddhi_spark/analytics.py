@@ -594,3 +594,55 @@ def cooccurrence_lift(
             F.round(F.col("n_ab") / F.col("__n"), 6).alias("support"),
         )
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    horizon_ms: int = 3_600_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the most
+    recent touch event of the same user within ``horizon_ms`` milliseconds — the
+    marketing-analytics companion of the CQL pattern ``touch -> conversion
+    within t`` (the pattern enumerates matches; this produces the standard
+    one-row-per-conversion attribution table, with NULL touch columns for
+    organic conversions so the unattributed share stays visible).
+
+    Scale shape: ONE user-keyed exchange; the carry-forward is a
+    ``last(..., ignorenulls)`` running window in whole-stage codegen over
+    the partition-local sort — no self-join, no range join. Ties at the
+    same timestamp break by event id (a touch at the conversion's exact
+    timestamp with a smaller id counts)."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col).isin(*touch_types),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("tp"),
+        ),
+    )
+    carried = df.withColumn("__lt", F.last(touch, ignorenulls=True).over(w))
+    conv = carried.filter(F.col(type_col) == conversion_type)
+    # integer milliseconds: engine-exact (fractional epoch seconds are not)
+    age = F.unix_millis(F.col(ts_col).cast("timestamp")) - F.unix_millis(
+        F.col("__lt.ts").cast("timestamp")
+    )
+    in_h = F.col("__lt").isNotNull() & (age <= horizon_ms)
+    return conv.select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col),
+        F.col(ts_col).alias("conversion_ts"),
+        F.when(in_h, F.col("__lt.id")).alias("touch_id"),
+        F.when(in_h, F.col("__lt.tp")).alias("touch_type"),
+        F.when(in_h, age).cast("bigint").alias("ms_since_touch"),
+    )

@@ -333,3 +333,11 @@ def test_sq_topk_map_only_encode(spark):
     assert "SortMergeJoin" not in p and "BatchEvalPython" not in p, p
     assert p.count("Exchange hashpartitioning") <= 1, p
     assert "WindowGroupLimit" in p, p
+
+
+def test_attribution_single_user_exchange(spark):
+    """round-5 wave 6: last-touch attribution is ONE user-keyed window
+    exchange — no self-join, no range join, no Python."""
+    p = _plan(spark, "events_attribution")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p and "BatchEvalPython" not in p, p

@@ -495,3 +495,39 @@ def test_dataset_card_top_lang_tiebreak(spark):
     df = spark.createDataFrame(rows, DOCS_SCHEMA)
     r = dataset_card(df).collect()[0]
     assert r.top_lang == "de" and r.top_lang_share == 0.5
+
+
+def test_last_touch_attribution_semantics(spark):
+    from flink_siddhi_spark.analytics import last_touch_attribution
+
+    rows = [
+        # user 1: click -> purchase (attributed), then purchase with a
+        # stale click outside the horizon (organic)
+        (1, _ts("2026-01-01 10:00:00"), 1, "click", 0.0),
+        (2, _ts("2026-01-01 10:10:00"), 1, "purchase", 9.0),
+        (3, _ts("2026-01-01 12:00:00"), 1, "purchase", 5.0),
+        # user 2: view then click -> LAST touch (the click) wins
+        (4, _ts("2026-01-01 09:00:00"), 2, "view", 0.0),
+        (5, _ts("2026-01-01 09:30:00"), 2, "click", 0.0),
+        (6, _ts("2026-01-01 09:45:00"), 2, "purchase", 3.0),
+        # user 3: organic purchase, no touches at all
+        (7, _ts("2026-01-01 08:00:00"), 3, "purchase", 1.0),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    got = {r.conversion_id: r for r in last_touch_attribution(df).collect()}
+    assert len(got) == 4
+    assert (got[2].touch_id, got[2].touch_type, got[2].ms_since_touch) == (1, "click", 600_000)
+    assert got[3].touch_id is None and got[3].ms_since_touch is None
+    assert (got[6].touch_id, got[6].touch_type) == (5, "click")
+    assert got[7].touch_id is None
+
+
+def test_last_touch_same_timestamp_tiebreak(spark):
+    # a touch at the conversion's exact timestamp with a SMALLER id counts
+    from flink_siddhi_spark.analytics import last_touch_attribution
+
+    t = _ts("2026-01-01 10:00:00")
+    rows = [(1, t, 1, "click", 0.0), (2, t, 1, "purchase", 1.0)]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    r = last_touch_attribution(df).collect()[0]
+    assert (r.touch_id, r.ms_since_touch) == (1, 0)
