@@ -531,3 +531,17 @@ def test_last_touch_same_timestamp_tiebreak(spark):
     df = spark.createDataFrame(rows, EVENTS_SCHEMA)
     r = last_touch_attribution(df).collect()[0]
     assert (r.touch_id, r.ms_since_touch) == (1, 0)
+
+
+def test_sq_encode_engines_bit_identical(spark):
+    # numpy Arrow encoder == pure-Catalyst projection: codes AND float32
+    # reconstructions (elementwise float64 numpy is the same IEEE sequence)
+    from flink_siddhi_spark.llm.similarity import sq_encode
+
+    embs = _embs_df(spark)
+    a = {r.vec_id: r for r in sq_encode(embs, engine="numpy").collect()}
+    b = {r.vec_id: r for r in sq_encode(embs, engine="expr").collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert list(a[v].codes) == list(b[v].codes), v
+        assert list(a[v].recon) == list(b[v].recon), v
