@@ -545,3 +545,33 @@ def test_sq_encode_engines_bit_identical(spark):
     for v in a:
         assert list(a[v].codes) == list(b[v].codes), v
         assert list(a[v].recon) == list(b[v].recon), v
+
+
+def test_streaming_sq_encode_matches_batch(spark, tmp_path):
+    # the SQ8 encoder is a stateless Arrow pass, so the SAME definition
+    # (with a frozen batch-derived codebook... here: batch-derived stats via
+    # explicit engine) runs on a stream; codes match the batch encode
+    from flink_siddhi_spark.llm.similarity import _sq_encode_numpy, sq_encode
+    from flink_siddhi_spark.sources.streams import to_memory
+
+    batch = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = {r.vec_id: list(r.codes) for r in sq_encode(batch).collect()}
+
+    d = str(tmp_path / "in_sqenc")
+    batch.coalesce(2).write.mode("overwrite").parquet(d)
+    stream = (
+        spark.readStream.format("parquet").schema(batch.schema)
+        .option("maxFilesPerTrigger", 1).load(d)
+    )
+    # production shape: stats frozen from the reference corpus (a streaming
+    # min/max would be nondeterministic in arrival order)
+    import numpy as np
+
+    X = np.asarray([r.embedding for r in batch.collect()], dtype=np.float32).astype(float)
+    mns, mxs = X.min(axis=0).tolist(), X.max(axis=0).tolist()
+    enc = _sq_encode_numpy(stream, mns, mxs, 64, "embedding", "vec_id")
+    q = to_memory(enc.select("vec_id", "codes"), "m_sqenc",
+                  checkpoint=str(tmp_path / "ck_sqenc"))
+    q.awaitTermination(60)
+    got = {r.vec_id: list(r.codes) for r in spark.sql("SELECT * FROM m_sqenc").collect()}
+    assert got == want
