@@ -926,6 +926,24 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(embs, queries, m=8, n_codes=16, k=5)
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    # round-5 wave 7: near-dup cluster-size histogram (+ the singleton row)
+    # — the report that decides caps/star thresholds and dedup shrinkage
+    from flink_siddhi_spark.llm.dedup import cluster_size_profile
+
+    return cluster_size_profile(_docs(spark, sf_dir))
+
+
+def q_pipeline_exact_k_sample(spark, sf_dir):
+    # round-5 wave 7: exactly-k uniform sample via hash-permutation
+    # TakeOrdered — no global sort, engine-exact membership
+    from flink_siddhi_spark.llm.pipeline import exact_k_sample
+
+    return exact_k_sample(_docs(spark, sf_dir), 100).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_events_attribution(spark, sf_dir):
     # round-5 wave 6: last-touch attribution — one user-keyed ignore-nulls
     # carry-forward window; organic conversions keep NULL touch columns
@@ -1674,6 +1692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq_topk": q_ann_sq_topk,
         "text_dataset_card": q_text_dataset_card,
         "events_attribution": q_events_attribution,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
+        "pipeline_exact_k_sample": q_pipeline_exact_k_sample,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2895,6 +2915,28 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),
         "ann_sq_topk": _sq_topk_sql(),
+        "dedup_cluster_sizes": (
+            "WITH RECURSIVE " + _lsh_cand_ctes() + ", "
+            "pairs AS (SELECT id_a, id_b FROM cand WHERE round(m / 8.0, 6) >= 0.5), "
+            "edges AS (SELECT id_a src, id_b dst FROM pairs "
+            "UNION ALL SELECT id_b, id_a FROM pairs), "
+            "reach(node, r) AS (SELECT src, src FROM edges "
+            "UNION SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.node), "
+            "lab AS (SELECT node, min(r) cid FROM reach GROUP BY node), "
+            "sz AS (SELECT cid, CAST(count(*) AS BIGINT) s FROM lab GROUP BY cid), "
+            "h AS (SELECT s cluster_size, CAST(count(*) AS BIGINT) n_clusters, "
+            "CAST(sum(s) AS BIGINT) n_docs FROM sz GROUP BY s), "
+            "single AS (SELECT CAST(1 AS BIGINT) cluster_size, "
+            "CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM lab) "
+            "AS BIGINT) n) "
+            "SELECT * FROM h UNION ALL "
+            "SELECT cluster_size, n n_clusters, n n_docs FROM single WHERE n > 0"
+        ),
+        "pipeline_exact_k_sample": (
+            "SELECT doc_id, lang, source FROM documents "
+            "ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC "
+            "LIMIT 100"
+        ),
         "events_attribution": (
             "WITH e AS (SELECT *, CASE WHEN event_type IN ('click', 'view') "
             "THEN struct_pack(ts := ts, id := event_id, tp := event_type) "

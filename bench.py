@@ -121,6 +121,9 @@ HEADLINE = [
     "ann_sq_topk",
     "text_dataset_card",
     "events_attribution",
+    # round 5 wave 7: duplication profile + exactly-k sampling
+    "dedup_cluster_sizes",
+    "pipeline_exact_k_sample",
 ]
 
 

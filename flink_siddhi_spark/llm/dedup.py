@@ -1444,3 +1444,41 @@ def streaming_contamination_gate(
     if not keep_contaminated:
         out = out.filter(~F.col("contaminated")).drop("contaminated", "bench_id")
     return out
+
+
+def cluster_size_profile(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplication profile: one row per near-dup cluster SIZE with how many
+    clusters have it and how many documents they hold, plus the size-1 row
+    for documents outside any cluster — the histogram that tells you
+    whether duplication is a long tail of pairs or a few viral groups
+    (which decides caps, star thresholds, and how much dedup will shrink
+    the corpus).
+
+    Scale shape: the LSH pair graph and label propagation are the existing
+    ``minhash_lsh_pairs``/``dedup_clusters`` plans; everything after runs
+    at cluster scale (labels -> sizes -> histogram are two tiny hash
+    aggregates), and the singleton row needs only the corpus row count."""
+    labels = dedup_clusters(minhash_lsh_pairs(df, threshold=threshold,
+                                              text_col=text_col, id_col=id_col))
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__sz"))
+    hist = sizes.groupBy(F.col("__sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("__sz").cast("bigint").alias("n_docs"),
+    )
+    totals = df.agg(F.count(F.lit(1)).alias("__n"))
+    in_clusters = labels.agg(F.count(F.lit(1)).alias("__inc"))
+    singles = (
+        totals.crossJoin(F.broadcast(in_clusters))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("__n") - F.col("__inc")).alias("n_clusters"),
+            (F.col("__n") - F.col("__inc")).alias("n_docs"),
+        )
+        .filter(F.col("n_clusters") > 0)
+    )
+    return hist.unionByName(singles)

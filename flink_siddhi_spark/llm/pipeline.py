@@ -846,3 +846,26 @@ def dsir_resample(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(n_out)
     )
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "rsv",
+) -> DataFrame:
+    """Deterministic uniform sample of EXACTLY ``k`` rows without
+    replacement: rank by the md5 hash of the id (a fixed pseudo-random
+    permutation of the corpus) and keep the first ``k``. The exact-count
+    companion of the fraction-based ``deterministic_sample`` — data
+    loaders and eval sets usually want "give me exactly 10k docs", not a
+    fraction that wobbles with corpus size.
+
+    Scale shape: TakeOrderedAndProject on (hash, id) — each task keeps k
+    candidates, the driver merges k*n_partitions rows; the corpus never
+    globally sorts. Same-id determinism across engines: md5 of the
+    decimal id string, ties impossible (ids are unique)."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return df.orderBy(key.asc(), F.col(id_col).asc()).limit(k)

@@ -341,3 +341,11 @@ def test_attribution_single_user_exchange(spark):
     p = _plan(spark, "events_attribution")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "Join" not in p and "BatchEvalPython" not in p, p
+
+
+def test_exact_k_sample_takeordered(spark):
+    """round-5 wave 7: exactly-k sampling is TakeOrderedAndProject on the
+    hash key — the corpus never globally sorts."""
+    p = _plan(spark, "pipeline_exact_k_sample")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange rangepartitioning" not in p, p

@@ -575,3 +575,41 @@ def test_streaming_sq_encode_matches_batch(spark, tmp_path):
     q.awaitTermination(60)
     got = {r.vec_id: list(r.codes) for r in spark.sql("SELECT * FROM m_sqenc").collect()}
     assert got == want
+
+
+def test_cluster_size_profile(spark):
+    from flink_siddhi_spark.llm.dedup import cluster_size_profile
+
+    # 3 exact copies + 2 exact copies + 2 unrelated docs
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "one two three four five six seven eight nine"
+    rows = (
+        [(i, a, "en", "s") for i in range(3)]
+        + [(10 + i, b, "en", "s") for i in range(2)]
+        + [(20, "totally different words here now", "en", "s"),
+           (21, "and another unrelated document text", "en", "s")]
+    )
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    got = {r.cluster_size: (r.n_clusters, r.n_docs)
+           for r in cluster_size_profile(df).collect()}
+    assert got[3] == (1, 3) and got[2] == (1, 2)
+    assert got[1] == (2, 2)  # the two singletons
+    assert sum(nd for _nc, nd in got.values()) == 7
+
+
+def test_exact_k_sample_deterministic_and_exact(spark):
+    from flink_siddhi_spark.llm.pipeline import exact_k_sample
+
+    rows = [(i, f"doc {i} words", "en", "s") for i in range(50)]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    a = [r.doc_id for r in exact_k_sample(df, 10).collect()]
+    b = [r.doc_id for r in exact_k_sample(df, 10).collect()]
+    assert a == b and len(a) == 10 and len(set(a)) == 10
+    # different seed -> different (deterministic) membership
+    c = [r.doc_id for r in exact_k_sample(df, 10, seed="other").collect()]
+    assert c != a
+    # k >= corpus returns everything; k=0 nothing; k<0 rejects
+    assert exact_k_sample(df, 100).count() == 50
+    assert exact_k_sample(df, 0).count() == 0
+    with pytest.raises(ValueError):
+        exact_k_sample(df, -1)
