@@ -788,28 +788,45 @@ def streaming_exact_dedup(
     min-``id_col`` doc per hash (a deterministic canonical pick — batch has
     no arrival order, and an arbitrary ``dropDuplicates`` survivor would be
     partition-order dependent), matching ``exact_dedup_groups``/``curate``."""
-    out = df.withColumn("__h", F.md5(F.col(text_col)))
+    return keyed_streaming_dedup(
+        df.withColumn("__h", F.md5(F.col(text_col))),
+        key_col="__h", ts_col=ts_col, within=within, order_col=id_col,
+    ).drop("__h")
+
+
+def keyed_streaming_dedup(
+    df: DataFrame,
+    key_col: str,
+    ts_col: Optional[str] = None,
+    within: str = "10 minutes",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Shared keyed-dedup core for the streaming dedup family (exact text
+    dedup here, perceptual image dedup in llm.multimodal): first row per
+    ``key_col`` survives. Streaming with ``ts_col``: watermark-bounded
+    state via ``dropDuplicatesWithinWatermark``; streaming without:
+    unbounded key-set state (bounded backfills); batch: the min-
+    ``order_col`` row per key (deterministic canonical pick — batch has no
+    arrival order). One place to fix the semantics for every caller."""
     if ts_col is not None and df.isStreaming:
         dt = dict(df.dtypes).get(ts_col, "")
         tcol = F.col(ts_col) if dt.startswith("timestamp") else F.timestamp_millis(
             F.col(ts_col).cast("bigint")
         )
-        out = (
-            out.withColumn("__wm", tcol)
+        return (
+            df.withColumn("__wm", tcol)
             .withWatermark("__wm", within)
-            .dropDuplicatesWithinWatermark(["__h"])
+            .dropDuplicatesWithinWatermark([key_col])
             .drop("__wm")
         )
-    elif df.isStreaming:
-        out = out.dropDuplicates(["__h"])
-    else:
-        w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
-        out = (
-            out.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .drop("__rk")
-        )
-    return out.drop("__h")
+    if df.isStreaming:
+        return df.dropDuplicates([key_col])
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
 
 
 def ngram_containment_pairs(

@@ -633,32 +633,13 @@ def streaming_image_dedup(
     order), matching the batch dedup family's survivor rule.
 
     Output: (media_id[, ts_col], ahash) for the surviving images."""
+    from .dedup import keyed_streaming_dedup
+
     keep = (ts_col,) if ts_col is not None else ()
     ah = image_ahash(df, bands, payload_col, id_col, keep_cols=keep)
     fp = F.concat_ws(",", *[F.col("ahash")[i] for i in range(bands)])
-    out = ah.withColumn("__fp", fp)
-    if ts_col is not None and df.isStreaming:
-        dt = dict(df.dtypes).get(ts_col, "")
-        tcol = (
-            F.col(ts_col)
-            if dt.startswith("timestamp")
-            else F.timestamp_millis(F.col(ts_col).cast("bigint"))
-        )
-        out = (
-            out.withColumn("__wm", tcol)
-            .withWatermark("__wm", within)
-            .dropDuplicatesWithinWatermark(["__fp"])
-            .drop("__wm")
-        )
-    elif df.isStreaming:
-        out = out.dropDuplicates(["__fp"])
-    else:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("__fp").orderBy("media_id")
-        out = (
-            out.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .drop("__rk")
-        )
+    out = keyed_streaming_dedup(
+        ah.withColumn("__fp", fp),
+        key_col="__fp", ts_col=ts_col, within=within, order_col="media_id",
+    )
     return out.drop("__fp")

@@ -829,16 +829,7 @@ def dsir_resample(
     full sort; only n_out rows survive per partition before the merge."""
     w = dsir_weights(df, target, text_col, id_col, prefix_hex)
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + 0.5
+        F.conv(_hash_hex(F.col(id_col), seed, 8), 16, 10).cast("double") + 0.5
     ) / float(2**32)
     key = F.round(F.col("dsir_logw") + -F.log(-F.log(u)), 6)
     return (
@@ -867,5 +858,5 @@ def exact_k_sample(
     decimal id string, ties impossible (ids are unique)."""
     if k < 0:
         raise ValueError("k must be >= 0")
-    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    key = _hash_hex(F.col(id_col), seed, 32)
     return df.orderBy(key.asc(), F.col(id_col).asc()).limit(k)

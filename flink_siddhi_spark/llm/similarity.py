@@ -945,6 +945,15 @@ def ivfpq_topk(
     (Residual encoding — PQ over x minus its coarse centroid — is the
     recall refinement on top of this shape; the composition point is
     identical.)"""
+    if engine == "auto":
+        # resolve here: ivf_topk branches only on "numpy" — passing "auto"
+        # through would silently fall into the join scorer at every scale
+        from .dedup import _corpus_rowcount
+
+        engine = _auto_engine(
+            _corpus_rowcount(corpus.select(id_col)),
+            _corpus_rowcount(queries.select(id_col)),
+        )
     enc = pq_encode(corpus, m, n_codes, emb_col, id_col)
     # ivf_topk reads its corpus several times (coarse centroids, bucket
     # assignment, scoring) — materialize the encode pass ONCE

@@ -878,14 +878,15 @@ def dataset_card(
             "p90_tokens"
         ),
     )
+    # TakeOrdered top-1 over the vocab-scale lang table: on an EMPTY corpus
+    # this yields 0 rows, so the final cross join emits 0 rows — matching
+    # the DuckDB oracle (a global agg would emit one all-NULL garbage row)
     top = (
         base.groupBy("__lang")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .agg(F.min(F.struct((-F.col("__n")).alias("nn"), F.col("__lang").alias("lg"))).alias("__t"))
-        .select(
-            F.col("__t.lg").alias("top_lang"),
-            (-F.col("__t.nn")).cast("bigint").alias("__topn"),
-        )
+        .agg(F.count(F.lit(1)).alias("__topn"))
+        .orderBy(F.col("__topn").desc(), F.col("__lang").asc())
+        .limit(1)
+        .select(F.col("__lang").alias("top_lang"), F.col("__topn"))
     )
     return main.crossJoin(F.broadcast(top)).select(
         "n_docs",
