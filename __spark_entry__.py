@@ -926,6 +926,14 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(embs, queries, m=8, n_codes=16, k=5)
 
 
+def q_pipeline_quality_budget(spark, sf_dir):
+    # round-5 wave 7: best-docs-within-a-token-budget greedy selection —
+    # distributed prefix sum, no single-task global-order window
+    from flink_siddhi_spark.llm.pipeline import quality_budget_select
+
+    return quality_budget_select(_docs(spark, sf_dir), 10_000)
+
+
 def q_dedup_cluster_sizes(spark, sf_dir):
     # round-5 wave 7: near-dup cluster-size histogram (+ the singleton row)
     # — the report that decides caps/star thresholds and dedup shrinkage
@@ -1694,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_attribution": q_events_attribution,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "pipeline_exact_k_sample": q_pipeline_exact_k_sample,
+        "pipeline_quality_budget": q_pipeline_quality_budget,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2915,6 +2924,20 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),
         "ann_sq_topk": _sq_topk_sql(),
+        "pipeline_quality_budget": (
+            "WITH t AS (SELECT doc_id, "
+            "len(string_split(lower(text), ' ')) nw, "
+            f"len(list_filter(string_split(lower(text), ' '), w -> w IN {en})) hits "
+            "FROM documents), "
+            "q AS (SELECT doc_id, CAST(nw AS BIGINT) n_words, "
+            "round(CASE WHEN nw < 5 THEN 0.0 ELSE "
+            "least(1.0, nw / 100.0) * 0.5 + least(1.0, (hits / nw) * 5.0) * 0.5 "
+            "END, 6) quality FROM t), "
+            "c AS (SELECT *, sum(n_words) OVER (ORDER BY quality DESC, doc_id "
+            "ROWS UNBOUNDED PRECEDING) cum FROM q) "
+            "SELECT doc_id, n_words, quality, CAST(cum AS BIGINT) cum_tokens "
+            "FROM c WHERE cum <= 10000"
+        ),
         "dedup_cluster_sizes": (
             "WITH RECURSIVE " + _lsh_cand_ctes() + ", "
             "pairs AS (SELECT id_a, id_b FROM cand WHERE round(m / 8.0, 6) >= 0.5), "

@@ -124,6 +124,7 @@ HEADLINE = [
     # round 5 wave 7: duplication profile + exactly-k sampling
     "dedup_cluster_sizes",
     "pipeline_exact_k_sample",
+    "pipeline_quality_budget",
 ]
 
 

@@ -860,3 +860,39 @@ def exact_k_sample(
         raise ValueError("k must be >= 0")
     key = _hash_hex(F.col(id_col), seed, 32)
     return df.orderBy(key.asc(), F.col(id_col).asc()).limit(k)
+
+
+def quality_budget_select(
+    df: DataFrame,
+    token_budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill a token budget with the best documents: rank the corpus by
+    (quality desc, id) and keep the maximal prefix whose inclusive token
+    cumsum stays within ``token_budget`` — the standard greedy selection
+    behind "give me the best N-billion tokens" (prefix rule, not knapsack:
+    the first doc that would overflow ends the take).
+
+    Scale shape: quality is a pure projection; the global cumulative sum
+    runs through the DISTRIBUTED prefix sum (operators/prefix.py — range
+    repartition + per-shard windows + an n_partitions-row offset table),
+    so nothing funnels through a single task the way a bare global-order
+    Window would. Output: (id, n_words, quality, cum_tokens), budget-
+    filtered."""
+    from .text import quality_score
+
+    from ..operators.prefix import running_sum
+
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    q = quality_score(df, text_col).select(id_col, "n_words", "quality")
+    ordered = [F.col("quality").desc(), F.col(id_col).asc()]
+    withsum = running_sum(q, ordered, F.col("n_words"), "cum_tokens")
+    return (
+        withsum.filter(F.col("cum_tokens") <= token_budget)
+        .select(
+            id_col, "n_words", "quality",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )

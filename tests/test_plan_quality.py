@@ -349,3 +349,15 @@ def test_exact_k_sample_takeordered(spark):
     p = _plan(spark, "pipeline_exact_k_sample")
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p, p
+
+
+def test_quality_budget_distributed_prefix_sum(spark):
+    """round-5 wave 7: the token cumsum must use the distributed prefix sum
+    — range repartition + per-shard windows; the only single-partition
+    piece is the n_partitions-row offset table."""
+    p = _plan(spark, "pipeline_quality_budget")
+    assert "Exchange rangepartitioning" in p, p
+    assert "BatchEvalPython" not in p, p
+    # no global-order Window over the data: every Window partitions by
+    # the shard id (the offsets window runs on partition counts only)
+    assert "SortMergeJoin" not in p, p

@@ -613,3 +613,28 @@ def test_exact_k_sample_deterministic_and_exact(spark):
     assert exact_k_sample(df, 0).count() == 0
     with pytest.raises(ValueError):
         exact_k_sample(df, -1)
+
+
+def test_quality_budget_select_prefix_rule(spark):
+    from flink_siddhi_spark.llm.pipeline import quality_budget_select
+
+    # quality ranks long stopword-rich docs first; doc 4 is junk-short
+    good = "the a and of to in is on for with " * 12  # 120 words, q=1.0
+    mid = "the a and of to in is on for with "  # 10 words
+    rows = [
+        (1, good.strip(), "en", "s"),
+        (2, good.strip(), "en", "s"),
+        (3, mid.strip() + " extra words here now go", "en", "s"),
+        (4, "x y", "en", "s"),  # q=0 (under 5 words)
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    # budget fits the two 120-word docs and nothing more
+    got = sorted(r.doc_id for r in quality_budget_select(df, 250).collect())
+    assert got == [1, 2]
+    # cum_tokens is the inclusive running total in (quality desc, id) order
+    out = {r.doc_id: r.cum_tokens for r in quality_budget_select(df, 10_000).collect()}
+    assert out[1] == 120 and out[2] == 240
+    # zero budget selects nothing; negative rejects
+    assert quality_budget_select(df, 0).collect() == []
+    with pytest.raises(ValueError):
+        quality_budget_select(df, -1)
