@@ -177,6 +177,9 @@ SCALE_QUERIES = [
     "multimodal_image_neardup",
     "ann_pq_topk",
     "events_rfm",
+    # round 5 wave 7: the distributed prefix sum must stay linear — a
+    # single-task global cumsum would show up as a super-linear ratio here
+    "pipeline_quality_budget",
 ]
 # exact containment at 10x density is the documented pair-output quadratic
 # (measured 269s in round 3, SCALE.md) — the scale section now measures the
