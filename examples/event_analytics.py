@@ -8,11 +8,12 @@ TakeOrdered tops — no global sorts, no self-joins).
     python examples/event_analytics.py [sf_dir]
 """
 
+import os
 import sys
 
 from pyspark.sql import SparkSession
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from flink_siddhi_spark.analytics import (  # noqa: E402
     cooccurrence_lift,

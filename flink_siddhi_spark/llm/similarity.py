@@ -111,6 +111,18 @@ def _auto_engine(nc, nq) -> str:
     )
 
 
+def _resolve_auto_engine(corpus, queries, id_col: str) -> str:
+    """Resolve engine="auto" from the free row-count probes (parquet footer
+    / memoized count) — the ONE place the cost model reads its inputs, so
+    cosine_topk/pq_topk/ivfpq_topk cannot drift apart."""
+    from .dedup import _corpus_rowcount
+
+    return _auto_engine(
+        _corpus_rowcount(corpus.select(id_col)),
+        _corpus_rowcount(queries.select(id_col)),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -144,12 +156,7 @@ def cosine_topk(
     ):
         engine = "join"  # numpy ships ids as int64; join is type-agnostic
     if engine == "auto":
-        from .dedup import _corpus_rowcount
-
-        engine = _auto_engine(
-            _corpus_rowcount(corpus.select(id_col)),
-            _corpus_rowcount(queries.select(id_col)),
-        )
+        engine = _resolve_auto_engine(corpus, queries, id_col)
     if engine == "numpy":
         return _matmul_topk(corpus, queries, k, emb_col, id_col)
     dim = _dim_of(corpus, emb_col)
@@ -905,15 +912,10 @@ def pq_topk(
     the raw float column is DEAD after encode, which is the point: a
     1000-executor deployment scans m-byte codes, not dim-float vectors."""
     if engine == "auto":
-        # make the cost-based call from the RAW corpus (free parquet-footer
-        # probe) — recon has the same row count, but probing the encoded
-        # frame would execute the whole encode pass once just to count it
-        from .dedup import _corpus_rowcount
-
-        engine = _auto_engine(
-            _corpus_rowcount(corpus.select(id_col)),
-            _corpus_rowcount(queries.select(id_col)),
-        )
+        # the RAW corpus probe is free (parquet footer); recon has the same
+        # row count, but probing the encoded frame would execute the whole
+        # encode pass once just to count it
+        engine = _resolve_auto_engine(corpus, queries, id_col)
     enc = pq_encode(corpus, m, n_codes, emb_col, id_col)
     recon = enc.select(F.col(id_col), F.col("recon").alias(emb_col))
     return cosine_topk(recon, queries, k, emb_col, id_col, engine)
@@ -948,12 +950,7 @@ def ivfpq_topk(
     if engine == "auto":
         # resolve here: ivf_topk branches only on "numpy" — passing "auto"
         # through would silently fall into the join scorer at every scale
-        from .dedup import _corpus_rowcount
-
-        engine = _auto_engine(
-            _corpus_rowcount(corpus.select(id_col)),
-            _corpus_rowcount(queries.select(id_col)),
-        )
+        engine = _resolve_auto_engine(corpus, queries, id_col)
     enc = pq_encode(corpus, m, n_codes, emb_col, id_col)
     # ivf_topk reads its corpus several times (coarse centroids, bucket
     # assignment, scoring) — materialize the encode pass ONCE
