@@ -17,7 +17,8 @@ from pyspark.sql import SparkSession
 import bench
 import __spark_entry__ as entry
 
-FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+ARGS = [a for a in sys.argv[1:] if a != "--w67"]
+FACTOR = int(ARGS[0]) if ARGS else 100
 OPS = [
     "pipeline_dsir_weights",
     "text_inverted_index",
@@ -27,6 +28,18 @@ OPS = [
     "events_cooccurrence",
     "multimodal_image_neardup",
     "ann_pq_topk",
+]
+
+# waves 6-7 (pass --w67 to probe these instead)
+OPS_W67 = [
+    "ann_ivfpq_topk",
+    "ann_sq_topk",
+    "pipeline_dsir_resample",
+    "pipeline_quality_budget",
+    "text_dataset_card",
+    "events_attribution",
+    "pipeline_exact_k_sample",
+    "dedup_cluster_sizes",
 ]
 
 
@@ -47,17 +60,18 @@ def main():
     t0 = time.time()
     amp = bench._amplified_dir(spark, sf_dir, FACTOR)
     print(f"amplified dir ready in {time.time() - t0:.1f}s: {amp}", flush=True)
+    ops = OPS_W67 if "--w67" in sys.argv else OPS
     qs = entry.queries()
     floors = {}
     for p in range(2):
-        for name in OPS:
+        for name in ops:
             t0 = time.time()
             n = qs[name](spark, amp).count()
             dt = round(time.time() - t0, 2)
             floors[name] = min(floors.get(name, dt), dt)
             print(f"pass{p} {name}: {dt}s rows={n}", flush=True)
     print("--- floors (min-of-2):")
-    for name in OPS:
+    for name in ops:
         print(f"{floors[name]:8.2f}  {name}")
 
 
