@@ -1461,76 +1461,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates queries() in dict order and records
-# only the FIRST 50 entries, so the window is ROTATED each round. Round 5
-# (VERDICT r4 ask #1): positions 1-10 are the ten entries whose latest driver
-# row is r2 (named in the r4 rotation comment); 11-12 are the new round-5
-# queries; 13-50 are the r3-green set minus the twelve stateless relational
-# basics (filter_projection, projection_expressions, group_agg, having_filter,
-# order_limit, order_limit_offset, distinct_count, stddev_agg,
-# forever_aggregates, scalar_functions, json_functions, union_fan_in) — those
-# twelve are the lowest-risk pure-Catalyst paths (unchanged since r1,
-# exercised by dozens of pytest cases and by other in-window queries) and,
-# with the r4-green fifty, MUST LEAD THE ROUND-6 ROTATION. Everything outside
-# the window is still value-checked by the builder's full local mirror
-# (scripts/verify_oracle.py) each round.
-_R5_WINDOW = [
-    # 1-10: latest driver row is r2 — mandatory leads (VERDICT r4 ask #1)
-    "dedup_minhash_sig",
-    "dedup_simhash",
-    "dedup_embedding",
-    "pipeline_sample",
-    "pipeline_split",
-    "pipeline_shuffle",
-    "pipeline_chunk_overlap",
-    "text_token_count",
-    "text_fingerprint",
-    "pipeline_domain_quota",
-    # 11-14: new in round 5
-    "ann_range_search",
-    "text_entropy",
-    "ann_knn_graph",
-    "text_readability",
-    # 13-50: the stalest r3-green (windows / joins / tables / multimodal /
-    # patterns / r3 ops), relational basics rotated out
-    "window_time_batch",
-    "window_length_batch",
-    "window_session",
-    "window_sliding_length",
-    "window_sliding_time",
-    "window_external_time",
-    "window_external_time_batch",
-    "window_sort",
-    "window_frequent",
-    "window_unique",
-    "window_delay",
-    "window_cron",
-    "window_cron_calendar",
-    "window_cron_weekdays",
-    "window_time_length",
-    "window_lossy_frequent",
-    "join_full_outer",
-    "join_right_outer",
-    "join_stream_table",
-    "join_theta",
-    "topk_per_group",
-    "incremental_agg_day",
-    "incremental_agg_within",
-    "table_upsert_last",
-    "table_dml_delete",
-    "output_rate_last",
-    "chained_queries",
-    "multimodal_metadata",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "pattern_mid_every",
-    "asof_join",
-    "text_classifier",
-    "pipeline_interleave",
-    "tpch_q6_forecast",
-    # tpch_q12ish_priority and dedup_semantic rotated out to make room for
-    # the two late-round-5 additions above; both are r3-green and join the
-    # round-6 leads with the other never-in-r5 entries.
+# only the FIRST 50 entries, so the window is ROTATED each round. Round 6
+# (VERDICT r5 ask #1): positions 1-35 are the thirty-five entries that have
+# NEVER had a driver row (round-5 waves 2-7, registered after the frozen
+# round-5 _R5_WINDOW; list frozen in ROUND5_NOTES.md §'Round-6 window leads');
+# 36-49 are the fourteen entries whose latest driver row is r3 (the twelve
+# relational basics + tpch_q12ish_priority + dedup_semantic, named in the
+# old round-5 window comment); slot 50 is window_cron_monthend, the stalest
+# r4-green entry (single r4 gating). After this round every registered query
+# has a driver row and none is more than two rounds stale. The r4/r5-green
+# hundred outside the window are still value-checked by the builder's full
+# local mirror (scripts/verify_oracle.py) each round. Queries ADDED in round
+# 6 are registered after the window and lead the round-7 rotation.
+_R6_WINDOW = [
+    # 1-35: never driver-gated (round-5 waves 2-7)
+    "events_sessionize",
+    "events_retention",
+    "pipeline_mixture_weights",
+    "text_zipf",
+    "events_funnel",
+    "events_active_rolling",
+    "events_interval_join",
+    "events_zscore",
+    "pipeline_stratified_sample",
+    "text_source_rollup",
+    "events_transitions",
+    "text_bigram_pmi",
+    "text_textrank",
+    "events_hll_users",
+    "text_hll_shingles",
+    "text_cms_heavyhitters",
+    "dedup_substring_spans",
+    "pipeline_bloom_contamination",
+    "text_gopher_rules",
+    "pipeline_dsir_weights",
+    "events_topk_paths",
+    "text_inverted_index",
+    "text_source_kl",
+    "events_rfm",
+    "events_cooccurrence",
+    "multimodal_image_neardup",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "pipeline_dsir_resample",
+    "ann_sq_topk",
+    "text_dataset_card",
+    "events_attribution",
+    "dedup_cluster_sizes",
+    "pipeline_exact_k_sample",
+    "pipeline_quality_budget",
+    # 36-49: latest driver row is r3
+    "filter_projection",
+    "projection_expressions",
+    "group_agg",
+    "having_filter",
+    "order_limit",
+    "order_limit_offset",
+    "distinct_count",
+    "stddev_agg",
+    "forever_aggregates",
+    "scalar_functions",
+    "json_functions",
+    "union_fan_in",
+    "tpch_q12ish_priority",
+    "dedup_semantic",
+    # 50: stalest r4-green entry
+    "window_cron_monthend",
 ]
 
 
@@ -1685,8 +1681,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": q_dedup_substring_spans,
         "pipeline_bloom_contamination": q_pipeline_bloom_contamination,
         "text_gopher_rules": q_text_gopher_rules,
-        # --- round-5 waves 4-5 (registered after the frozen _R5_WINDOW;
-        # all eight join the round-6 window leads) ---
+        # --- round-5 waves 4-5 (registered after the frozen round-5 window;
+        # gated in the round-6 window above) ---
         "pipeline_dsir_weights": q_pipeline_dsir_weights,
         "events_topk_paths": q_events_topk_paths,
         "text_inverted_index": q_text_inverted_index,
@@ -1706,12 +1702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
-    if len(_R5_WINDOW) != 50 or not set(_R5_WINDOW) <= set(q):
+    if len(_R6_WINDOW) != 50 or not set(_R6_WINDOW) <= set(q):
         raise RuntimeError(
-            f"driver window invariant violated: {len(_R5_WINDOW)} entries, "
-            f"unknown: {sorted(set(_R5_WINDOW) - set(q))}"
+            f"driver window invariant violated: {len(_R6_WINDOW)} entries, "
+            f"unknown: {sorted(set(_R6_WINDOW) - set(q))}"
         )
-    ordered = {k: q[k] for k in _R5_WINDOW}
+    ordered = {k: q[k] for k in _R6_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
