@@ -3203,10 +3203,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_topk_paths": (
             # NULL-propagating || matches the Spark side's F.concat: a NULL
-            # event_type anywhere kills the whole path (never a truncated one)
-            "WITH p AS (SELECT event_type || '>' || "
-            "lead(event_type, 1) OVER w || '>' || "
-            "lead(event_type, 2) OVER w path FROM events "
+            # event_type anywhere kills the whole path (never a truncated
+            # one). The separator is escaped inside types (backslash first,
+            # then '>') exactly as analytics.topk_paths does, so a type
+            # containing '>' cannot alias two distinct paths.
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "replace(replace(event_type, '\\', '\\\\'), '>', '\\>') et "
+            "FROM events), "
+            "p AS (SELECT et || '>' || "
+            "lead(et, 1) OVER w || '>' || "
+            "lead(et, 2) OVER w path FROM e "
             "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
             "c AS (SELECT path, CAST(count(*) AS BIGINT) n_paths FROM p "
             "WHERE path IS NOT NULL GROUP BY path "

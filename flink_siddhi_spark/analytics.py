@@ -418,9 +418,15 @@ def topk_paths(
     if depth < 2:
         raise ValueError("depth must be >= 2")
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    steps = [F.col(type_col)] + [
-        F.lead(type_col, i).over(w) for i in range(1, depth)
-    ]
+    # escape the separator inside types (backslash first, then '>') so an
+    # event type CONTAINING '>' cannot alias two distinct paths onto one
+    # string — without this ('a>b','c') and ('a','b>c') both read 'a>b>c'
+    esc = F.replace(
+        F.replace(F.col(type_col), F.lit("\\"), F.lit("\\\\")),
+        F.lit(">"),
+        F.lit("\\>"),
+    )
+    steps = [esc] + [F.lead(esc, i).over(w) for i in range(1, depth)]
     # F.concat NULL-propagates (like SQL ||): a NULL event_type anywhere in
     # the window kills the whole path instead of concat_ws's silent skip,
     # which would count a truncated 'a>c' as a depth-3 path

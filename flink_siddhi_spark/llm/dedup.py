@@ -634,11 +634,12 @@ def _corpus_rowcount(df: DataFrame):
     return n
 
 
-def _autocap_triggered(df: DataFrame, fn_name: str) -> bool:
+def _autocap_triggered(df: DataFrame, fn_name: str, caps=None) -> bool:
     """True when ``df`` exceeds ``DENSE_PAIR_AUTOCAP_LIMIT`` rows. The probe
     is free for parquet-scan inputs (footer metadata via ``_plan_rowcount``)
     and a memoized count job otherwise. Emits the warning naming the
-    applied defaults."""
+    applied caps (``caps`` overrides the dedup-family defaults for callers
+    like ``multimodal.image_neardup_pairs`` whose knob set differs)."""
     import warnings
 
     n = _corpus_rowcount(df)
@@ -647,9 +648,10 @@ def _autocap_triggered(df: DataFrame, fn_name: str) -> bool:
     warnings.warn(
         f"{fn_name}: corpus has {n} rows (> DENSE_PAIR_AUTOCAP_LIMIT="
         f"{DENSE_PAIR_AUTOCAP_LIMIT}); applying the capped production "
-        f"configuration {DENSE_PAIR_DEFAULTS} because exact all-pairs "
-        "output is quadratic in duplicate-group size. Pass caps explicitly "
-        "or auto_cap=False for the exact contract.",
+        f"configuration {caps if caps is not None else DENSE_PAIR_DEFAULTS} "
+        "because exact all-pairs output is quadratic in duplicate-group "
+        "size. Pass caps explicitly or auto_cap=False for the exact "
+        "contract.",
         stacklevel=3,
     )
     return True
@@ -747,6 +749,8 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
     )
     label_t = dict(p.dtypes)["id_a"]
+    new_labels = None
+    converged = False
     for it in range(max_iterations):
         # candidate labels: own label + the labels of all neighbors; the own
         # row carries the previous label in __own (null on neighbor rows, so
@@ -767,7 +771,23 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         # round 1 always relabels the larger endpoint of some edge — skip the
         # (cheap, checkpoint-scan) convergence probe there
         if it > 0 and new_labels.filter(F.col("label") != F.col("__own")).limit(1).count() == 0:
+            converged = True
             break
+    # fail LOUDLY on non-convergence: a duplicate chain of graph diameter >
+    # max_iterations would otherwise be silently split into several clusters
+    # (and every downstream keep-set / size-histogram silently wrong). The
+    # probe reuses the last round's checkpointed (label, __own) columns, so
+    # it costs a scan, not a join.
+    if not converged and new_labels is not None and (
+        new_labels.filter(F.col("label") != F.col("__own")).limit(1).count() > 0
+    ):
+        raise RuntimeError(
+            f"dedup_clusters did not converge in max_iterations="
+            f"{max_iterations} rounds: the pair graph has a component of "
+            f"diameter > {max_iterations} (labels still changed in the last "
+            "round). Raise max_iterations — each extra round costs one "
+            "edges-join + groupBy-min."
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -1468,6 +1488,7 @@ def cluster_size_profile(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_iterations: int = 20,
 ) -> DataFrame:
     """Duplication profile: one row per near-dup cluster SIZE with how many
     clusters have it and how many documents they hold, plus the size-1 row
@@ -1479,9 +1500,15 @@ def cluster_size_profile(
     Scale shape: the LSH pair graph and label propagation are the existing
     ``minhash_lsh_pairs``/``dedup_clusters`` plans; everything after runs
     at cluster scale (labels -> sizes -> histogram are two tiny hash
-    aggregates), and the singleton row needs only the corpus row count."""
-    labels = dedup_clusters(minhash_lsh_pairs(df, threshold=threshold,
-                                              text_col=text_col, id_col=id_col))
+    aggregates), and the singleton row needs only the corpus row count.
+    ``max_iterations`` bounds the label-propagation rounds (= max component
+    diameter); propagation RAISES rather than silently splitting a deeper
+    chain into several clusters (which would skew this whole histogram)."""
+    labels = dedup_clusters(
+        minhash_lsh_pairs(df, threshold=threshold,
+                          text_col=text_col, id_col=id_col),
+        max_iterations=max_iterations,
+    )
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__sz"))
     hist = sizes.groupBy(F.col("__sz").alias("cluster_size")).agg(
         F.count(F.lit(1)).alias("n_clusters"),

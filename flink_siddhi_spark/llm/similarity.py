@@ -1087,12 +1087,7 @@ def sq_topk(
     queries vs dequantized corpus), ranked (rounded cosine desc, id asc).
     Same composition shape as ``pq_topk``; scoring reuses ``cosine_topk``."""
     if engine == "auto":
-        from .dedup import _corpus_rowcount
-
-        engine = _auto_engine(
-            _corpus_rowcount(corpus.select(id_col)),
-            _corpus_rowcount(queries.select(id_col)),
-        )
+        engine = _resolve_auto_engine(corpus, queries, id_col)
     enc = sq_encode(corpus, emb_col, id_col)
     # materialize the reconstruction: without the barrier Catalyst collapses
     # the 64-wide recon projection INTO the scorer, and the unrolled dot

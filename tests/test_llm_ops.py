@@ -70,6 +70,19 @@ def test_dedup_clusters_connected_components(spark):
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 8: 4}
 
 
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """round-6 (ADVICE r5): a duplicate chain deeper than max_iterations must
+    RAISE, not silently split into several clusters — the keep-set and the
+    size histogram downstream would both be wrong with no signal."""
+    # a 6-node path graph: diameter 5, needs ~5 propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a int, id_b int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_clusters(chain, max_iterations=2).collect()
+    out = {r.doc_id: r.cluster_id for r in D.dedup_clusters(chain).collect()}
+    assert out == {i: 1 for i in range(1, 7)}
+
+
 def test_pii_scrub(spark):
     from flink_siddhi_spark.llm.text import pii_scrub
 

