@@ -926,6 +926,25 @@ def q_ann_pq_topk(spark, sf_dir):
     return pq_topk(embs, queries, m=8, n_codes=16, k=5)
 
 
+def q_ann_pq_trained_topk(spark, sf_dir):
+    # round-6 (VERDICT r5 ask #4): PQ top-k on per-subspace k-means TRAINED
+    # codebooks — the production recall path (seed16 capped recall at ~0.24
+    # on the 4-cluster synthetic; trained-256 reaches 1.0). Training is
+    # deterministic end-to-end (id-seeded init, round-6 argmin assignment,
+    # exact DECIMAL(38,12) sums, HALF_UP integer-unit means, fixed
+    # iterations) so the DuckDB oracle replays the ENTIRE training loop as
+    # unrolled CTEs — the repo's second iterative oracle-gated operator
+    # after text_textrank.
+    from flink_siddhi_spark.llm.similarity import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return pq_topk(
+        embs, queries, m=8, n_codes=32, k=5,
+        codebook="trained", train_iters=2,
+    )
+
+
 def q_pipeline_quality_budget(spark, sf_dir):
     # round-5 wave 7: best-docs-within-a-token-budget greedy selection —
     # distributed prefix sum, no single-task global-order window
@@ -1699,6 +1718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "pipeline_exact_k_sample": q_pipeline_exact_k_sample,
         "pipeline_quality_budget": q_pipeline_quality_budget,
+        # --- round 6 (registered after the frozen _R6_WINDOW; these lead
+        # the round-7 rotation) ---
+        "ann_pq_trained_topk": q_ann_pq_trained_topk,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -1935,6 +1957,109 @@ def _pq_xh_ctes(m: int = 8, n_codes: int = 16, dim: int = 64) -> str:
         "xh AS (SELECT vec_id, flatten(list(cs ORDER BY j)) recon FROM ("
         f"SELECT enc.vec_id, enc.j, ce[enc.j*{sub}+1 : enc.j*{sub}+{sub}] cs "
         "FROM enc JOIN cent ON cent.c = enc.code) GROUP BY vec_id)"
+    )
+
+
+def _pq_trained_ctes(
+    m: int = 8, n_codes: int = 32, n_iter: int = 2, dim: int = 64,
+    train_cap: int = 65_536,
+) -> str:
+    """CTE chain replaying llm.similarity.pq_train_codebook — per-subspace
+    Lloyd k-means UNROLLED across ``n_iter`` fixed iterations (the textrank
+    pattern), then the encode chain on the trained codebook, ending in
+    ``xh(vec_id, recon)``.
+
+    Engine-exactness hinges on the trainer's determinism contract:
+    assignment is the same round-6 left-fold squared-L2 argmin the seed
+    oracle uses; the update sums round-12 values in DECIMAL(38,12) (exact,
+    order-free) and takes the HALF_UP mean in INTEGER 1e-12 units —
+    sign * ((2*|S| + n) // (2*n)) — replayed here in HUGEINT, so there is
+    no float division anywhere; the final units -> double is one
+    correctly-rounded IEEE op in both engines (mean units always fit a
+    double exactly). Codes that lose every member keep their previous
+    centroid (LEFT JOIN + the NULL branch). Reconstructions narrow trained
+    DOUBLE centroids to REAL exactly as the Spark encoder's float32 cast."""
+    sub = dim // m
+    t = "(CAST(e.embedding[{i}] AS DOUBLE) - CAST(ce[{i}] AS DOUBLE))"
+    d_expr = " + ".join(
+        f"{t.format(i=f'j*{sub}+{d + 1}')} * {t.format(i=f'j*{sub}+{d + 1}')}"
+        for d in range(sub)
+    )
+    u = 10**12
+    parts = [
+        "samp AS (SELECT vec_id, embedding FROM embeddings "
+        f"ORDER BY vec_id LIMIT {train_cap})",
+        "cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 c, "
+        "list_transform(embedding, v -> CAST(v AS DOUBLE)) ce "
+        f"FROM (SELECT * FROM samp ORDER BY vec_id LIMIT {n_codes}))",
+    ]
+    for i in range(1, n_iter + 1):
+        prev = f"cb{i - 1}"
+        sums = ", ".join(
+            f"sum(CAST(round(CAST(e.embedding[a.j*{sub}+{d + 1}] AS DOUBLE)"
+            f", 12) AS DECIMAL(38,12))) s{d}"
+            for d in range(sub)
+        )
+        mean_exprs = []
+        for d in range(sub):
+            s = f"s.s{d}"
+            mean_exprs.append(
+                f"CASE WHEN s.cnt IS NULL THEN p.ce[t.j*{sub}+{d + 1}] "
+                f"ELSE CAST((CASE WHEN {s} < 0 THEN -1 ELSE 1 END) * "
+                f"((2 * CAST(abs({s}) * {u} AS HUGEINT) + s.cnt) // "
+                f"(2 * s.cnt)) AS DOUBLE) / {u}.0 END"
+            )
+        parts.append(
+            f"a{i} AS (SELECT e.vec_id, t.j, p.c code "
+            f"FROM samp e, range({m}) t(j), {prev} p "
+            "QUALIFY row_number() OVER (PARTITION BY e.vec_id, t.j "
+            f"ORDER BY round(0.0 + {d_expr}, 6) ASC, p.c ASC) = 1)"
+        )
+        parts.append(
+            f"s{i} AS (SELECT a.j, a.code c, count(*) cnt, {sums} "
+            f"FROM a{i} a JOIN samp e USING (vec_id) GROUP BY a.j, a.code)"
+        )
+        parts.append(
+            f"cb{i} AS (SELECT c, flatten(list(sv ORDER BY j)) ce FROM ("
+            f"SELECT p.c, t.j, [{', '.join(mean_exprs)}] sv "
+            f"FROM {prev} p CROSS JOIN range({m}) t(j) "
+            f"LEFT JOIN s{i} s ON s.j = t.j AND s.c = p.c) GROUP BY c)"
+        )
+    cb = f"cb{n_iter}"
+    parts.append(
+        "enc AS (SELECT e.vec_id, t.j, p.c code "
+        f"FROM embeddings e, range({m}) t(j), {cb} p "
+        "QUALIFY row_number() OVER (PARTITION BY e.vec_id, t.j "
+        f"ORDER BY round(0.0 + {d_expr}, 6) ASC, p.c ASC) = 1)"
+    )
+    parts.append(
+        "xh AS (SELECT vec_id, flatten(list(cs ORDER BY j)) recon FROM ("
+        "SELECT enc.vec_id, enc.j, "
+        f"list_transform(ce[enc.j*{sub}+1 : enc.j*{sub}+{sub}], "
+        "v -> CAST(v AS REAL)) cs "
+        f"FROM enc JOIN {cb} p ON p.c = enc.code) GROUP BY vec_id)"
+    )
+    return ", ".join(parts)
+
+
+def _pq_trained_topk_sql(
+    m: int = 8, n_codes: int = 32, n_iter: int = 2, k: int = 5,
+    dim: int = 64,
+) -> str:
+    """Analytic replay of pq_topk(codebook="trained"): unrolled k-means
+    training + PQ reconstruction + asymmetric cosine rank."""
+    return (
+        f"WITH {_pq_trained_ctes(m, n_codes, n_iter, dim)}, "
+        "q AS (SELECT vec_id query_id, embedding qe FROM embeddings "
+        "WHERE vec_id < 10), "
+        "scored AS (SELECT query_id, x.vec_id neighbor_id, "
+        "round(" + _cos_sql("qe", "x.recon") + ", 6) cos FROM q, xh x "
+        "WHERE x.vec_id != query_id) "
+        "SELECT query_id, neighbor_id, cos, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id) AS INT) rank FROM scored "
+        "WHERE cos IS NOT NULL AND NOT isnan(cos)) "
+        f"WHERE rank <= {k}"
     )
 
 
@@ -2919,6 +3044,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_neardup": _image_neardup_sql(),
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),
+        "ann_pq_trained_topk": _pq_trained_topk_sql(),
         "ann_sq_topk": _sq_topk_sql(),
         "pipeline_quality_budget": (
             "WITH t AS (SELECT doc_id, "

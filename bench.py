@@ -125,6 +125,9 @@ HEADLINE = [
     "dedup_cluster_sizes",
     "pipeline_exact_k_sample",
     "pipeline_quality_budget",
+    # round 6: k-means-trained PQ codebooks (the production recall path;
+    # training cost = n_iter bounded-sample assignment passes)
+    "ann_pq_trained_topk",
 ]
 
 

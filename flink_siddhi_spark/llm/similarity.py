@@ -742,6 +742,139 @@ def _pq_codebook(corpus: DataFrame, n_codes: int, emb_col: str, id_col: str):
     return cb
 
 
+def pq_train_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    n_iter: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_cap: int = 65_536,
+) -> list:
+    """Per-subspace Lloyd k-means codebook training for product
+    quantization (round-6 VERDICT ask #4: the seeded 16-entry codebooks
+    cap IVF-PQ recall — the codebook, not the composition, was the
+    limiter; real PQ trains >=256 entries per subspace, Jegou et al. 2011).
+
+    Returns the stacked-full-vector format ``pq_encode`` consumes: entry
+    ``c``'s slice ``[j*sub:(j+1)*sub]`` is subspace ``j``'s centroid ``c``
+    (the m subspace codebooks are independent; stacking composes them
+    losslessly because encode argmins each subspace on its own slice).
+
+    DETERMINISM CONTRACT (the textrank pattern, partition-independent and
+    engine-replayable):
+      - training sample: first ``train_cap`` vectors by id
+        (TakeOrderedAndProject — a bounded heap scan, never a global sort;
+        FAISS trains on a bounded sample for the same reason);
+      - init: the first ``n_codes`` sample vectors by id (no RNG);
+      - assignment: the SAME round-6 squared-L2 argmin with first-minimum
+        code-id tiebreak that ``pq_encode`` uses (numpy fold, bit-identical
+        to the JVM expression fold — pytest pins the engines equal);
+      - update: per-(subspace, code, dimension) means via exact
+        DECIMAL(38,12) sums of round-12 inputs (order-independent — a
+        float sum would drift with partitioning); the mean is HALF_UP to
+        12 decimals computed in EXACT integer units —
+        sign * ((2*|S| + n) // (2*n)) on the 1e-12-scaled sum — so a
+        SQL oracle replays it with HUGEINT arithmetic, no float division
+        (the mean's units fit a double exactly, so the final
+        units / 1e12 is ONE correctly-rounded IEEE op in both engines);
+      - a code that loses every member keeps its previous centroid (k
+        never shrinks — PQ needs the full code space);
+      - fixed ``n_iter`` (no data-dependent stopping).
+
+    Scale shape: each iteration is ONE Arrow-batched assignment pass over
+    the (bounded) sample emitting n*m skinny rows, one hash aggregate
+    onto the <= m*n_codes group table, and a <= m*n_codes-row collect —
+    the broadcast-model pattern (``kmeans_centroids`` has the rationale);
+    the full corpus is only read by the later encode pass."""
+    from decimal import Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    dim = _dim_of(corpus, emb_col)
+    if dim is None:
+        raise ValueError("pq: empty corpus — no codebook vectors")
+    if dim % m:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    sample = (
+        corpus.select(id_col, emb_col)
+        .orderBy(id_col)
+        .limit(train_cap)
+        .localCheckpoint(eager=False)
+    )
+    cb = [
+        [float(v) for v in r[emb_col]]
+        for r in sample.orderBy(id_col).limit(n_codes).select(emb_col).collect()
+    ]
+    if not cb:
+        raise ValueError("pq: empty corpus — no codebook vectors")
+    out_schema = T.StructType(
+        [T.StructField("j", T.IntegerType()), T.StructField("c", T.IntegerType())]
+        + [T.StructField(f"v{d}", T.DoubleType()) for d in range(sub)]
+    )
+    for _ in range(n_iter):
+        cb64 = [np.asarray(c, dtype=np.float64) for c in cb]
+        n_cb = len(cb)
+
+        def assign(batches, cb64=cb64, n_cb=n_cb):
+            for pdf in batches:
+                X = _np_emb_matrix(pdf[emb_col], dim)
+                n = X.shape[0]
+                frames = []
+                for j in range(m):
+                    best_d = None
+                    best_c = None
+                    for c in range(n_cb):
+                        acc = np.zeros(n)
+                        for d in range(sub):
+                            i = j * sub + d
+                            t = X[:, i] - cb64[c][i]
+                            acc += t * t
+                        dr = _np_round6(acc)
+                        if best_d is None:
+                            best_d, best_c = dr, np.full(n, c, dtype=np.int32)
+                        else:
+                            better = dr < best_d  # strict: ties keep smaller c
+                            best_d = np.where(better, dr, best_d)
+                            best_c = np.where(better, c, best_c)
+                    cols = {"j": np.full(n, j, dtype=np.int32), "c": best_c}
+                    for d in range(sub):
+                        cols[f"v{d}"] = X[:, j * sub + d]
+                    frames.append(pd.DataFrame(cols))
+                yield pd.concat(frames, ignore_index=True)
+
+        assigned = sample.mapInPandas(assign, out_schema)
+        stats = (
+            assigned.groupBy("j", "c")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(
+                        F.round(F.col(f"v{d}"), 12).cast("decimal(38,12)")
+                    ).alias(f"s{d}")
+                    for d in range(sub)
+                ],
+            )
+            .collect()  # <= m*n_codes rows — the broadcast-model pattern
+        )
+        new_cb = [list(c) for c in cb]  # empty codes keep previous centroid
+        for r in stats:
+            cnt = int(r["__n"])
+            for d in range(sub):
+                s_units = int(Decimal(r[f"s{d}"]).scaleb(12))  # exact int
+                sign = -1 if s_units < 0 else 1
+                mean_units = sign * ((2 * abs(s_units) + cnt) // (2 * cnt))
+                new_cb[r["c"]][r["j"] * sub + d] = float(
+                    Decimal(mean_units).scaleb(-12)
+                )
+        cb = new_cb
+    return cb
+
+
 def _pq_sqdist_sql(emb_col: str, cent: list, j: int, sub: int) -> str:
     """round-6 squared L2 between subvector j of ``emb_col`` and a literal
     centroid subvector, as a left-fold SQL string (one server-side parse,
@@ -899,6 +1032,8 @@ def pq_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     engine: str = "auto",
+    codebook="seed",
+    train_iters: int = 3,
 ) -> DataFrame:
     """Approximate top-k via product quantization with asymmetric distance:
     full-precision queries score against the corpus's quantized
@@ -910,13 +1045,26 @@ def pq_topk(
     ``cosine_topk`` unchanged (two-phase local top-k, numpy or join
     engine), reading the reconstruction instead of the raw embedding —
     the raw float column is DEAD after encode, which is the point: a
-    1000-executor deployment scans m-byte codes, not dim-float vectors."""
+    1000-executor deployment scans m-byte codes, not dim-float vectors.
+
+    ``codebook="seed"`` (default): first-``n_codes``-by-id vectors — the
+    iteration-free oracle-checkable mode. ``codebook="trained"``: per-
+    subspace Lloyd k-means via ``pq_train_codebook`` — the production
+    recall path (deterministic, see its contract; recall gate in pytest).
+    A list passes through as an explicit stacked codebook."""
     if engine == "auto":
         # the RAW corpus probe is free (parquet footer); recon has the same
         # row count, but probing the encoded frame would execute the whole
         # encode pass once just to count it
         engine = _resolve_auto_engine(corpus, queries, id_col)
-    enc = pq_encode(corpus, m, n_codes, emb_col, id_col)
+    if codebook == "trained":
+        codebook = pq_train_codebook(
+            corpus, m, n_codes, train_iters, emb_col, id_col
+        )
+    enc = pq_encode(
+        corpus, m, n_codes, emb_col, id_col,
+        codebook=None if codebook == "seed" else codebook,
+    )
     recon = enc.select(F.col(id_col), F.col("recon").alias(emb_col))
     return cosine_topk(recon, queries, k, emb_col, id_col, engine)
 
@@ -932,6 +1080,8 @@ def ivfpq_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     engine: str = "auto",
+    codebook="seed",
+    train_iters: int = 3,
 ) -> DataFrame:
     """IVF-PQ: the standard production ANN architecture — a coarse
     inverted-file index prunes the scan to ``n_probe`` buckets, and
@@ -944,14 +1094,24 @@ def ivfpq_topk(
     Deterministic end-to-end (seeded codebook + seeded coarse centroids +
     round-6 argmins with id tiebreaks), so the DuckDB oracle replays the
     full index: codes -> reconstructions -> bucket lists -> probed ranks.
-    (Residual encoding — PQ over x minus its coarse centroid — is the
-    recall refinement on top of this shape; the composition point is
-    identical.)"""
+    (Residual encoding — PQ over x minus its coarse centroid — was
+    implemented and measured in round 5: with SEEDED codebooks it bought
+    no recall, because the codebook, not the composition, was the limiter;
+    ``codebook="trained"`` — per-subspace k-means at real sizes, >=256
+    entries — is the refinement that pays, kept deterministic by
+    ``pq_train_codebook``'s contract.)"""
     if engine == "auto":
         # resolve here: ivf_topk branches only on "numpy" — passing "auto"
         # through would silently fall into the join scorer at every scale
         engine = _resolve_auto_engine(corpus, queries, id_col)
-    enc = pq_encode(corpus, m, n_codes, emb_col, id_col)
+    if codebook == "trained":
+        codebook = pq_train_codebook(
+            corpus, m, n_codes, train_iters, emb_col, id_col
+        )
+    enc = pq_encode(
+        corpus, m, n_codes, emb_col, id_col,
+        codebook=None if codebook == "seed" else codebook,
+    )
     # ivf_topk reads its corpus several times (coarse centroids, bucket
     # assignment, scoring) — materialize the encode pass ONCE
     recon = enc.select(F.col(id_col), F.col("recon").alias(emb_col)).localCheckpoint(

@@ -361,3 +361,15 @@ def test_quality_budget_distributed_prefix_sum(spark):
     # no global-order Window over the data: every Window partitions by
     # the shard id (the offsets window runs on partition counts only)
     assert "SortMergeJoin" not in p, p
+
+
+def test_pq_trained_topk_bounded_training(spark):
+    """round-6: trained-PQ = n_iter bounded-sample assignment passes (skinny
+    n*m rows into a <= m*n_codes hash agg) + the zero-shuffle encode + the
+    two-phase scorer. Training must stay TakeOrdered-sampled (never a
+    global sort of the corpus) and free of Python row UDFs; the final
+    query plan keeps the PQ shape (local top-k before one merge)."""
+    p = _plan(spark, "ann_pq_trained_topk")
+    assert "MapInPandas" in p and "WindowGroupLimit" in p, p
+    assert "SortMergeJoin" not in p and "BatchEvalPython" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p

@@ -225,6 +225,84 @@ def _embs_df(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
 
+def _four_cluster_embs(spark, n_per=50, dim=64, sigma=0.15):
+    """The round-5 4-cluster synthetic (tight clusters: within-cluster
+    cosines ~0.99+) that exposed the seeded-codebook recall ceiling —
+    test-side fixed-seed RNG; the engine itself stays RNG-free."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (4, dim))
+    X = np.concatenate(
+        [c + rng.normal(0, sigma, (n_per, dim)) for c in centers]
+    )
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(len(X))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_trained_codebook_recall_gate(spark):
+    """round-6 (VERDICT r5 ask #4): per-subspace k-means codebooks at real
+    sizes (256 entries) lift PQ recall@10 past 0.7 on the 4-cluster
+    synthetic where the seeded 16-entry codebook measured ~0.24 — the
+    codebook, not the composition, was the limiter (probe this round:
+    seed16 0.24, trained-256 1.0, trained IVF-PQ 0.85)."""
+    from pyspark.sql import functions as F
+
+    from flink_siddhi_spark.llm.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    embs = _four_cluster_embs(spark)
+    q = embs.filter(F.col("vec_id") % 20 == 0)  # 10 queries
+    exact = {}
+    for r in cosine_topk(embs, q, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(k, set()) & v) / len(v) for k, v in exact.items()
+        ) / len(exact)
+
+    seeded = recall(pq_topk(embs, q, k=10))
+    trained = recall(pq_topk(embs, q, k=10, n_codes=256, codebook="trained"))
+    assert trained >= 0.7, trained
+    assert trained > seeded + 0.3, (trained, seeded)
+    trained_ivfpq = recall(
+        ivfpq_topk(embs, q, k=10, n_codes=256, codebook="trained")
+    )
+    assert trained_ivfpq >= 0.7, trained_ivfpq
+
+
+def test_pq_train_codebook_determinism_contract(spark):
+    """Training is partition-independent (DECIMAL(38,12) sums, fixed
+    iterations, id-seeded init) and its codebook feeds BOTH encode engines
+    to bit-identical codes/reconstructions."""
+    from flink_siddhi_spark.llm.similarity import pq_encode, pq_train_codebook
+
+    embs = _four_cluster_embs(spark, n_per=25)
+    cb1 = pq_train_codebook(embs.repartition(1), n_codes=32, n_iter=2)
+    cb7 = pq_train_codebook(embs.repartition(7), n_codes=32, n_iter=2)
+    assert cb1 == cb7
+    assert len(cb1) == 32 and all(len(c) == 64 for c in cb1)
+    # trained centroids moved off the raw seed vectors
+    seeds = [r.embedding for r in
+             embs.orderBy("vec_id").limit(32).select("embedding").collect()]
+    assert cb1 != [[float(v) for v in s] for s in seeds]
+    a = {r.vec_id: r for r in
+         pq_encode(embs, codebook=cb1, engine="numpy").collect()}
+    b = {r.vec_id: r for r in
+         pq_encode(embs, codebook=cb1, engine="expr").collect()}
+    assert set(a) == set(b)
+    for vid in a:
+        assert list(a[vid].codes) == list(b[vid].codes), vid
+        assert list(a[vid].recon) == list(b[vid].recon), vid
+
+
 def test_pq_engines_identical(spark):
     # the numpy mapInPandas encoder and the pure-Catalyst literal projection
     # must agree bit-for-bit: codes AND float32 reconstructions
