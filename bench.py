@@ -259,6 +259,120 @@ def _amplified_dir(spark, sf_dir: str, factor: int) -> str:
     return out
 
 
+def _control_lifecycle_bench(spark, n_plans: int = 10) -> dict:
+    """Query-manager overhead under dynamic control (round-6 VERDICT ask
+    #7): add -> update -> disable/enable -> delete of ``n_plans`` CQL plans
+    over a live file stream, each phase draining every enabled plan's
+    availableNow sink to completion. Wall-clock per phase — this times the
+    MANAGER (compile + sink restart + checkpoint resume), dominated by
+    per-plan Structured Streaming sink startup, not by data volume."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from flink_siddhi_spark import SiddhiCEP
+    from flink_siddhi_spark.siddhiql.parser import parse_query
+    from flink_siddhi_spark.sources.streams import file_stream
+    from flink_siddhi_spark.streaming.control import (
+        MetadataControlEvent,
+        OperationControlEvent,
+        to_json,
+    )
+    from flink_siddhi_spark.streaming.query_manager import QueryManager
+    from flink_siddhi_spark.streaming.runtime import StreamingPlanner
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("timestamp", T.LongType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_ctl_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def compile_fn(plan_text):
+        cep = SiddhiCEP(spark)
+        stream = file_stream(spark, src, schema)
+        cep.register_stream(
+            "s", stream, "id", "name", "price", "timestamp",
+            ts_field="timestamp",
+        )
+        return StreamingPlanner(cep.catalog, cep.extensions).compile_query(
+            parse_query(plan_text)
+        )
+
+    def sink_fn(qid, df):
+        return (
+            df.writeStream.format("json")
+            .option("path", os.path.join(root, "out", qid))
+            .option("checkpointLocation", os.path.join(root, "ck", qid))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def tick(qm):
+        for qid, mq in qm.queries.items():
+            if mq.enabled and (
+                mq.query_handle is None or not mq.query_handle.isActive
+            ):
+                mq.query_handle = sink_fn(qid, qm.compile_fn(mq.plan_text))
+        for mq in qm.queries.values():
+            if mq.query_handle is not None and hasattr(
+                mq.query_handle, "awaitTermination"
+            ):
+                mq.query_handle.awaitTermination(120)
+
+    qm = QueryManager(compile_fn, sink_fn=sink_fn)
+    phases: dict = {"n_plans": n_plans}
+    try:
+        write_file([(i, "x", float(i), 1000 * i) for i in range(1, 101)])
+        t0 = time.time()
+        qm.on_control_json(to_json(MetadataControlEvent(
+            added_execution_plan_map={
+                f"p{i}": f"from s[price > {i}.0] select id insert into O{i}"
+                for i in range(n_plans)
+            })))
+        tick(qm)
+        phases["add"] = round(time.time() - t0, 3)
+        write_file([(i, "y", float(i), 1000 * i) for i in range(101, 201)])
+        t0 = time.time()
+        qm.on_control_json(to_json(MetadataControlEvent(
+            updated_execution_plan_map={
+                f"p{i}": f"from s[price > {i + 1}.0] select id insert into O{i}"
+                for i in range(n_plans)
+            })))
+        tick(qm)
+        phases["update"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        for i in range(n_plans):
+            qm.on_control_json(to_json(
+                OperationControlEvent("DISABLE_QUERY", f"p{i}")))
+        write_file([(i, "z", float(i), 1000 * i) for i in range(201, 301)])
+        for i in range(n_plans):
+            qm.on_control_json(to_json(
+                OperationControlEvent("ENABLE_QUERY", f"p{i}")))
+        tick(qm)  # every plan resumes from checkpoint and catches up
+        phases["disable_enable"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        qm.on_control_json(to_json(MetadataControlEvent(
+            deleted_execution_plan_id=[f"p{i}" for i in range(n_plans)])))
+        phases["delete"] = round(time.time() - t0, 3)
+        assert not qm.queries
+    finally:
+        qm.stop_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return phases
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -438,6 +552,13 @@ def main() -> int:
             # sf_scale map is small (~15 queries) — safe as its own line
             print(json.dumps({"sf_scale": out["sf_scale"]}))
             sys.stdout.flush()
+    if os.environ.get("SPARK_GRAFT_CONTROL_BENCH", "1") != "0":
+        try:
+            out["control_lifecycle"] = _control_lifecycle_bench(spark)
+            print(json.dumps({"control_lifecycle": out["control_lifecycle"]}))
+            sys.stdout.flush()
+        except Exception as ex:  # must never fail the bench
+            print(f"# control bench failed: {ex}", file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as fh:
