@@ -215,6 +215,12 @@ def rolling_active_users(
         df.select(F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d"))
         .distinct()
     )
+    return _rolling_from_user_days(days, window_days)
+
+
+def _rolling_from_user_days(days: DataFrame, window_days: int) -> DataFrame:
+    """Shared finisher for :func:`rolling_active_users` and its streaming
+    twin: (u, d) distinct user-day pairs -> (day, dau, rolling_users)."""
     cal = days.select("d").distinct()
     fan = days.select(
         "u",
@@ -652,3 +658,354 @@ def last_touch_attribution(
         F.when(in_h, F.col("__lt.tp")).alias("touch_type"),
         F.when(in_h, age).cast("bigint").alias("ms_since_touch"),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twins (round-6 VERDICT ask #5): watermark-bounded forms of the
+# event-analytics family — per-user state with event-time horizons, the same
+# shape as the CQL patterns they mirror. Parity tests pin streamed == batch
+# across >= 2 micro-batches (the HLL/CMS twin contract).
+
+
+def funnel_stream(
+    df: DataFrame,
+    steps: Sequence[str],
+    within_ms: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of :func:`funnel` for CONTINUOUS event logs: one
+    append row ``(user, step_idx, step, t_ms)`` per step the user reached
+    under the batch op's earliest-completion semantics; per-step
+    ``n_users`` is a count-distinct over the sunk rows (the
+    register/finisher split the HLL twin uses).
+
+    ``within_ms`` is REQUIRED here (batch allows None): the horizon is
+    what bounds state — a user's funnel outcome is FINAL once the
+    watermark passes ``t0 + within_ms`` (t0 = the user's earliest step-0
+    time, which only decreases, so the horizon only tightens), at which
+    point the chain is computed exactly like batch, emitted, and the
+    user's state dropped. Per-user state is the step events inside the
+    horizon — the same bound the CQL ``A -> B within t`` pattern carries.
+
+    Out-of-order arrivals inside the watermark are handled by full
+    recompute at finalization (never incremental emission), so arrival
+    order cannot change the result — only event time can.
+
+    NB: the step-type filter is pushed below the watermark node, so the
+    watermark advances on funnel-relevant events only — idle-stream
+    finalization needs a step-typed heartbeat (or a processing-time
+    trigger policy upstream), the standard SS idle-source caveat."""
+    import json as _json
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    if within_ms is None:
+        raise ValueError(
+            "funnel_stream requires within_ms: the horizon is what bounds "
+            "per-user state on an unbounded stream (batch funnel may pass "
+            "None because it sees the whole log at once)"
+        )
+    steps = list(steps)
+    horizon = int(within_ms)
+    user_t = df.schema[user_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, user_t),
+            T.StructField("step_idx", T.IntegerType()),
+            T.StructField("step", T.StringType()),
+            T.StructField("t_ms", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def _finalize(buf) -> pd.DataFrame:
+        # exact batch chain: t0 = min step-0; t_i = min step-i times
+        # strictly after t_{i-1} and within t0 + horizon
+        t = [min(buf[0])] if buf[0] else [None]
+        for i in range(1, len(steps)):
+            prev = t[i - 1]
+            if prev is None:
+                t.append(None)
+                continue
+            elig = [x for x in buf[i] if x > prev and x <= t[0] + horizon]
+            t.append(min(elig) if elig else None)
+        return t
+
+    def proc(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (stored,) = state.get
+            buf = _json.loads(stored)
+            rows = []
+            if buf[0]:
+                t = _finalize(buf)
+                for i, ti in enumerate(t):
+                    if ti is None:
+                        break
+                    rows.append((key[0], i, steps[i], int(ti)))
+            state.remove()
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[user_col, "step_idx", "step", "t_ms"]
+                )
+            return
+        buf = (
+            _json.loads(state.get[0])
+            if state.exists
+            else [[] for _ in steps]
+        )
+        for pdf in pdfs:
+            ms = (
+                pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
+            ).tolist()
+            for tp, m in zip(pdf[type_col].tolist(), ms):
+                i = step_idx.get(tp)
+                if i is not None:
+                    buf[i].append(int(m))
+        wm = state.getCurrentWatermarkMs()
+        if buf[0]:
+            t0 = min(buf[0])
+            # events beyond the horizon can never chain (t0 only decreases,
+            # so the horizon only tightens) — prune them from state
+            buf = [
+                [x for x in b if x <= t0 + horizon] if i else b
+                for i, b in enumerate(buf)
+            ]
+            buf[0] = [x for x in buf[0] if x == t0 or x <= t0 + horizon]
+            state.update((_json.dumps(buf),))
+            # finalize once no event <= t0 + horizon can still arrive
+            # (clamped above the current watermark — SS rejects a timeout
+            # at or below it; the clamped timer fires on the next trigger)
+            state.setTimeoutTimestamp(max(t0 + horizon + 1, wm + 1))
+        else:
+            # no anchor yet: any future step-0 arrives with ts >= watermark,
+            # so buffered events at or before the watermark are already
+            # ineligible (chaining needs ts strictly AFTER t0)
+            buf = [[x for x in b if x > wm] for b in buf]
+            if any(buf):
+                state.update((_json.dumps(buf),))
+                state.setTimeoutTimestamp(
+                    max(max(x for b in buf for x in b) + 1, wm + 1)
+                )
+            elif state.exists:
+                state.remove()
+        return
+        yield  # pragma: no cover — makes proc a generator on every path
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .filter(F.col(type_col).isin(steps))
+        .select(user_col, ts_col, type_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            proc, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def funnel_from_steps(reached: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """Finisher over :func:`funnel_stream`'s sunk rows: per-step distinct
+    user counts in the batch op's exact output shape (step_idx, step,
+    n_users) — zero rows for unreached steps, like batch's coalesce(0)."""
+    counts = reached.groupBy("step_idx", "step").agg(
+        F.count_distinct(reached.columns[0]).alias("n_users")
+    )
+    spark = reached.sparkSession
+    all_steps = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    return (
+        all_steps.join(counts, ["step_idx", "step"], "left")
+        .select(
+            "step_idx", "step",
+            F.coalesce(F.col("n_users"), F.lit(0)).alias("n_users"),
+        )
+    )
+
+
+def attribution_stream(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    horizon_ms: int = 3_600_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming twin of :func:`last_touch_attribution`: the same one-row-
+    per-conversion table, emitted in append mode once a conversion is
+    FINAL — i.e. the watermark has passed its event time, so no touch at
+    or before it can still arrive (late rows beyond the watermark are
+    dropped by the stateful operator itself).
+
+    Per-user state: touches inside ``horizon_ms`` of the watermark (older
+    ones can never attribute a future conversion) plus not-yet-final
+    conversions — the CQL ``touch -> conversion within t`` state bound.
+    Tie-breaks replicate batch exactly: the credited touch is the max
+    (ts, id) strictly below the conversion's (ts, id).
+
+    NB: the type filter is pushed below the watermark node, so the
+    watermark advances on touch/conversion events only (the SS
+    idle-source caveat — see funnel_stream)."""
+    import json as _json
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    horizon = int(horizon_ms)
+    touch_set = set(touch_types)
+    user_t = df.schema[user_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("conversion_id", df.schema[id_col].dataType),
+            T.StructField(user_col, user_t),
+            T.StructField("conversion_ts", T.TimestampType()),
+            T.StructField("touch_id", df.schema[id_col].dataType),
+            T.StructField("touch_type", T.StringType()),
+            T.StructField("ms_since_touch", T.LongType()),
+        ]
+    )
+    out_cols = [
+        "conversion_id", user_col, "conversion_ts", "touch_id",
+        "touch_type", "ms_since_touch",
+    ]
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+
+    def _emit(key, touches, pending, wm):
+        rows, still = [], []
+        for cms, cid in pending:
+            if cms >= wm:  # a touch at this exact ts could still arrive
+                still.append((cms, cid))
+                continue
+            best = None
+            for tms, tid, tp in touches:
+                if (tms, tid) < (cms, cid) and cms - tms <= horizon:
+                    if best is None or (tms, tid) > (best[0], best[1]):
+                        best = (tms, tid, tp)
+            rows.append(
+                (
+                    cid, key[0], pd.Timestamp(cms, unit="ms"),
+                    best[1] if best else None,
+                    best[2] if best else None,
+                    (cms - best[0]) if best else None,
+                )
+            )
+        return rows, still
+
+    def proc(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        touches, pending = (
+            _json.loads(state.get[0]) if state.exists else ([], [])
+        )
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ms = (
+                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
+                ).tolist()
+                for m, i, tp in zip(
+                    ms, pdf[id_col].tolist(), pdf[type_col].tolist()
+                ):
+                    if tp in touch_set:
+                        touches.append((int(m), int(i), tp))
+                    elif tp == conversion_type:
+                        pending.append((int(m), int(i)))
+        wm = state.getCurrentWatermarkMs()
+        rows, pending = _emit(key, touches, pending, wm)
+        # touches older than horizon + watermark can never attribute a
+        # conversion that is still acceptable (conv ts >= wm, needs
+        # conv - touch <= horizon)
+        touches = [t for t in touches if t[0] >= wm - horizon]
+        if pending or touches:
+            state.update((_json.dumps([touches, pending]),))
+            if pending:
+                # fire when the watermark passes the earliest pending
+                # conversion, finalizing it (clamped above the watermark —
+                # SS rejects a timeout at or below it)
+                state.setTimeoutTimestamp(
+                    max(min(c for c, _ in pending) + 1, wm + 1)
+                )
+            else:
+                # touches alone: dead once the horizon passes them all
+                state.setTimeoutTimestamp(
+                    max(max(t[0] for t in touches) + horizon + 1, wm + 1)
+                )
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .filter(
+            F.col(type_col).isin(list(touch_set) + [conversion_type])
+        )
+        .select(user_col, ts_col, type_col, id_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            proc, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def active_pairs_stream(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming half of the :func:`rolling_active_users` twin: finalized
+    distinct ``(day_ms, user)`` activity pairs via ONE watermark-bounded
+    tumbling-day aggregate (state = one row per open (day, user), evicted
+    at window close). :func:`rolling_active_from_pairs` turns the sunk
+    pairs into the batch op's exact (day, dau, rolling_users) table — the
+    register/finisher split the HLL twin uses, keeping the streaming
+    side single-stateful-operator (no chained distinct aggregates, which
+    streaming cannot express exactly)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 day").alias("__w"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_millis(F.col("__w.start")).alias("day_ms"),
+            F.col(user_col),
+            "n_events",
+        )
+    )
+
+
+def rolling_active_from_pairs(
+    pairs: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Finisher over :func:`active_pairs_stream`'s sunk pairs: identical
+    math to the batch op's post-distinct stages (fan-out + semi-join +
+    per-day distinct counts), so streamed == batch row for row."""
+    days = pairs.select(
+        F.col(user_col).alias("u"),
+        F.to_date(F.timestamp_millis(F.col("day_ms"))).alias("d"),
+    ).distinct()
+    return _rolling_from_user_days(days, window_days)

@@ -572,13 +572,14 @@ def test_streaming_fan_in(spark, tmp_path):
     assert got == [(0, 0.0), (1, 1.0), (8, 8.0), (9, 9.0)]
 
 
-def _two_batch_stream(spark, tmpdir, rows1, rows2):
+def _two_batch_stream(spark, tmpdir, rows1, rows2, schema=None):
     """Two parquet files + maxFilesPerTrigger=1 -> two micro-batches."""
     d = str(tmpdir)
-    spark.createDataFrame(rows1, EVENT_SCHEMA).coalesce(1).write.mode("overwrite").parquet(d)
-    spark.createDataFrame(rows2, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(d)
+    schema = EVENT_SCHEMA if schema is None else schema
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("overwrite").parquet(d)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(d)
     return (
-        spark.readStream.format("parquet").schema(EVENT_SCHEMA)
+        spark.readStream.format("parquet").schema(schema)
         .option("maxFilesPerTrigger", 1).load(d)
     )
 
@@ -1605,3 +1606,160 @@ def test_streaming_cms_cells_match_batch(spark, tmp_path):
     for w, (exact, batch_est) in want.items():
         assert est[w] == batch_est, (w, est[w], batch_est)
         assert est[w] >= exact == 20
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """round-6 (VERDICT r5 ask #5): funnel_stream — per-user horizon-bounded
+    state, finalized at watermark past t0 + within — must reproduce batch
+    funnel's per-step user counts across >= 2 micro-batches, INCLUDING an
+    out-of-order arrival (a step-0 event landing in a later micro-batch
+    with an earlier event time)."""
+    import datetime as dt
+
+    from flink_siddhi_spark.analytics import (
+        funnel,
+        funnel_from_steps,
+        funnel_stream,
+    )
+
+    def ts(m):
+        return dt.datetime(2026, 3, 1, 10, 0, 0) + dt.timedelta(minutes=m)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    steps = ("view", "click", "purchase")
+    within = 30 * 60 * 1000
+    rows1 = [
+        (1, ts(0), 1, "view"), (2, ts(5), 1, "click"),
+        (3, ts(0), 2, "view"),
+        (4, ts(0), 3, "click"),          # no step-0: reaches nothing
+        (5, ts(1), 4, "click"),
+    ]
+    rows2 = [
+        (6, ts(10), 1, "purchase"),
+        (7, ts(40), 2, "click"),         # outside u2's 30-min horizon
+        (8, ts(0.5), 4, "view"),         # OUT OF ORDER: before u4's click
+        (99, ts(3 * 24 * 60), 999, "view"),  # watermark sentinel (must
+        # be a STEP type: the in-operator filter sits below the watermark
+        # node after pushdown, so only funnel-relevant events advance it)
+    ]
+    stream = _two_batch_stream(spark, tmp_path / "in_funnel", rows1, rows2, schema)
+    out = funnel_stream(stream, steps, within, watermark="1 hour")
+    q = to_memory(out, "m_funnel", checkpoint=str(tmp_path / "ck_funnel"),
+                  output_mode="append")
+    q.awaitTermination(120)
+    reached = spark.sql("SELECT * FROM m_funnel")
+    got = {(r.step_idx, r.step): r.n_users
+           for r in funnel_from_steps(reached, steps).collect()}
+
+    batch_df = spark.createDataFrame(rows1 + rows2, schema).filter(
+        F.col("user_id") != 999)
+    want = {(r.step_idx, r.step): r.n_users
+            for r in funnel(batch_df, steps, within).collect()}
+    assert got == want and want[(0, "view")] == 3 and want[(2, "purchase")] == 1
+    # per-user step times are the batch earliest-completion chain
+    per_user = {(r.user_id, r.step_idx) for r in reached.collect()}
+    assert (4, 0) in per_user and (4, 1) in per_user  # out-of-order chained
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """round-6 (ask #5): attribution_stream emits each conversion's final
+    attribution row once the watermark passes it — identical to batch
+    last_touch_attribution, including the (ts, id) tie-break and a touch
+    that ARRIVES after its conversion but precedes it in event time."""
+    import datetime as dt
+
+    from flink_siddhi_spark.analytics import (
+        attribution_stream,
+        last_touch_attribution,
+    )
+
+    def ts(m):
+        return dt.datetime(2026, 3, 2, 9, 0, 0) + dt.timedelta(minutes=m)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    rows1 = [
+        (1, ts(0), 1, "click"), (2, ts(5), 1, "view"),
+        (10, ts(0), 2, "click"),           # same ts as conversion, id 10 < 11
+        (11, ts(0), 2, "purchase"),
+        (20, ts(10), 3, "purchase"),       # touch arrives NEXT batch
+    ]
+    rows2 = [
+        (3, ts(10), 1, "purchase"),        # credited to view@5
+        (4, ts(130), 1, "purchase"),       # organic: horizon passed
+        (21, ts(9), 3, "click"),           # out-of-order touch for id 20
+        (99, ts(3 * 24 * 60), 999, "click"),  # sentinel: touch-typed
+    ]
+    stream = _two_batch_stream(spark, tmp_path / "in_attr", rows1, rows2, schema)
+    out = attribution_stream(stream, horizon_ms=3_600_000, watermark="1 hour")
+    q = to_memory(out, "m_attr", checkpoint=str(tmp_path / "ck_attr"),
+                  output_mode="append")
+    q.awaitTermination(120)
+    got = {r.conversion_id: (r.user_id, r.conversion_ts, r.touch_id,
+                             r.touch_type, r.ms_since_touch)
+           for r in spark.sql("SELECT * FROM m_attr").collect()}
+
+    batch_df = spark.createDataFrame(rows1 + rows2, schema).filter(
+        F.col("user_id") != 999)
+    want = {r.conversion_id: (r.user_id, r.conversion_ts, r.touch_id,
+                              r.touch_type, r.ms_since_touch)
+            for r in last_touch_attribution(batch_df).collect()}
+    assert got == want and len(want) == 4
+    assert want[11][2] == 10       # same-ts smaller-id tie credited
+    assert want[20][2] == 21       # out-of-order touch credited
+    assert want[4][2] is None      # organic stays NULL
+
+
+def test_streaming_rolling_active_matches_batch(spark, tmp_path):
+    """round-6 (ask #5): active_pairs_stream (one watermark-bounded
+    tumbling-day aggregate) + rolling_active_from_pairs == batch
+    rolling_active_users row for row across >= 2 micro-batches."""
+    import datetime as dt
+
+    from flink_siddhi_spark.analytics import (
+        active_pairs_stream,
+        rolling_active_from_pairs,
+        rolling_active_users,
+    )
+
+    def ts(d, h=12):
+        return dt.datetime(2026, 3, 10, h, 0, 0) + dt.timedelta(days=d)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+    rows1 = [
+        (1, ts(0), 1), (2, ts(0, 13), 1),  # u1 twice on day 0 -> one pair
+        (3, ts(0), 2),
+        (4, ts(1), 1),
+    ]
+    rows2 = [
+        (5, ts(2), 3), (6, ts(2), 1),
+        (7, ts(1, 23), 2),                 # day-1 activity arriving late
+        (99, ts(40), 999),                 # watermark sentinel
+    ]
+    stream = _two_batch_stream(spark, tmp_path / "in_roll", rows1, rows2, schema)
+    out = active_pairs_stream(stream, watermark="2 days")
+    q = to_memory(out, "m_roll", checkpoint=str(tmp_path / "ck_roll"),
+                  output_mode="append")
+    q.awaitTermination(120)
+    pairs = spark.sql("SELECT * FROM m_roll WHERE user_id != 999")
+    got = {r.day: (r.dau, r.rolling_users)
+           for r in rolling_active_from_pairs(pairs, window_days=2).collect()}
+
+    batch_df = spark.createDataFrame(rows1 + rows2, schema).filter(
+        F.col("user_id") != 999)
+    want = {r.day: (r.dau, r.rolling_users)
+            for r in rolling_active_users(batch_df, window_days=2).collect()}
+    assert got == want and len(want) == 3
