@@ -945,6 +945,22 @@ def q_ann_pq_trained_topk(spark, sf_dir):
     )
 
 
+def q_ann_kmeans_clusters(spark, sf_dir):
+    # round-6: semantic clustering — textbook Lloyd k-means (squared-L2)
+    # as the degenerate m=1 case of the PQ subspace trainer, so the SAME
+    # deterministic contract and the SAME unrolled-CTE oracle replay the
+    # full training + assignment. The pipeline op this feeds is
+    # cluster-balanced sampling / per-cluster dedup at corpus scale:
+    # (vec_id, centroid_id) with k=8, 3 fixed iterations.
+    from flink_siddhi_spark.llm.similarity import pq_encode, pq_train_codebook
+
+    embs = _embs(spark, sf_dir)
+    cb = pq_train_codebook(embs, m=1, n_codes=8, n_iter=3)
+    return pq_encode(embs, m=1, codebook=cb).select(
+        "vec_id", F.col("codes")[0].alias("centroid_id")
+    )
+
+
 def q_pipeline_quality_budget(spark, sf_dir):
     # round-5 wave 7: best-docs-within-a-token-budget greedy selection —
     # distributed prefix sum, no single-task global-order window
@@ -1721,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round 6 (registered after the frozen _R6_WINDOW; these lead
         # the round-7 rotation) ---
         "ann_pq_trained_topk": q_ann_pq_trained_topk,
+        "ann_kmeans_clusters": q_ann_kmeans_clusters,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -3045,6 +3062,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),
         "ann_pq_trained_topk": _pq_trained_topk_sql(),
+        "ann_kmeans_clusters": (
+            # Lloyd k-means = the PQ trainer at m=1: reuse the unrolled
+            # training CTEs verbatim and read the assignment off enc
+            f"WITH {_pq_trained_ctes(m=1, n_codes=8, n_iter=3)} "
+            "SELECT vec_id, code AS centroid_id FROM enc"
+        ),
         "ann_sq_topk": _sq_topk_sql(),
         "pipeline_quality_budget": (
             "WITH t AS (SELECT doc_id, "

@@ -502,12 +502,29 @@ def main() -> int:
                 )
                 return ngram_containment_pairs(canon, threshold=0.8)
 
+            def _containment_prod(_s, d):
+                # round-6: the DOCUMENTED production composition at high
+                # duplicate density (SCALE.md) — fuzzy-dedup the corpus
+                # first (collapses whole near-dup groups), then run
+                # containment as the asymmetric-excerpt detector on the
+                # survivors. At 100x this is 42.6s vs the canon entry's
+                # 222s: the prefix filter prunes again once duplicate
+                # density is gone.
+                from flink_siddhi_spark.llm.dedup import fuzzy_dedup_keep
+
+                docs = _load_docs(d)
+                keep = fuzzy_dedup_keep(docs).select("doc_id")
+                return ngram_containment_pairs(
+                    docs.join(keep, "doc_id"), threshold=0.8
+                )
+
             capped = {
                 "dedup_simhash_hamming_cap5": lambda _s, d: simhash_hamming_pairs(
                     _load_docs(d), bits=16, max_hamming=2, max_bucket=256,
                     per_doc_cap=5,
                 ),
                 "dedup_containment_canon": _containment_canon,
+                "dedup_containment_prod": _containment_prod,
                 # r5's multimodal_image_neardup_cap64 entry retired in r6:
                 # the main multimodal_image_neardup query now auto-caps at
                 # this scale with the identical configuration (max_bucket=

@@ -1089,13 +1089,24 @@ def _containment_scores_prefix(
     cand_raw = pref.join(full, "__h").filter(F.col("__pid") != F.col("__fid"))
     if candidate_cap is not None:
         # rank candidates per contained doc by how many of its prefix
-        # shingles the container shares (only small ints and ids shuffle
-        # here — the map-side combine collapses the per-hash fan-out before
-        # the exchange) and keep the strongest candidate_cap. A pair
-        # survives if it makes EITHER endpoint's cut (union semantics, same
-        # as the two lossless prefix directions).
-        hits = cand_raw.groupBy("__pid", "__fid").agg(
-            F.count(F.lit(1)).alias("__hits")
+        # shingles the container shares and keep the strongest
+        # candidate_cap. A pair survives if it makes EITHER endpoint's cut
+        # (union semantics, same as the two lossless prefix directions).
+        #
+        # ONE exchange serves the whole stage (round-6, VERDICT ask #6):
+        # repartition on __pid alone — HashPartitioning([__pid]) satisfies
+        # BOTH the (__pid, __fid) hits aggregation's clustered distribution
+        # (subset rule) and the rank window's, so neither re-shuffles. The
+        # groupBy-then-Window formulation moved the 100x probe's 227M-row
+        # candidate table through TWO full exchanges (the map-side combine
+        # barely reduced the first: same-(pid,fid) rows land on different
+        # tasks of the __h-partitioned join output); this one moves the raw
+        # rows once. Measured at 100x density: 402s -> 222s end-to-end
+        # (~2.6x linear vs the same-session 10x floor; SCALE.md round 6).
+        hits = (
+            cand_raw.repartition(F.col("__pid"))
+            .groupBy("__pid", "__fid")
+            .agg(F.count(F.lit(1)).alias("__hits"))
         )
         wk = Window.partitionBy("__pid").orderBy(
             F.col("__hits").desc(), F.col("__fid").asc()

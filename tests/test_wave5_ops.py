@@ -751,3 +751,34 @@ def test_quality_budget_select_prefix_rule(spark):
     assert quality_budget_select(df, 0).collect() == []
     with pytest.raises(ValueError):
         quality_budget_select(df, -1)
+
+
+def test_kmeans_clusters_recover_synthetic_groups(spark):
+    """round-6: Lloyd k-means via the m=1 PQ trainer — on the 4-cluster
+    synthetic, k=4 training must put each true group in one cluster
+    (pure cluster assignments, the cluster-balanced-sampling primitive)."""
+    import numpy as np
+
+    from flink_siddhi_spark.llm.similarity import pq_encode, pq_train_codebook
+
+    # ids INTERLEAVED across groups (id % 4 = group): the deterministic
+    # id-seeded init then starts with one seed per true cluster — with
+    # sequential ids all four seeds land in group 0 and Lloyd (correctly)
+    # splits it, which is the textbook seeded-init caveat, not a bug
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (4, 64))
+    rows = []
+    for i in range(120):
+        g = i % 4
+        rows.append((i, [float(v) for v in
+                         centers[g] + rng.normal(0, 0.15, 64)]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_train_codebook(embs, m=1, n_codes=4, n_iter=5)
+    out = {
+        r.vec_id: r.codes[0]
+        for r in pq_encode(embs, m=1, codebook=cb).collect()
+    }
+    for g in range(4):
+        members = {out[i] for i in range(120) if i % 4 == g}
+        assert len(members) == 1, (g, members)
+    assert len({out[g] for g in range(4)}) == 4
