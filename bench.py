@@ -126,8 +126,10 @@ HEADLINE = [
     "pipeline_exact_k_sample",
     "pipeline_quality_budget",
     # round 6: k-means-trained PQ codebooks (the production recall path;
-    # training cost = n_iter bounded-sample assignment passes)
+    # training cost = n_iter bounded-sample assignment passes) + Lloyd
+    # k-means semantic clustering (the m=1 trainer)
     "ann_pq_trained_topk",
+    "ann_kmeans_clusters",
 ]
 
 

@@ -782,3 +782,35 @@ def test_kmeans_clusters_recover_synthetic_groups(spark):
         members = {out[i] for i in range(120) if i % 4 == g}
         assert len(members) == 1, (g, members)
     assert len({out[g] for g in range(4)}) == 4
+
+
+def test_residual_ivfpq_beats_direct_on_clustered(spark):
+    """round-6: residual IVF-PQ (PQ over x - c(x), both quantizers trained)
+    must beat direct trained IVF-PQ at the same code budget on clustered
+    data — the refinement round 5 measured as a NEGATIVE with seeded
+    codebooks (the codebook was the limiter). Probe: 0.45 vs 0.31
+    recall@10 at n_codes=32 (deterministic pipeline, fixed-seed data)."""
+    from pyspark.sql import functions as F
+
+    from flink_siddhi_spark.llm.similarity import cosine_topk, ivfpq_topk
+
+    embs = _four_cluster_embs(spark)
+    q = embs.filter(F.col("vec_id") % 20 == 0)
+    exact = {}
+    for r in cosine_topk(embs, q, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(kk, set()) & v) / len(v) for kk, v in exact.items()
+        ) / len(exact)
+
+    direct = recall(ivfpq_topk(embs, q, k=10, n_codes=32,
+                               codebook="trained", train_iters=2))
+    resid = recall(ivfpq_topk(embs, q, k=10, n_codes=32,
+                              residual=True, train_iters=2))
+    assert resid >= 0.4, resid
+    assert resid > direct + 0.05, (resid, direct)
