@@ -1009,3 +1009,109 @@ def rolling_active_from_pairs(
         F.to_date(F.timestamp_millis(F.col("day_ms"))).alias("d"),
     ).distinct()
     return _rolling_from_user_days(days, window_days)
+
+
+def transitions_stream(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming half of the :func:`event_transitions` twin: one append row
+    per consecutive (from_type, to_type) step of a user's event-time-ordered
+    history, emitted once the step is FINAL — the later endpoint is below
+    the watermark, so nothing can still land between the two events (late
+    rows beyond the watermark are dropped by the stateful operator).
+    :func:`transitions_from_steps` turns the sunk rows into the batch op's
+    exact matrix (the register/finisher split of the other twins).
+
+    Per-user state: the not-yet-final event buffer (watermark-bounded) plus
+    ONE anchor row — the last finalized event, which the next pair chains
+    from. The anchor makes state O(#active users) after the buffer drains,
+    the same per-key-row bound as ``#window.unique``'s streaming form.
+    Out-of-order arrivals inside the watermark re-sort in state before
+    pairing, so arrival order cannot change the emitted pairs."""
+    import json as _json
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, df.schema[user_col].dataType),
+            T.StructField("from_type", T.StringType()),
+            T.StructField("to_type", T.StringType()),
+            T.StructField("to_ms", T.LongType()),
+            T.StructField("to_id", df.schema[id_col].dataType),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+
+    def proc(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        anchor, buf = (
+            _json.loads(state.get[0]) if state.exists else (None, [])
+        )
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ms = (
+                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
+                ).tolist()
+                for m, i, tp in zip(
+                    ms, pdf[id_col].tolist(), pdf[type_col].tolist()
+                ):
+                    buf.append((int(m), int(i), tp))
+        wm = state.getCurrentWatermarkMs()
+        buf.sort(key=lambda e: (e[0], e[1]))
+        rows = []
+        rest = []
+        for e in buf:
+            if e[0] < wm and not rest:
+                # final: ordered after every already-final event, and no
+                # future arrival can precede it
+                if anchor is not None:
+                    rows.append((key[0], anchor[2], e[2], e[0], e[1]))
+                anchor = e
+            else:
+                rest.append(e)
+        state.update((_json.dumps([anchor, rest]),))
+        if rest:
+            state.setTimeoutTimestamp(max(max(e[0] for e in rest) + 1, wm + 1))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[user_col, "from_type", "to_type", "to_ms", "to_id"],
+            )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .select(user_col, ts_col, type_col, id_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            proc, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def transitions_from_steps(steps: DataFrame) -> DataFrame:
+    """Finisher over :func:`transitions_stream`'s sunk rows: the batch
+    op's exact (from_type, to_type, n, p) matrix — counts + row-normalized
+    probabilities on the tiny <= |types|^2 frame."""
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("p"),
+    )

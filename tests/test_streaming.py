@@ -1763,3 +1763,53 @@ def test_streaming_rolling_active_matches_batch(spark, tmp_path):
     want = {r.day: (r.dau, r.rolling_users)
             for r in rolling_active_users(batch_df, window_days=2).collect()}
     assert got == want and len(want) == 3
+
+
+def test_streaming_transitions_matches_batch(spark, tmp_path):
+    """round-6: transitions_stream + transitions_from_steps == batch
+    event_transitions across >= 2 micro-batches, with an out-of-order
+    event inside the watermark that must re-sort in state before pairing
+    (pairing by arrival order would emit a different matrix)."""
+    import datetime as dt
+
+    from flink_siddhi_spark.analytics import (
+        event_transitions,
+        transitions_from_steps,
+        transitions_stream,
+    )
+
+    def ts(m):
+        return dt.datetime(2026, 3, 3, 8, 0, 0) + dt.timedelta(minutes=m)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    rows1 = [
+        (1, ts(0), 1, "a"), (2, ts(5), 1, "b"),
+        (10, ts(0), 2, "a"),
+    ]
+    rows2 = [
+        (3, ts(10), 1, "c"),
+        (4, ts(2), 1, "x"),   # OUT OF ORDER: lands between a and b
+        (11, ts(3), 2, "b"),
+        (99, ts(3 * 24 * 60), 999, "a"),  # watermark sentinel
+    ]
+    stream = _two_batch_stream(spark, tmp_path / "in_trans", rows1, rows2, schema)
+    out = transitions_stream(stream, watermark="1 hour")
+    q = to_memory(out, "m_trans", checkpoint=str(tmp_path / "ck_trans"),
+                  output_mode="append")
+    q.awaitTermination(120)
+    steps = spark.sql("SELECT * FROM m_trans WHERE user_id != 999")
+    got = {(r.from_type, r.to_type): (r.n, r.p)
+           for r in transitions_from_steps(steps).collect()}
+
+    batch_df = spark.createDataFrame(rows1 + rows2, schema).filter(
+        F.col("user_id") != 999)
+    want = {(r.from_type, r.to_type): (r.n, r.p)
+            for r in event_transitions(batch_df).collect()}
+    assert got == want and ("a", "x") in want and ("x", "b") in want
+    # the late event split u1's a->b pair; the only ('a','b') left is u2's
+    assert want[("a", "b")] == (1, 0.5)
