@@ -1115,3 +1115,110 @@ def transitions_from_steps(steps: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(total), 6).alias("p"),
     )
+
+
+def retention_pairs_stream(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming half of the :func:`retention_cohorts` twin: one append row
+    ``(user, cohort_day_num, day_num)`` per distinct (user, active-day),
+    emitted once the user's COHORT (first active day) is final — i.e. the
+    watermark has passed that day's start, so no earlier event can still
+    arrive. :func:`retention_from_pairs` folds the sunk rows into the
+    batch op's exact (cohort_day, day_offset, n_users) matrix.
+
+    Per-user state: the cohort anchor (one int, kept for the user's whole
+    lifetime — the same O(#active users) bound as ``#window.unique`` and
+    ``transitions_stream``'s anchor) plus the emitted-day set pruned to
+    days the watermark still admits (older days cannot re-arrive, so
+    dedup needs no memory of them). Days are UTC day numbers
+    (epoch_ms // 86_400_000), matching ``to_date`` under the repo's
+    pinned UTC session timezone."""
+    import json as _json
+
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    DAY = 86_400_000
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, df.schema[user_col].dataType),
+            T.StructField("cohort_day_num", T.LongType()),
+            T.StructField("day_num", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("buf", T.StringType())])
+
+    def proc(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cohort, emitted, pending = (
+            _json.loads(state.get[0]) if state.exists else (None, [], [])
+        )
+        emitted, pending = set(emitted), set(pending)
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ms = (
+                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
+                ).tolist()
+                for m in ms:
+                    d = int(m) // DAY
+                    pending.add(d)
+                    if cohort is None or d < cohort:
+                        cohort = d
+        wm = state.getCurrentWatermarkMs()
+        rows = []
+        # cohort is FINAL once the watermark passes its day start: any
+        # earlier event would be below the watermark and dropped
+        if cohort is not None and wm > cohort * DAY:
+            for d in sorted(pending):
+                if d not in emitted:
+                    rows.append((key[0], cohort, d))
+                    emitted.add(d)
+            pending = set()
+            # days below the watermark cannot re-arrive — forget them
+            emitted = {d for d in emitted if d >= wm // DAY}
+        state.update((
+            _json.dumps([cohort, sorted(emitted), sorted(pending)]),
+        ))
+        if pending and cohort is not None:
+            # flush pendings when the watermark finalizes the cohort
+            state.setTimeoutTimestamp(max(cohort * DAY + 1, wm + 1))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[user_col, "cohort_day_num", "day_num"]
+            )
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .select(user_col, ts_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            proc, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def retention_from_pairs(pairs: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Finisher over :func:`retention_pairs_stream`'s sunk rows: the batch
+    op's exact (cohort_day, day_offset, n_users) matrix."""
+    return (
+        pairs.groupBy(
+            F.date_format(
+                F.to_date(F.timestamp_millis(F.col("cohort_day_num") * 86_400_000)),
+                "yyyy-MM-dd",
+            ).alias("cohort_day"),
+            (F.col("day_num") - F.col("cohort_day_num"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

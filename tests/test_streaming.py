@@ -1813,3 +1813,52 @@ def test_streaming_transitions_matches_batch(spark, tmp_path):
     assert got == want and ("a", "x") in want and ("x", "b") in want
     # the late event split u1's a->b pair; the only ('a','b') left is u2's
     assert want[("a", "b")] == (1, 0.5)
+
+
+def test_streaming_retention_matches_batch(spark, tmp_path):
+    """round-6: retention_pairs_stream + retention_from_pairs == batch
+    retention_cohorts row for row across >= 2 micro-batches, including a
+    LATE earlier event inside the watermark that moves a user's cohort
+    day (the cohort must not finalize before the watermark passes it)."""
+    import datetime as dt
+
+    from flink_siddhi_spark.analytics import (
+        retention_cohorts,
+        retention_from_pairs,
+        retention_pairs_stream,
+    )
+
+    def ts(d, h=12):
+        return dt.datetime(2026, 3, 20, h, 0, 0) + dt.timedelta(days=d)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+    rows1 = [
+        (1, ts(1), 1),           # u1 first seen day 1 ...
+        (2, ts(2), 2),
+        (3, ts(2), 1),
+    ]
+    rows2 = [
+        (4, ts(0), 1),           # ... but a DAY-0 event arrives late:
+                                 # u1's true cohort is day 0
+        (5, ts(3), 2), (6, ts(3), 1),
+        (99, ts(40), 999),       # watermark sentinel
+    ]
+    stream = _two_batch_stream(spark, tmp_path / "in_ret", rows1, rows2, schema)
+    out = retention_pairs_stream(stream, watermark="5 days")
+    q = to_memory(out, "m_ret", checkpoint=str(tmp_path / "ck_ret"),
+                  output_mode="append")
+    q.awaitTermination(120)
+    pairs = spark.sql("SELECT * FROM m_ret WHERE user_id != 999")
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in retention_from_pairs(pairs).collect()}
+
+    batch_df = spark.createDataFrame(rows1 + rows2, schema).filter(
+        F.col("user_id") != 999)
+    want = {(r.cohort_day, r.day_offset): r.n_users
+            for r in retention_cohorts(batch_df).collect()}
+    assert got == want and len(want) >= 4
+    assert want[("2026-03-20", 0)] == 1  # u1 cohorted to the LATE day 0
