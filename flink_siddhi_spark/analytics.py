@@ -697,7 +697,19 @@ def funnel_stream(
     NB: the step-type filter is pushed below the watermark node, so the
     watermark advances on funnel-relevant events only — idle-stream
     finalization needs a step-typed heartbeat (or a processing-time
-    trigger policy upstream), the standard SS idle-source caveat."""
+    trigger policy upstream), the standard SS idle-source caveat.
+
+    Documented deviation (PARITY.md round-6): outcomes are per horizon
+    EPISODE — after a user's funnel finalizes, a later step-0 event
+    starts a fresh episode with its own horizon. The batch op anchors at
+    the user's GLOBAL first step-0 (the windowFunnel contract over a log
+    at rest), so streamed == batch exactly when each user has one
+    episode in the log (the parity test's shape); on an unbounded stream
+    the episode form is the operationally meaningful one (a user's visit
+    next month should get a fresh funnel, not be frozen to their
+    first-ever view). ``funnel_from_steps``'s count-distinct collapses
+    repeat episodes, so per-step counts read "users with >= 1 completing
+    episode"."""
     import json as _json
 
     from typing import Iterator
