@@ -754,67 +754,72 @@ def funnel_stream(
             t.append(min(elig) if elig else None)
         return t
 
+    def _advance(key, buf, wm):
+        """Emit every episode the watermark has FINALIZED, oldest first:
+        an episode anchors at the earliest remaining step-0 time t0 and
+        consumes every buffered event inside [t0, t0 + horizon]; events
+        beyond the horizon stay buffered and seed the NEXT episode (they
+        are what advanced the watermark past this one). Loops because one
+        watermark jump can close several episodes at once."""
+        rows = []
+        while buf[0] and min(buf[0]) + horizon < wm:
+            t0 = min(buf[0])
+            window = [
+                [x for x in b if t0 <= x <= t0 + horizon] for b in buf
+            ]
+            t = _finalize(window)
+            for i, ti in enumerate(t):
+                if ti is None:
+                    break
+                rows.append((key[0], i, steps[i], int(ti)))
+            buf = [[x for x in b if x > t0 + horizon] for b in buf]
+        if not buf[0]:
+            # no anchor: any future step-0 arrives with ts >= watermark,
+            # so buffered events at or before it can never chain (chaining
+            # needs ts strictly AFTER the episode anchor)
+            buf = [[x for x in b if x > wm] for b in buf]
+        return rows, buf
+
     def proc(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
-            (stored,) = state.get
-            buf = _json.loads(stored)
-            rows = []
-            if buf[0]:
-                t = _finalize(buf)
-                for i, ti in enumerate(t):
-                    if ti is None:
-                        break
-                    rows.append((key[0], i, steps[i], int(ti)))
-            state.remove()
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=[user_col, "step_idx", "step", "t_ms"]
-                )
-            return
         buf = (
             _json.loads(state.get[0])
             if state.exists
             else [[] for _ in steps]
         )
-        for pdf in pdfs:
-            ms = (
-                pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
-            ).tolist()
-            for tp, m in zip(pdf[type_col].tolist(), ms):
-                i = step_idx.get(tp)
-                if i is not None:
-                    buf[i].append(int(m))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ms = (
+                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
+                ).tolist()
+                for tp, m in zip(pdf[type_col].tolist(), ms):
+                    i = step_idx.get(tp)
+                    if i is not None:
+                        buf[i].append(int(m))
         wm = state.getCurrentWatermarkMs()
-        if buf[0]:
-            t0 = min(buf[0])
-            # events beyond the horizon can never chain (t0 only decreases,
-            # so the horizon only tightens) — prune them from state
-            buf = [
-                [x for x in b if x <= t0 + horizon] if i else b
-                for i, b in enumerate(buf)
-            ]
-            buf[0] = [x for x in buf[0] if x == t0 or x <= t0 + horizon]
+        rows, buf = _advance(key, buf, wm)
+        if any(buf):
             state.update((_json.dumps(buf),))
-            # finalize once no event <= t0 + horizon can still arrive
-            # (clamped above the current watermark — SS rejects a timeout
-            # at or below it; the clamped timer fires on the next trigger)
-            state.setTimeoutTimestamp(max(t0 + horizon + 1, wm + 1))
-        else:
-            # no anchor yet: any future step-0 arrives with ts >= watermark,
-            # so buffered events at or before the watermark are already
-            # ineligible (chaining needs ts strictly AFTER t0)
-            buf = [[x for x in b if x > wm] for b in buf]
-            if any(buf):
-                state.update((_json.dumps(buf),))
+            if buf[0]:
+                # fire when the watermark passes the open episode's horizon
+                # (clamped above the current watermark — SS rejects a
+                # timeout at or below it; the clamped timer fires on the
+                # next trigger)
+                state.setTimeoutTimestamp(
+                    max(min(buf[0]) + horizon + 1, wm + 1)
+                )
+            else:
+                # anchorless events: dead once the watermark passes them
                 state.setTimeoutTimestamp(
                     max(max(x for b in buf for x in b) + 1, wm + 1)
                 )
-            elif state.exists:
-                state.remove()
-        return
-        yield  # pragma: no cover — makes proc a generator on every path
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[user_col, "step_idx", "step", "t_ms"]
+            )
 
     return (
         df.withWatermark(ts_col, watermark)
@@ -828,12 +833,14 @@ def funnel_stream(
     )
 
 
-def funnel_from_steps(reached: DataFrame, steps: Sequence[str]) -> DataFrame:
+def funnel_from_steps(
+    reached: DataFrame, steps: Sequence[str], user_col: str = "user_id"
+) -> DataFrame:
     """Finisher over :func:`funnel_stream`'s sunk rows: per-step distinct
     user counts in the batch op's exact output shape (step_idx, step,
     n_users) — zero rows for unreached steps, like batch's coalesce(0)."""
     counts = reached.groupBy("step_idx", "step").agg(
-        F.count_distinct(reached.columns[0]).alias("n_users")
+        F.count_distinct(user_col).alias("n_users")
     )
     spark = reached.sparkSession
     all_steps = spark.createDataFrame(

@@ -1862,3 +1862,42 @@ def test_streaming_retention_matches_batch(spark, tmp_path):
             for r in retention_cohorts(batch_df).collect()}
     assert got == want and len(want) >= 4
     assert want[("2026-03-20", 0)] == 1  # u1 cohorted to the LATE day 0
+
+
+def test_streaming_funnel_episode_semantics(spark, tmp_path):
+    """round-6: the documented episode deviation — after a user's funnel
+    finalizes, a later step-0 starts a FRESH episode with its own horizon
+    (batch would stay anchored to the global first step-0 and call the
+    user unconverted). The finisher's count-distinct collapses repeats."""
+    import datetime as dt
+
+    from flink_siddhi_spark.analytics import funnel_from_steps, funnel_stream
+
+    def ts(m):
+        return dt.datetime(2026, 3, 4, 7, 0, 0) + dt.timedelta(minutes=m)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    steps = ("view", "click")
+    rows1 = [(1, ts(0), 1, "view")]          # episode 1: view only
+    rows2 = [
+        (2, ts(500), 1, "view"),             # way past the 30-min horizon:
+        (3, ts(505), 1, "click"),            # episode 2 completes
+        (99, ts(3 * 24 * 60), 999, "view"),  # watermark sentinel
+    ]
+    stream = _two_batch_stream(spark, tmp_path / "in_epi", rows1, rows2, schema)
+    out = funnel_stream(stream, steps, 30 * 60 * 1000, watermark="1 hour")
+    q = to_memory(out, "m_epi", checkpoint=str(tmp_path / "ck_epi"),
+                  output_mode="append")
+    q.awaitTermination(120)
+    reached = spark.sql("SELECT * FROM m_epi WHERE user_id = 1")
+    rows = [(r.step_idx, r.t_ms) for r in reached.collect()]
+    # episode 1 emitted view-only; episode 2 emitted view+click
+    assert sorted(rows)[0][0] == 0 and len(rows) == 3
+    got = {r.step_idx: r.n_users
+           for r in funnel_from_steps(reached, steps).collect()}
+    assert got == {0: 1, 1: 1}  # distinct-user collapse across episodes
