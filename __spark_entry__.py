@@ -961,6 +961,19 @@ def q_ann_kmeans_clusters(spark, sf_dir):
     )
 
 
+def q_ann_ivfsq_topk(spark, sf_dir):
+    # round-6: IVF-SQ — the composed-index family is now IVF x {raw, PQ,
+    # SQ}: coarse bucket pruning over int8 scalar-quantized reconstructions
+    # (4x compression, higher fidelity than PQ's 32x). The DuckDB oracle
+    # composes the SQ reconstruction chain under the SAME shared IVF
+    # probing CTEs the IVF-PQ oracle uses.
+    from flink_siddhi_spark.llm.similarity import ivfsq_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < 10)
+    return ivfsq_topk(embs, queries, k=5)
+
+
 def q_pipeline_quality_budget(spark, sf_dir):
     # round-5 wave 7: best-docs-within-a-token-budget greedy selection —
     # distributed prefix sum, no single-task global-order window
@@ -1738,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-7 rotation) ---
         "ann_pq_trained_topk": q_ann_pq_trained_topk,
         "ann_kmeans_clusters": q_ann_kmeans_clusters,
+        "ann_ivfsq_topk": q_ann_ivfsq_topk,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2098,16 +2112,17 @@ def _pq_topk_sql(m: int = 8, n_codes: int = 16, k: int = 5, dim: int = 64) -> st
     )
 
 
-def _ivfpq_topk_sql(
-    n_centroids: int = 8, n_probe: int = 2, m: int = 8, n_codes: int = 16,
-    k: int = 5, dim: int = 64,
+def _ivf_over_xh_sql(
+    xh_ctes: str, n_centroids: int = 8, n_probe: int = 2, k: int = 5,
 ) -> str:
-    """Analytic replay of llm.similarity.ivfpq_topk: the full IVF-PQ index —
-    PQ reconstructions, coarse centroids = the first n_centroids
-    RECONSTRUCTIONS by id, bucket assignment and probing by rounded cosine
-    (id tiebreaks), asymmetric scoring of probed buckets only."""
+    """Shared IVF probing/scoring chain over any ``xh(vec_id, recon)``
+    producer (PQ, trained-PQ, or SQ reconstructions): coarse centroids =
+    the first n_centroids reconstructions by id, bucket assignment and
+    probing by rounded cosine (id tiebreaks), asymmetric scoring of probed
+    buckets only — ONE generator so the composed-index oracles cannot
+    drift apart."""
     return (
-        f"WITH {_pq_xh_ctes(m, n_codes, dim)}, "
+        f"WITH {xh_ctes}, "
         "ccent AS (SELECT vec_id cid, recon cemb FROM "
         f"(SELECT * FROM xh ORDER BY vec_id LIMIT {n_centroids})), "
         "assigned AS (SELECT x.vec_id, x.recon, cid FROM xh x, ccent "
@@ -2128,11 +2143,28 @@ def _ivfpq_topk_sql(
     )
 
 
-def _sq_topk_sql(k: int = 5, dim: int = 64) -> str:
-    """Analytic replay of llm.similarity.sq_encode/sq_topk: per-dimension
-    min/max, floor(v+0.5) int8 codes, float32 (REAL) reconstructions, and
-    the asymmetric cosine rank — expression grouping matches the Spark
-    projection term for term."""
+def _ivfpq_topk_sql(
+    n_centroids: int = 8, n_probe: int = 2, m: int = 8, n_codes: int = 16,
+    k: int = 5, dim: int = 64,
+) -> str:
+    """Analytic replay of llm.similarity.ivfpq_topk: the full IVF-PQ index
+    (PQ reconstruction chain + the shared IVF probing chain)."""
+    return _ivf_over_xh_sql(_pq_xh_ctes(m, n_codes, dim), n_centroids, n_probe, k)
+
+
+def _ivfsq_topk_sql(
+    n_centroids: int = 8, n_probe: int = 2, k: int = 5, dim: int = 64,
+) -> str:
+    """Analytic replay of llm.similarity.ivfsq_topk: SQ8 reconstructions
+    under the same IVF probing chain (round 6 — completes IVF x {PQ, SQ})."""
+    return _ivf_over_xh_sql(_sq_xh_ctes(dim), n_centroids, n_probe, k)
+
+
+def _sq_xh_ctes(dim: int = 64) -> str:
+    """CTE chain replaying llm.similarity.sq_encode: per-dimension min/max,
+    floor(v+0.5) int8 codes, float32 (REAL) reconstructions — ends in
+    ``xh(vec_id, recon)``, the same interface as ``_pq_xh_ctes`` so the
+    IVF probing chain composes over either (round 6: ``ivfsq_topk``)."""
     x = "CAST(e.embedding[st.d + 1] AS DOUBLE)"
     recon = (
         f"CASE WHEN mx - mn > 0 THEN CAST(mn + "
@@ -2140,11 +2172,20 @@ def _sq_topk_sql(k: int = 5, dim: int = 64) -> str:
         f"AS REAL) ELSE CAST(mn AS REAL) END"
     )
     return (
-        "WITH st AS (SELECT t.d, min(CAST(e.embedding[t.d + 1] AS DOUBLE)) mn, "
+        "st AS (SELECT t.d, min(CAST(e.embedding[t.d + 1] AS DOUBLE)) mn, "
         "max(CAST(e.embedding[t.d + 1] AS DOUBLE)) mx "
         f"FROM embeddings e, range({dim}) t(d) GROUP BY t.d), "
         f"r AS (SELECT e.vec_id, st.d, {recon} rd FROM embeddings e, st), "
-        "xh AS (SELECT vec_id, list(rd ORDER BY d) recon FROM r GROUP BY vec_id), "
+        "xh AS (SELECT vec_id, list(rd ORDER BY d) recon FROM r GROUP BY vec_id)"
+    )
+
+
+def _sq_topk_sql(k: int = 5, dim: int = 64) -> str:
+    """Analytic replay of llm.similarity.sq_encode/sq_topk: the SQ
+    reconstruction chain + the asymmetric cosine rank — expression grouping
+    matches the Spark projection term for term."""
+    return (
+        f"WITH {_sq_xh_ctes(dim)}, "
         "q AS (SELECT vec_id query_id, embedding qe FROM embeddings "
         "WHERE vec_id < 10), "
         "scored AS (SELECT query_id, x.vec_id neighbor_id, "
@@ -3062,6 +3103,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_topk_sql(),
         "ann_ivfpq_topk": _ivfpq_topk_sql(),
         "ann_pq_trained_topk": _pq_trained_topk_sql(),
+        "ann_ivfsq_topk": _ivfsq_topk_sql(),
         "ann_kmeans_clusters": (
             # Lloyd k-means = the PQ trainer at m=1: reuse the unrolled
             # training CTEs verbatim and read the assignment off enc

@@ -130,6 +130,7 @@ HEADLINE = [
     # k-means semantic clustering (the m=1 trainer)
     "ann_pq_trained_topk",
     "ann_kmeans_clusters",
+    "ann_ivfsq_topk",
 ]
 
 
