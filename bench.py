@@ -131,6 +131,7 @@ HEADLINE = [
     "ann_pq_trained_topk",
     "ann_kmeans_clusters",
     "ann_ivfsq_topk",
+    "ann_ivfpq_residual",
 ]
 
 

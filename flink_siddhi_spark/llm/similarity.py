@@ -1137,8 +1137,15 @@ def ivfpq_topk(
             .join(renc.select(id_col, F.col("recon").alias("__r")), id_col)
             .select(
                 F.col(id_col),
+                # double-add then narrow: float32 + float32 in single
+                # precision can double-round differently across engines;
+                # widen-add-narrow is ONE correctly-rounded sequence both
+                # Spark and DuckDB compute identically (oracle-replayable)
                 F.zip_with(
-                    "__c", "__r", lambda a, b: (a + b).cast("float")
+                    "__c", "__r",
+                    lambda a, b: (
+                        a.cast("double") + b.cast("double")
+                    ).cast("float"),
                 ).alias(emb_col),
             )
             .localCheckpoint(eager=False)
