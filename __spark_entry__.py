@@ -990,6 +990,18 @@ def q_ann_ivfpq_residual(spark, sf_dir):
     )
 
 
+def q_pipeline_cluster_balanced(spark, sf_dir):
+    # round-6: cluster-balanced sampling — k-means the embedding space
+    # (deterministic Lloyd trainer) and draw exactly per_cluster vectors
+    # per cluster via the md5-permutation rule; the oracle replays
+    # training, assignment, and the per-cluster draw
+    from flink_siddhi_spark.llm.pipeline import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        _embs(spark, sf_dir), per_cluster=20, n_clusters=8, n_iter=3
+    )
+
+
 def q_pipeline_quality_budget(spark, sf_dir):
     # round-5 wave 7: best-docs-within-a-token-budget greedy selection —
     # distributed prefix sum, no single-task global-order window
@@ -1769,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kmeans_clusters": q_ann_kmeans_clusters,
         "ann_ivfsq_topk": q_ann_ivfsq_topk,
         "ann_ivfpq_residual": q_ann_ivfpq_residual,
+        "pipeline_cluster_balanced": q_pipeline_cluster_balanced,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -3158,6 +3171,16 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_trained_topk": _pq_trained_topk_sql(),
         "ann_ivfsq_topk": _ivfsq_topk_sql(),
         "ann_ivfpq_residual": _ivfpq_residual_sql(),
+        "pipeline_cluster_balanced": (
+            # trained k-means assignment (the m=1 chain) + per-cluster
+            # exact-k by the md5 permutation with id tiebreaks
+            f"WITH {_pq_trained_ctes(m=1, n_codes=8, n_iter=3)} "
+            "SELECT vec_id, centroid_id FROM ("
+            "SELECT vec_id, code centroid_id, row_number() OVER ("
+            "PARTITION BY code ORDER BY "
+            "md5('cbs:' || CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) rk "
+            "FROM enc) WHERE rk <= 20"
+        ),
         "ann_kmeans_clusters": (
             # Lloyd k-means = the PQ trainer at m=1: reuse the unrolled
             # training CTEs verbatim and read the assignment off enc

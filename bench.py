@@ -132,6 +132,7 @@ HEADLINE = [
     "ann_kmeans_clusters",
     "ann_ivfsq_topk",
     "ann_ivfpq_residual",
+    "pipeline_cluster_balanced",
 ]
 
 

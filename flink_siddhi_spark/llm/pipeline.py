@@ -896,3 +896,47 @@ def quality_budget_select(
             F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         )
     )
+
+
+def cluster_balanced_sample(
+    embs: DataFrame,
+    per_cluster: int,
+    n_clusters: int = 8,
+    n_iter: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "cbs",
+) -> DataFrame:
+    """Cluster-balanced sampling — the diversity-preserving selection a
+    pretraining mix actually wants: k-means the embedding space (the
+    deterministic m=1 Lloyd trainer, ``similarity.pq_train_codebook``),
+    then take EXACTLY ``per_cluster`` vectors per cluster by the same
+    md5-permutation rule as ``exact_k_sample``. A uniform sample
+    over-represents dense regions; sampling per semantic cluster keeps the
+    tails (the curriculum/diversity argument from DoReMi/DSIR-adjacent
+    practice). Returns (id, centroid_id) for the selected rows.
+
+    Deterministic end-to-end (trained centroids under the decimal/HUGEINT
+    contract, md5 permutation, id tiebreaks), so the DuckDB oracle replays
+    training, assignment, and the per-cluster draw. Scale shape: training
+    is train_cap-bounded; assignment is the zero-shuffle encode pass; the
+    draw is ONE hash exchange on centroid_id with a per-cluster rank
+    (clusters ~ balanced by construction, so no single task inherits the
+    corpus)."""
+    from .similarity import pq_encode, pq_train_codebook
+
+    if per_cluster < 0:
+        raise ValueError("per_cluster must be >= 0")
+    cb = pq_train_codebook(
+        embs, 1, n_clusters, n_iter, emb_col, id_col
+    )
+    assign = pq_encode(
+        embs, 1, emb_col=emb_col, id_col=id_col, codebook=cb
+    ).select(F.col(id_col), F.col("codes")[0].alias("centroid_id"))
+    key = _hash_hex(F.col(id_col), seed, 32)
+    w = Window.partitionBy("centroid_id").orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        assign.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_cluster)
+        .select(id_col, "centroid_id")
+    )

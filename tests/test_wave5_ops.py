@@ -814,3 +814,36 @@ def test_residual_ivfpq_beats_direct_on_clustered(spark):
                               residual=True, train_iters=2))
     assert resid >= 0.4, resid
     assert resid > direct + 0.05, (resid, direct)
+
+
+def test_cluster_balanced_sample(spark):
+    """round-6: exactly per_cluster ids from every k-means cluster,
+    deterministic across partitionings; on the interleaved 4-cluster
+    synthetic each true group contributes exactly per_cluster rows."""
+    import numpy as np
+
+    from flink_siddhi_spark.llm.pipeline import cluster_balanced_sample
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (4, 64))
+    rows = [
+        (i, [float(v) for v in centers[i % 4] + rng.normal(0, 0.15, 64)])
+        for i in range(120)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(embs, per_cluster=5, n_clusters=4, n_iter=5)
+    got = [(r.vec_id, r.centroid_id) for r in out.collect()]
+    assert len(got) == 20
+    from collections import Counter
+
+    by_cluster = Counter(c for _, c in got)
+    assert sorted(by_cluster.values()) == [5, 5, 5, 5]
+    # every selected id belongs to the cluster of its true group (the
+    # kmeans recovery test pins assignment purity on this synthetic)
+    groups = {c: {i % 4 for i, cc in got if cc == c} for c in by_cluster}
+    assert all(len(g) == 1 for g in groups.values())
+    # partition-independence
+    out7 = cluster_balanced_sample(
+        embs.repartition(7), per_cluster=5, n_clusters=4, n_iter=5)
+    assert sorted(got) == sorted(
+        (r.vec_id, r.centroid_id) for r in out7.collect())
