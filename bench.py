@@ -264,6 +264,97 @@ def _amplified_dir(spark, sf_dir: str, factor: int) -> str:
     return out
 
 
+def _streaming_throughput_bench(spark, sf_dir: str) -> dict:
+    """Events/sec through the streaming engine (round 6): the reference is
+    a streaming CEP system, so the honest comparable is sustained
+    throughput of the STATEFUL paths, not just batch wall-clock. Plays the
+    sf events table through Structured Streaming (availableNow, noop sink
+    so the sink never bounds the measurement) for four representative
+    plans: the partitioned CQL pattern (per-key NFA in
+    applyInPandasWithState), a CQL tumbling-window aggregate, the
+    sessionize twin (native session_window), and the funnel twin
+    (horizon-bounded per-user state). Reported: drain wall + events/sec."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_siddhi_spark import SiddhiCEP
+    from flink_siddhi_spark.analytics import funnel_stream, sessionize_stream
+
+    src = f"{sf_dir}/events.parquet"
+    n_events = spark.read.parquet(src).count()
+    schema = spark.read.parquet(src).schema
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_")
+
+    def _read_stream():
+        # the file stream source needs a DIRECTORY basePath; sf tables are
+        # single files, so stream the parent dir with a glob filter
+        return (
+            spark.readStream.format("parquet").schema(schema)
+            .option("pathGlobFilter", "events.parquet").load(sf_dir)
+        )
+
+    def cql_plan(text):
+        stream = _read_stream()
+        # parquet event times arrive as TIMESTAMP_NTZ; unix_millis needs an
+        # instant — the cast reads wall-clock fields in the session zone
+        # (UTC), the repo-wide contract
+        stream = stream.withColumn(
+            "ts_ms", F.unix_millis(F.col("ts").cast("timestamp"))
+        )
+        cep = SiddhiCEP(spark)
+        cep.register_stream(
+            "events", stream, "event_id", "user_id", "event_type", "value",
+            "ts_ms", ts_field="ts_ms",
+        )
+        return cep.from_("events").cql(text).returns("Out")
+
+    def plain_stream():
+        # withWatermark needs an instant; parquet times are TIMESTAMP_NTZ
+        return _read_stream().withColumn("ts", F.col("ts").cast("timestamp"))
+
+    plans = {
+        "cep_pattern_nfa": lambda: cql_plan(
+            "partition with (user_id of events) begin "
+            "from every e = events[event_type == 'error'] "
+            "  -> p = events[event_type == 'purchase'] within 1 hour "
+            "select e.user_id as user_id, p.event_id as purchase_id "
+            "insert into Out; end"
+        ),
+        "cep_window_agg": lambda: cql_plan(
+            "from events#window.timeBatch(1 hour) "
+            "select sum(value) as revenue, count() as n insert into Out"
+        ),
+        "sessionize_stream": lambda: sessionize_stream(
+            plain_stream(), watermark="1 hour"
+        ),
+        "funnel_stream": lambda: funnel_stream(
+            plain_stream(), ("view", "click", "purchase"),
+            within_ms=3_600_000, watermark="1 hour",
+        ),
+    }
+    out: dict = {"n_events": n_events}
+    try:
+        for name, build in plans.items():
+            t0 = time.time()
+            q = (
+                build().writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(root, f"ck_{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            dt = time.time() - t0
+            out[name] = {
+                "sec": round(dt, 2),
+                "events_per_sec": int(n_events / dt),
+            }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def _control_lifecycle_bench(spark, n_plans: int = 10) -> dict:
     """Query-manager overhead under dynamic control (round-6 VERDICT ask
     #7): add -> update -> disable/enable -> delete of ``n_plans`` CQL plans
@@ -581,6 +672,17 @@ def main() -> int:
             sys.stdout.flush()
         except Exception as ex:  # must never fail the bench
             print(f"# control bench failed: {ex}", file=sys.stderr)
+    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
+        try:
+            out["streaming_throughput"] = _streaming_throughput_bench(
+                spark, sf_dir
+            )
+            print(json.dumps(
+                {"streaming_throughput": out["streaming_throughput"]}
+            ))
+            sys.stdout.flush()
+        except Exception as ex:  # must never fail the bench
+            print(f"# streaming bench failed: {ex}", file=sys.stderr)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as fh:
