@@ -416,16 +416,8 @@ def _control_lifecycle_bench(spark, n_plans: int = 10) -> dict:
         )
 
     def tick(qm):
-        for qid, mq in qm.queries.items():
-            if mq.enabled and (
-                mq.query_handle is None or not mq.query_handle.isActive
-            ):
-                mq.query_handle = sink_fn(qid, qm.compile_fn(mq.plan_text))
-        for mq in qm.queries.values():
-            if mq.query_handle is not None and hasattr(
-                mq.query_handle, "awaitTermination"
-            ):
-                mq.query_handle.awaitTermination(120)
+        qm.ensure_running()
+        qm.drain(120)
 
     qm = QueryManager(compile_fn, sink_fn=sink_fn)
     phases: dict = {"n_plans": n_plans}
@@ -462,7 +454,10 @@ def _control_lifecycle_bench(spark, n_plans: int = 10) -> dict:
         qm.on_control_json(to_json(MetadataControlEvent(
             deleted_execution_plan_id=[f"p{i}" for i in range(n_plans)])))
         phases["delete"] = round(time.time() - t0, 3)
-        assert not qm.queries
+        if qm.queries:  # not a bare assert: python -O must not skip this
+            raise RuntimeError(
+                f"control bench: {len(qm.queries)} plans survived delete"
+            )
     finally:
         qm.stop_all()
         shutil.rmtree(root, ignore_errors=True)

@@ -944,10 +944,13 @@ def attribution_stream(
                 for m, i, tp in zip(
                     ms, pdf[id_col].tolist(), pdf[type_col].tolist()
                 ):
+                    # id kept as the raw Python value (.tolist() already
+                    # yields native int/str): string ids JSON-serialize and
+                    # keep the batch twin's lexicographic (ts, id) tie-break
                     if tp in touch_set:
-                        touches.append((int(m), int(i), tp))
+                        touches.append((int(m), i, tp))
                     elif tp == conversion_type:
-                        pending.append((int(m), int(i)))
+                        pending.append((int(m), i))
         wm = state.getCurrentWatermarkMs()
         rows, pending = _emit(key, touches, pending, wm)
         # touches older than horizon + watermark can never attribute a
@@ -1086,7 +1089,9 @@ def transitions_stream(
                 for m, i, tp in zip(
                     ms, pdf[id_col].tolist(), pdf[type_col].tolist()
                 ):
-                    buf.append((int(m), int(i), tp))
+                    # raw id (not int()): string ids survive the JSON state
+                    # round-trip with the batch twin's tie-break intact
+                    buf.append((int(m), i, tp))
         wm = state.getCurrentWatermarkMs()
         buf.sort(key=lambda e: (e[0], e[1]))
         rows = []

@@ -736,6 +736,13 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     once so the (possibly expensive) candidate pipeline upstream is not
     recomputed per union branch. This is the standard large-graph CC shape
     (no driver-side union-find, no collect)."""
+    if max_iterations < 1:
+        # with zero rounds new_labels stays None and the non-convergence
+        # guard below is skipped — the function would silently return
+        # identity labels (every node its own cluster)
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations}"
+        )
     p = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     edges = (
         p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

@@ -26,6 +26,10 @@ class ManagedQuery:
     plan_text: str
     enabled: bool = True
     query_handle: object = None  # StreamingQuery when running
+    # compiled logical plan, built once at add()/update() and reused on every
+    # enable()/restart: re-enabling then only pays the StreamingQuery start
+    # (checkpoint resume), not a reparse + replan of the CQL text
+    compiled_df: Optional[DataFrame] = None
 
 
 class QueryManager:
@@ -53,7 +57,7 @@ class QueryManager:
         if query_id in self.queries:
             raise SiddhiError(f"plan '{query_id}' already exists")
         df = self.compile_fn(plan_text)  # fail-fast validation
-        mq = ManagedQuery(plan_text)
+        mq = ManagedQuery(plan_text, compiled_df=df)
         if self.sink_fn is not None and df.isStreaming:
             mq.query_handle = self.sink_fn(query_id, df)
         else:
@@ -81,12 +85,49 @@ class QueryManager:
         mq = self.queries.get(query_id)
         if mq is None or mq.enabled:
             return
-        df = self.compile_fn(mq.plan_text)
+        # reuse the plan compiled at add()/update(): a stopped StreamingQuery
+        # restarts from its checkpoint off the SAME logical plan, so re-enable
+        # pays only the sink start, never a reparse
+        df = mq.compiled_df
+        if df is None:
+            df = self.compile_fn(mq.plan_text)
+            mq.compiled_df = df
         if self.sink_fn is not None and df.isStreaming:
             mq.query_handle = self.sink_fn(query_id, df)
         else:
             mq.query_handle = df
         mq.enabled = True
+
+    def ensure_running(self) -> None:
+        """Restart every ENABLED plan whose sink is not currently active
+        (e.g. an availableNow sink that drained and terminated). Public
+        drain-loop API: callers should use this + :meth:`drain` instead of
+        reaching into ``queries``/``query_handle``."""
+        if self.sink_fn is None:
+            return
+        for qid, mq in self.queries.items():
+            if mq.enabled and (
+                mq.query_handle is None
+                or (
+                    hasattr(mq.query_handle, "isActive")
+                    and not mq.query_handle.isActive
+                )
+            ):
+                df = mq.compiled_df
+                if df is None:
+                    df = self.compile_fn(mq.plan_text)
+                    mq.compiled_df = df
+                if df.isStreaming:
+                    mq.query_handle = self.sink_fn(qid, df)
+
+    def drain(self, timeout_secs: float = 120.0) -> None:
+        """Block until every running sink terminates (availableNow sinks) or
+        ``timeout_secs`` elapses per query. Starts are concurrent, so total
+        wall time is bounded by the slowest query, not the sum."""
+        for mq in self.queries.values():
+            h = mq.query_handle
+            if h is not None and hasattr(h, "awaitTermination"):
+                h.awaitTermination(timeout_secs)
 
     def _stop(self, mq: ManagedQuery) -> None:
         h = mq.query_handle

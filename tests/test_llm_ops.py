@@ -81,6 +81,10 @@ def test_dedup_clusters_raises_on_non_convergence(spark):
         D.dedup_clusters(chain, max_iterations=2).collect()
     out = {r.doc_id: r.cluster_id for r in D.dedup_clusters(chain).collect()}
     assert out == {i: 1 for i in range(1, 7)}
+    # round-7 (ADVICE r6): max_iterations < 1 skips every propagation round
+    # AND the guard above — must raise up front, not return identity labels
+    with pytest.raises(ValueError, match="max_iterations"):
+        D.dedup_clusters(chain, max_iterations=0)
 
 
 def test_pii_scrub(spark):

@@ -1314,12 +1314,9 @@ def test_control_lifecycle_output_sets(spark, tmp_path):
     def tick(qm):
         # emulate continuous processing deterministically: restart every
         # enabled plan's availableNow sink so it drains newly arrived files
-        for qid, mq in qm.queries.items():
-            if mq.enabled and (mq.query_handle is None or not mq.query_handle.isActive):
-                mq.query_handle = sink_fn(qid, qm.compile_fn(mq.plan_text))
-        for mq in qm.queries.values():
-            if mq.query_handle is not None and hasattr(mq.query_handle, "awaitTermination"):
-                mq.query_handle.awaitTermination(60)
+        # (the public drain-loop API — round-7 ADVICE: no private internals)
+        qm.ensure_running()
+        qm.drain(60)
 
     def out_ids(qid):
         d = str(out_root / qid)
@@ -1813,6 +1810,65 @@ def test_streaming_transitions_matches_batch(spark, tmp_path):
     assert got == want and ("a", "x") in want and ("x", "b") in want
     # the late event split u1's a->b pair; the only ('a','b') left is u2's
     assert want[("a", "b")] == (1, 0.5)
+
+
+def test_streaming_twins_string_ids(spark, tmp_path):
+    """round-7 (ADVICE): attribution_stream / transitions_stream must accept
+    STRING id columns like their batch twins — ids ride the JSON state
+    type-preservingly, keeping the lexicographic (ts, id) tie-break (the old
+    int(i) coercion crashed on 'e01' and re-ordered numeric strings)."""
+    import datetime as dt
+
+    from flink_siddhi_spark.analytics import (
+        attribution_stream,
+        event_transitions,
+        last_touch_attribution,
+        transitions_from_steps,
+        transitions_stream,
+    )
+
+    def ts(m):
+        return dt.datetime(2026, 3, 4, 9, 0, 0) + dt.timedelta(minutes=m)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    rows1 = [
+        ("a2", ts(0), 1, "click"),   # same-ts tie: 'a2' < 'b1' lexicographic
+        ("b1", ts(0), 1, "purchase"),
+        ("e10", ts(5), 2, "view"),
+    ]
+    rows2 = [
+        ("e9", ts(6), 2, "purchase"),  # '9' > '10' lexicographically as strings
+        ("zz", ts(3 * 24 * 60), 999, "click"),  # watermark sentinel
+    ]
+    stream = _two_batch_stream(spark, tmp_path / "in_sid", rows1, rows2, schema)
+    out = attribution_stream(stream, horizon_ms=3_600_000, watermark="1 hour")
+    q = to_memory(out, "m_sid_attr", checkpoint=str(tmp_path / "ck_sid_a"),
+                  output_mode="append")
+    q.awaitTermination(120)
+    got = {r.conversion_id: (r.touch_id, r.touch_type)
+           for r in spark.sql("SELECT * FROM m_sid_attr").collect()}
+    batch_df = spark.createDataFrame(rows1 + rows2, schema).filter(
+        F.col("user_id") != 999)
+    want = {r.conversion_id: (r.touch_id, r.touch_type)
+            for r in last_touch_attribution(batch_df).collect()}
+    assert got == want and len(want) == 2
+    assert want["b1"] == ("a2", "click")  # lexicographic same-ts tie held
+
+    out2 = transitions_stream(stream, watermark="1 hour")
+    q2 = to_memory(out2, "m_sid_trans", checkpoint=str(tmp_path / "ck_sid_t"),
+                   output_mode="append")
+    q2.awaitTermination(120)
+    steps = spark.sql("SELECT * FROM m_sid_trans WHERE user_id != 999")
+    got2 = {(r.from_type, r.to_type): (r.n, r.p)
+            for r in transitions_from_steps(steps).collect()}
+    want2 = {(r.from_type, r.to_type): (r.n, r.p)
+             for r in event_transitions(batch_df).collect()}
+    assert got2 == want2 and ("click", "purchase") in want2
 
 
 def test_streaming_retention_matches_batch(spark, tmp_path):
