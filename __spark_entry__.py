@@ -318,6 +318,64 @@ def q_join_right_outer(spark, sf_dir):
     ).returns("Out")
 
 
+def q_window_cron_family(spark, sf_dir):
+    """Tagged union of the five cron-window variants (round-7 consolidation,
+    VERDICT r6 ask #2): every-10-min, weekly calendar (MON 09:30), weekday
+    list (MON-FRI), day-of-month list with Quartz short-month SKIP (15,31),
+    and the last-Friday special (6L). One registry entry, one combined
+    oracle; each variant stays individually asserted through its tag column
+    (same lowerings, operators/windows.py:450-640)."""
+    parts = [
+        ("every10min", q_window_cron),
+        ("calendar", q_window_cron_calendar),
+        ("weekdays", q_window_cron_weekdays),
+        ("monthend", q_window_cron_monthend),
+        ("lastfriday", q_window_cron_lastfriday),
+    ]
+    out = None
+    for tag, fn in parts:
+        d = fn(spark, sf_dir).select(
+            F.lit(tag).alias("variant"), "event_type", "n"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def q_join_outer_family(spark, sf_dir):
+    """Tagged union of the three outer-join variants (round-7 consolidation):
+    left (signup->purchase), right (purchase->signup probe side), full
+    (signup<->error). Ids normalized to (a_id, b_id) so the branches union;
+    the variant tag keeps each join kind individually oracle-asserted."""
+    parts = [
+        ("left", q_join_left_outer, "signup_id", "purchase_id"),
+        ("right", q_join_right_outer, "signup_id", "purchase_id"),
+        ("full", q_join_full_outer, "signup_id", "error_id"),
+    ]
+    out = None
+    for tag, fn, a, b in parts:
+        d = fn(spark, sf_dir).select(
+            F.lit(tag).alias("variant"),
+            F.col(a).alias("a_id"),
+            F.col(b).alias("b_id"),
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def q_join_windowed_family(spark, sf_dir):
+    """Tagged union of the two windowed stream-stream join variants (round-7
+    consolidation): time(10min) x time(10min) and length(5) x time(5min) —
+    both emit (error_id, purchase_id) pairs keyed by user."""
+    parts = [("time_time", q_join_time_time), ("length_time", q_join_length_time)]
+    out = None
+    for tag, fn in parts:
+        d = fn(spark, sf_dir).select(
+            F.lit(tag).alias("variant"), "error_id", "purchase_id"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def q_window_external_time(spark, sf_dir):
     return _cep(spark, sf_dir).from_("events").cql(
         "from events#window.externalTime(event_id, 500) "
@@ -1537,72 +1595,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates queries() in dict order and records
-# only the FIRST 50 entries, so the window is ROTATED each round. Round 6
-# (VERDICT r5 ask #1): positions 1-35 are the thirty-five entries that have
-# NEVER had a driver row (round-5 waves 2-7, registered after the frozen
-# round-5 _R5_WINDOW; list frozen in ROUND5_NOTES.md §'Round-6 window leads');
-# 36-49 are the fourteen entries whose latest driver row is r3 (the twelve
-# relational basics + tpch_q12ish_priority + dedup_semantic, named in the
-# old round-5 window comment); slot 50 is window_cron_monthend, the stalest
-# r4-green entry (single r4 gating). After this round every registered query
-# has a driver row and none is more than two rounds stale. The r4/r5-green
-# hundred outside the window are still value-checked by the builder's full
-# local mirror (scripts/verify_oracle.py) each round. Queries ADDED in round
-# 6 are registered after the window and lead the round-7 rotation.
-_R6_WINDOW = [
-    # 1-35: never driver-gated (round-5 waves 2-7)
-    "events_sessionize",
-    "events_retention",
-    "pipeline_mixture_weights",
-    "text_zipf",
-    "events_funnel",
-    "events_active_rolling",
-    "events_interval_join",
-    "events_zscore",
-    "pipeline_stratified_sample",
-    "text_source_rollup",
-    "events_transitions",
-    "text_bigram_pmi",
-    "text_textrank",
-    "events_hll_users",
-    "text_hll_shingles",
-    "text_cms_heavyhitters",
-    "dedup_substring_spans",
-    "pipeline_bloom_contamination",
-    "text_gopher_rules",
-    "pipeline_dsir_weights",
-    "events_topk_paths",
-    "text_inverted_index",
-    "text_source_kl",
-    "events_rfm",
-    "events_cooccurrence",
-    "multimodal_image_neardup",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "pipeline_dsir_resample",
-    "ann_sq_topk",
-    "text_dataset_card",
-    "events_attribution",
-    "dedup_cluster_sizes",
-    "pipeline_exact_k_sample",
-    "pipeline_quality_budget",
-    # 36-49: latest driver row is r3
-    "filter_projection",
-    "projection_expressions",
-    "group_agg",
-    "having_filter",
-    "order_limit",
-    "order_limit_offset",
-    "distinct_count",
-    "stddev_agg",
-    "forever_aggregates",
-    "scalar_functions",
-    "json_functions",
-    "union_fan_in",
-    "tpch_q12ish_priority",
-    "dedup_semantic",
-    # 50: stalest r4-green entry
-    "window_cron_monthend",
+# only the FIRST 50 entries, so the window is ROTATED each round. Round 7
+# (VERDICT r6 ask #1, list frozen in ROUND6_NOTES.md §'Round-7 window
+# leads'): positions 1-5 are the five round-6 additions that registered
+# after the frozen _R6_WINDOW and have never had a driver row; 6-50 are the
+# forty-five entries whose latest driver row is r4, in registration order.
+# The other four r4-stale entries (window_cron_lastfriday, join_left_outer,
+# join_time_time, join_length_time) were CONSOLIDATED into the tagged-union
+# family queries this round (VERDICT r6 ask #2) and no longer register
+# individually — each variant stays asserted inside its family's combined
+# oracle. After this round no registered entry's latest driver row is older
+# than r5; the three new family entries lead the round-8 rotation. The
+# r5/r6-green entries outside the window are still value-checked by the
+# builder's full local mirror (scripts/verify_oracle.py) each round.
+_R7_WINDOW = [
+    # 1-5: round-6 additions, never driver-gated
+    "ann_pq_trained_topk",
+    "ann_kmeans_clusters",
+    "ann_ivfsq_topk",
+    "ann_ivfpq_residual",
+    "pipeline_cluster_balanced",
+    # 6-50: latest driver row is r4 (registration order)
+    "pipeline_fuzzy_contamination",
+    "text_length_percentiles",
+    "tpch_q10ish_returns",
+    "pipeline_quality_topfrac",
+    "custom_stream_fn",
+    "custom_window",
+    "text_dedup_stats",
+    "pipeline_embed",
+    "pipeline_contamination_gate",
+    "tpch_q18ish_bigorders",
+    "tpch_q1_pricing",
+    "pattern_followed_by",
+    "tpch_q3_shipping",
+    "tpch_q5ish_revenue",
+    "sequence_strict",
+    "dedup_exact",
+    "custom_udaf",
+    "pattern_first_match",
+    "pattern_within",
+    "pattern_absence",
+    "sequence_quantifier",
+    "ann_cosine_topk",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_verified",
+    "dedup_clusters",
+    "dedup_fuzzy_keep",
+    "pipeline_cdc_chunks",
+    "dedup_containment",
+    "dedup_simhash_hamming",
+    "text_pii_scrub",
+    "text_boilerplate_ngrams",
+    "text_tfidf_top_terms",
+    "text_lm_score",
+    "text_source_stats",
+    "text_quality",
+    "text_language_id",
+    "text_repetition",
+    "pipeline_novelty",
+    "pipeline_curate",
+    "pipeline_weighted_sample",
+    "pipeline_contamination",
+    "pipeline_pack",
+    "pipeline_chunk_dedup",
+    "ann_ivf_topk",
 ]
 
 
@@ -1633,16 +1691,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_frequent": q_window_frequent,
         "window_unique": q_window_unique,
         "window_delay": q_window_delay,
-        "window_cron": q_window_cron,
-        "window_cron_calendar": q_window_cron_calendar,  # new round 3
-        "window_cron_weekdays": q_window_cron_weekdays,  # new round 3b
-        "window_cron_monthend": q_window_cron_monthend,  # new round 4
-        "window_cron_lastfriday": q_window_cron_lastfriday,  # new round 4
+        # cron variants consolidated into window_cron_family (round 7,
+        # registered after the window — leads the round-8 rotation)
         "window_time_length": q_window_time_length,
         "window_lossy_frequent": q_window_lossy_frequent,
-        # --- core SiddhiQL: joins ---
-        "join_full_outer": q_join_full_outer,
-        "join_right_outer": q_join_right_outer,
+        # --- core SiddhiQL: joins (outer + windowed variants consolidated
+        # into join_outer_family / join_windowed_family, round 7) ---
         "join_stream_table": q_join_stream_table,
         "join_theta": q_join_theta,
         # --- core SiddhiQL: aggregations / tables / rate limiting ---
@@ -1694,9 +1748,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_within": q_pattern_within,
         "pattern_absence": q_pattern_absence,
         "sequence_quantifier": q_sequence_quantifier,
-        "join_time_time": q_join_time_time,
-        "join_length_time": q_join_length_time,
-        "join_left_outer": q_join_left_outer,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1775,22 +1826,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "pipeline_exact_k_sample": q_pipeline_exact_k_sample,
         "pipeline_quality_budget": q_pipeline_quality_budget,
-        # --- round 6 (registered after the frozen _R6_WINDOW; these lead
-        # the round-7 rotation) ---
+        # --- round 6 (gated in the _R7_WINDOW above) ---
         "ann_pq_trained_topk": q_ann_pq_trained_topk,
         "ann_kmeans_clusters": q_ann_kmeans_clusters,
         "ann_ivfsq_topk": q_ann_ivfsq_topk,
         "ann_ivfpq_residual": q_ann_ivfpq_residual,
         "pipeline_cluster_balanced": q_pipeline_cluster_balanced,
+        # --- round 7: variant-family consolidations (VERDICT r6 ask #2;
+        # registered after the frozen _R7_WINDOW — these lead the round-8
+        # rotation). Each replaces its variants' individual registrations;
+        # the tag column keeps every variant value-asserted in one oracle.
+        "window_cron_family": q_window_cron_family,
+        "join_outer_family": q_join_outer_family,
+        "join_windowed_family": q_join_windowed_family,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
-    if len(_R6_WINDOW) != 50 or not set(_R6_WINDOW) <= set(q):
+    if len(_R7_WINDOW) != 50 or not set(_R7_WINDOW) <= set(q):
         raise RuntimeError(
-            f"driver window invariant violated: {len(_R6_WINDOW)} entries, "
-            f"unknown: {sorted(set(_R6_WINDOW) - set(q))}"
+            f"driver window invariant violated: {len(_R7_WINDOW)} entries, "
+            f"unknown: {sorted(set(_R7_WINDOW) - set(q))}"
         )
-    ordered = {k: q[k] for k in _R6_WINDOW}
+    ordered = {k: q[k] for k in _R7_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
@@ -3641,4 +3698,41 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY total_qty DESC, l_orderkey LIMIT 10"
         ),
     }
+    # --- round-7 family consolidations (VERDICT r6 ask #2): compose each
+    # family's combined oracle from the variant oracles above, then drop the
+    # per-variant keys — the registry shrinks but every variant's rows stay
+    # value-asserted (distinguished by the tag column) inside ONE entry.
+    sql["window_cron_family"] = " UNION ALL ".join(
+        f"SELECT '{tag}' AS variant, event_type, n FROM ({sql[key]})"
+        for tag, key in [
+            ("every10min", "window_cron"),
+            ("calendar", "window_cron_calendar"),
+            ("weekdays", "window_cron_weekdays"),
+            ("monthend", "window_cron_monthend"),
+            ("lastfriday", "window_cron_lastfriday"),
+        ]
+    )
+    sql["join_outer_family"] = " UNION ALL ".join(
+        f"SELECT '{tag}' AS variant, signup_id AS a_id, {b} AS b_id "
+        f"FROM ({sql[key]})"
+        for tag, key, b in [
+            ("left", "join_left_outer", "purchase_id"),
+            ("right", "join_right_outer", "purchase_id"),
+            ("full", "join_full_outer", "error_id"),
+        ]
+    )
+    sql["join_windowed_family"] = " UNION ALL ".join(
+        f"SELECT '{tag}' AS variant, error_id, purchase_id FROM ({sql[key]})"
+        for tag, key in [
+            ("time_time", "join_time_time"),
+            ("length_time", "join_length_time"),
+        ]
+    )
+    for k in (
+        "window_cron", "window_cron_calendar", "window_cron_weekdays",
+        "window_cron_monthend", "window_cron_lastfriday",
+        "join_left_outer", "join_right_outer", "join_full_outer",
+        "join_time_time", "join_length_time",
+    ):
+        del sql[k]
     return sql

@@ -21,7 +21,7 @@ HEADLINE = [
     "window_time_batch",
     "window_sliding_length",
     "window_session",
-    "join_time_time",
+    "join_windowed_family",  # r7: time x time + length x time tagged union
     "join_stream_table",
     "tpch_q1_pricing",
     "tpch_q3_shipping",
@@ -65,10 +65,9 @@ HEADLINE = [
     "tpch_q18ish_bigorders",
     "pipeline_contamination_gate",
     "pipeline_embed",
-    # round 4: quartz-special cron windows, one-call fuzzy dedup,
-    # content-defined chunking
-    "window_cron_monthend",
-    "window_cron_lastfriday",
+    # round 4: quartz-special cron windows (r7: consolidated — the family
+    # entry runs ALL five variants), one-call fuzzy dedup, CDC chunking
+    "window_cron_family",
     "dedup_fuzzy_keep",
     "pipeline_cdc_chunks",
     # round 5: radius similarity search, word-distribution entropy,
@@ -127,13 +126,103 @@ HEADLINE = [
     "pipeline_quality_budget",
     # round 6: k-means-trained PQ codebooks (the production recall path;
     # training cost = n_iter bounded-sample assignment passes) + Lloyd
-    # k-means semantic clustering (the m=1 trainer)
+    # k-means semantic clustering (the m=1 trainer).
+    # Round 7 (VERDICT r6 ask #6): the family's codebooks are trained ONCE
+    # in the ann_trained_codebooks row and SHARED by the five composed
+    # entries below via the codebook=/coarse_codebook=/residual_codebook=
+    # pass-throughs — the production composition (one trained artifact,
+    # many consumers) instead of five independent re-trainings. The
+    # oracle-gated queries() entries still train per-query (the oracle
+    # replays the full loop); only the bench composition shares.
+    "ann_trained_codebooks",
     "ann_pq_trained_topk",
     "ann_kmeans_clusters",
     "ann_ivfsq_topk",
     "ann_ivfpq_residual",
     "pipeline_cluster_balanced",
 ]
+
+# rows timed on pass 1 ONLY (a one-time artifact build: passes 2-3 would hit
+# the cache and record a meaningless ~0 floor; the honest number is the one
+# full training this process pays)
+FIRST_PASS_ROWS = {"ann_trained_codebooks"}
+
+_TRAINED_ARTIFACTS: dict[str, dict] = {}
+
+
+def _trained_family_overrides() -> dict:
+    """Bench-composition callables for the trained-ANN family sharing one
+    trained artifact set per sf_dir (coarse m=1/8-centroid Lloyd + the
+    m=8/32 raw PQ book + the m=8/32 residual book)."""
+    from flink_siddhi_spark.llm.pipeline import cluster_balanced_sample
+    from flink_siddhi_spark.llm.similarity import (
+        ivfpq_topk,
+        ivfpq_train,
+        pq_encode,
+        pq_topk,
+        pq_train_codebook,
+    )
+    from pyspark.sql import functions as F
+
+    def _arts(spark, sf_dir):
+        a = _TRAINED_ARTIFACTS.get(sf_dir)
+        if a is None:
+            embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            coarse = pq_train_codebook(embs, 1, 8, 3)
+            fine = pq_train_codebook(embs, 8, 32, 2)
+            resid = ivfpq_train(
+                embs, m=8, n_codes=32, train_iters=2, coarse_codebook=coarse
+            )["residual"]
+            a = {"coarse": coarse, "fine": fine, "residual": resid}
+            _TRAINED_ARTIFACTS[sf_dir] = a
+        return a
+
+    def _embs(spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def train_row(spark, sf_dir):
+        a = _arts(spark, sf_dir)
+        return spark.createDataFrame(
+            [(k, len(v)) for k, v in sorted(a.items())],
+            "artifact string, n_entries int",
+        )
+
+    def pq_trained(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        return pq_topk(
+            embs, embs.filter(F.col("vec_id") < 10), m=8, n_codes=32, k=5,
+            codebook=_arts(spark, sf_dir)["fine"],
+        )
+
+    def kmeans_clusters(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        return pq_encode(
+            embs, 1, codebook=_arts(spark, sf_dir)["coarse"]
+        ).select("vec_id", F.col("codes")[0].alias("centroid_id"))
+
+    def ivfpq_residual(spark, sf_dir):
+        embs = _embs(spark, sf_dir)
+        a = _arts(spark, sf_dir)
+        return ivfpq_topk(
+            embs, embs.filter(F.col("vec_id") < 10),
+            n_centroids=8, n_probe=2, m=8, n_codes=32, k=5,
+            residual=True, coarse_codebook=a["coarse"],
+            residual_codebook=a["residual"],
+        )
+
+    def cluster_balanced(spark, sf_dir):
+        return cluster_balanced_sample(
+            _embs(spark, sf_dir), per_cluster=20, n_clusters=8,
+            codebook=_arts(spark, sf_dir)["coarse"],
+        )
+
+    return {
+        "ann_trained_codebooks": train_row,
+        "ann_pq_trained_topk": pq_trained,
+        "ann_kmeans_clusters": kmeans_clusters,
+        "ann_ivfpq_residual": ivfpq_residual,
+        "pipeline_cluster_balanced": cluster_balanced,
+    }
 
 
 # dedup/ANN family re-run on a 10x-amplified corpus (sf1-equivalent for the
@@ -273,7 +362,16 @@ def _streaming_throughput_bench(spark, sf_dir: str) -> dict:
     plans: the partitioned CQL pattern (per-key NFA in
     applyInPandasWithState), a CQL tumbling-window aggregate, the
     sessionize twin (native session_window), and the funnel twin
-    (horizon-bounded per-user state). Reported: drain wall + events/sec."""
+    (horizon-bounded per-user state). Reported: drain wall + events/sec.
+
+    Round 7 adds a SUSTAINED row (``cep_pattern_nfa_10x``): the 100k-event
+    drains above are dominated by fixed micro-batch machinery (measured
+    floor: a trivial count-only stateful op drains 100k in ~1.7s = 58k
+    ev/s, and the pure-JVM windowed aggregate hits the same wall), so they
+    measure query startup, not the operator. The 10x row plays 1M events
+    through the same partitioned-NFA plan, where startup amortizes and the
+    incremental NFA (resume-from-state + O(new)-per-batch scan +
+    watermark eviction, streaming/runtime.py) sets the rate."""
     import shutil
     import tempfile
 
@@ -350,6 +448,41 @@ def _streaming_throughput_bench(spark, sf_dir: str) -> dict:
                 "sec": round(dt, 2),
                 "events_per_sec": int(n_events / dt),
             }
+        # sustained NFA row: 1M events (10x user-amplified), startup amortized
+        amp = _amplified_dir(spark, sf_dir, SCALE_FACTOR)
+        amp_src = f"{amp}/events.parquet"
+        n_amp = spark.read.parquet(amp_src).count()
+        amp_schema = spark.read.parquet(amp_src).schema
+        stream = (
+            spark.readStream.format("parquet").schema(amp_schema).load(amp_src)
+            .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+        )
+        cep = SiddhiCEP(spark)
+        cep.register_stream(
+            "events", stream, "event_id", "user_id", "event_type", "value",
+            "ts_ms", ts_field="ts_ms",
+        )
+        plan = cep.from_("events").cql(
+            "partition with (user_id of events) begin "
+            "from every e = events[event_type == 'error'] "
+            "  -> p = events[event_type == 'purchase'] within 1 hour "
+            "select e.user_id as user_id, p.event_id as purchase_id "
+            "insert into Out; end"
+        ).returns("Out")
+        t0 = time.time()
+        q = (
+            plan.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(root, "ck_nfa10x"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(1200)
+        dt = time.time() - t0
+        out["cep_pattern_nfa_10x"] = {
+            "sec": round(dt, 2),
+            "n_events": n_amp,
+            "events_per_sec": int(n_amp / dt),
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
@@ -496,7 +629,10 @@ def main() -> int:
     # hash-pipeline queries otherwise costs 5-10s of pure compile time and
     # makes min-of-2 numbers JIT-noise-dominated.
     spark.range(1000).selectExpr("sum(id)").collect()
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # trained-ANN family: bench composition shares one trained artifact set
+    # (VERDICT r6 ask #6); the registry callables themselves stay per-query
+    qs.update(_trained_family_overrides())
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
@@ -526,6 +662,8 @@ def main() -> int:
     for rep in range(3):
         for name in HEADLINE:
             fn = qs[name]
+            if rep > 0 and name in FIRST_PASS_ROWS:
+                continue  # one-time artifact build: later passes hit the cache
             if rep == 0:
                 try:
                     fn(spark, warm_dir).count()

@@ -906,6 +906,7 @@ def cluster_balanced_sample(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     seed: str = "cbs",
+    codebook: list | None = None,
 ) -> DataFrame:
     """Cluster-balanced sampling — the diversity-preserving selection a
     pretraining mix actually wants: k-means the embedding space (the
@@ -927,7 +928,10 @@ def cluster_balanced_sample(
 
     if per_cluster < 0:
         raise ValueError("per_cluster must be >= 0")
-    cb = pq_train_codebook(
+    # ``codebook=`` pass-through (round-7 VERDICT ask #6): a pipeline that
+    # already trained centroids (e.g. for its ANN index) reuses them here
+    # instead of re-running the Lloyd passes
+    cb = codebook if codebook is not None else pq_train_codebook(
         embs, 1, n_clusters, n_iter, emb_col, id_col
     )
     assign = pq_encode(

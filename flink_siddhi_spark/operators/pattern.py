@@ -140,6 +140,22 @@ def _step_optional(st: _Step) -> bool:
     return st.op == "single" and not st.elem.negated and st.elem.min_count == 0
 
 
+def _partial_to_dict(p: _Partial) -> dict:
+    return {
+        "pos": p.pos, "captured": [list(c) for c in p.captured],
+        "first_ts": p.first_ts, "last_ts": p.last_ts,
+        "neg_deadline": p.neg_deadline,
+    }
+
+
+def _partial_from_dict(d: dict) -> _Partial:
+    return _Partial(
+        d["pos"], [list(c) for c in d["captured"]],
+        first_ts=d["first_ts"], last_ts=d["last_ts"],
+        neg_deadline=d["neg_deadline"],
+    )
+
+
 def _run_nfa(
     rows: pd.DataFrame,
     masks: list,
@@ -149,7 +165,10 @@ def _run_nfa(
     within_ms: int | None,
     at_close: bool = True,
     every_at: int | None = None,
-) -> list[list[list[int]]]:
+    start_idx: int = 0,
+    init: dict | None = None,
+    return_state: bool = False,
+):
     """Run the NFA over one partition; returns captured row-index lists
     (one list per FLAT element per match).
 
@@ -159,17 +178,32 @@ def _run_nfa(
     the suffix — so every qualifying suffix occurrence yields a match (the
     spawner itself never advances). Clones that fail to consume their first
     event are dropped (the spawner re-arms next event), keeping live state
-    bounded by suffix length, not stream length."""
+    bounded by suffix length, not stream length.
+
+    Streaming continuation (round 7): ``start_idx``/``init``/``return_state``
+    let a micro-batch caller resume from serialized partials and scan ONLY
+    the newly-arrived suffix of the (sorted) buffer — O(new) per batch
+    instead of O(buffer) — and get the final NFA state back. ``init`` is the
+    dict a previous ``return_state=True`` call produced (captured indices
+    are positions in the same sorted buffer, shifted by the caller on
+    eviction). With ``return_state`` the return value is ``(matches,
+    state_dict)``."""
     steps, flat = normalize_steps(raw_steps)
     n_steps = len(steps)
     n_flat = len(flat)
     ts_vals = rows[TS_COL].to_numpy()
     matches: list[list[list[int]]] = []
-    partials: list[_Partial] = []
-    spawners: list[_Partial] = []
+    if init is not None:
+        partials = [_partial_from_dict(d) for d in init["partials"]]
+        spawners = [_partial_from_dict(d) for d in init["spawners"]]
+        started = init["started"]
+        done = init["done"]
+    else:
+        partials = []
+        spawners = []
+        started = False
+        done = False
     multi = every or every_at is not None
-    started = False
-    done = False
 
     def emit(p: _Partial):
         matches.append([list(c) for c in p.captured])
@@ -183,7 +217,7 @@ def _run_nfa(
         return _step_satisfied(p, st)
 
     n_rows = len(rows)
-    for i in range(n_rows):
+    for i in range(start_idx, n_rows):
         if done:
             break
         ts = int(ts_vals[i])
@@ -260,6 +294,13 @@ def _run_nfa(
                 emit(p)
                 if not multi:
                     break
+    if return_state:
+        return matches, {
+            "partials": [_partial_to_dict(p) for p in partials],
+            "spawners": [_partial_to_dict(s) for s in spawners],
+            "started": started,
+            "done": done,
+        }
     return matches
 
 

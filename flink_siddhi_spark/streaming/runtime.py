@@ -1212,15 +1212,19 @@ class StreamingPlanner(BatchPlanner):
         out_schema = T.StructType(out_fields)
         out_names = [f.name for f in out_fields]
         sort_cols = [TS_COL] + [f for f in fields if f != schema.ts_field]
-        # buffer state serialized as json strings (schema-stable across batches).
-        # ``seen`` holds content-hashes of already-emitted matches: a running
-        # count would re-emit old matches (and drop new ones) whenever an
-        # out-of-order arrival inserts a match at an earlier NFA position, and
-        # would replay every still-derivable match after buffer eviction.
+        # buffer state = ONE column-oriented json blob (dict of column lists,
+        # stored SORTED) — round-6 profiling showed per-row json serde and
+        # per-batch re-serialization were ~70% of per-key time; one dumps of
+        # column lists is ~15x cheaper at the same content. ``seen`` holds
+        # content-hashes of already-emitted matches: a running count would
+        # re-emit old matches (and drop new ones) whenever an out-of-order
+        # arrival inserts a match at an earlier NFA position, and would
+        # replay every still-derivable match after buffer eviction.
         state_schema = T.StructType(
             [
                 T.StructField("seen", T.ArrayType(T.StringType())),
-                T.StructField("buffer", T.ArrayType(T.StringType())),
+                T.StructField("buffer", T.StringType()),
+                T.StructField("nfa", T.StringType()),
             ]
         )
         elems_c = elems
@@ -1231,7 +1235,20 @@ class StreamingPlanner(BatchPlanner):
         collection = {e.alias: e.is_collection for e in elems if not e.negated}
         max_buffer = self.max_buffer_per_key
         keep_cols = [STREAM_COL, TS_COL] + fields
-        ts_name = schema.ts_field
+        # datetime columns round-trip the json state as int64 ns (vectorized
+        # view both ways; NaT <-> i64-min is preserved by the view)
+        dt_cols = [
+            f for f in fields
+            if isinstance(
+                field_types[f],
+                (T.TimestampType, T.TimestampNTZType, T.DateType),
+            )
+        ]
+
+        # watermark eviction is only sound for within-bounded patterns with
+        # no negated element: an evicted guard row would resurrect a killed
+        # absence-partial on the out-of-order full re-run
+        can_evict = within_ms is not None and not any(e.negated for e in elems)
 
         def proc(
             key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -1239,24 +1256,96 @@ class StreamingPlanner(BatchPlanner):
             import hashlib as _hashlib
             import json as _json
 
+            import numpy as _np
+
             if state.exists:
-                seen, buffer = state.get
-                seen, buffer = list(seen), list(buffer)
+                seen, buf_json, nfa_json = state.get
+                seen = list(seen)
+                cols = _json.loads(buf_json)
+                nfa = _json.loads(nfa_json)
             else:
-                seen, buffer = [], []
+                seen, nfa = [], None
+                cols = {c: [] for c in keep_cols}
+            n_old = len(cols[TS_COL])
             for pdf in pdfs:
-                for row in pdf[keep_cols].itertuples(index=False):
-                    d = dict(zip(keep_cols, row))
-                    for k, v in list(d.items()):
-                        if isinstance(v, pd.Timestamp):
-                            d[k] = v.isoformat()
-                    buffer.append(_json.dumps(d, default=str))
-            if len(buffer) > max_buffer:
-                buffer = buffer[-max_buffer:]
-            rows = pd.DataFrame([_json.loads(b) for b in buffer])
-            if ts_name in rows.columns:
-                rows[ts_name] = pd.to_datetime(rows[ts_name])
-            rows = rows.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+                if not len(pdf):
+                    continue
+                for c in keep_cols:
+                    s = pdf[c]
+                    if c in dt_cols:
+                        cols[c].extend(
+                            s.to_numpy(dtype="datetime64[ns]")
+                            .view("int64").tolist()
+                        )
+                    else:
+                        cols[c].extend(s.tolist())
+            rows = pd.DataFrame({c: cols[c] for c in keep_cols})
+            for c in dt_cols:
+                rows[c] = pd.Series(
+                    _np.asarray(rows[c], dtype="int64").view("datetime64[ns]")
+                )
+            # in-order fast path: the stored buffer is already sorted; when
+            # every new row lands strictly after the processed high-water
+            # mark, sort just the new suffix and RESUME the NFA over it —
+            # O(new) per batch. Ties with the high-water mark fall back (a
+            # same-ts arrival could interleave the old tail under the
+            # deterministic tie-break and change strict/every semantics).
+            new_part = rows.iloc[n_old:]
+            in_order = (
+                nfa is not None
+                and nfa["hwm"] is not None
+                and (
+                    not len(new_part)
+                    or int(new_part[TS_COL].min()) > nfa["hwm"]
+                )
+            )
+            if in_order:
+                rows = pd.concat(
+                    [
+                        rows.iloc[:n_old],
+                        new_part.sort_values(sort_cols, kind="mergesort"),
+                    ],
+                    ignore_index=True,
+                )
+                start_idx, init = n_old, nfa["st"]
+            else:
+                rows = rows.sort_values(
+                    sort_cols, kind="mergesort"
+                ).reset_index(drop=True)
+                start_idx, init = 0, None
+            wm = state.getCurrentWatermarkMs()
+            if can_evict and wm > 0:
+                # rows below (watermark - within) can never join a NEW match:
+                # late arrivals below the watermark were already dropped
+                # upstream, and any kept row's within-window still reaches
+                # past the watermark. Prune is a PREFIX of the sorted buffer,
+                # so surviving capture indices just shift down.
+                floor = wm - within_ms
+                k = int(_np.searchsorted(rows[TS_COL].to_numpy(), floor))
+                if k > 0:
+                    rows = rows.iloc[k:].reset_index(drop=True)
+                    if init is not None:
+                        for group in ("partials", "spawners"):
+                            kept = []
+                            for d in init[group]:
+                                if (
+                                    d["first_ts"] is not None
+                                    and d["first_ts"] < floor
+                                ):
+                                    continue  # stale: its window closed
+                                d["captured"] = [
+                                    [j - k for j in idxs]
+                                    for idxs in d["captured"]
+                                ]
+                                kept.append(d)
+                            init[group] = kept
+                        start_idx = max(start_idx - k, 0)
+            if len(rows) > max_buffer:
+                # hard cap: evict the oldest event-time rows and resync with
+                # a full re-run (the seen-set suppresses re-emissions)
+                drop = len(rows) - max_buffer
+                rows = rows.iloc[drop:].reset_index(drop=True)
+                start_idx, init = 0, None
             masks = []
             for stream_name, filt in filters:
                 m = (rows[STREAM_COL] == stream_name).to_numpy()
@@ -1264,28 +1353,31 @@ class StreamingPlanner(BatchPlanner):
                     fv = _vec(filt, rows)
                     m = m & fv.to_numpy(dtype=bool, na_value=False)
                 masks.append(m)
-            found = _run_nfa(
+            found, nfa_st = _run_nfa(
                 rows, masks, elems_c, strict_after, every, within_ms,
                 at_close=False, every_at=every_at,
+                start_idx=start_idx, init=init, return_state=True,
             )
 
+            # identity = the captured rows' CONTENT (buffer positions shift
+            # as rows arrive/evict, so indices are not stable across batches);
+            # serialized lazily and cached — only captured rows pay it, not
+            # the whole buffer like the round-5 implementation did
+            ident_cache: dict[int, str] = {}
+
+            def row_ident(j: int) -> str:
+                s = ident_cache.get(j)
+                if s is None:
+                    s = _json.dumps(rows.iloc[j].tolist(), default=str)
+                    ident_cache[j] = s
+                return s
+
             def match_key(cap):
-                # identity = the captured rows' CONTENT (buffer positions shift
-                # as rows arrive/evict, so indices are not stable across batches)
                 payload = _json.dumps(
-                    [[buffer_sorted[j] for j in idxs] for idxs in cap]
+                    [[row_ident(j) for j in idxs] for idxs in cap]
                 )
                 return _hashlib.md5(payload.encode()).hexdigest()
 
-            # rows was re-sorted; map sorted positions back to serialized rows
-            buffer_sorted = [
-                _json.dumps(
-                    {k: (v.isoformat() if isinstance(v, pd.Timestamp) else v)
-                     for k, v in dict(zip(rows.columns, tup)).items()},
-                    default=str,
-                )
-                for tup in rows.itertuples(index=False)
-            ]
             seen_set = set(seen)
             new = []
             for cap in found:
@@ -1296,7 +1388,27 @@ class StreamingPlanner(BatchPlanner):
                     new.append(cap)
             if len(seen) > 4 * max_buffer:
                 seen = seen[-4 * max_buffer:]
-            state.update((seen, buffer))
+            out_cols = {}
+            for c in keep_cols:
+                if c in dt_cols:
+                    out_cols[c] = (
+                        rows[c].to_numpy(dtype="datetime64[ns]")
+                        .view("int64").tolist()
+                    )
+                else:
+                    out_cols[c] = rows[c].tolist()
+            hwm = (
+                int(rows[TS_COL].iloc[-1])  # buffer is sorted by TS_COL
+                if len(rows)
+                else (nfa["hwm"] if nfa is not None else None)
+            )
+            state.update((
+                seen,
+                _json.dumps(out_cols),
+                _json.dumps({"hwm": hwm, "st": nfa_st}),
+            ))
+            if not new:
+                return  # no frame build for no-match keys (the common case)
             data = {n: [] for n in out_names}
             for cap in new:
                 for ei, e in enumerate(elems_c):
