@@ -168,6 +168,7 @@ def _run_nfa(
     start_idx: int = 0,
     init: dict | None = None,
     return_state: bool = False,
+    ts_vals=None,
 ):
     """Run the NFA over one partition; returns captured row-index lists
     (one list per FLAT element per match).
@@ -191,7 +192,8 @@ def _run_nfa(
     steps, flat = normalize_steps(raw_steps)
     n_steps = len(steps)
     n_flat = len(flat)
-    ts_vals = rows[TS_COL].to_numpy()
+    if ts_vals is None:
+        ts_vals = rows[TS_COL].to_numpy()
     matches: list[list[list[int]]] = []
     if init is not None:
         partials = [_partial_from_dict(d) for d in init["partials"]]
@@ -216,7 +218,7 @@ def _run_nfa(
             return (not st.elem.is_collection) and _step_satisfied(p, st)
         return _step_satisfied(p, st)
 
-    n_rows = len(rows)
+    n_rows = len(ts_vals)
     for i in range(start_idx, n_rows):
         if done:
             break
@@ -302,6 +304,124 @@ def _run_nfa(
             "done": done,
         }
     return matches
+
+
+def kernel2_applicable(elems, every: bool, every_at, strict_after) -> bool:
+    """True when the pattern is the vectorizable 2-step shape:
+    ``every a=A[fa] (->|,) b=B[fb] [within t]`` — two plain single elements,
+    no negation/quantifiers/groups. This is the dominant production CEP
+    shape (the reference's own examples are this form), so it gets a
+    numpy kernel instead of the per-row Python NFA loop."""
+    return (
+        every
+        and every_at is None
+        and len(elems) == 2
+        and len(strict_after) == 1
+        and all(
+            isinstance(e, A.PatternElem)
+            and not e.negated
+            and e.min_count == 1
+            and e.max_count == 1
+            for e in elems
+        )
+    )
+
+
+def run_kernel2(
+    ts_vals,
+    mask_a,
+    mask_b,
+    start_idx: int,
+    init: dict | None,
+    within_ms: int | None,
+    strict: bool,
+):
+    """Vectorized NFA for the ``every A -> B [within t]`` shape — the exact
+    _run_nfa semantics computed with numpy set operations instead of the
+    per-row Python loop (bit-for-bit the same matches; pytest pins the two
+    engines equal on randomized feeds):
+
+    - followed-by: A matches the FIRST B at a later buffer position; the
+      match stands iff that B is inside A's within-window (the general NFA
+      evicts the partial at the first row beyond the window, so a
+      first-B outside it means no match ever) — one ``searchsorted`` of A
+      positions into B positions.
+    - strict (","): B must be the immediately-next buffer row.
+    - pending state: A rows with no later B yet whose window still reaches
+      past the newest processed row; serialized in the SAME partial format
+      ``_run_nfa`` produces, so the two engines are interchangeable across
+      micro-batches (out-of-order fallback re-runs either one).
+    """
+    import numpy as np
+
+    n = len(ts_vals)
+    if init is not None:
+        pend_pos = [p["captured"][0][0] for p in init["partials"]]
+        pend_ts = [p["first_ts"] for p in init["partials"]]
+        started = bool(init["started"])
+    else:
+        pend_pos, pend_ts, started = [], [], False
+    new_a = (np.nonzero(mask_a[start_idx:])[0] + start_idx).astype(np.int64)
+    a_pos = np.concatenate([np.asarray(pend_pos, dtype=np.int64), new_a])
+    a_ts = np.concatenate(
+        [np.asarray(pend_ts, dtype=np.int64), ts_vals[new_a]]
+    )
+    b_pos = (np.nonzero(mask_b[start_idx:])[0] + start_idx).astype(np.int64)
+    n_a = len(a_pos)
+    matches: list = []
+    if strict:
+        nxt = a_pos + 1
+        in_range = nxt < n
+        ok = np.zeros(n_a, dtype=bool)
+        safe_nxt = np.where(in_range, nxt, 0)
+        ok[in_range] = np.asarray(mask_b)[safe_nxt[in_range]]
+        if within_ms is not None:
+            win = np.zeros(n_a, dtype=np.int64)
+            win[in_range] = ts_vals[safe_nxt[in_range]]
+            ok &= (win - a_ts) <= within_ms
+        b_match = safe_nxt
+        keep = ~in_range  # the adjacent row hasn't arrived yet
+    else:
+        if len(b_pos):
+            pos = np.searchsorted(b_pos, a_pos, side="right")
+            has_b = pos < len(b_pos)
+            cand = b_pos[np.minimum(pos, len(b_pos) - 1)]
+            ok = has_b.copy()
+            if within_ms is not None:
+                ok &= (ts_vals[cand] - a_ts) <= within_ms
+            b_match = cand
+        else:
+            has_b = np.zeros(n_a, dtype=bool)
+            ok = has_b
+            b_match = np.zeros(n_a, dtype=np.int64)
+        # survivors: no B yet AND the within-window still reaches past the
+        # newest row (the general NFA drops a partial at the first row
+        # beyond its window, whatever that row's type)
+        keep = ~has_b
+        if within_ms is not None and n:
+            keep = keep & ((int(ts_vals[-1]) - a_ts) <= within_ms)
+    oi = np.nonzero(ok)[0]
+    if len(oi):
+        # emission order mirrors the row-loop NFA: by completing row, then A
+        order = np.lexsort((a_pos[oi], b_match[oi]))
+        for i in oi[order]:
+            matches.append([[int(a_pos[i])], [int(b_match[i])]])
+    partials = [
+        {
+            "pos": 1,
+            "captured": [[int(a_pos[i])], []],
+            "first_ts": int(a_ts[i]),
+            "last_ts": int(a_ts[i]),
+            "neg_deadline": None,
+        }
+        for i in np.nonzero(keep)[0]
+    ]
+    return matches, {
+        "partials": partials,
+        "spawners": [],
+        "started": started or bool(n_a),
+        "done": False,
+    }
 
 
 def validate_every_at(p: "A.PatternInput") -> None:

@@ -59,7 +59,14 @@ from ..plans.expr import ExprCompiler
 from ..plans.planner import TS_COL, BatchPlanner
 from ..siddhiql import ast as A
 from ..operators import windows as W
-from ..operators.pattern import PK_COL, STREAM_COL, _run_nfa, _vec
+from ..operators.pattern import (
+    PK_COL,
+    STREAM_COL,
+    _run_nfa,
+    _vec,
+    kernel2_applicable,
+    run_kernel2,
+)
 
 # Streaming #window.sort / #window.frequent emit per-micro-batch SNAPSHOTS of
 # the window's retained contents; each output row carries the snapshot id and
@@ -1211,15 +1218,11 @@ class StreamingPlanner(BatchPlanner):
                 )
         out_schema = T.StructType(out_fields)
         out_names = [f.name for f in out_fields]
-        sort_cols = [TS_COL] + [f for f in fields if f != schema.ts_field]
-        # buffer state = ONE column-oriented json blob (dict of column lists,
-        # stored SORTED) — round-6 profiling showed per-row json serde and
-        # per-batch re-serialization were ~70% of per-key time; one dumps of
-        # column lists is ~15x cheaper at the same content. ``seen`` holds
-        # content-hashes of already-emitted matches: a running count would
-        # re-emit old matches (and drop new ones) whenever an out-of-order
-        # arrival inserts a match at an earlier NFA position, and would
-        # replay every still-derivable match after buffer eviction.
+        # buffer state = ONE json blob of row arrays, stored SORTED. ``seen``
+        # holds content-hashes of already-emitted matches: a running count
+        # would re-emit old matches (and drop new ones) whenever an
+        # out-of-order arrival inserts a match at an earlier NFA position,
+        # and would replay every still-derivable match after buffer eviction.
         state_schema = T.StructType(
             [
                 T.StructField("seen", T.ArrayType(T.StringType())),
@@ -1234,21 +1237,113 @@ class StreamingPlanner(BatchPlanner):
         field_names = {e.alias: fields for e in elems if not e.negated}
         collection = {e.alias: e.is_collection for e in elems if not e.negated}
         max_buffer = self.max_buffer_per_key
-        keep_cols = [STREAM_COL, TS_COL] + fields
-        # datetime columns round-trip the json state as int64 ns (vectorized
-        # view both ways; NaT <-> i64-min is preserved by the view)
-        dt_cols = [
-            f for f in fields
-            if isinstance(
-                field_types[f],
-                (T.TimestampType, T.TimestampNTZType, T.DateType),
-            )
+
+        # --- row packing (round 7): ship each event to the stateful operator
+        # as ONE json-array column. PySpark's applyInPandasWithState converts
+        # every input column to a pandas Series PER KEY GROUP — at 100k
+        # small keys that per-visit Arrow->pandas cost dominated the
+        # streaming probe (~60% of wall, worker cProfile). One packed column
+        # + the key + the watermark column cut the drain 42s -> 22s at 1M
+        # events/100k keys. Timestamps ride as unix micros, dates as epoch
+        # days; json numbers/strings/bools round-trip natively.
+        _NUM_T = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType,
+        )
+        pos = {TS_COL: 0}
+        pack_exprs = [F.col(TS_COL).cast("long").alias("__c0")]
+        dt_us_fields: set = set()
+        date_fields: set = set()
+        for i, f in enumerate(fields):
+            t = field_types[f]
+            c = F.col(f)
+            if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+                c = F.unix_micros(c.cast("timestamp"))
+                dt_us_fields.add(f)
+            elif isinstance(t, T.DateType):
+                c = F.datediff(c, F.lit("1970-01-01"))
+                date_fields.add(f)
+            elif not isinstance(t, _NUM_T + (T.StringType, T.BooleanType)):
+                raise UnsupportedFeatureException(
+                    f"streaming pattern over field '{f}' of type "
+                    f"{t.simpleString()}: supported field types are "
+                    "numeric/string/boolean/timestamp/date"
+                )
+            pos[f] = i + 1
+            pack_exprs.append(c.alias(f"__c{i + 1}"))
+        pack_keys = [f"__c{i}" for i in range(len(pack_exprs))]
+        sel = [F.col(PK_COL)]
+        if "__event_time" in df.columns:
+            sel.append(F.col("__event_time"))
+        sel.append(
+            F.to_json(
+                F.struct(*pack_exprs), {"ignoreNullFields": "false"}
+            ).alias("__row")
+        )
+        df = df.select(*sel)
+        # total order: ts, then the remaining fields (nulls last, matching
+        # the batch operator's pandas na_position="last")
+        sort_pd = [(0, 0)] + [
+            (pos[f], "" if isinstance(field_types[f], T.StringType) else 0)
+            for f in fields
+            if f != schema.ts_field
         ]
+
+        def sort_key(r):
+            return tuple(
+                (r[p] is None, r[p] if r[p] is not None else d)
+                for p, d in sort_pd
+            )
+
+        # columns the element filters actually read (masks build arrays for
+        # just these)
+        def _ref_names(x, out):
+            if isinstance(x, A.Ref):
+                out.add(x.name)
+            elif isinstance(x, A.Binary):
+                _ref_names(x.left, out)
+                _ref_names(x.right, out)
+            elif isinstance(x, A.Unary):
+                _ref_names(x.expr, out)
+            elif isinstance(x, A.IsNull):
+                _ref_names(x.expr, out)
+
+        ref_cols: set = set()
+        for _, filt in filters:
+            if filt is not None:
+                _ref_names(filt, ref_cols)
+        ref_cols = sorted(ref_cols)
 
         # watermark eviction is only sound for within-bounded patterns with
         # no negated element: an evicted guard row would resurrect a killed
         # absence-partial on the out-of-order full re-run
         can_evict = within_ms is not None and not any(e.negated for e in elems)
+
+        # vectorizable 2-step shape -> numpy kernel instead of the row loop
+        plain2 = kernel2_applicable(elems_c, every, every_at, strict_after)
+
+        class _ColView(dict):
+            """Minimal pdf-like over numpy column arrays for ``_vec``."""
+
+            @property
+            def columns(self):
+                return list(self.keys())
+
+        def _mask_bool(fv):
+            import numpy as _np
+
+            if hasattr(fv, "to_numpy"):  # pandas Series
+                return fv.to_numpy(dtype=bool, na_value=False)
+            arr = _np.asarray(fv)
+            if arr.dtype == object or arr.dtype.kind == "f":
+                return _np.where(pd.isna(arr), False, arr).astype(bool)
+            return arr.astype(bool)
+
+        ref_pos = [(c, pos[c]) for c in ref_cols]
+        ref_numeric = {
+            c: not isinstance(field_types.get(c), T.StringType)
+            for c in ref_cols
+        }
 
         def proc(
             key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -1261,58 +1356,50 @@ class StreamingPlanner(BatchPlanner):
             if state.exists:
                 seen, buf_json, nfa_json = state.get
                 seen = list(seen)
-                cols = _json.loads(buf_json)
+                rows = _json.loads(buf_json)
                 nfa = _json.loads(nfa_json)
             else:
                 seen, nfa = [], None
-                cols = {c: [] for c in keep_cols}
-            n_old = len(cols[TS_COL])
+                rows = []
+            n_old = len(rows)
+            # the buffer lives as a sorted LIST OF ROW ARRAYS — no pandas in
+            # the per-key hot path (a pandas multi-column sort alone costs
+            # ~1.3ms FIXED per call; at 100k keys/batch that dominated the
+            # round-7 streaming probe)
+            new_rows = []
+            loads = _json.loads
             for pdf in pdfs:
-                if not len(pdf):
-                    continue
-                for c in keep_cols:
-                    s = pdf[c]
-                    if c in dt_cols:
-                        cols[c].extend(
-                            s.to_numpy(dtype="datetime64[ns]")
-                            .view("int64").tolist()
-                        )
-                    else:
-                        cols[c].extend(s.tolist())
-            rows = pd.DataFrame({c: cols[c] for c in keep_cols})
-            for c in dt_cols:
-                rows[c] = pd.Series(
-                    _np.asarray(rows[c], dtype="int64").view("datetime64[ns]")
-                )
-            # in-order fast path: the stored buffer is already sorted; when
-            # every new row lands strictly after the processed high-water
-            # mark, sort just the new suffix and RESUME the NFA over it —
-            # O(new) per batch. Ties with the high-water mark fall back (a
+                if len(pdf):
+                    for s in pdf["__row"].tolist():
+                        d = loads(s)
+                        new_rows.append([d[k] for k in pack_keys])
+            n_new = len(new_rows)
+            # in-order fast path: every new row strictly after the processed
+            # high-water mark -> sort just the new suffix and RESUME the NFA
+            # over it (O(new) per batch). Ties with the hwm fall back (a
             # same-ts arrival could interleave the old tail under the
             # deterministic tie-break and change strict/every semantics).
-            new_part = rows.iloc[n_old:]
             in_order = (
                 nfa is not None
                 and nfa["hwm"] is not None
                 and (
-                    not len(new_part)
-                    or int(new_part[TS_COL].min()) > nfa["hwm"]
+                    n_new == 0
+                    or min(r[0] for r in new_rows) > nfa["hwm"]
                 )
             )
             if in_order:
-                rows = pd.concat(
-                    [
-                        rows.iloc[:n_old],
-                        new_part.sort_values(sort_cols, kind="mergesort"),
-                    ],
-                    ignore_index=True,
-                )
+                if n_new:
+                    if n_new > 1:
+                        new_rows.sort(key=sort_key)
+                    rows.extend(new_rows)
                 start_idx, init = n_old, nfa["st"]
             else:
-                rows = rows.sort_values(
-                    sort_cols, kind="mergesort"
-                ).reset_index(drop=True)
+                rows.extend(new_rows)
+                rows.sort(key=sort_key)
                 start_idx, init = 0, None
+            ts_arr = _np.fromiter(
+                (r[0] for r in rows), dtype=_np.int64, count=len(rows)
+            )
             wm = state.getCurrentWatermarkMs()
             if can_evict and wm > 0:
                 # rows below (watermark - within) can never join a NEW match:
@@ -1321,9 +1408,10 @@ class StreamingPlanner(BatchPlanner):
                 # past the watermark. Prune is a PREFIX of the sorted buffer,
                 # so surviving capture indices just shift down.
                 floor = wm - within_ms
-                k = int(_np.searchsorted(rows[TS_COL].to_numpy(), floor))
+                k = int(_np.searchsorted(ts_arr, floor))
                 if k > 0:
-                    rows = rows.iloc[k:].reset_index(drop=True)
+                    rows = rows[k:]
+                    ts_arr = ts_arr[k:]
                     if init is not None:
                         for group in ("partials", "spawners"):
                             kept = []
@@ -1339,84 +1427,107 @@ class StreamingPlanner(BatchPlanner):
                                 ]
                                 kept.append(d)
                             init[group] = kept
-                        start_idx = max(start_idx - k, 0)
+                    start_idx = max(start_idx - k, 0)
             if len(rows) > max_buffer:
                 # hard cap: evict the oldest event-time rows and resync with
                 # a full re-run (the seen-set suppresses re-emissions)
-                drop = len(rows) - max_buffer
-                rows = rows.iloc[drop:].reset_index(drop=True)
+                rows = rows[len(rows) - max_buffer:]
+                ts_arr = ts_arr[len(ts_arr) - max_buffer:]
                 start_idx, init = 0, None
+            n_total = len(rows)
+            # masks over the scanned region only (rows[start_idx:]); the old
+            # prefix is only indexed via partials' captured positions, never
+            # re-tested, so it pads as False
+            region = rows[start_idx:] if start_idx else rows
             masks = []
-            for stream_name, filt in filters:
-                m = (rows[STREAM_COL] == stream_name).to_numpy()
-                if filt is not None:
-                    fv = _vec(filt, rows)
-                    m = m & fv.to_numpy(dtype=bool, na_value=False)
-                masks.append(m)
-            found, nfa_st = _run_nfa(
-                rows, masks, elems_c, strict_after, every, within_ms,
-                at_close=False, every_at=every_at,
-                start_idx=start_idx, init=init, return_state=True,
+            if any(filt is not None for _, filt in filters):
+                view = {}
+                for c, p_ in ref_pos:
+                    vals = [r[p_] for r in region]
+                    if ref_numeric[c]:
+                        try:
+                            arr = _np.asarray(vals, dtype=_np.int64)
+                        except (TypeError, ValueError):
+                            arr = _np.asarray(vals, dtype=_np.float64)
+                    else:
+                        arr = _np.asarray(vals, dtype=object)
+                    view[c] = arr
+                view = _ColView(view)
+            base = _np.ones(len(region), dtype=bool)
+            zpad = (
+                _np.zeros(start_idx, dtype=bool) if start_idx else None
             )
+            for _, filt in filters:
+                if filt is None:
+                    m = base
+                else:
+                    m = base & _mask_bool(_vec(filt, view))
+                if zpad is not None:
+                    m = _np.concatenate([zpad, m])
+                masks.append(m)
+            if plain2:
+                found, nfa_st = run_kernel2(
+                    ts_arr, masks[0], masks[1], start_idx, init, within_ms,
+                    strict_after[0],
+                )
+            else:
+                found, nfa_st = _run_nfa(
+                    None, masks, elems_c, strict_after, every, within_ms,
+                    at_close=False, every_at=every_at,
+                    start_idx=start_idx, init=init, return_state=True,
+                    ts_vals=ts_arr,
+                )
 
             # identity = the captured rows' CONTENT (buffer positions shift
-            # as rows arrive/evict, so indices are not stable across batches);
-            # serialized lazily and cached — only captured rows pay it, not
-            # the whole buffer like the round-5 implementation did
-            ident_cache: dict[int, str] = {}
-
-            def row_ident(j: int) -> str:
-                s = ident_cache.get(j)
-                if s is None:
-                    s = _json.dumps(rows.iloc[j].tolist(), default=str)
-                    ident_cache[j] = s
-                return s
-
+            # as rows arrive/evict, so indices are not stable across batches)
             def match_key(cap):
                 payload = _json.dumps(
-                    [[row_ident(j) for j in idxs] for idxs in cap]
+                    [[rows[j] for j in idxs] for idxs in cap]
                 )
                 return _hashlib.md5(payload.encode()).hexdigest()
 
             seen_set = set(seen)
-            new = []
+            new_caps = []
             for cap in found:
                 k = match_key(cap)
                 if k not in seen_set:
                     seen_set.add(k)
                     seen.append(k)
-                    new.append(cap)
+                    new_caps.append(cap)
             if len(seen) > 4 * max_buffer:
                 seen = seen[-4 * max_buffer:]
-            out_cols = {}
-            for c in keep_cols:
-                if c in dt_cols:
-                    out_cols[c] = (
-                        rows[c].to_numpy(dtype="datetime64[ns]")
-                        .view("int64").tolist()
-                    )
-                else:
-                    out_cols[c] = rows[c].tolist()
             hwm = (
-                int(rows[TS_COL].iloc[-1])  # buffer is sorted by TS_COL
-                if len(rows)
+                int(ts_arr[-1])  # buffer is sorted by TS_COL
+                if n_total
                 else (nfa["hwm"] if nfa is not None else None)
             )
             state.update((
                 seen,
-                _json.dumps(out_cols),
+                _json.dumps(rows),
                 _json.dumps({"hwm": hwm, "st": nfa_st}),
             ))
-            if not new:
-                return  # no frame build for no-match keys (the common case)
+            if not new_caps:
+                return  # no output build for no-match keys (the common case)
+            import datetime as _dt
+
+            def _cell(fname: str, j: int):
+                v = rows[j][pos[fname]]
+                if v is None:
+                    return None
+                if fname in dt_us_fields:
+                    return pd.Timestamp(v, unit="us")
+                if fname in date_fields:
+                    return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+                return v
+
             data = {n: [] for n in out_names}
-            for cap in new:
+            for cap in new_caps:
                 for ei, e in enumerate(elems_c):
                     if e.negated:
                         continue
                     for fname in field_names[e.alias]:
                         cname = col_of[(e.alias, fname)]
-                        vals = [rows[fname].iloc[j] for j in cap[ei]]
+                        vals = [_cell(fname, j) for j in cap[ei]]
                         if collection[e.alias]:
                             data[cname].append(vals)
                         else:
