@@ -608,8 +608,25 @@ def _try_fast_path(planner, q: A.Query, u: DataFrame, elems, strict_after,
             lagged = lagged.withColumn(col_of[(a.alias, fname)], F.lag(F.col(fname)).over(wp))
         matches = lagged.filter(F.col("__cur_b") & F.col("__prev_a"))
         if not p.every:
-            wm = Window.partitionBy(PK_COL).orderBy(*[F.col(c) for c in sort_cols])
-            matches = matches.withColumn("__mr", F.row_number().over(wm)).filter(F.col("__mr") == 1)
+            # PARITY.md contract (and the general NFA): without `every` the
+            # single partial arms at the FIRST a-match per key; if its
+            # immediate successor is not a b-match the sequence is dead — it
+            # does NOT re-arm at the next successful pair (round-7 property
+            # fuzz caught the old first-successful-match pick diverging from
+            # the NFA on feeds like x,x,y)
+            lagged2 = lagged.withColumn("__pos", F.row_number().over(wp))
+            lagged2 = lagged2.withColumn(
+                "__first_a",
+                F.min(F.when(is_a, F.col("__pos"))).over(
+                    Window.partitionBy(PK_COL).rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
+            matches = lagged2.filter(
+                F.col("__cur_b") & F.col("__prev_a")
+                & (F.col("__pos") - 1 == F.col("__first_a"))
+            )
         out_cols = [F.col(col_of[(a.alias, f)]) for f in field_names[a.alias]]
         out_cols += [F.col(f).alias(col_of[(b.alias, f)]) for f in field_names[b.alias]]
         return matches.select(*out_cols)

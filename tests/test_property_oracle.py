@@ -238,17 +238,21 @@ def test_random_followed_by_pattern(spark, names, gaps, within_s, every):
 def _brute_strict_seq(rows, every=True):
     """`[every] a = s[name=='x'] , b = s[name=='y']`: the event IMMEDIATELY
     after a matching x must be a y, else that partial dies (and the killing
-    event may itself open a new partial). Without `every` the pattern keeps
-    re-arming until its FIRST completed match, then stops."""
+    event may itself open a new partial). Without `every` ONLY the first x
+    arms the single partial — if its successor is not a y the sequence is
+    dead and never re-arms (PARITY.md contract; matches the general NFA,
+    fixed in the fast path by the round-7 property fuzz)."""
     out = []
     for i, (aid, aname, _) in enumerate(rows):
         if aname != "x" or i + 1 >= len(rows):
+            if aname == "x" and not every:
+                break
             continue
         bid, bname, _ = rows[i + 1]
         if bname == "y":
             out.append((aid, bid))
-            if not every:
-                break
+        if not every:
+            break
     return sorted(out)
 
 

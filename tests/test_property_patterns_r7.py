@@ -109,6 +109,28 @@ def test_random_quantifier_within(spark, names, gaps, n, extra, within_s,
     assert got == want, (rows, n, m, within_s, every, strict)
 
 
+def test_strict_nonevery_first_attempt_regression(spark):
+    """Pinned divergence found by the round-7 fuzz (minimized: feed x,x,y):
+    without `every`, a strict sequence arms at the FIRST x only — the old
+    JVM fast path re-armed and emitted the first SUCCESSFUL pair (x1,y2),
+    while the general NFA (and PARITY.md's documented contract) kill the
+    sequence when the first x's successor is not a y."""
+    rows = [(0, "x", 1000), (1, "x", 2000), (2, "y", 3000)]
+    cep = _define(spark, rows)
+    out = cep.from_("s").cql(
+        "from a = s[name == 'x'] , b = s[name == 'y'] "
+        "select a.id as a_id, b.id as b_id insert into Out"
+    ).returns("Out")
+    assert out.collect() == []  # first attempt died at the second x
+    # the every form still emits the (x1, y2) pair
+    cep2 = _define(spark, rows)
+    out2 = cep2.from_("s").cql(
+        "from every a = s[name == 'x'] , b = s[name == 'y'] "
+        "select a.id as a_id, b.id as b_id insert into Out"
+    ).returns("Out")
+    assert sorted((r.a_id, r.b_id) for r in out2.collect()) == [(1, 2)]
+
+
 # ------------------------------------------------------------ absence fuzz
 def _brute_absence(rows, for_ms, every):
     """``[every] a=s[x] -> not s[y] for T``: a matching x is confirmed when
