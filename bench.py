@@ -128,24 +128,23 @@ HEADLINE = [
     # training cost = n_iter bounded-sample assignment passes) + Lloyd
     # k-means semantic clustering (the m=1 trainer).
     # Round 7 (VERDICT r6 ask #6): the family's codebooks are trained ONCE
-    # in the ann_trained_codebooks row and SHARED by the five composed
-    # entries below via the codebook=/coarse_codebook=/residual_codebook=
-    # pass-throughs — the production composition (one trained artifact,
-    # many consumers) instead of five independent re-trainings. The
-    # oracle-gated queries() entries still train per-query (the oracle
-    # replays the full loop); only the bench composition shares.
-    "ann_trained_codebooks",
+    # (the trained_artifacts section below reports that one-time build's
+    # wall clock) and SHARED by the five composed entries via the
+    # codebook=/coarse_codebook=/residual_codebook= pass-throughs — the
+    # production composition (one trained artifact, many consumers)
+    # instead of five independent re-trainings. The oracle-gated queries()
+    # entries still train per-query (the oracle replays the full loop);
+    # only the bench composition shares. Training wall is Spark JOB-COUNT
+    # bound at bench SFs (each Lloyd iteration = one mapInPandas + one
+    # skinny agg + a <= m*n_codes collect, ~0.5s of fixed job latency at
+    # 5k vectors), so it is reported like control_lifecycle — a one-time
+    # section, not a per-query number the min-of-3 would misrepresent.
     "ann_pq_trained_topk",
     "ann_kmeans_clusters",
     "ann_ivfsq_topk",
     "ann_ivfpq_residual",
     "pipeline_cluster_balanced",
 ]
-
-# rows timed on pass 1 ONLY (a one-time artifact build: passes 2-3 would hit
-# the cache and record a meaningless ~0 floor; the honest number is the one
-# full training this process pays)
-FIRST_PASS_ROWS = {"ann_trained_codebooks"}
 
 _TRAINED_ARTIFACTS: dict[str, dict] = {}
 
@@ -659,6 +658,15 @@ def main() -> int:
             qs[name](spark, warm_dir).count()
         except Exception as ex:  # warmup must never fail the bench
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
+    # one-time trained-artifact build (its own section, like
+    # control_lifecycle): the five trained-family headline entries reuse
+    # these codebooks instead of re-training per entry
+    t0 = time.time()
+    n_artifacts = qs["ann_trained_codebooks"](spark, sf_dir).count()
+    trained_artifacts = {
+        "sec": round(time.time() - t0, 2),
+        "artifacts": int(n_artifacts),
+    }
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     # min-of-3 taken over three INTERLEAVED passes (q1..qN, q1..qN, ...):
@@ -671,8 +679,6 @@ def main() -> int:
     for rep in range(3):
         for name in HEADLINE:
             fn = qs[name]
-            if rep > 0 and name in FIRST_PASS_ROWS:
-                continue  # one-time artifact build: later passes hit the cache
             if rep == 0:
                 try:
                     fn(spark, warm_dir).count()
@@ -809,6 +815,8 @@ def main() -> int:
             sys.stdout.flush()
     if os.environ.get("SPARK_GRAFT_CONTROL_BENCH", "1") != "0":
         try:
+            out["trained_artifacts"] = trained_artifacts
+            print(json.dumps({"trained_artifacts": trained_artifacts}))
             out["control_lifecycle"] = _control_lifecycle_bench(spark)
             print(json.dumps({"control_lifecycle": out["control_lifecycle"]}))
             sys.stdout.flush()

@@ -817,30 +817,27 @@ def pq_train_codebook(
         + [T.StructField(f"v{d}", T.DoubleType()) for d in range(sub)]
     )
     for _ in range(n_iter):
-        cb64 = [np.asarray(c, dtype=np.float64) for c in cb]
+        cb64m = np.asarray([np.asarray(c, dtype=np.float64) for c in cb])
         n_cb = len(cb)
 
-        def assign(batches, cb64=cb64, n_cb=n_cb):
+        def assign(batches, cb64m=cb64m, n_cb=n_cb):
             for pdf in batches:
                 X = _np_emb_matrix(pdf[emb_col], dim)
                 n = X.shape[0]
                 frames = []
                 for j in range(m):
-                    best_d = None
-                    best_c = None
-                    for c in range(n_cb):
-                        acc = np.zeros(n)
-                        for d in range(sub):
-                            i = j * sub + d
-                            t = X[:, i] - cb64[c][i]
-                            acc += t * t
-                        dr = _np_round6(acc)
-                        if best_d is None:
-                            best_d, best_c = dr, np.full(n, c, dtype=np.int32)
-                        else:
-                            better = dr < best_d  # strict: ties keep smaller c
-                            best_d = np.where(better, dr, best_d)
-                            best_c = np.where(better, c, best_c)
+                    # broadcast over codes with DIMENSION-ORDER accumulation:
+                    # bit-identical to the per-code fold (same float64 add
+                    # sequence per element), n_codes x fewer numpy dispatches
+                    acc = np.zeros((n, n_cb))
+                    for d in range(sub):
+                        i = j * sub + d
+                        t = X[:, i:i + 1] - cb64m[:, i][None, :]
+                        acc += t * t
+                    # argmin takes the FIRST minimum == smaller-code-id ties
+                    best_c = np.argmin(
+                        _np_round6(acc), axis=1
+                    ).astype(np.int32)
                     cols = {"j": np.full(n, j, dtype=np.int32), "c": best_c}
                     for d in range(sub):
                         cols[f"v{d}"] = X[:, j * sub + d]
@@ -966,11 +963,10 @@ def _pq_encode_numpy(
 
     from pyspark.sql import types as T
 
-    cb64 = [np.asarray(c, dtype=np.float64) for c in cb]
+    cb64m = np.asarray([np.asarray(c, dtype=np.float64) for c in cb])
     cb32 = np.asarray(
         [np.asarray(c, dtype=np.float32) for c in cb], dtype=np.float32
     )
-    n_codes = len(cb)
     dim = m * sub
 
     def run(batches):
@@ -981,23 +977,20 @@ def _pq_encode_numpy(
             n = X.shape[0]
             codes = np.zeros((n, m), dtype=np.int32)
             for j in range(m):
-                best_d = None
-                best_c = None
-                for c in range(n_codes):
-                    acc = np.zeros(n)
-                    for d in range(sub):
-                        i = j * sub + d
-                        t = X[:, i] - cb64[c][i]
-                        acc += t * t
-                    dr = _np_round6(acc)
-                    if best_d is None:
-                        best_d = dr
-                        best_c = np.full(n, c, dtype=np.int32)
-                    else:
-                        better = dr < best_d  # strict: ties keep smaller c
-                        best_d = np.where(better, dr, best_d)
-                        best_c = np.where(better, c, best_c)
-                codes[:, j] = best_c
+                # broadcast over codes, accumulate DIMENSION-BY-DIMENSION:
+                # acc[r, c] sees the exact same float64 add sequence as the
+                # old per-code loop (bit-identical), ~n_codes x fewer numpy
+                # dispatches (round-7: cut the trained-family bench block)
+                acc = np.zeros((n, len(cb)))
+                for d in range(sub):
+                    i = j * sub + d
+                    t = X[:, i:i + 1] - cb64m[:, i][None, :]
+                    acc += t * t
+                # first occurrence of the minimum == the strict '<' fold's
+                # smaller-code-id tiebreak
+                codes[:, j] = np.argmin(
+                    _np_round6(acc), axis=1
+                ).astype(np.int32)
             recon = np.concatenate(
                 [
                     cb32[codes[:, j]][:, j * sub : (j + 1) * sub]
