@@ -408,7 +408,10 @@ def run_kernel2(
             matches.append([[int(a_pos[i])], [int(b_match[i])]])
     partials = [
         {
-            "pos": 1,
+            # pos stays 0 like the row loop (it advances lazily on consume):
+            # the two engines' serialized states are EXACTLY equal, pinned by
+            # tests/test_kernel2_unit.py
+            "pos": 0,
             "captured": [[int(a_pos[i])], []],
             "first_ts": int(a_ts[i]),
             "last_ts": int(a_ts[i]),

@@ -1,0 +1,97 @@
+"""Pure-python equivalence pin: ``run_kernel2`` (the vectorized streaming
+kernel for ``every A (->|,) B [within t]``) must produce EXACTLY the same
+matches and the same serialized partial state as the general ``_run_nfa``
+row loop — including across simulated micro-batch continuations, where one
+engine's saved state seeds the other. No SparkSession: this is the fast
+diagnosis layer under the end-to-end streaming parity fuzz."""
+
+import random
+
+import numpy as np
+import pandas as pd
+
+from flink_siddhi_spark.operators.pattern import (
+    TS_COL,
+    _run_nfa,
+    kernel2_applicable,
+    run_kernel2,
+)
+from flink_siddhi_spark.siddhiql import ast as A
+
+
+def _elems():
+    return [
+        A.PatternElem(stream="s", alias="a"),
+        A.PatternElem(stream="s", alias="b"),
+    ]
+
+
+def _state_key(st):
+    # canonical form for comparing NFA state dicts
+    return (
+        sorted(
+            (d["pos"], tuple(map(tuple, d["captured"])), d["first_ts"])
+            for d in st["partials"]
+        ),
+        st["done"],
+    )
+
+
+def _run_general(ts, ma, mb, start, init, within, strict):
+    rows = pd.DataFrame({TS_COL: ts})
+    return _run_nfa(
+        rows, [ma, mb], _elems(), [strict], True, within,
+        at_close=False, start_idx=start, init=init, return_state=True,
+    )
+
+
+def test_kernel2_matches_general_nfa_randomized():
+    rng = random.Random(7)
+    elems = _elems()
+    assert kernel2_applicable(elems, True, None, [False])
+    assert kernel2_applicable(elems, True, None, [True])
+    for trial in range(300):
+        n = rng.randint(0, 30)
+        ts = np.sort(
+            np.array([rng.randint(0, 40) * 100 for _ in range(n)], np.int64)
+        )
+        ma = np.array([rng.random() < 0.3 for _ in range(n)], bool)
+        mb = np.array([rng.random() < 0.3 for _ in range(n)], bool)
+        within = rng.choice([None, 550, 1250])
+        strict = rng.random() < 0.4
+        got_m, got_st = run_kernel2(ts, ma, mb, 0, None, within, strict)
+        want_m, want_st = _run_general(ts, ma, mb, 0, None, within, strict)
+        assert sorted(map(tuple, (map(tuple, m) for m in got_m))) == sorted(
+            map(tuple, (map(tuple, m) for m in want_m))
+        ), (trial, ts.tolist(), ma.tolist(), mb.tolist(), within, strict)
+        assert _state_key(got_st) == _state_key(want_st), (trial, within, strict)
+
+
+def test_kernel2_state_interops_with_general_nfa():
+    """Batch 1 through one engine, batch 2 through the OTHER — the shared
+    partial format must continue identically (this is what lets the
+    streaming path fall back to the general loop on out-of-order input)."""
+    rng = random.Random(21)
+    for trial in range(150):
+        n1, n2 = rng.randint(1, 15), rng.randint(1, 15)
+        t1 = np.sort(np.array([rng.randint(0, 20) * 100 for _ in range(n1)], np.int64))
+        t2 = np.sort(np.array(
+            [int(t1[-1]) + 100 + rng.randint(0, 20) * 100 for _ in range(n2)],
+            np.int64,
+        ))
+        ts = np.concatenate([t1, t2])
+        ma = np.array([rng.random() < 0.35 for _ in range(n1 + n2)], bool)
+        mb = np.array([rng.random() < 0.35 for _ in range(n1 + n2)], bool)
+        within = rng.choice([None, 750])
+        strict = rng.random() < 0.4
+        # batch 1 on each engine
+        k1, k_st = run_kernel2(ts[:n1], ma[:n1], mb[:n1], 0, None, within, strict)
+        g1, g_st = _run_general(ts[:n1], ma[:n1], mb[:n1], 0, None, within, strict)
+        assert _state_key(k_st) == _state_key(g_st)
+        # batch 2: kernel continues the GENERAL engine's state and vice versa
+        k2, _ = run_kernel2(ts, ma, mb, n1, g_st, within, strict)
+        g2, _ = _run_general(ts, ma, mb, n1, k_st, within, strict)
+        norm = lambda ms: sorted(map(tuple, (map(tuple, m) for m in ms)))
+        assert norm(k1) == norm(g1) and norm(k2) == norm(g2), (
+            trial, ts.tolist(), ma.tolist(), mb.tolist(), within, strict,
+        )
