@@ -244,13 +244,16 @@ def _run_nfa(
             attempt_pool.append(_Partial(0, [[] for _ in range(n_flat)]))
         for p in attempt_pool:
             is_fresh = p.first_ts is None or id(p) in clone_ids
-            if (
+            beyond = (
                 within_ms is not None
                 and p.first_ts is not None
                 and ts - p.first_ts > within_ms
-            ):
-                continue  # evict stale partial
-            res = _step(p, i, ts, steps, masks, strict_after)
+            )
+            if beyond and _needs_capture(p, steps):
+                continue  # evict: a required capture can't fit the window
+            res = _step(
+                p, i, ts, steps, masks, strict_after, no_capture=beyond
+            )
             if res == "consumed":
                 if p.first_ts is None:
                     p.first_ts = ts
@@ -306,25 +309,42 @@ def _run_nfa(
     return matches
 
 
+def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
+    """Classify a 2-step pattern into one of the vectorizable shapes:
+
+    - ``'every2'``   : ``every a=A (->|,) b=B [within t]`` (round-7 kernel)
+    - ``'plain2'``   : the same without ``every`` (arm-once, first-attempt
+      contract per PARITY.md — the round-7 fuzz-found shape)
+    - ``'absence2'`` : ``every a=A -> not B for t [within w]`` (the absence
+      production shape; round-8, lands with watermark eviction)
+
+    or ``None`` when the pattern needs the general per-row NFA. These three
+    cover the dominant production CEP shapes (the reference's own examples,
+    SiddhiCEPITCase.java:333-382, are all 2-step)."""
+    if every_at is not None or len(elems) != 2 or len(strict_after) != 1:
+        return None
+    a, b = elems
+    if not all(isinstance(e, A.PatternElem) for e in elems):
+        return None
+    if a.negated or a.is_collection or a.min_count != 1 or a.max_count != 1:
+        return None
+    if b.negated:
+        if (
+            every
+            and not strict_after[0]
+            and b.for_ms is not None
+            and not b.is_collection
+        ):
+            return "absence2"
+        return None
+    if b.is_collection or b.min_count != 1 or b.max_count != 1:
+        return None
+    return "every2" if every else "plain2"
+
+
 def kernel2_applicable(elems, every: bool, every_at, strict_after) -> bool:
-    """True when the pattern is the vectorizable 2-step shape:
-    ``every a=A[fa] (->|,) b=B[fb] [within t]`` — two plain single elements,
-    no negation/quantifiers/groups. This is the dominant production CEP
-    shape (the reference's own examples are this form), so it gets a
-    numpy kernel instead of the per-row Python NFA loop."""
-    return (
-        every
-        and every_at is None
-        and len(elems) == 2
-        and len(strict_after) == 1
-        and all(
-            isinstance(e, A.PatternElem)
-            and not e.negated
-            and e.min_count == 1
-            and e.max_count == 1
-            for e in elems
-        )
-    )
+    """True when the pattern is the round-7 ``every2`` kernel shape."""
+    return kernel2_shape(elems, every, every_at, strict_after) == "every2"
 
 
 def run_kernel2(
@@ -427,6 +447,183 @@ def run_kernel2(
     }
 
 
+def run_kernel2_nonevery(
+    ts_vals,
+    mask_a,
+    mask_b,
+    start_idx: int,
+    init: dict | None,
+    within_ms: int | None,
+    strict: bool,
+):
+    """Vectorized NFA for ``a=A (->|,) b=B [within t]`` WITHOUT ``every`` —
+    the first-attempt contract (PARITY.md, pinned by the round-7 fuzz
+    regression): the single partial arms at the FIRST a-match ever; if its
+    attempt fails (strict breaker, or the within-window closes before a B)
+    there is NO match ever. At most one match per key, then ``done``.
+
+    State dict is byte-equal to ``_run_nfa``'s (pinned by
+    tests/test_kernel2_unit.py), so the engines interoperate across
+    micro-batches."""
+    import numpy as np
+
+    n = len(ts_vals)
+    if init is not None:
+        started = bool(init["started"])
+        done = bool(init["done"])
+        parts = init["partials"]
+    else:
+        started, done, parts = False, False, []
+
+    def _state(partials, started, done):
+        return {
+            "partials": partials, "spawners": [],
+            "started": started, "done": done,
+        }
+
+    if done:
+        return [], _state([list_p for list_p in parts], started, True)
+    if parts:
+        ia, fa = int(parts[0]["captured"][0][0]), int(parts[0]["first_ts"])
+    elif started:
+        # dead: the first attempt already failed — no match ever
+        return [], _state([], True, False)
+    else:
+        new_a = np.nonzero(mask_a[start_idx:])[0]
+        if not len(new_a):
+            return [], _state([], False, False)
+        ia = int(new_a[0]) + start_idx
+        fa = int(ts_vals[ia])
+    lo = max(ia + 1, start_idx)
+    pend = [{
+        "pos": 0, "captured": [[ia], []], "first_ts": fa, "last_ts": fa,
+        "neg_deadline": None,
+    }]
+    if strict:
+        # the immediately-next buffer row decides (a surviving partial is
+        # always armed at the buffer tail, so lo == ia + 1 on resume too)
+        if lo >= n:
+            return [], _state(pend, True, False)
+        if within_ms is not None and int(ts_vals[lo]) - fa > within_ms:
+            return [], _state([], True, False)  # evicted before the attempt
+        if bool(mask_b[lo]):
+            return [[[ia], [lo]]], _state([], True, True)
+        return [], _state([], True, False)  # strict breaker: dead forever
+    # relaxed '->': first b-row at position >= lo vs. the window-closing row
+    b_pos = (np.nonzero(mask_b[lo:])[0] + lo).astype(np.int64)
+    jb = int(b_pos[0]) if len(b_pos) else None
+    je = None
+    if within_ms is not None:
+        k = int(np.searchsorted(ts_vals, fa + within_ms, side="right"))
+        k = max(k, lo)
+        if k < n:
+            je = k
+    if jb is not None and (je is None or jb < je):
+        return [[[ia], [jb]]], _state([], True, True)
+    if je is not None:
+        return [], _state([], True, False)  # window closed first: dead
+    return [], _state(pend, True, False)
+
+
+def run_kernel2_absence(
+    ts_vals,
+    mask_a,
+    mask_b,
+    start_idx: int,
+    init: dict | None,
+    within_ms: int | None,
+    for_ms: int,
+):
+    """Vectorized NFA for ``every a=A -> not B for t [within w]`` — the
+    absence production shape. Exact ``_run_nfa`` semantics:
+
+    - each a-match arms a partial with deadline ``a.ts + for_ms``;
+    - a b-row with ``ts <= deadline`` kills it;
+    - the first row (of ANY kind) with ``ts > deadline`` confirms the
+      absence and emits — streaming never emits at a micro-batch boundary
+      (``at_close=False``), so confirmation always needs a later event;
+    - ``within w`` is INERT for this shape (as for the batch fast path):
+      only the a-row is captured, so the matched-event span is always
+      inside any window — a waiting partial is never window-evicted.
+
+    Per-partial outcome = whichever comes first positionally of the
+    killing b-row ``jk`` and the confirming row ``jc`` — two
+    ``searchsorted``s over the sorted buffer, vectorized across all armed
+    partials. State dict byte-equal to ``_run_nfa``'s (pinned by
+    tests/test_kernel2_unit.py)."""
+    import numpy as np
+
+    n = len(ts_vals)
+    if init is not None:
+        pend_pos = [int(p["captured"][0][0]) for p in init["partials"]]
+        pend_ts = [int(p["first_ts"]) for p in init["partials"]]
+        pend_pos1 = [int(p["pos"]) == 1 for p in init["partials"]]
+        started = bool(init["started"])
+    else:
+        pend_pos, pend_ts, pend_pos1, started = [], [], [], False
+    new_a = (np.nonzero(mask_a[start_idx:])[0] + start_idx).astype(np.int64)
+    a_pos = np.concatenate([np.asarray(pend_pos, dtype=np.int64), new_a])
+    a_ts = np.concatenate(
+        [np.asarray(pend_ts, dtype=np.int64), ts_vals[new_a]]
+    )
+    n_a = len(a_pos)
+    if not n_a:
+        return [], {
+            "partials": [], "spawners": [],
+            "started": started, "done": False,
+        }
+    # first row each partial gets to see: resumed partials scan from
+    # start_idx, fresh arms from the row after their a-row
+    lo = np.maximum(a_pos + 1, start_idx)
+    big = np.int64(n)  # sentinel: "no such row yet"
+    # jc: first row with ts > deadline (confirms the absence)
+    jc = np.searchsorted(ts_vals, a_ts + for_ms, side="right")
+    jc = np.maximum(jc, lo)
+    # jk: first b-row at position >= lo with ts <= deadline (kills).
+    # b-rows past the deadline don't kill — they confirm (jc <= them).
+    b_pos = np.nonzero(mask_b)[0].astype(np.int64)
+    if len(b_pos):
+        bi = np.searchsorted(b_pos, lo, side="left")
+        has_b = bi < len(b_pos)
+        cand = b_pos[np.minimum(bi, len(b_pos) - 1)]
+        kill_ok = has_b & (ts_vals[np.where(has_b, cand, 0)] <= a_ts + for_ms)
+        jk = np.where(kill_ok, cand, big)
+    else:
+        jk = np.full(n_a, big)
+    jc = np.where(jc < n, jc, big)
+    # outcome: a kill-row always precedes any confirm-row positionally
+    # (its ts is <= the deadline), so the two are mutually exclusive
+    match_ok = (jc < big) & (jk == big)
+    pending = (jc == big) & (jk == big)
+    matches: list = []
+    oi = np.nonzero(match_ok)[0]
+    if len(oi):
+        # emission order mirrors the row loop: by confirming row, then by
+        # partial age (the partials list stays in arming order)
+        order = np.lexsort((oi, jc[oi]))
+        for i in oi[order]:
+            matches.append([[int(a_pos[i])], []])
+    # survivors advance to the waiting-on-absence step (pos=1, deadline
+    # armed) as soon as ANY row after the arm was processed — exactly the
+    # row loop's lazy advance
+    partials = []
+    for i in np.nonzero(pending)[0]:
+        seen_row = lo[i] < n or (i < len(pend_pos1) and pend_pos1[i])
+        partials.append({
+            "pos": 1 if seen_row else 0,
+            "captured": [[int(a_pos[i])], []],
+            "first_ts": int(a_ts[i]),
+            "last_ts": int(a_ts[i]),
+            "neg_deadline": int(a_ts[i]) + for_ms if seen_row else None,
+        })
+    return matches, {
+        "partials": partials,
+        "spawners": [],
+        "started": started or bool(n_a),
+        "done": False,
+    }
+
+
 def validate_every_at(p: "A.PatternInput") -> None:
     """Mid-pattern 'every' prefix restrictions: every step before the mark
     must complete at a single well-defined event (plain single elements or
@@ -457,8 +654,30 @@ def _can_close(p: _Partial, steps: list[_Step]) -> bool:
     return any(p.captured)
 
 
-def _step(p: _Partial, i: int, ts: int, steps: list[_Step], masks, strict_after) -> str:
-    """Try to consume row i with partial p. Returns consumed|completed|kept|died."""
+def _needs_capture(p: _Partial, steps: list[_Step]) -> bool:
+    """True if completing this partial still requires CAPTURING at least one
+    more (non-negated) event. Siddhi's ``within`` constrains the span of the
+    MATCHED events, not the event that merely confirms a trailing absence —
+    so the window can only evict a partial while a required capture remains
+    (a pure absence-confirmation wait has its captured span already frozen
+    inside the window; the batch fast path encodes the same contract)."""
+    st = steps[p.pos]
+    if not st.elem.negated and not _step_satisfied(p, st):
+        return True
+    for j in range(p.pos + 1, len(steps)):
+        sj = steps[j]
+        if not sj.elem.negated and not _step_optional(sj):
+            return True
+    return False
+
+
+def _step(p: _Partial, i: int, ts: int, steps: list[_Step], masks, strict_after,
+          no_capture: bool = False) -> str:
+    """Try to consume row i with partial p. Returns consumed|completed|kept|died.
+
+    ``no_capture``: the row sits beyond the partial's within-window — it may
+    still kill a guarded absence, pass a deadline, or complete the pattern,
+    but it must not be CAPTURED (``within`` bounds matched events only)."""
     n = len(steps)
     pos = p.pos
     st = steps[pos]
@@ -473,11 +692,11 @@ def _step(p: _Partial, i: int, ts: int, steps: list[_Step], masks, strict_after)
             p.neg_deadline = None
             if p.pos >= n:
                 return "completed"
-            return _step(p, i, ts, steps, masks, strict_after)
+            return _step(p, i, ts, steps, masks, strict_after, no_capture)
         if deadline is None:
             # 'not A -> B': guard holds while waiting; try next step
             j = pos + 1
-            if j < n and not steps[j].elem.negated:
+            if j < n and not steps[j].elem.negated and not no_capture:
                 nf = _group_match(p, steps[j], masks, i)
                 if nf is not None:
                     p.pos = j
@@ -486,7 +705,7 @@ def _step(p: _Partial, i: int, ts: int, steps: list[_Step], masks, strict_after)
             return "kept"
         return "kept"
     # (a) extend/fill the current step
-    f = _extend_match(p, st, masks, i)
+    f = None if no_capture else _extend_match(p, st, masks, i)
     if f is not None:
         p.captured[f].append(i)
         return "consumed"
@@ -505,10 +724,11 @@ def _step(p: _Partial, i: int, ts: int, steps: list[_Step], masks, strict_after)
                     p.pos = j
                     base = p.last_ts if p.last_ts is not None else ts
                     p.neg_deadline = base + sj.elem.for_ms
-                    return _step(p, i, ts, steps, masks, strict_after)
+                    return _step(p, i, ts, steps, masks, strict_after,
+                                 no_capture)
                 j += 1
                 continue
-            nf = _group_match(p, sj, masks, i)
+            nf = None if no_capture else _group_match(p, sj, masks, i)
             if nf is not None:
                 p.pos = j
                 p.captured[nf].append(i)

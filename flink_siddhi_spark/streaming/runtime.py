@@ -64,8 +64,10 @@ from ..operators.pattern import (
     STREAM_COL,
     _run_nfa,
     _vec,
-    kernel2_applicable,
+    kernel2_shape,
     run_kernel2,
+    run_kernel2_absence,
+    run_kernel2_nonevery,
 )
 
 # Streaming #window.sort / #window.frequent emit per-micro-batch SNAPSHOTS of
@@ -1314,13 +1316,26 @@ class StreamingPlanner(BatchPlanner):
                 _ref_names(filt, ref_cols)
         ref_cols = sorted(ref_cols)
 
-        # watermark eviction is only sound for within-bounded patterns with
-        # no negated element: an evicted guard row would resurrect a killed
-        # absence-partial on the out-of-order full re-run
-        can_evict = within_ms is not None and not any(e.negated for e in elems)
+        # Watermark eviction (round 8: now covers absence patterns too) is
+        # sound only when arming is per-row (`every`, no mid-every): the
+        # out-of-order fallback is a FULL RE-RUN over the buffer, and for
+        # arm-once patterns the re-run's "first A" must be the true first A
+        # ever — which eviction could remove. For every-patterns the re-run
+        # reconstructs exactly the live partials from the retained suffix:
+        # a kept partial's rows all have ts >= its first_ts (>= floor), and
+        # a killed partial's guard row has ts >= its (evicted) a-row, so a
+        # prefix eviction can never resurrect one.
+        has_neg = any(e.negated for e in elems)
+        neg_for_max = max(
+            (e.for_ms or 0 for e in elems if e.negated), default=0
+        )
+        multi = every or every_at is not None
+        can_evict = every and every_at is None and (
+            within_ms is not None or has_neg
+        )
 
         # vectorizable 2-step shape -> numpy kernel instead of the row loop
-        plain2 = kernel2_applicable(elems_c, every, every_at, strict_after)
+        shape2 = kernel2_shape(elems_c, every, every_at, strict_after)
 
         class _ColView(dict):
             """Minimal pdf-like over numpy column arrays for ``_vec``."""
@@ -1361,6 +1376,16 @@ class StreamingPlanner(BatchPlanner):
             else:
                 seen, nfa = [], None
                 rows = []
+            if not multi and nfa is not None and nfa["st"]["done"]:
+                # sealed: an arm-once pattern emits at most one match ever;
+                # once emitted the buffer is dead weight and late arrivals
+                # cannot retract the emission — drop everything, keep the
+                # done marker so every later batch is a no-op
+                for _ in pdfs:
+                    pass
+                if buf_json != "[]":
+                    state.update((seen, "[]", nfa_json))
+                return
             n_old = len(rows)
             # the buffer lives as a sorted LIST OF ROW ARRAYS — no pandas in
             # the per-key hot path (a pandas multi-column sort alone costs
@@ -1407,7 +1432,25 @@ class StreamingPlanner(BatchPlanner):
                 # upstream, and any kept row's within-window still reaches
                 # past the watermark. Prune is a PREFIX of the sorted buffer,
                 # so surviving capture indices just shift down.
-                floor = wm - within_ms
+                #
+                # Absence patterns (round 8): a killed partial's guard row
+                # sits at ts >= its a-row, so prefix eviction still cannot
+                # resurrect it on a full re-run — but a waiting-to-confirm
+                # partial (deadline passed, next event pending) must keep its
+                # captured rows until it resolves, so the floor drops by
+                # max(for_ms) and clamps to min(first_ts) over live partials
+                # (ROUND7_NOTES §Known future work, landed this round).
+                stale_floor = wm - (within_ms or 0)
+                floor = stale_floor - neg_for_max
+                if has_neg and nfa is not None:
+                    live = [
+                        d["first_ts"]
+                        for grp in ("partials", "spawners")
+                        for d in nfa["st"][grp]
+                        if d["first_ts"] is not None
+                    ]
+                    if live:
+                        floor = min(floor, min(live))
                 k = int(_np.searchsorted(ts_arr, floor))
                 if k > 0:
                     rows = rows[k:]
@@ -1417,8 +1460,9 @@ class StreamingPlanner(BatchPlanner):
                             kept = []
                             for d in init[group]:
                                 if (
-                                    d["first_ts"] is not None
-                                    and d["first_ts"] < floor
+                                    not has_neg
+                                    and d["first_ts"] is not None
+                                    and d["first_ts"] < stale_floor
                                 ):
                                     continue  # stale: its window closed
                                 d["captured"] = [
@@ -1465,10 +1509,20 @@ class StreamingPlanner(BatchPlanner):
                 if zpad is not None:
                     m = _np.concatenate([zpad, m])
                 masks.append(m)
-            if plain2:
+            if shape2 == "every2":
                 found, nfa_st = run_kernel2(
                     ts_arr, masks[0], masks[1], start_idx, init, within_ms,
                     strict_after[0],
+                )
+            elif shape2 == "plain2":
+                found, nfa_st = run_kernel2_nonevery(
+                    ts_arr, masks[0], masks[1], start_idx, init, within_ms,
+                    strict_after[0],
+                )
+            elif shape2 == "absence2":
+                found, nfa_st = run_kernel2_absence(
+                    ts_arr, masks[0], masks[1], start_idx, init, within_ms,
+                    elems_c[1].for_ms,
                 )
             else:
                 found, nfa_st = _run_nfa(

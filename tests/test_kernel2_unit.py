@@ -14,7 +14,10 @@ from flink_siddhi_spark.operators.pattern import (
     TS_COL,
     _run_nfa,
     kernel2_applicable,
+    kernel2_shape,
     run_kernel2,
+    run_kernel2_absence,
+    run_kernel2_nonevery,
 )
 from flink_siddhi_spark.siddhiql import ast as A
 
@@ -26,6 +29,13 @@ def _elems():
     ]
 
 
+def _abs_elems(for_ms):
+    return [
+        A.PatternElem(stream="s", alias="a"),
+        A.PatternElem(stream="s", alias="b", negated=True, for_ms=for_ms),
+    ]
+
+
 def _state_key(st):
     # canonical form for comparing NFA state dicts
     return (
@@ -33,6 +43,21 @@ def _state_key(st):
             (d["pos"], tuple(map(tuple, d["captured"])), d["first_ts"])
             for d in st["partials"]
         ),
+        st["done"],
+    )
+
+
+def _state_key_full(st):
+    # strict form: every serialized field, incl. pos/neg_deadline/started
+    return (
+        sorted(
+            (
+                d["pos"], tuple(map(tuple, d["captured"])),
+                d["first_ts"], d["last_ts"], d["neg_deadline"],
+            )
+            for d in st["partials"]
+        ),
+        st["started"],
         st["done"],
     )
 
@@ -95,3 +120,138 @@ def test_kernel2_state_interops_with_general_nfa():
         assert norm(k1) == norm(g1) and norm(k2) == norm(g2), (
             trial, ts.tolist(), ma.tolist(), mb.tolist(), within, strict,
         )
+
+
+# ------------------------------------------------- round-8 kernel shapes
+def test_kernel2_shape_classifier():
+    e2 = _elems()
+    assert kernel2_shape(e2, True, None, [False]) == "every2"
+    assert kernel2_shape(e2, True, None, [True]) == "every2"
+    assert kernel2_shape(e2, False, None, [False]) == "plain2"
+    assert kernel2_shape(e2, False, None, [True]) == "plain2"
+    ab = _abs_elems(500)
+    assert kernel2_shape(ab, True, None, [False]) == "absence2"
+    # not kernelizable: strict absence, no for_ms, non-every absence,
+    # mid-every, quantifiers, 3 steps
+    assert kernel2_shape(ab, True, None, [True]) is None
+    assert kernel2_shape(_abs_elems(None), True, None, [False]) is None
+    assert kernel2_shape(ab, False, None, [False]) is None
+    assert kernel2_shape(e2, True, 1, [False]) is None
+    q = [A.PatternElem(stream="s", alias="a", min_count=1, max_count=2),
+         A.PatternElem(stream="s", alias="b")]
+    assert kernel2_shape(q, True, None, [False]) is None
+    assert kernel2_shape(e2 + [A.PatternElem(stream="s", alias="c")],
+                         True, None, [False, False]) is None
+
+
+def _run_general_ne(ts, ma, mb, start, init, within, strict):
+    rows = pd.DataFrame({TS_COL: ts})
+    return _run_nfa(
+        rows, [ma, mb], _elems(), [strict], False, within,
+        at_close=False, start_idx=start, init=init, return_state=True,
+    )
+
+
+def test_kernel2_nonevery_matches_general_nfa_randomized():
+    """plain2: the arm-once first-attempt contract (the round-7 fuzz-found
+    shape) — kernel vs general NFA on 450 randomized feeds, full state
+    equality including started/done."""
+    rng = random.Random(8)
+    for trial in range(450):
+        n = rng.randint(0, 30)
+        ts = np.sort(
+            np.array([rng.randint(0, 40) * 100 for _ in range(n)], np.int64)
+        )
+        ma = np.array([rng.random() < 0.3 for _ in range(n)], bool)
+        mb = np.array([rng.random() < 0.3 for _ in range(n)], bool)
+        within = rng.choice([None, 550, 1250])
+        strict = rng.random() < 0.4
+        got_m, got_st = run_kernel2_nonevery(ts, ma, mb, 0, None, within, strict)
+        want_m, want_st = _run_general_ne(ts, ma, mb, 0, None, within, strict)
+        assert got_m == want_m, (trial, ts.tolist(), ma.tolist(), mb.tolist(),
+                                 within, strict)
+        assert _state_key_full(got_st) == _state_key_full(want_st), (
+            trial, ts.tolist(), ma.tolist(), mb.tolist(), within, strict,
+        )
+
+
+def test_kernel2_nonevery_state_interops_with_general_nfa():
+    rng = random.Random(22)
+    for trial in range(200):
+        n1, n2 = rng.randint(1, 15), rng.randint(1, 15)
+        t1 = np.sort(np.array([rng.randint(0, 20) * 100 for _ in range(n1)], np.int64))
+        t2 = np.sort(np.array(
+            [int(t1[-1]) + 100 + rng.randint(0, 20) * 100 for _ in range(n2)],
+            np.int64,
+        ))
+        ts = np.concatenate([t1, t2])
+        ma = np.array([rng.random() < 0.35 for _ in range(n1 + n2)], bool)
+        mb = np.array([rng.random() < 0.35 for _ in range(n1 + n2)], bool)
+        within = rng.choice([None, 750])
+        strict = rng.random() < 0.4
+        k1, k_st = run_kernel2_nonevery(ts[:n1], ma[:n1], mb[:n1], 0, None, within, strict)
+        g1, g_st = _run_general_ne(ts[:n1], ma[:n1], mb[:n1], 0, None, within, strict)
+        assert _state_key_full(k_st) == _state_key_full(g_st), (trial,)
+        # batch 2: each engine continues the OTHER's state
+        k2, k_st2 = run_kernel2_nonevery(ts, ma, mb, n1, g_st, within, strict)
+        g2, g_st2 = _run_general_ne(ts, ma, mb, n1, k_st, within, strict)
+        assert k1 == g1 and k2 == g2, (
+            trial, ts.tolist(), ma.tolist(), mb.tolist(), within, strict,
+        )
+        assert _state_key_full(k_st2) == _state_key_full(g_st2), (trial,)
+
+
+def _run_general_abs(ts, ma, mb, start, init, within, for_ms):
+    rows = pd.DataFrame({TS_COL: ts})
+    return _run_nfa(
+        rows, [ma, mb], _abs_elems(for_ms), [False], True, within,
+        at_close=False, start_idx=start, init=init, return_state=True,
+    )
+
+
+def test_kernel2_absence_matches_general_nfa_randomized():
+    """absence2: ``every a=A -> not B for t [within w]`` — kernel vs general
+    NFA on 450 randomized feeds, matches in emission order and full state
+    equality (pos / neg_deadline / captured / first_ts)."""
+    rng = random.Random(9)
+    for trial in range(450):
+        n = rng.randint(0, 30)
+        ts = np.sort(
+            np.array([rng.randint(0, 40) * 100 for _ in range(n)], np.int64)
+        )
+        ma = np.array([rng.random() < 0.3 for _ in range(n)], bool)
+        mb = np.array([rng.random() < 0.3 for _ in range(n)], bool)
+        within = rng.choice([None, 550, 1250, 2050])
+        for_ms = rng.choice([0, 250, 750, 1500])
+        got_m, got_st = run_kernel2_absence(ts, ma, mb, 0, None, within, for_ms)
+        want_m, want_st = _run_general_abs(ts, ma, mb, 0, None, within, for_ms)
+        assert got_m == want_m, (trial, ts.tolist(), ma.tolist(), mb.tolist(),
+                                 within, for_ms)
+        assert _state_key_full(got_st) == _state_key_full(want_st), (
+            trial, ts.tolist(), ma.tolist(), mb.tolist(), within, for_ms,
+        )
+
+
+def test_kernel2_absence_state_interops_with_general_nfa():
+    rng = random.Random(23)
+    for trial in range(200):
+        n1, n2 = rng.randint(1, 15), rng.randint(1, 15)
+        t1 = np.sort(np.array([rng.randint(0, 20) * 100 for _ in range(n1)], np.int64))
+        t2 = np.sort(np.array(
+            [int(t1[-1]) + 100 + rng.randint(0, 20) * 100 for _ in range(n2)],
+            np.int64,
+        ))
+        ts = np.concatenate([t1, t2])
+        ma = np.array([rng.random() < 0.35 for _ in range(n1 + n2)], bool)
+        mb = np.array([rng.random() < 0.25 for _ in range(n1 + n2)], bool)
+        within = rng.choice([None, 950])
+        for_ms = rng.choice([250, 750])
+        k1, k_st = run_kernel2_absence(ts[:n1], ma[:n1], mb[:n1], 0, None, within, for_ms)
+        g1, g_st = _run_general_abs(ts[:n1], ma[:n1], mb[:n1], 0, None, within, for_ms)
+        assert _state_key_full(k_st) == _state_key_full(g_st), (trial,)
+        k2, k_st2 = run_kernel2_absence(ts, ma, mb, n1, g_st, within, for_ms)
+        g2, g_st2 = _run_general_abs(ts, ma, mb, n1, k_st, within, for_ms)
+        assert k1 == g1 and k2 == g2, (
+            trial, ts.tolist(), ma.tolist(), mb.tolist(), within, for_ms,
+        )
+        assert _state_key_full(k_st2) == _state_key_full(g_st2), (trial,)
