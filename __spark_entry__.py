@@ -539,6 +539,38 @@ def q_sequence_strict(spark, sf_dir):
     ).returns("Out")
 
 
+def q_sequence_first_attempt(spark, sf_dir):
+    """Non-every strict sequence: arms ONCE at the first value>95 event per
+    user; a match exists only when that event's IMMEDIATE successor is also
+    value>95 (PARITY.md first-attempt contract — the round-7 property fuzz
+    found the old fast path emitting the first SUCCESSFUL pair instead;
+    this entry puts the fixed shape under the driver gate, VERDICT r7 ask
+    #3). At sf0.01, 79 of 150 armed users discriminate the two semantics."""
+    return _cep(spark, sf_dir).from_("events").cql(
+        "partition with (user_id of events) begin "
+        "from a = events[value > 95.0] , b = events[value > 95.0] "
+        "select a.user_id as user_id, a.event_id as first_id, b.event_id as second_id "
+        "insert into Out; end"
+    ).returns("Out")
+
+
+def q_sequence_family(spark, sf_dir):
+    """Tagged union of the strict-sequence variants (round-8 consolidation,
+    VERDICT r7 ask #3): the every form (re-arms per row) and the arm-once
+    first-attempt form whose oracle asserts first-attempt-only semantics."""
+    parts = [
+        ("every_strict", q_sequence_strict),
+        ("first_attempt", q_sequence_first_attempt),
+    ]
+    out = None
+    for tag, fn in parts:
+        d = fn(spark, sf_dir).select(
+            F.lit(tag).alias("variant"), "user_id", "first_id", "second_id"
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def q_sequence_quantifier(spark, sf_dir):
     # greedy '+' runs + strict breaker = gaps-and-islands in the oracle
     return _cep(spark, sf_dir).from_("events").cql(
@@ -1595,72 +1627,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates queries() in dict order and records
-# only the FIRST 50 entries, so the window is ROTATED each round. Round 7
-# (VERDICT r6 ask #1, list frozen in ROUND6_NOTES.md §'Round-7 window
-# leads'): positions 1-5 are the five round-6 additions that registered
-# after the frozen _R6_WINDOW and have never had a driver row; 6-50 are the
-# forty-five entries whose latest driver row is r4, in registration order.
-# The other four r4-stale entries (window_cron_lastfriday, join_left_outer,
-# join_time_time, join_length_time) were CONSOLIDATED into the tagged-union
-# family queries this round (VERDICT r6 ask #2) and no longer register
-# individually — each variant stays asserted inside its family's combined
-# oracle. After this round no registered entry's latest driver row is older
-# than r5; the three new family entries lead the round-8 rotation. The
-# r5/r6-green entries outside the window are still value-checked by the
-# builder's full local mirror (scripts/verify_oracle.py) each round.
-_R7_WINDOW = [
-    # 1-5: round-6 additions, never driver-gated
-    "ann_pq_trained_topk",
-    "ann_kmeans_clusters",
-    "ann_ivfsq_topk",
-    "ann_ivfpq_residual",
-    "pipeline_cluster_balanced",
-    # 6-50: latest driver row is r4 (registration order)
-    "pipeline_fuzzy_contamination",
-    "text_length_percentiles",
-    "tpch_q10ish_returns",
-    "pipeline_quality_topfrac",
-    "custom_stream_fn",
-    "custom_window",
-    "text_dedup_stats",
-    "pipeline_embed",
-    "pipeline_contamination_gate",
-    "tpch_q18ish_bigorders",
-    "tpch_q1_pricing",
-    "pattern_followed_by",
-    "tpch_q3_shipping",
-    "tpch_q5ish_revenue",
-    "sequence_strict",
-    "dedup_exact",
-    "custom_udaf",
-    "pattern_first_match",
-    "pattern_within",
-    "pattern_absence",
-    "sequence_quantifier",
-    "ann_cosine_topk",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_verified",
-    "dedup_clusters",
-    "dedup_fuzzy_keep",
-    "pipeline_cdc_chunks",
-    "dedup_containment",
-    "dedup_simhash_hamming",
-    "text_pii_scrub",
-    "text_boilerplate_ngrams",
-    "text_tfidf_top_terms",
-    "text_lm_score",
-    "text_source_stats",
-    "text_quality",
-    "text_language_id",
-    "text_repetition",
-    "pipeline_novelty",
-    "pipeline_curate",
-    "pipeline_weighted_sample",
-    "pipeline_contamination",
-    "pipeline_pack",
-    "pipeline_chunk_dedup",
-    "ann_ivf_topk",
+# only the FIRST 50 entries, so the window is ROTATED each round. Round 8
+# (VERDICT r7 asks #2/#3; leads frozen in ROUND7_NOTES.md §'Round-8 window
+# leads'): positions 1-3 are the round-7 family consolidations that have
+# never had a driver row; position 4 is the new sequence_family (ask #3 —
+# the fuzz-found first-attempt shape must get a driver-gated oracle row
+# this round, so it takes one of the two fill slots the frozen plan gave
+# to r6-stale entries); 5-49 are the forty-five entries whose latest
+# driver row is r5, in registration order; position 50 fills with the
+# stalest r6 entry. sequence_strict no longer registers individually — it
+# is the every_strict variant inside sequence_family's combined oracle.
+# After this round no registered entry's latest driver row is older than
+# r6. The r6/r7-green entries outside the window are still value-checked
+# by the builder's full local mirror (scripts/verify_oracle.py) each round.
+_R8_WINDOW = [
+    # 1-4: never driver-gated (r7 families + the round-8 sequence family)
+    "window_cron_family",
+    "join_outer_family",
+    "join_windowed_family",
+    "sequence_family",
+    # 5-49: latest driver row is r5 (registration order)
+    "window_time_batch",
+    "window_length_batch",
+    "window_session",
+    "window_sliding_length",
+    "window_sliding_time",
+    "window_external_time",
+    "window_external_time_batch",
+    "window_sort",
+    "window_frequent",
+    "window_unique",
+    "window_delay",
+    "window_time_length",
+    "window_lossy_frequent",
+    "join_stream_table",
+    "join_theta",
+    "topk_per_group",
+    "incremental_agg_day",
+    "incremental_agg_within",
+    "table_upsert_last",
+    "table_dml_delete",
+    "output_rate_last",
+    "chained_queries",
+    "multimodal_metadata",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "pattern_mid_every",
+    "asof_join",
+    "text_classifier",
+    "pipeline_interleave",
+    "tpch_q6_forecast",
+    "dedup_minhash_sig",
+    "dedup_simhash",
+    "dedup_embedding",
+    "text_token_count",
+    "text_fingerprint",
+    "pipeline_chunk_overlap",
+    "pipeline_sample",
+    "pipeline_split",
+    "pipeline_domain_quota",
+    "pipeline_shuffle",
+    "ann_range_search",
+    "text_entropy",
+    "ann_knn_graph",
+    "text_readability",
+    # 50: stalest r6 entry (registration order)
+    "filter_projection",
 ]
 
 
@@ -1741,7 +1774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_followed_by": q_pattern_followed_by,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5ish_revenue": q_tpch_q5ish_revenue,
-        "sequence_strict": q_sequence_strict,
+        # strict-sequence variants consolidated into sequence_family
+        # (round 8, VERDICT r7 ask #3 — gated in the _R8_WINDOW above)
+        "sequence_family": q_sequence_family,
         "dedup_exact": q_dedup_exact,
         "custom_udaf": q_custom_udaf,
         "pattern_first_match": q_pattern_first_match,
@@ -1826,14 +1861,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "pipeline_exact_k_sample": q_pipeline_exact_k_sample,
         "pipeline_quality_budget": q_pipeline_quality_budget,
-        # --- round 6 (gated in the _R7_WINDOW above) ---
+        # --- round 6 (gated r7) ---
         "ann_pq_trained_topk": q_ann_pq_trained_topk,
         "ann_kmeans_clusters": q_ann_kmeans_clusters,
         "ann_ivfsq_topk": q_ann_ivfsq_topk,
         "ann_ivfpq_residual": q_ann_ivfpq_residual,
         "pipeline_cluster_balanced": q_pipeline_cluster_balanced,
         # --- round 7: variant-family consolidations (VERDICT r6 ask #2;
-        # registered after the frozen _R7_WINDOW — these lead the round-8
+        # gated in the _R8_WINDOW above — they led the round-8
         # rotation). Each replaces its variants' individual registrations;
         # the tag column keeps every variant value-asserted in one oracle.
         "window_cron_family": q_window_cron_family,
@@ -1842,12 +1877,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
-    if len(_R7_WINDOW) != 50 or not set(_R7_WINDOW) <= set(q):
+    if len(_R8_WINDOW) != 50 or not set(_R8_WINDOW) <= set(q):
         raise RuntimeError(
-            f"driver window invariant violated: {len(_R7_WINDOW)} entries, "
-            f"unknown: {sorted(set(_R7_WINDOW) - set(q))}"
+            f"driver window invariant violated: {len(_R8_WINDOW)} entries, "
+            f"unknown: {sorted(set(_R8_WINDOW) - set(q))}"
         )
-    ordered = {k: q[k] for k in _R7_WINDOW}
+    ordered = {k: q[k] for k in _R8_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
@@ -3728,11 +3763,36 @@ def oracle_sql() -> dict[str, str]:
             ("length_time", "join_length_time"),
         ]
     )
+    # --- round-8 consolidation (VERDICT r7 ask #3): the strict-sequence
+    # family. The first_attempt branch asserts first-attempt-ONLY semantics
+    # (PARITY.md): per user, the FIRST value>95 event (NFA total order: ts,
+    # then event_id) matches iff its IMMEDIATE successor is also value>95 —
+    # the old fast path's first-SUCCESSFUL-pair bug (found by the round-7
+    # property fuzz) would emit rows for ~79 additional sf0.01 users here.
+    _first_attempt_sql = (
+        "WITH t AS (SELECT user_id, event_id, value, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn "
+        "FROM events), "
+        "fa AS (SELECT user_id, min(rn) arn FROM t WHERE value > 95.0 "
+        "GROUP BY user_id) "
+        "SELECT a.user_id, a.event_id AS first_id, b.event_id AS second_id "
+        "FROM fa JOIN t a ON a.user_id = fa.user_id AND a.rn = fa.arn "
+        "JOIN t b ON b.user_id = fa.user_id AND b.rn = fa.arn + 1 "
+        "WHERE b.value > 95.0"
+    )
+    sql["sequence_family"] = " UNION ALL ".join(
+        f"SELECT '{tag}' AS variant, user_id, first_id, second_id FROM ({s})"
+        for tag, s in [
+            ("every_strict", sql["sequence_strict"]),
+            ("first_attempt", _first_attempt_sql),
+        ]
+    )
     for k in (
         "window_cron", "window_cron_calendar", "window_cron_weekdays",
         "window_cron_monthend", "window_cron_lastfriday",
         "join_left_outer", "join_right_outer", "join_full_outer",
         "join_time_time", "join_length_time",
+        "sequence_strict",
     ):
         del sql[k]
     return sql

@@ -27,7 +27,7 @@ HEADLINE = [
     "tpch_q3_shipping",
     "tpch_q5ish_revenue",
     "pattern_followed_by",
-    "sequence_strict",
+    "sequence_family",  # r8: every_strict + first_attempt tagged union
     "window_unique",
     "incremental_agg_day",
     "table_upsert_last",
