@@ -367,10 +367,13 @@ def _streaming_throughput_bench(spark, sf_dir: str) -> dict:
     drains above are dominated by fixed micro-batch machinery (measured
     floor: a trivial count-only stateful op drains 100k in ~1.7s = 58k
     ev/s, and the pure-JVM windowed aggregate hits the same wall), so they
-    measure query startup, not the operator. The 10x row plays 1M events
-    through the same partitioned-NFA plan, where startup amortizes and the
-    incremental NFA (resume-from-state + O(new)-per-batch scan +
-    watermark eviction, streaming/runtime.py) sets the rate."""
+    measure query startup, not the operator. The 10x rows play 1M events
+    through the same plans, where startup amortizes and the incremental
+    NFA (resume-from-state + O(new)-per-batch scan + watermark eviction,
+    streaming/runtime.py) sets the rate. Round 8 extends the sustained
+    section to every stateful op (VERDICT r7 ask #5) and adds the absence
+    shape (`-> not X for t`), which runs the round-8 numpy kernel with
+    absence-aware eviction."""
     import shutil
     import tempfile
 
@@ -447,41 +450,77 @@ def _streaming_throughput_bench(spark, sf_dir: str) -> dict:
                 "sec": round(dt, 2),
                 "events_per_sec": int(n_events / dt),
             }
-        # sustained NFA row: 1M events (10x user-amplified), startup amortized
+        # sustained rows (round 8, VERDICT r7 ask #5): 1M events (10x
+        # user-amplified) through EVERY stateful op above, startup amortized
+        # — these are the engine's headline rates; the 100k rows above stay
+        # as startup-latency tracking. Plus the absence-pattern shape
+        # (round-8 kernel + watermark eviction path).
         amp = _amplified_dir(spark, sf_dir, SCALE_FACTOR)
         amp_src = f"{amp}/events.parquet"
         n_amp = spark.read.parquet(amp_src).count()
         amp_schema = spark.read.parquet(amp_src).schema
-        stream = (
-            spark.readStream.format("parquet").schema(amp_schema).load(amp_src)
-            .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
-        )
-        cep = SiddhiCEP(spark)
-        cep.register_stream(
-            "events", stream, "event_id", "user_id", "event_type", "value",
-            "ts_ms", ts_field="ts_ms",
-        )
-        plan = cep.from_("events").cql(
-            "partition with (user_id of events) begin "
-            "from every e = events[event_type == 'error'] "
-            "  -> p = events[event_type == 'purchase'] within 1 hour "
-            "select e.user_id as user_id, p.event_id as purchase_id "
-            "insert into Out; end"
-        ).returns("Out")
-        t0 = time.time()
-        q = (
-            plan.writeStream.format("noop")
-            .option("checkpointLocation", os.path.join(root, "ck_nfa10x"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(1200)
-        dt = time.time() - t0
-        out["cep_pattern_nfa_10x"] = {
-            "sec": round(dt, 2),
-            "n_events": n_amp,
-            "events_per_sec": int(n_amp / dt),
+
+        def amp_cql_plan(text):
+            stream = (
+                spark.readStream.format("parquet").schema(amp_schema)
+                .load(amp_src)
+                .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+            )
+            cep = SiddhiCEP(spark)
+            cep.register_stream(
+                "events", stream, "event_id", "user_id", "event_type",
+                "value", "ts_ms", ts_field="ts_ms",
+            )
+            return cep.from_("events").cql(text).returns("Out")
+
+        def amp_plain_stream():
+            return (
+                spark.readStream.format("parquet").schema(amp_schema)
+                .load(amp_src).withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+
+        sustained = {
+            "cep_pattern_nfa_10x": lambda: amp_cql_plan(
+                "partition with (user_id of events) begin "
+                "from every e = events[event_type == 'error'] "
+                "  -> p = events[event_type == 'purchase'] within 1 hour "
+                "select e.user_id as user_id, p.event_id as purchase_id "
+                "insert into Out; end"
+            ),
+            "cep_pattern_absence_10x": lambda: amp_cql_plan(
+                "partition with (user_id of events) begin "
+                "from every e = events[event_type == 'error'] "
+                "  -> not events[event_type == 'purchase'] for 10 min "
+                "select e.user_id as user_id, e.event_id as error_id "
+                "insert into Out; end"
+            ),
+            "cep_window_agg_10x": lambda: amp_cql_plan(
+                "from events#window.timeBatch(1 hour) "
+                "select sum(value) as revenue, count() as n insert into Out"
+            ),
+            "sessionize_stream_10x": lambda: sessionize_stream(
+                amp_plain_stream(), watermark="1 hour"
+            ),
+            "funnel_stream_10x": lambda: funnel_stream(
+                amp_plain_stream(), ("view", "click", "purchase"),
+                within_ms=3_600_000, watermark="1 hour",
+            ),
         }
+        for name, build in sustained.items():
+            t0 = time.time()
+            q = (
+                build().writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(root, f"ck_{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(1200)
+            dt = time.time() - t0
+            out[name] = {
+                "sec": round(dt, 2),
+                "n_events": n_amp,
+                "events_per_sec": int(n_amp / dt),
+            }
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

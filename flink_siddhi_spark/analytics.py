@@ -878,6 +878,17 @@ def attribution_stream(
     Tie-breaks replicate batch exactly: the credited touch is the max
     (ts, id) strictly below the conversion's (ts, id).
 
+    Round 8 (VERDICT r7 ask #7 — the 10M hot-key probe's slowest path):
+    the same two treatments that took the streaming NFA from 42k to 278k
+    ev/s. (1) Events ship as ONE json column (PySpark converts every input
+    column to a pandas Series PER KEY VISIT — at 100k keys/batch the
+    4-column Arrow->pandas plus pd.to_datetime dominated the wall).
+    (2) The per-conversion credit scan is a ``bisect`` over the SORTED
+    touch list instead of an O(touches) sweep — the hot key holds tens of
+    thousands of in-horizon touches and each batch finalizes thousands of
+    conversions, so the sweep was quadratic in the hot key's rate. State
+    json format is unchanged (sorted order is a valid instance of it).
+
     NB: the type filter is pushed below the watermark node, so the
     watermark advances on touch/conversion events only (the SS
     idle-source caveat — see funnel_stream)."""
@@ -909,17 +920,50 @@ def attribution_stream(
     ]
     state_schema = T.StructType([T.StructField("buf", T.StringType())])
 
-    def _emit(key, touches, pending, wm):
+    def proc(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import bisect as _bisect
+
+        if state.exists:
+            t_raw, p_raw = _json.loads(state.get[0])
+            # tuples, not lists: bisect compares the probe tuple against
+            # entries, and a 3-tuple equal to the 2-tuple probe in (ts, id)
+            # sorts AFTER it — exactly the strictly-below contract
+            touches = [tuple(t) for t in t_raw]
+            pending = [tuple(c) for c in p_raw]
+        else:
+            touches, pending = [], []
+        if not state.hasTimedOut:
+            loads = _json.loads
+            new_t = []
+            for pdf in pdfs:
+                if len(pdf):
+                    for s in pdf["__row"].tolist():
+                        d = loads(s)
+                        tp = d["t"]
+                        # ids ride json natively (int/str), keeping the
+                        # batch twin's lexicographic (ts, id) tie-break
+                        if tp in touch_set:
+                            new_t.append((d["m"], d["i"], tp))
+                        elif tp == conversion_type:
+                            pending.append((d["m"], d["i"]))
+            if new_t:
+                touches.extend(new_t)
+                touches.sort()
+        wm = state.getCurrentWatermarkMs()
         rows, still = [], []
         for cms, cid in pending:
             if cms >= wm:  # a touch at this exact ts could still arrive
                 still.append((cms, cid))
                 continue
-            best = None
-            for tms, tid, tp in touches:
-                if (tms, tid) < (cms, cid) and cms - tms <= horizon:
-                    if best is None or (tms, tid) > (best[0], best[1]):
-                        best = (tms, tid, tp)
+            # credited touch = max (ts, id) strictly below (cms, cid):
+            # the entry before the insertion point, if inside the horizon
+            # (anything earlier is older still, so one probe decides)
+            j = _bisect.bisect_left(touches, (cms, cid))
+            best = touches[j - 1] if j else None
+            if best is not None and cms - best[0] > horizon:
+                best = None
             rows.append(
                 (
                     cid, key[0], pd.Timestamp(cms, unit="ms"),
@@ -928,35 +972,14 @@ def attribution_stream(
                     (cms - best[0]) if best else None,
                 )
             )
-        return rows, still
-
-    def proc(
-        key, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        touches, pending = (
-            _json.loads(state.get[0]) if state.exists else ([], [])
-        )
-        if not state.hasTimedOut:
-            for pdf in pdfs:
-                ms = (
-                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
-                ).tolist()
-                for m, i, tp in zip(
-                    ms, pdf[id_col].tolist(), pdf[type_col].tolist()
-                ):
-                    # id kept as the raw Python value (.tolist() already
-                    # yields native int/str): string ids JSON-serialize and
-                    # keep the batch twin's lexicographic (ts, id) tie-break
-                    if tp in touch_set:
-                        touches.append((int(m), i, tp))
-                    elif tp == conversion_type:
-                        pending.append((int(m), i))
-        wm = state.getCurrentWatermarkMs()
-        rows, pending = _emit(key, touches, pending, wm)
+        pending = still
         # touches older than horizon + watermark can never attribute a
         # conversion that is still acceptable (conv ts >= wm, needs
-        # conv - touch <= horizon)
-        touches = [t for t in touches if t[0] >= wm - horizon]
+        # conv - touch <= horizon); sorted, so the prune is one bisect
+        if touches:
+            k = _bisect.bisect_left(touches, (wm - horizon,))
+            if k:
+                touches = touches[k:]
         if pending or touches:
             state.update((_json.dumps([touches, pending]),))
             if pending:
@@ -969,7 +992,7 @@ def attribution_stream(
             else:
                 # touches alone: dead once the horizon passes them all
                 state.setTimeoutTimestamp(
-                    max(max(t[0] for t in touches) + horizon + 1, wm + 1)
+                    max(touches[-1][0] + horizon + 1, wm + 1)
                 )
         elif state.exists:
             state.remove()
@@ -981,7 +1004,18 @@ def attribution_stream(
         .filter(
             F.col(type_col).isin(list(touch_set) + [conversion_type])
         )
-        .select(user_col, ts_col, type_col, id_col)
+        .select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.to_json(
+                F.struct(
+                    F.unix_millis(F.col(ts_col).cast("timestamp")).alias("m"),
+                    F.col(id_col).alias("i"),
+                    F.col(type_col).alias("t"),
+                ),
+                {"ignoreNullFields": "false"},
+            ).alias("__row"),
+        )
         .groupBy(user_col)
         .applyInPandasWithState(
             proc, out_schema, state_schema, "append",

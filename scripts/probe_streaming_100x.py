@@ -131,6 +131,24 @@ def main() -> int:
         print(json.dumps({"cep_pattern_nfa": out["cep_pattern_nfa"]}),
               file=sys.stderr)
 
+        # 1b. absence pattern (round-8 numpy kernel + absence-aware
+        # watermark eviction: every error -> not purchase for 5 min)
+        cep_a = SiddhiCEP(spark)
+        cep_a.register_stream(
+            "events", stream(), "event_id", "user_id", "event_type",
+            "value", "ts_ms", ts_field="ts_ms",
+        )
+        absn = cep_a.from_("events").cql(
+            "partition with (user_id of events) begin "
+            "from every e = events[event_type == 'error'] "
+            "  -> not events[event_type == 'purchase'] for 5 min "
+            "select e.user_id as user_id, e.event_id as error_id "
+            "insert into Out; end"
+        ).returns("Out")
+        out["cep_pattern_absence"] = _drain(absn, root, "absn", N_EVENTS)
+        print(json.dumps({"cep_pattern_absence": out["cep_pattern_absence"]}),
+              file=sys.stderr)
+
         # 2. funnel twin (view -> click -> purchase within 1h)
         fun = funnel_stream(
             stream(), ("view", "click", "purchase"),
