@@ -739,8 +739,6 @@ def funnel_stream(
         ]
     )
     state_schema = T.StructType([T.StructField("buf", T.StringType())])
-    step_idx = {s: i for i, s in enumerate(steps)}
-
     def _finalize(buf) -> pd.DataFrame:
         # exact batch chain: t0 = min step-0; t_i = min step-i times
         # strictly after t_{i-1} and within t0 + horizon
@@ -783,6 +781,8 @@ def funnel_stream(
     def proc(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
         buf = (
             _json.loads(state.get[0])
             if state.exists
@@ -790,13 +790,18 @@ def funnel_stream(
         )
         if not state.hasTimedOut:
             for pdf in pdfs:
-                ms = (
-                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
-                ).tolist()
-                for tp, m in zip(pdf[type_col].tolist(), ms):
-                    i = step_idx.get(tp)
-                    if i is not None:
-                        buf[i].append(int(m))
+                if not len(pdf):
+                    continue
+                # events arrive pre-decoded JVM-side as (step_idx, ms) —
+                # no pd.to_datetime / per-row dict in the per-key path
+                # (the round-7 profiling: per-key-visit pandas machinery
+                # is the streaming floor)
+                idx = pdf["__i"].to_numpy()
+                ms = pdf["__m"].to_numpy()
+                for i in range(len(steps)):
+                    sel = idx == i
+                    if sel.any():
+                        buf[i].extend(int(x) for x in ms[sel])
         wm = state.getCurrentWatermarkMs()
         rows, buf = _advance(key, buf, wm)
         if any(buf):
@@ -821,10 +826,18 @@ def funnel_stream(
                 rows, columns=[user_col, "step_idx", "step", "t_ms"]
             )
 
+    idx_expr = F.lit(None).cast("int")
+    for i, s in reversed(list(enumerate(steps))):
+        idx_expr = F.when(F.col(type_col) == s, F.lit(i)).otherwise(idx_expr)
     return (
         df.withWatermark(ts_col, watermark)
         .filter(F.col(type_col).isin(steps))
-        .select(user_col, ts_col, type_col)
+        .select(
+            F.col(user_col),
+            F.col(ts_col),
+            idx_expr.alias("__i"),
+            F.unix_millis(F.col(ts_col).cast("timestamp")).alias("__m"),
+        )
         .groupBy(user_col)
         .applyInPandasWithState(
             proc, out_schema, state_schema, "append",
@@ -1116,16 +1129,16 @@ def transitions_stream(
             _json.loads(state.get[0]) if state.exists else (None, [])
         )
         if not state.hasTimedOut:
+            loads = _json.loads
             for pdf in pdfs:
-                ms = (
-                    pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000
-                ).tolist()
-                for m, i, tp in zip(
-                    ms, pdf[id_col].tolist(), pdf[type_col].tolist()
-                ):
-                    # raw id (not int()): string ids survive the JSON state
-                    # round-trip with the batch twin's tie-break intact
-                    buf.append((int(m), i, tp))
+                if not len(pdf):
+                    continue
+                # packed single-json-column input (the round-7/8 streaming
+                # treatment): ids ride json natively, so string ids keep
+                # the batch twin's lexicographic (ts, id) tie-break
+                for s in pdf["__row"].tolist():
+                    d = loads(s)
+                    buf.append((d["m"], d["i"], d["t"]))
         wm = state.getCurrentWatermarkMs()
         buf.sort(key=lambda e: (e[0], e[1]))
         rows = []
@@ -1150,7 +1163,18 @@ def transitions_stream(
 
     return (
         df.withWatermark(ts_col, watermark)
-        .select(user_col, ts_col, type_col, id_col)
+        .select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.to_json(
+                F.struct(
+                    F.unix_millis(F.col(ts_col).cast("timestamp")).alias("m"),
+                    F.col(id_col).alias("i"),
+                    F.col(type_col).alias("t"),
+                ),
+                {"ignoreNullFields": "false"},
+            ).alias("__row"),
+        )
         .groupBy(user_col)
         .applyInPandasWithState(
             proc, out_schema, state_schema, "append",
