@@ -937,11 +937,18 @@ def pq_encode(
     id_col: str = "vec_id",
     codebook: list | None = None,
     engine: str = "auto",
+    keep: tuple | list | None = None,
 ) -> DataFrame:
     """Product-quantize an embedding column: split each vector into ``m``
     subvectors, snap each to its nearest codebook entry (round-6 squared-L2
     argmin, code-id tiebreak), and return (id, codes array<int>, recon
     array<float>) where ``recon`` is the quantized reconstruction.
+
+    ``keep``: extra input columns passed through the encode pass verbatim
+    (round 8). Encode stays a zero-shuffle map — carrying a column through
+    it is FREE, while re-attaching the same column afterwards costs a
+    corpus-scale shuffle join on ``id_col``; the residual IVF-PQ path uses
+    this to stay join-free end-to-end.
 
     This is the memory story for ANN at 100 TB: ``codes`` is m small ints
     (m bytes with n_codes<=256) versus dim floats — a 32x compression at
@@ -966,10 +973,11 @@ def pq_encode(
     cb = codebook if codebook is not None else _pq_codebook(
         corpus, n_codes, emb_col, id_col
     )
+    kept = [c for c in (keep or ()) if c != id_col]
     if engine == "auto":
         engine = "numpy" if _integral_ids(corpus, id_col) else "expr"
     if engine == "numpy":
-        return _pq_encode_numpy(corpus, cb, m, sub, emb_col, id_col)
+        return _pq_encode_numpy(corpus, cb, m, sub, emb_col, id_col, kept)
     code_exprs = []
     recon_exprs = []
     for j in range(m):
@@ -988,16 +996,19 @@ def pq_encode(
             for c in range(len(cb))
         )
         recon_exprs.append(f"element_at(array({arrays}), __c{j} + 1)")
-    coded = corpus.selectExpr(id_col, emb_col, *code_exprs)
+    in_cols = [id_col, emb_col] + [c for c in kept if c != emb_col]
+    coded = corpus.selectExpr(*in_cols, *code_exprs)
     return coded.selectExpr(
         id_col,
         f"array({', '.join(f'__c{j}' for j in range(m))}) AS codes",
         f"flatten(array({', '.join(recon_exprs)})) AS recon",
+        *kept,
     )
 
 
 def _pq_encode_numpy(
-    corpus: DataFrame, cb: list, m: int, sub: int, emb_col: str, id_col: str
+    corpus: DataFrame, cb: list, m: int, sub: int, emb_col: str, id_col: str,
+    kept: list | None = None,
 ) -> DataFrame:
     """Arrow-batched PQ encoder: per (j, c) squared distance accumulates
     DIMENSION-BY-DIMENSION in float64 (the codegen fold's exact IEEE
@@ -1043,22 +1054,26 @@ def _pq_encode_numpy(
                 ],
                 axis=1,
             )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "codes": list(codes),
-                    "recon": list(recon),
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "codes": list(codes),
+                "recon": list(recon),
+            }
+            for c in kept or ():
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
+    in_schema = {f.name: f.dataType for f in corpus.schema.fields}
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
             T.StructField("codes", T.ArrayType(T.IntegerType())),
             T.StructField("recon", T.ArrayType(T.FloatType())),
         ]
+        + [T.StructField(c, in_schema[c]) for c in kept or ()]
     )
-    return corpus.select(id_col, emb_col).mapInPandas(run, schema)
+    in_cols = [id_col, emb_col] + [c for c in kept or () if c != emb_col]
+    return corpus.select(*in_cols).mapInPandas(run, schema)
 
 
 def pq_topk(
@@ -1111,12 +1126,17 @@ def _residual_base(
     corpus: DataFrame, coarse_cb: list, emb_col: str, id_col: str
 ) -> DataFrame:
     """(id, emb, __c coarse reconstruction, __res residual) — the frame the
-    residual PQ trainer and encoder both read, checkpointed once."""
-    coarse = pq_encode(corpus, 1, emb_col=emb_col, id_col=id_col,
-                       codebook=coarse_cb)
+    residual PQ trainer and encoder both read, checkpointed once.
+
+    Round 8: the coarse reconstruction rides THROUGH the encode pass
+    (``pq_encode(keep=...)``) instead of being joined back on id — the old
+    corpus⋈coarse equi-join was a full corpus-scale shuffle that existed
+    only to re-attach a column the map pass already had in hand. Values
+    are identical (the join was 1:1 on a unique id)."""
+    enc = pq_encode(corpus, 1, emb_col=emb_col, id_col=id_col,
+                    codebook=coarse_cb, keep=(emb_col,))
     return (
-        corpus.select(id_col, emb_col)
-        .join(coarse.select(id_col, F.col("recon").alias("__c")), id_col)
+        enc.select(id_col, emb_col, F.col("recon").alias("__c"))
         .withColumn(
             "__res",
             F.zip_with(F.col(emb_col), "__c",
@@ -1213,18 +1233,20 @@ def ivfpq_topk(
         rcb = residual_codebook if residual_codebook is not None else (
             pq_train_codebook(base, m, n_codes, train_iters, "__res", id_col)
         )
-        renc = pq_encode(base, m, emb_col="__res", id_col=id_col, codebook=rcb)
+        # round 8: ``__c`` rides through the residual encode (keep=) — the
+        # old base⋈renc re-attach join was the second corpus-scale shuffle
+        # in this path; both are gone (values identical, 1:1 unique-id join)
+        renc = pq_encode(base, m, emb_col="__res", id_col=id_col,
+                         codebook=rcb, keep=("__c",))
         recon = (
-            base.select(id_col, "__c")
-            .join(renc.select(id_col, F.col("recon").alias("__r")), id_col)
-            .select(
+            renc.select(
                 F.col(id_col),
                 # double-add then narrow: float32 + float32 in single
                 # precision can double-round differently across engines;
                 # widen-add-narrow is ONE correctly-rounded sequence both
                 # Spark and DuckDB compute identically (oracle-replayable)
                 F.zip_with(
-                    "__c", "__r",
+                    "__c", "recon",
                     lambda a, b: (
                         a.cast("double") + b.cast("double")
                     ).cast("float"),

@@ -317,6 +317,28 @@ def test_pq_engines_identical(spark):
         assert list(a[vid].recon) == list(b[vid].recon), vid
 
 
+def test_pq_encode_keep_passthrough(spark):
+    """round 8: ``keep=`` carries input columns through the zero-shuffle
+    encode pass verbatim on BOTH engines — the residual IVF-PQ path relies
+    on this to avoid re-attaching the embedding/coarse columns with a
+    corpus-scale join. codes/recon must be unchanged by keep."""
+    from flink_siddhi_spark.llm.similarity import pq_encode
+
+    embs = _embs_df(spark)
+    raw = {r.vec_id: list(r.embedding) for r in embs.collect()}
+    base = {r.vec_id: r for r in pq_encode(embs, engine="numpy").collect()}
+    for engine in ("numpy", "expr"):
+        got = {r.vec_id: r for r in
+               pq_encode(embs, engine=engine, keep=("embedding",)).collect()}
+        assert set(got) == set(raw)
+        for vid, r in got.items():
+            assert [float(v) for v in r.embedding] == raw[vid], (engine, vid)
+            assert list(r.codes) == list(base[vid].codes), (engine, vid)
+            assert list(r.recon) == list(base[vid].recon), (engine, vid)
+        cols = pq_encode(embs, engine=engine, keep=("embedding",)).columns
+        assert cols == ["vec_id", "codes", "recon", "embedding"], cols
+
+
 def test_pq_codebook_vectors_encode_to_themselves(spark):
     # seed vector c has distance 0 to codebook entry c in every subspace
     from flink_siddhi_spark.llm.similarity import pq_encode
