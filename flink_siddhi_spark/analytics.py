@@ -739,18 +739,6 @@ def funnel_stream(
         ]
     )
     state_schema = T.StructType([T.StructField("buf", T.StringType())])
-    def _finalize(buf) -> pd.DataFrame:
-        # exact batch chain: t0 = min step-0; t_i = min step-i times
-        # strictly after t_{i-1} and within t0 + horizon
-        t = [min(buf[0])] if buf[0] else [None]
-        for i in range(1, len(steps)):
-            prev = t[i - 1]
-            if prev is None:
-                t.append(None)
-                continue
-            elig = [x for x in buf[i] if x > prev and x <= t[0] + horizon]
-            t.append(min(elig) if elig else None)
-        return t
 
     def _advance(key, buf, wm):
         """Emit every episode the watermark has FINALIZED, oldest first:
@@ -758,24 +746,38 @@ def funnel_stream(
         consumes every buffered event inside [t0, t0 + horizon]; events
         beyond the horizon stay buffered and seed the NEXT episode (they
         are what advanced the watermark past this one). Loops because one
-        watermark jump can close several episodes at once."""
+        watermark jump can close several episodes at once.
+
+        Round 8: buffers are kept SORTED, so every per-episode scan is a
+        bisect — the old form re-scanned the whole buffer per episode
+        (min + three full comprehensions), O(episodes x buffer) on a hot
+        key whose horizon holds tens of thousands of events. The chain
+        step t_i = "min step-i time strictly after t_{i-1} and within
+        t0 + horizon" is the FIRST element past t_{i-1} in a sorted list
+        (one bisect), and horizon trimming is one slice per step list."""
+        from bisect import bisect_right
+
         rows = []
-        while buf[0] and min(buf[0]) + horizon < wm:
-            t0 = min(buf[0])
-            window = [
-                [x for x in b if t0 <= x <= t0 + horizon] for b in buf
-            ]
-            t = _finalize(window)
-            for i, ti in enumerate(t):
-                if ti is None:
+        while buf[0] and buf[0][0] + horizon < wm:
+            t0 = buf[0][0]
+            hi = t0 + horizon
+            rows.append((key[0], 0, steps[0], int(t0)))
+            prev = t0
+            for i in range(1, len(steps)):
+                # first step-i time strictly after prev; eligible iff
+                # within the episode horizon (prev >= t0 implies > t0)
+                j = bisect_right(buf[i], prev)
+                if j == len(buf[i]) or buf[i][j] > hi:
                     break
-                rows.append((key[0], i, steps[i], int(ti)))
-            buf = [[x for x in b if x > t0 + horizon] for b in buf]
+                prev = buf[i][j]
+                rows.append((key[0], i, steps[i], int(prev)))
+            # events beyond the horizon seed the NEXT episode
+            buf = [b[bisect_right(b, hi):] for b in buf]
         if not buf[0]:
             # no anchor: any future step-0 arrives with ts >= watermark,
             # so buffered events at or before it can never chain (chaining
             # needs ts strictly AFTER the episode anchor)
-            buf = [[x for x in b if x > wm] for b in buf]
+            buf = [b[bisect_right(b, wm):] for b in buf]
         return rows, buf
 
     def proc(
@@ -789,6 +791,7 @@ def funnel_stream(
             else [[] for _ in steps]
         )
         if not state.hasTimedOut:
+            dirty = False
             for pdf in pdfs:
                 if not len(pdf):
                     continue
@@ -801,7 +804,13 @@ def funnel_stream(
                 for i in range(len(steps)):
                     sel = idx == i
                     if sel.any():
-                        buf[i].extend(int(x) for x in ms[sel])
+                        buf[i].extend(ms[sel].tolist())
+                        dirty = True
+            if dirty:
+                # _advance bisects: sorted is the state invariant. Stored
+                # state is already sorted, so timsort sees two runs — ~O(n)
+                for b in buf:
+                    b.sort()
         wm = state.getCurrentWatermarkMs()
         rows, buf = _advance(key, buf, wm)
         if any(buf):
