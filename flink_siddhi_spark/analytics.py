@@ -667,6 +667,50 @@ def last_touch_attribution(
 # across >= 2 micro-batches (the HLL/CMS twin contract).
 
 
+def _funnel_advance(key, buf, wm, steps, horizon):
+    """Emit every funnel episode the watermark has FINALIZED, oldest
+    first: an episode anchors at the earliest remaining step-0 time t0
+    and consumes every buffered event inside [t0, t0 + horizon]; events
+    beyond the horizon stay buffered and seed the NEXT episode (they are
+    what advanced the watermark past this one). Loops because one
+    watermark jump can close several episodes at once.
+
+    ``buf`` is one SORTED ascending list of event-time millis per step —
+    the state invariant :func:`funnel_stream` maintains. Round 8: every
+    per-episode scan is a bisect — the old form re-scanned the whole
+    buffer per episode (min + three full comprehensions), O(episodes x
+    buffer) on a hot key whose horizon holds tens of thousands of
+    events. The chain step t_i = "min step-i time strictly after
+    t_{i-1} and within t0 + horizon" is the FIRST element past t_{i-1}
+    in a sorted list (one bisect), and horizon trimming is one slice per
+    step list. Module-level so the property fuzz can drive it directly
+    against a brute-force reference."""
+    from bisect import bisect_right
+
+    rows = []
+    while buf[0] and buf[0][0] + horizon < wm:
+        t0 = buf[0][0]
+        hi = t0 + horizon
+        rows.append((key[0], 0, steps[0], int(t0)))
+        prev = t0
+        for i in range(1, len(steps)):
+            # first step-i time strictly after prev; eligible iff
+            # within the episode horizon (prev >= t0 implies > t0)
+            j = bisect_right(buf[i], prev)
+            if j == len(buf[i]) or buf[i][j] > hi:
+                break
+            prev = buf[i][j]
+            rows.append((key[0], i, steps[i], int(prev)))
+        # events beyond the horizon seed the NEXT episode
+        buf = [b[bisect_right(b, hi):] for b in buf]
+    if not buf[0]:
+        # no anchor: any future step-0 arrives with ts >= watermark,
+        # so buffered events at or before it can never chain (chaining
+        # needs ts strictly AFTER the episode anchor)
+        buf = [b[bisect_right(b, wm):] for b in buf]
+    return rows, buf
+
+
 def funnel_stream(
     df: DataFrame,
     steps: Sequence[str],
@@ -741,44 +785,7 @@ def funnel_stream(
     state_schema = T.StructType([T.StructField("buf", T.StringType())])
 
     def _advance(key, buf, wm):
-        """Emit every episode the watermark has FINALIZED, oldest first:
-        an episode anchors at the earliest remaining step-0 time t0 and
-        consumes every buffered event inside [t0, t0 + horizon]; events
-        beyond the horizon stay buffered and seed the NEXT episode (they
-        are what advanced the watermark past this one). Loops because one
-        watermark jump can close several episodes at once.
-
-        Round 8: buffers are kept SORTED, so every per-episode scan is a
-        bisect — the old form re-scanned the whole buffer per episode
-        (min + three full comprehensions), O(episodes x buffer) on a hot
-        key whose horizon holds tens of thousands of events. The chain
-        step t_i = "min step-i time strictly after t_{i-1} and within
-        t0 + horizon" is the FIRST element past t_{i-1} in a sorted list
-        (one bisect), and horizon trimming is one slice per step list."""
-        from bisect import bisect_right
-
-        rows = []
-        while buf[0] and buf[0][0] + horizon < wm:
-            t0 = buf[0][0]
-            hi = t0 + horizon
-            rows.append((key[0], 0, steps[0], int(t0)))
-            prev = t0
-            for i in range(1, len(steps)):
-                # first step-i time strictly after prev; eligible iff
-                # within the episode horizon (prev >= t0 implies > t0)
-                j = bisect_right(buf[i], prev)
-                if j == len(buf[i]) or buf[i][j] > hi:
-                    break
-                prev = buf[i][j]
-                rows.append((key[0], i, steps[i], int(prev)))
-            # events beyond the horizon seed the NEXT episode
-            buf = [b[bisect_right(b, hi):] for b in buf]
-        if not buf[0]:
-            # no anchor: any future step-0 arrives with ts >= watermark,
-            # so buffered events at or before it can never chain (chaining
-            # needs ts strictly AFTER the episode anchor)
-            buf = [b[bisect_right(b, wm):] for b in buf]
-        return rows, buf
+        return _funnel_advance(key, buf, wm, steps, horizon)
 
     def proc(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -380,3 +380,67 @@ def test_textrank_empty_graph(spark):
     out = textrank_keywords(df, min_count=99)
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["word", "score"]
+
+
+def test_funnel_advance_fuzz_vs_bruteforce():
+    """round 8: the bisect-bounded `_funnel_advance` must emit exactly what
+    the pre-round-8 full-scan form did — same rows, same order, same
+    surviving buffer — across randomized multi-round feeds (duplicated
+    timestamps, out-of-order arrivals, several episodes closed by one
+    watermark jump, anchorless tails). Pure-Python, no Spark session."""
+    import random
+
+    from flink_siddhi_spark.analytics import _funnel_advance
+
+    def brute(key, buf, wm, steps, horizon):
+        # the pre-round-8 reference: min + full comprehensions per episode
+        def _finalize(window):
+            t = [min(window[0])] if window[0] else [None]
+            for i in range(1, len(steps)):
+                prev = t[i - 1]
+                if prev is None:
+                    t.append(None)
+                    continue
+                elig = [x for x in window[i]
+                        if x > prev and x <= t[0] + horizon]
+                t.append(min(elig) if elig else None)
+            return t
+
+        rows = []
+        while buf[0] and min(buf[0]) + horizon < wm:
+            t0 = min(buf[0])
+            window = [[x for x in b if t0 <= x <= t0 + horizon] for b in buf]
+            t = _finalize(window)
+            for i, ti in enumerate(t):
+                if ti is None:
+                    break
+                rows.append((key[0], i, steps[i], int(ti)))
+            buf = [[x for x in b if x > t0 + horizon] for b in buf]
+        if not buf[0]:
+            buf = [[x for x in b if x > wm] for b in buf]
+        return rows, buf
+
+    rng = random.Random(80800)
+    for case in range(400):
+        n_steps = rng.randint(2, 4)
+        steps = [f"s{i}" for i in range(n_steps)]
+        horizon = rng.choice([5, 20, 100])
+        key = ("u",)
+        buf_a = [[] for _ in steps]   # bisect engine (kept sorted)
+        buf_b = [[] for _ in steps]   # brute engine (arrival order)
+        wm = 0
+        for _ in range(rng.randint(1, 5)):
+            # a burst of out-of-order events, duplicates allowed
+            for _ in range(rng.randint(0, 25)):
+                i = rng.randrange(n_steps)
+                ts = rng.randint(0, 300)
+                buf_a[i].append(ts)
+                buf_b[i].append(ts)
+            for b in buf_a:
+                b.sort()
+            wm += rng.choice([0, 3, 30, 150])
+            rows_a, buf_a = _funnel_advance(key, buf_a, wm, steps, horizon)
+            rows_b, buf_b = brute(key, buf_b, wm, steps, horizon)
+            assert rows_a == rows_b, (case, wm, rows_a, rows_b)
+            assert [sorted(x) for x in buf_a] == [sorted(x) for x in buf_b], (
+                case, wm, buf_a, buf_b)
