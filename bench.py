@@ -494,6 +494,15 @@ def _streaming_throughput_bench(spark, sf_dir: str) -> dict:
                 "select e.user_id as user_id, e.event_id as error_id "
                 "insert into Out; end"
             ),
+            # the 3-step CQL funnel (late round 8: run_kernel3)
+            "cep_pattern_3step_10x": lambda: amp_cql_plan(
+                "partition with (user_id of events) begin "
+                "from every v = events[event_type == 'view'] "
+                "  -> k = events[event_type == 'click'] "
+                "  -> p = events[event_type == 'purchase'] within 1 hour "
+                "select v.user_id as user_id, p.event_id as purchase_id "
+                "insert into Out; end"
+            ),
             "cep_window_agg_10x": lambda: amp_cql_plan(
                 "from events#window.timeBatch(1 hour) "
                 "select sum(value) as revenue, count() as n insert into Out"

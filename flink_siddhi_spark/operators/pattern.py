@@ -317,15 +317,33 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
       contract per PARITY.md — the round-7 fuzz-found shape)
     - ``'absence2'`` : ``every a=A -> not B for t [within w]`` (the absence
       production shape; round-8, lands with watermark eviction)
+    - ``'every3'``   : ``every a=A -> b=B -> c=C [within t]`` (late round 8
+      — the 3-step CQL funnel, both connectors relaxed)
 
-    or ``None`` when the pattern needs the general per-row NFA. These three
+    or ``None`` when the pattern needs the general per-row NFA. These
     cover the dominant production CEP shapes (the reference's own examples,
-    SiddhiCEPITCase.java:333-382, are all 2-step)."""
-    if every_at is not None or len(elems) != 2 or len(strict_after) != 1:
+    SiddhiCEPITCase.java:333-382, are all 2-step; 3-step relaxed chains are
+    the classic funnel)."""
+    if every_at is not None:
         return None
-    a, b = elems
     if not all(isinstance(e, A.PatternElem) for e in elems):
         return None
+
+    def _plain(e):
+        return (not e.negated and not e.is_collection
+                and e.min_count == 1 and e.max_count == 1)
+
+    if (
+        len(elems) == 3
+        and len(strict_after) == 2
+        and every
+        and not any(strict_after)
+        and all(_plain(e) for e in elems)
+    ):
+        return "every3"
+    if len(elems) != 2 or len(strict_after) != 1:
+        return None
+    a, b = elems
     if a.negated or a.is_collection or a.min_count != 1 or a.max_count != 1:
         return None
     if b.negated:
@@ -616,6 +634,133 @@ def run_kernel2_absence(
             "last_ts": int(a_ts[i]),
             "neg_deadline": int(a_ts[i]) + for_ms if seen_row else None,
         })
+    return matches, {
+        "partials": partials,
+        "spawners": [],
+        "started": started or bool(n_a),
+        "done": False,
+    }
+
+
+def run_kernel3(
+    ts_vals,
+    mask_a,
+    mask_b,
+    mask_c,
+    start_idx: int,
+    init: dict | None,
+    within_ms: int | None,
+):
+    """Vectorized NFA for ``every a=A -> b=B -> c=C [within t]`` — the
+    3-step CQL funnel (late round 8). Exact ``_run_nfa`` semantics:
+
+    - each a-row arms a partial; it captures the FIRST later b-row, then
+      the FIRST c-row after that b, and emits at the c-row;
+    - ``within t``: the general NFA evicts a partial at the first row
+      (of any kind) beyond ``first_ts + t`` while a capture remains, so a
+      first-b or first-c beyond the window means no match EVER — the
+      buffer is ts-sorted, so the gate is one comparison per candidate
+      and the survivor rule is ``ts[-1] - a_ts <= t``;
+    - pending state: stage-1 partials (awaiting b, ``pos`` 0 per the row
+      loop's lazy advance) and stage-2 partials (b captured, ``pos`` 1),
+      serialized byte-equal to ``_run_nfa`` and resumable by either
+      engine across micro-batches (pinned by tests/test_kernel2_unit.py).
+
+    Three ``searchsorted``s total (new a's into b-rows, all armed b's
+    into c-rows), vectorized across every live partial."""
+    import numpy as np
+
+    n = len(ts_vals)
+    big = np.int64(n)  # sentinel: "no such row yet"
+    if init is not None:
+        pend_a = [int(p["captured"][0][0]) for p in init["partials"]]
+        pend_ats = [int(p["first_ts"]) for p in init["partials"]]
+        pend_b = [
+            int(p["captured"][1][0]) if p["captured"][1] else -1
+            for p in init["partials"]
+        ]
+        started = bool(init["started"])
+    else:
+        pend_a, pend_ats, pend_b, started = [], [], [], False
+    new_a = (np.nonzero(mask_a[start_idx:])[0] + start_idx).astype(np.int64)
+    a_pos = np.concatenate([np.asarray(pend_a, dtype=np.int64), new_a])
+    a_ts = np.concatenate(
+        [np.asarray(pend_ats, dtype=np.int64), ts_vals[new_a]]
+    )
+    b_pos = np.concatenate([
+        np.asarray(pend_b, dtype=np.int64),
+        np.full(len(new_a), -1, dtype=np.int64),
+    ])
+    n_a = len(a_pos)
+    if not n_a:
+        return [], {
+            "partials": [], "spawners": [],
+            "started": started, "done": False,
+        }
+    newb = (np.nonzero(mask_b[start_idx:])[0] + start_idx).astype(np.int64)
+    newc = (np.nonzero(mask_c[start_idx:])[0] + start_idx).astype(np.int64)
+    # first b strictly after a, for stage-1 partials (new rows only: a
+    # resumed stage-1 partial saw no b in the already-scanned prefix).
+    # A first-b beyond the within window stays -1: the row loop evicts
+    # the partial at that row, and the survivor rule below agrees
+    # (ts[-1] >= ts[b] > a_ts + t).
+    need = b_pos < 0
+    if need.any() and len(newb):
+        bi = np.searchsorted(newb, a_pos[need], side="right")
+        has = bi < len(newb)
+        cand = newb[np.minimum(bi, len(newb) - 1)]
+        if within_ms is not None:
+            has &= (
+                ts_vals[np.where(has, cand, 0)] - a_ts[need]
+            ) <= within_ms
+        b_pos[need] = np.where(has, cand, -1)
+    # first c strictly after b, for every armed partial (same window gate)
+    hasb = b_pos >= 0
+    c_match = np.full(n_a, big, dtype=np.int64)
+    if hasb.any() and len(newc):
+        ci = np.searchsorted(newc, b_pos[hasb], side="right")
+        hc = ci < len(newc)
+        candc = newc[np.minimum(ci, len(newc) - 1)]
+        if within_ms is not None:
+            hc &= (
+                ts_vals[np.where(hc, candc, 0)] - a_ts[hasb]
+            ) <= within_ms
+        c_match[hasb] = np.where(hc, candc, big)
+    ok = c_match < big
+    matches: list = []
+    oi = np.nonzero(ok)[0]
+    if len(oi):
+        # emission order mirrors the row loop: by completing c-row, then
+        # by partial age (the partials list stays in arming order)
+        order = np.lexsort((oi, c_match[oi]))
+        for i in oi[order]:
+            matches.append(
+                [[int(a_pos[i])], [int(b_pos[i])], [int(c_match[i])]]
+            )
+    keep = ~ok
+    if within_ms is not None and n:
+        # the general NFA drops a partial at the first row beyond its
+        # window, whatever that row's type
+        keep &= (int(ts_vals[-1]) - a_ts) <= within_ms
+    partials = []
+    for i in np.nonzero(keep)[0]:
+        if b_pos[i] >= 0:
+            partials.append({
+                "pos": 1,  # consumed b via the advance branch
+                "captured": [[int(a_pos[i])], [int(b_pos[i])], []],
+                "first_ts": int(a_ts[i]),
+                "last_ts": int(ts_vals[b_pos[i]]),
+                "neg_deadline": None,
+            })
+        else:
+            partials.append({
+                # pos stays 0 like the row loop (it advances lazily)
+                "pos": 0,
+                "captured": [[int(a_pos[i])], [], []],
+                "first_ts": int(a_ts[i]),
+                "last_ts": int(a_ts[i]),
+                "neg_deadline": None,
+            })
     return matches, {
         "partials": partials,
         "spawners": [],

@@ -18,6 +18,7 @@ from flink_siddhi_spark.operators.pattern import (
     run_kernel2,
     run_kernel2_absence,
     run_kernel2_nonevery,
+    run_kernel3,
 )
 from flink_siddhi_spark.siddhiql import ast as A
 
@@ -132,7 +133,7 @@ def test_kernel2_shape_classifier():
     ab = _abs_elems(500)
     assert kernel2_shape(ab, True, None, [False]) == "absence2"
     # not kernelizable: strict absence, no for_ms, non-every absence,
-    # mid-every, quantifiers, 3 steps
+    # mid-every, quantifiers
     assert kernel2_shape(ab, True, None, [True]) is None
     assert kernel2_shape(_abs_elems(None), True, None, [False]) is None
     assert kernel2_shape(ab, False, None, [False]) is None
@@ -140,8 +141,18 @@ def test_kernel2_shape_classifier():
     q = [A.PatternElem(stream="s", alias="a", min_count=1, max_count=2),
          A.PatternElem(stream="s", alias="b")]
     assert kernel2_shape(q, True, None, [False]) is None
-    assert kernel2_shape(e2 + [A.PatternElem(stream="s", alias="c")],
-                         True, None, [False, False]) is None
+    # 3-step relaxed every = every3 (late round 8); strict / non-every /
+    # negated / quantified 3-step still falls to the general NFA
+    e3 = e2 + [A.PatternElem(stream="s", alias="c")]
+    assert kernel2_shape(e3, True, None, [False, False]) == "every3"
+    assert kernel2_shape(e3, True, None, [True, False]) is None
+    assert kernel2_shape(e3, True, None, [False, True]) is None
+    assert kernel2_shape(e3, False, None, [False, False]) is None
+    assert kernel2_shape(e3, True, 1, [False, False]) is None
+    n3 = e2 + [A.PatternElem(stream="s", alias="c", negated=True, for_ms=500)]
+    assert kernel2_shape(n3, True, None, [False, False]) is None
+    q3 = e2 + [A.PatternElem(stream="s", alias="c", min_count=1, max_count=2)]
+    assert kernel2_shape(q3, True, None, [False, False]) is None
 
 
 def _run_general_ne(ts, ma, mb, start, init, within, strict):
@@ -253,5 +264,76 @@ def test_kernel2_absence_state_interops_with_general_nfa():
         g2, g_st2 = _run_general_abs(ts, ma, mb, n1, k_st, within, for_ms)
         assert k1 == g1 and k2 == g2, (
             trial, ts.tolist(), ma.tolist(), mb.tolist(), within, for_ms,
+        )
+        assert _state_key_full(k_st2) == _state_key_full(g_st2), (trial,)
+
+
+def _elems3():
+    return [
+        A.PatternElem(stream="s", alias="a"),
+        A.PatternElem(stream="s", alias="b"),
+        A.PatternElem(stream="s", alias="c"),
+    ]
+
+
+def _run_general3(ts, ma, mb, mc, start, init, within):
+    rows = pd.DataFrame({TS_COL: ts})
+    return _run_nfa(
+        rows, [ma, mb, mc], _elems3(), [False, False], True, within,
+        at_close=False, start_idx=start, init=init, return_state=True,
+    )
+
+
+def test_kernel3_matches_general_nfa_randomized():
+    """every3: ``every a=A -> b=B -> c=C [within t]`` (late round 8) —
+    kernel vs general NFA on 450 randomized feeds, matches in exact
+    emission order and full state equality (pos / captured / first_ts /
+    last_ts / started)."""
+    rng = random.Random(38)
+    assert kernel2_shape(_elems3(), True, None, [False, False]) == "every3"
+    for trial in range(450):
+        n = rng.randint(0, 30)
+        ts = np.sort(
+            np.array([rng.randint(0, 40) * 100 for _ in range(n)], np.int64)
+        )
+        ma = np.array([rng.random() < 0.3 for _ in range(n)], bool)
+        mb = np.array([rng.random() < 0.3 for _ in range(n)], bool)
+        mc = np.array([rng.random() < 0.3 for _ in range(n)], bool)
+        within = rng.choice([None, 550, 1250, 2050])
+        got_m, got_st = run_kernel3(ts, ma, mb, mc, 0, None, within)
+        want_m, want_st = _run_general3(ts, ma, mb, mc, 0, None, within)
+        assert got_m == want_m, (trial, ts.tolist(), ma.tolist(), mb.tolist(),
+                                 mc.tolist(), within)
+        assert _state_key_full(got_st) == _state_key_full(want_st), (
+            trial, ts.tolist(), ma.tolist(), mb.tolist(), mc.tolist(), within,
+        )
+
+
+def test_kernel3_state_interops_with_general_nfa():
+    """Batch 1 through one engine, batch 2 through the OTHER — stage-1 AND
+    stage-2 partials must resume identically across the engine boundary
+    (the streaming out-of-order fallback relies on this)."""
+    rng = random.Random(39)
+    for trial in range(250):
+        n1, n2 = rng.randint(1, 15), rng.randint(1, 15)
+        t1 = np.sort(np.array([rng.randint(0, 20) * 100 for _ in range(n1)], np.int64))
+        t2 = np.sort(np.array(
+            [int(t1[-1]) + 100 + rng.randint(0, 20) * 100 for _ in range(n2)],
+            np.int64,
+        ))
+        ts = np.concatenate([t1, t2])
+        ma = np.array([rng.random() < 0.35 for _ in range(n1 + n2)], bool)
+        mb = np.array([rng.random() < 0.35 for _ in range(n1 + n2)], bool)
+        mc = np.array([rng.random() < 0.35 for _ in range(n1 + n2)], bool)
+        within = rng.choice([None, 750, 1550])
+        k1, k_st = run_kernel3(ts[:n1], ma[:n1], mb[:n1], mc[:n1], 0, None, within)
+        g1, g_st = _run_general3(ts[:n1], ma[:n1], mb[:n1], mc[:n1], 0, None, within)
+        assert k1 == g1, (trial,)
+        assert _state_key_full(k_st) == _state_key_full(g_st), (trial,)
+        # batch 2: each engine continues the OTHER's state
+        k2, k_st2 = run_kernel3(ts, ma, mb, mc, n1, g_st, within)
+        g2, g_st2 = _run_general3(ts, ma, mb, mc, n1, k_st, within)
+        assert k2 == g2, (
+            trial, ts.tolist(), ma.tolist(), mb.tolist(), mc.tolist(), within,
         )
         assert _state_key_full(k_st2) == _state_key_full(g_st2), (trial,)

@@ -263,14 +263,18 @@ def _run_streaming(spark, batches, cql, tmp_root):
     return rows
 
 
-@pytest.mark.parametrize("shape", ["followed_by", "strict", "quantifier"])
+@pytest.mark.parametrize(
+    "shape", ["followed_by", "strict", "quantifier", "three_step"]
+)
 def test_streaming_batch_parity_fuzz(spark, shape):
     """20 randomized feeds per shape, split across 3 micro-batches, streamed
-    through the NFA (kernel path for followed_by/strict, general loop for
-    quantifier) and compared row-for-row with the batch operator on the same
-    events. followed_by additionally injects a LATE x (in-window,
-    out-of-order across batches) — the one late-arrival class whose eager
-    emission is order-independent, exercising the full-rerun fallback."""
+    through the NFA (kernel path for followed_by/strict/three_step, general
+    loop for quantifier) and compared row-for-row with the batch operator on
+    the same events. followed_by and three_step additionally inject a LATE x
+    (in-window, out-of-order across batches) — the one late-arrival class
+    whose eager emission is order-independent, exercising the full-rerun
+    fallback (and, for three_step, the round-8 kernel3 resume of
+    general-NFA state)."""
     import random
 
     rng = random.Random(hash(shape) & 0xFFFF)
@@ -295,6 +299,13 @@ def test_streaming_batch_parity_fuzz(spark, shape):
             "select a.price as u, a[0].id as a_id, b.id as b_id "
             "insert into Out; end"
         ),
+        "three_step": (
+            "partition with (price of s) begin "
+            "from every a = s[name == 'x'] -> b = s[name == 'y'] "
+            "-> c = s[name == 'z'] within 8500 milliseconds "
+            "select a.price as u, a.id as a_id, c.id as b_id "
+            "insert into Out; end"
+        ),
     }
     cql = cqls[shape]
     for trial in range(20):
@@ -304,7 +315,7 @@ def test_streaming_batch_parity_fuzz(spark, shape):
         for i in range(n):
             ts += rng.randint(1, 4) * 1000
             rows.append((i, rng.choice("xyz"), ts, rng.randint(1, 2)))
-        if shape == "followed_by" and n >= 8:
+        if shape in ("followed_by", "three_step") and n >= 8:
             # late in-window x: ts lands between earlier events but the row
             # arrives in the LAST micro-batch
             anchor = rows[n // 2]
