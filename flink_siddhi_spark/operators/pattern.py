@@ -1185,6 +1185,17 @@ def compile_pattern(planner, q: A.Query):
                 disj = c if disj is None else (disj | c)
             u = u.filter(disj)
 
+    # 3-step relaxed every (late round 8): the numpy kernel replaces the
+    # per-row loop in batch too. ``at_close`` is a no-op for this shape
+    # (no trailing optional/absence, so _can_close never fires), and the
+    # kernel's matches are pinned byte-equal to _run_nfa's — batch output
+    # is identical, just vectorized. 2-step shapes take the JVM fast path
+    # above before reaching here.
+    batch_shape = (
+        None if has_group
+        else kernel2_shape(elems_c, every, every_at, strict_after)
+    )
+
     def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
         masks = []
@@ -1194,10 +1205,16 @@ def compile_pattern(planner, q: A.Query):
                 fv = _vec(filt, pdf)
                 m = m & fv.to_numpy(dtype=bool, na_value=False) if hasattr(fv, "to_numpy") else (m & bool(fv))
             masks.append(m)
-        found = _run_nfa(
-            pdf, masks, raw_steps_c, strict_after, every, within_ms,
-            every_at=every_at,
-        )
+        if batch_shape == "every3":
+            found, _ = run_kernel3(
+                pdf[TS_COL].to_numpy(), masks[0], masks[1], masks[2],
+                0, None, within_ms,
+            )
+        else:
+            found = _run_nfa(
+                pdf, masks, raw_steps_c, strict_after, every, within_ms,
+                every_at=every_at,
+            )
         data: dict[str, list] = {n: [] for n in out_names}
         for cap in found:
             for ei, e in enumerate(elems_c):

@@ -188,3 +188,38 @@ def test_partitioned_pattern_on_events(cep, spark, sf_dir):
         ).fetchall()
     )
     assert got == oracle
+
+
+def test_three_step_every_batch_kernel(cep, spark):
+    """late round 8: the batch path dispatches `every A -> B -> C [within]`
+    to run_kernel3 (match_group's vectorized branch). Deterministic feed
+    with hand-computed expectations: each armed partial captures the FIRST
+    later b then the FIRST c after that b; within bounds the full span."""
+    rows = [
+        (1, "x", 1.0, 1000),   # arms p1
+        (2, "x", 1.0, 2000),   # arms p2
+        (3, "y", 1.0, 3000),   # b for p1 AND p2
+        (4, "y", 1.0, 4000),   # ignored (first-b already captured)
+        (5, "z", 1.0, 5000),   # c for both -> p1 span 4000, p2 span 3000
+        (6, "x", 1.0, 9000),   # arms p3; no later y -> never completes
+    ]
+    cep.define("s", make_events(spark, rows), "id", "name", "price",
+               "timestamp", ts_field="timestamp")
+    q = ("from every a = s[name == 'x'] -> b = s[name == 'y'] "
+         "-> c = s[name == 'z'] {W} "
+         "select a.id as a_id, b.id as b_id, c.id as c_id insert into Out")
+    got = sorted(
+        (r.a_id, r.b_id, r.c_id)
+        for r in cep.from_("s").cql(q.format(W="")).returns("Out").collect()
+    )
+    assert got == [(1, 3, 5), (2, 3, 5)], got
+    # within 3500 ms: p1's span (1000..5000) exceeds it -> evicted; p2 fits
+    cep2 = SiddhiCEP(spark)
+    cep2.define("s", make_events(spark, rows), "id", "name", "price",
+                "timestamp", ts_field="timestamp")
+    got_w = sorted(
+        (r.a_id, r.b_id, r.c_id)
+        for r in cep2.from_("s")
+        .cql(q.format(W="within 3500 milliseconds")).returns("Out").collect()
+    )
+    assert got_w == [(2, 3, 5)], got_w
