@@ -317,13 +317,14 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
       contract per PARITY.md — the round-7 fuzz-found shape)
     - ``'absence2'`` : ``every a=A -> not B for t [within w]`` (the absence
       production shape; round-8, lands with watermark eviction)
-    - ``'every3'``   : ``every a=A -> b=B -> c=C [within t]`` (late round 8
-      — the 3-step CQL funnel, both connectors relaxed)
+    - ``'chain'``    : ``every e1=A1 -> e2=A2 -> ... -> ek=Ak [within t]``,
+      k >= 3, all connectors relaxed (late round 8 — the k-step CQL
+      funnel; k=3 landed first, then generalized)
 
     or ``None`` when the pattern needs the general per-row NFA. These
     cover the dominant production CEP shapes (the reference's own examples,
-    SiddhiCEPITCase.java:333-382, are all 2-step; 3-step relaxed chains are
-    the classic funnel)."""
+    SiddhiCEPITCase.java:333-382, are all 2-step; relaxed chains are the
+    classic funnel)."""
     if every_at is not None:
         return None
     if not all(isinstance(e, A.PatternElem) for e in elems):
@@ -334,13 +335,13 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
                 and e.min_count == 1 and e.max_count == 1)
 
     if (
-        len(elems) == 3
-        and len(strict_after) == 2
+        len(elems) >= 3
+        and len(strict_after) == len(elems) - 1
         and every
         and not any(strict_after)
         and all(_plain(e) for e in elems)
     ):
-        return "every3"
+        return "chain"
     if len(elems) != 2 or len(strict_after) != 1:
         return None
     a, b = elems
@@ -642,6 +643,123 @@ def run_kernel2_absence(
     }
 
 
+def run_kernel_chain(
+    ts_vals,
+    masks: list,
+    start_idx: int,
+    init: dict | None,
+    within_ms: int | None,
+):
+    """Vectorized NFA for ``every e1=A1 -> e2=A2 -> ... -> ek=Ak
+    [within t]`` — the k-step relaxed funnel chain, any k >= 2 (late
+    round 8; k=3 landed first, then generalized). Exact ``_run_nfa``
+    semantics:
+
+    - each A1-row arms a partial; stage by stage it captures the FIRST
+      later row matching the next element, and emits at the final
+      stage's row;
+    - ``within t``: the general NFA evicts a partial at the first row
+      (of any kind) beyond ``first_ts + t`` while a capture remains, so
+      ANY stage capture beyond the window means no match EVER — the
+      buffer is ts-sorted, so the gate is one comparison per candidate
+      and the survivor rule is ``ts[-1] - a_ts <= t``;
+    - pending state: a partial with j stages captured serializes at
+      ``pos`` j-1 (the row loop's lazy advance — a freshly-armed partial
+      sits at pos 0), byte-equal to ``_run_nfa`` and resumable by either
+      engine across micro-batches (pinned by tests/test_kernel2_unit.py).
+
+    One ``searchsorted`` per stage, vectorized across every live partial
+    still needing that stage."""
+    import numpy as np
+
+    k = len(masks)
+    n = len(ts_vals)
+    big = np.int64(n)  # sentinel: "no such row yet"
+    if init is not None:
+        pend = init["partials"]
+        pend_ats = [int(p["first_ts"]) for p in pend]
+        pend_caps = [
+            [int(c[0]) if c else -1 for c in p["captured"]] for p in pend
+        ]
+        started = bool(init["started"])
+    else:
+        pend_ats, pend_caps, started = [], [], False
+    new_a = (np.nonzero(masks[0][start_idx:])[0] + start_idx).astype(np.int64)
+    n_pend = len(pend_caps)
+    n_a = n_pend + len(new_a)
+    if not n_a:
+        return [], {
+            "partials": [], "spawners": [],
+            "started": started, "done": False,
+        }
+    a_ts = np.concatenate(
+        [np.asarray(pend_ats, dtype=np.int64), ts_vals[new_a]]
+    )
+    # cap[s][i] = buffer position captured for stage s by partial i
+    cap = np.full((k, n_a), -1, dtype=np.int64)
+    for i, caps in enumerate(pend_caps):
+        for s, c in enumerate(caps):
+            cap[s, i] = c
+    cap[0, n_pend:] = new_a
+    # stage-by-stage fill: the FIRST row matching stage s strictly after
+    # the stage s-1 capture, among new rows only (a resumed partial saw
+    # no stage-s match in the already-scanned prefix). A candidate
+    # beyond the within window stays -1: the row loop evicts the partial
+    # at that row, and the survivor rule below agrees
+    # (ts[-1] >= ts[cand] > a_ts + t).
+    for s in range(1, k):
+        need = (cap[s] < 0) & (cap[s - 1] >= 0)
+        if not need.any():
+            continue
+        new_s = (
+            np.nonzero(masks[s][start_idx:])[0] + start_idx
+        ).astype(np.int64)
+        if not len(new_s):
+            continue
+        si = np.searchsorted(new_s, cap[s - 1][need], side="right")
+        has = si < len(new_s)
+        cand = new_s[np.minimum(si, len(new_s) - 1)]
+        if within_ms is not None:
+            has &= (
+                ts_vals[np.where(has, cand, 0)] - a_ts[need]
+            ) <= within_ms
+        cap[s, need] = np.where(has, cand, -1)
+    ok = cap[k - 1] >= 0
+    matches: list = []
+    oi = np.nonzero(ok)[0]
+    if len(oi):
+        # emission order mirrors the row loop: by completing row, then
+        # by partial age (the partials list stays in arming order)
+        order = np.lexsort((oi, cap[k - 1][oi]))
+        for i in oi[order]:
+            matches.append([[int(cap[s, i])] for s in range(k)])
+    keep = ~ok
+    if within_ms is not None and n:
+        # the general NFA drops a partial at the first row beyond its
+        # window, whatever that row's type
+        keep &= (int(ts_vals[-1]) - a_ts) <= within_ms
+    partials = []
+    for i in np.nonzero(keep)[0]:
+        filled = int(np.count_nonzero(cap[:, i] >= 0))
+        partials.append({
+            # pos advances lazily in the row loop: j captures -> pos j-1
+            "pos": filled - 1,
+            "captured": [
+                [int(cap[s, i])] if cap[s, i] >= 0 else []
+                for s in range(k)
+            ],
+            "first_ts": int(a_ts[i]),
+            "last_ts": int(ts_vals[cap[filled - 1, i]]),
+            "neg_deadline": None,
+        })
+    return matches, {
+        "partials": partials,
+        "spawners": [],
+        "started": started or bool(n_a),
+        "done": False,
+    }
+
+
 def run_kernel3(
     ts_vals,
     mask_a,
@@ -651,122 +769,12 @@ def run_kernel3(
     init: dict | None,
     within_ms: int | None,
 ):
-    """Vectorized NFA for ``every a=A -> b=B -> c=C [within t]`` — the
-    3-step CQL funnel (late round 8). Exact ``_run_nfa`` semantics:
-
-    - each a-row arms a partial; it captures the FIRST later b-row, then
-      the FIRST c-row after that b, and emits at the c-row;
-    - ``within t``: the general NFA evicts a partial at the first row
-      (of any kind) beyond ``first_ts + t`` while a capture remains, so a
-      first-b or first-c beyond the window means no match EVER — the
-      buffer is ts-sorted, so the gate is one comparison per candidate
-      and the survivor rule is ``ts[-1] - a_ts <= t``;
-    - pending state: stage-1 partials (awaiting b, ``pos`` 0 per the row
-      loop's lazy advance) and stage-2 partials (b captured, ``pos`` 1),
-      serialized byte-equal to ``_run_nfa`` and resumable by either
-      engine across micro-batches (pinned by tests/test_kernel2_unit.py).
-
-    Three ``searchsorted``s total (new a's into b-rows, all armed b's
-    into c-rows), vectorized across every live partial."""
-    import numpy as np
-
-    n = len(ts_vals)
-    big = np.int64(n)  # sentinel: "no such row yet"
-    if init is not None:
-        pend_a = [int(p["captured"][0][0]) for p in init["partials"]]
-        pend_ats = [int(p["first_ts"]) for p in init["partials"]]
-        pend_b = [
-            int(p["captured"][1][0]) if p["captured"][1] else -1
-            for p in init["partials"]
-        ]
-        started = bool(init["started"])
-    else:
-        pend_a, pend_ats, pend_b, started = [], [], [], False
-    new_a = (np.nonzero(mask_a[start_idx:])[0] + start_idx).astype(np.int64)
-    a_pos = np.concatenate([np.asarray(pend_a, dtype=np.int64), new_a])
-    a_ts = np.concatenate(
-        [np.asarray(pend_ats, dtype=np.int64), ts_vals[new_a]]
+    """3-step relaxed every chain — the k=3 case of
+    :func:`run_kernel_chain` (kept as the named entry point the
+    dispatchers and the unit pin reference)."""
+    return run_kernel_chain(
+        ts_vals, [mask_a, mask_b, mask_c], start_idx, init, within_ms
     )
-    b_pos = np.concatenate([
-        np.asarray(pend_b, dtype=np.int64),
-        np.full(len(new_a), -1, dtype=np.int64),
-    ])
-    n_a = len(a_pos)
-    if not n_a:
-        return [], {
-            "partials": [], "spawners": [],
-            "started": started, "done": False,
-        }
-    newb = (np.nonzero(mask_b[start_idx:])[0] + start_idx).astype(np.int64)
-    newc = (np.nonzero(mask_c[start_idx:])[0] + start_idx).astype(np.int64)
-    # first b strictly after a, for stage-1 partials (new rows only: a
-    # resumed stage-1 partial saw no b in the already-scanned prefix).
-    # A first-b beyond the within window stays -1: the row loop evicts
-    # the partial at that row, and the survivor rule below agrees
-    # (ts[-1] >= ts[b] > a_ts + t).
-    need = b_pos < 0
-    if need.any() and len(newb):
-        bi = np.searchsorted(newb, a_pos[need], side="right")
-        has = bi < len(newb)
-        cand = newb[np.minimum(bi, len(newb) - 1)]
-        if within_ms is not None:
-            has &= (
-                ts_vals[np.where(has, cand, 0)] - a_ts[need]
-            ) <= within_ms
-        b_pos[need] = np.where(has, cand, -1)
-    # first c strictly after b, for every armed partial (same window gate)
-    hasb = b_pos >= 0
-    c_match = np.full(n_a, big, dtype=np.int64)
-    if hasb.any() and len(newc):
-        ci = np.searchsorted(newc, b_pos[hasb], side="right")
-        hc = ci < len(newc)
-        candc = newc[np.minimum(ci, len(newc) - 1)]
-        if within_ms is not None:
-            hc &= (
-                ts_vals[np.where(hc, candc, 0)] - a_ts[hasb]
-            ) <= within_ms
-        c_match[hasb] = np.where(hc, candc, big)
-    ok = c_match < big
-    matches: list = []
-    oi = np.nonzero(ok)[0]
-    if len(oi):
-        # emission order mirrors the row loop: by completing c-row, then
-        # by partial age (the partials list stays in arming order)
-        order = np.lexsort((oi, c_match[oi]))
-        for i in oi[order]:
-            matches.append(
-                [[int(a_pos[i])], [int(b_pos[i])], [int(c_match[i])]]
-            )
-    keep = ~ok
-    if within_ms is not None and n:
-        # the general NFA drops a partial at the first row beyond its
-        # window, whatever that row's type
-        keep &= (int(ts_vals[-1]) - a_ts) <= within_ms
-    partials = []
-    for i in np.nonzero(keep)[0]:
-        if b_pos[i] >= 0:
-            partials.append({
-                "pos": 1,  # consumed b via the advance branch
-                "captured": [[int(a_pos[i])], [int(b_pos[i])], []],
-                "first_ts": int(a_ts[i]),
-                "last_ts": int(ts_vals[b_pos[i]]),
-                "neg_deadline": None,
-            })
-        else:
-            partials.append({
-                # pos stays 0 like the row loop (it advances lazily)
-                "pos": 0,
-                "captured": [[int(a_pos[i])], [], []],
-                "first_ts": int(a_ts[i]),
-                "last_ts": int(a_ts[i]),
-                "neg_deadline": None,
-            })
-    return matches, {
-        "partials": partials,
-        "spawners": [],
-        "started": started or bool(n_a),
-        "done": False,
-    }
 
 
 def validate_every_at(p: "A.PatternInput") -> None:
@@ -1185,8 +1193,8 @@ def compile_pattern(planner, q: A.Query):
                 disj = c if disj is None else (disj | c)
             u = u.filter(disj)
 
-    # 3-step relaxed every (late round 8): the numpy kernel replaces the
-    # per-row loop in batch too. ``at_close`` is a no-op for this shape
+    # k-step relaxed every chain (late round 8): the numpy kernel replaces
+    # the per-row loop in batch too. ``at_close`` is a no-op for this shape
     # (no trailing optional/absence, so _can_close never fires), and the
     # kernel's matches are pinned byte-equal to _run_nfa's — batch output
     # is identical, just vectorized. 2-step shapes take the JVM fast path
@@ -1205,10 +1213,9 @@ def compile_pattern(planner, q: A.Query):
                 fv = _vec(filt, pdf)
                 m = m & fv.to_numpy(dtype=bool, na_value=False) if hasattr(fv, "to_numpy") else (m & bool(fv))
             masks.append(m)
-        if batch_shape == "every3":
-            found, _ = run_kernel3(
-                pdf[TS_COL].to_numpy(), masks[0], masks[1], masks[2],
-                0, None, within_ms,
+        if batch_shape == "chain":
+            found, _ = run_kernel_chain(
+                pdf[TS_COL].to_numpy(), masks, 0, None, within_ms,
             )
         else:
             found = _run_nfa(

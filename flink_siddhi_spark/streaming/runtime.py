@@ -68,7 +68,7 @@ from ..operators.pattern import (
     run_kernel2,
     run_kernel2_absence,
     run_kernel2_nonevery,
-    run_kernel3,
+    run_kernel_chain,
 )
 
 # Streaming #window.sort / #window.frequent emit per-micro-batch SNAPSHOTS of
@@ -1525,10 +1525,9 @@ class StreamingPlanner(BatchPlanner):
                     ts_arr, masks[0], masks[1], start_idx, init, within_ms,
                     elems_c[1].for_ms,
                 )
-            elif shape2 == "every3":
-                found, nfa_st = run_kernel3(
-                    ts_arr, masks[0], masks[1], masks[2], start_idx, init,
-                    within_ms,
+            elif shape2 == "chain":
+                found, nfa_st = run_kernel_chain(
+                    ts_arr, masks, start_idx, init, within_ms,
                 )
             else:
                 found, nfa_st = _run_nfa(

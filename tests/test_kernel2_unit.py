@@ -141,10 +141,12 @@ def test_kernel2_shape_classifier():
     q = [A.PatternElem(stream="s", alias="a", min_count=1, max_count=2),
          A.PatternElem(stream="s", alias="b")]
     assert kernel2_shape(q, True, None, [False]) is None
-    # 3-step relaxed every = every3 (late round 8); strict / non-every /
-    # negated / quantified 3-step still falls to the general NFA
+    # k-step relaxed every = chain (late round 8); strict / non-every /
+    # negated / quantified chains still fall to the general NFA
     e3 = e2 + [A.PatternElem(stream="s", alias="c")]
-    assert kernel2_shape(e3, True, None, [False, False]) == "every3"
+    assert kernel2_shape(e3, True, None, [False, False]) == "chain"
+    e4 = e3 + [A.PatternElem(stream="s", alias="d")]
+    assert kernel2_shape(e4, True, None, [False] * 3) == "chain"
     assert kernel2_shape(e3, True, None, [True, False]) is None
     assert kernel2_shape(e3, True, None, [False, True]) is None
     assert kernel2_shape(e3, False, None, [False, False]) is None
@@ -290,7 +292,7 @@ def test_kernel3_matches_general_nfa_randomized():
     emission order and full state equality (pos / captured / first_ts /
     last_ts / started)."""
     rng = random.Random(38)
-    assert kernel2_shape(_elems3(), True, None, [False, False]) == "every3"
+    assert kernel2_shape(_elems3(), True, None, [False, False]) == "chain"
     for trial in range(450):
         n = rng.randint(0, 30)
         ts = np.sort(
@@ -337,3 +339,74 @@ def test_kernel3_state_interops_with_general_nfa():
             trial, ts.tolist(), ma.tolist(), mb.tolist(), mc.tolist(), within,
         )
         assert _state_key_full(k_st2) == _state_key_full(g_st2), (trial,)
+
+
+def _elems_k(k):
+    return [A.PatternElem(stream="s", alias=f"e{i}") for i in range(k)]
+
+
+def _run_general_k(ts, masks, k, start, init, within):
+    rows = pd.DataFrame({TS_COL: ts})
+    return _run_nfa(
+        rows, masks, _elems_k(k), [False] * (k - 1), True, within,
+        at_close=False, start_idx=start, init=init, return_state=True,
+    )
+
+
+def test_kernel_chain_matches_general_nfa_randomized():
+    """chain: the generalized k-step relaxed funnel (k=4 and k=5) — kernel
+    vs general NFA on randomized feeds, exact emission order and full
+    state equality across every stage of pending partials."""
+    from flink_siddhi_spark.operators.pattern import run_kernel_chain
+
+    rng = random.Random(41)
+    for trial in range(300):
+        k = rng.choice([4, 5])
+        n = rng.randint(0, 34)
+        ts = np.sort(
+            np.array([rng.randint(0, 40) * 100 for _ in range(n)], np.int64)
+        )
+        masks = [
+            np.array([rng.random() < 0.35 for _ in range(n)], bool)
+            for _ in range(k)
+        ]
+        within = rng.choice([None, 850, 1650, 2850])
+        got_m, got_st = run_kernel_chain(ts, masks, 0, None, within)
+        want_m, want_st = _run_general_k(ts, masks, k, 0, None, within)
+        assert got_m == want_m, (trial, k, ts.tolist(),
+                                 [m.tolist() for m in masks], within)
+        assert _state_key_full(got_st) == _state_key_full(want_st), (
+            trial, k, ts.tolist(), [m.tolist() for m in masks], within,
+        )
+
+
+def test_kernel_chain_state_interops_with_general_nfa():
+    from flink_siddhi_spark.operators.pattern import run_kernel_chain
+
+    rng = random.Random(42)
+    for trial in range(150):
+        k = rng.choice([4, 5])
+        n1, n2 = rng.randint(1, 15), rng.randint(1, 15)
+        t1 = np.sort(np.array([rng.randint(0, 20) * 100 for _ in range(n1)], np.int64))
+        t2 = np.sort(np.array(
+            [int(t1[-1]) + 100 + rng.randint(0, 20) * 100 for _ in range(n2)],
+            np.int64,
+        ))
+        ts = np.concatenate([t1, t2])
+        masks = [
+            np.array([rng.random() < 0.4 for _ in range(n1 + n2)], bool)
+            for _ in range(k)
+        ]
+        within = rng.choice([None, 1050, 2250])
+        m1 = [m[:n1] for m in masks]
+        k1, k_st = run_kernel_chain(ts[:n1], m1, 0, None, within)
+        g1, g_st = _run_general_k(ts[:n1], m1, k, 0, None, within)
+        assert k1 == g1, (trial, k)
+        assert _state_key_full(k_st) == _state_key_full(g_st), (trial, k)
+        # batch 2: each engine continues the OTHER's state
+        k2, k_st2 = run_kernel_chain(ts, masks, n1, g_st, within)
+        g2, g_st2 = _run_general_k(ts, masks, k, n1, k_st, within)
+        assert k2 == g2, (
+            trial, k, ts.tolist(), [m.tolist() for m in masks], within,
+        )
+        assert _state_key_full(k_st2) == _state_key_full(g_st2), (trial, k)

@@ -264,7 +264,8 @@ def _run_streaming(spark, batches, cql, tmp_root):
 
 
 @pytest.mark.parametrize(
-    "shape", ["followed_by", "strict", "quantifier", "three_step"]
+    "shape", ["followed_by", "strict", "quantifier", "three_step",
+              "four_step"]
 )
 def test_streaming_batch_parity_fuzz(spark, shape):
     """20 randomized feeds per shape, split across 3 micro-batches, streamed
@@ -306,6 +307,17 @@ def test_streaming_batch_parity_fuzz(spark, shape):
             "select a.price as u, a.id as a_id, c.id as b_id "
             "insert into Out; end"
         ),
+        # 4-step chain with OVERLAPPING step predicates (x appears twice):
+        # the generalized kernel must handle one row serving different
+        # stages of different partials
+        "four_step": (
+            "partition with (price of s) begin "
+            "from every a = s[name == 'x'] -> b = s[name == 'y'] "
+            "-> c = s[name == 'x'] -> d = s[name == 'z'] "
+            "within 9500 milliseconds "
+            "select a.price as u, c.id as a_id, d.id as b_id "
+            "insert into Out; end"
+        ),
     }
     cql = cqls[shape]
     for trial in range(20):
@@ -315,7 +327,7 @@ def test_streaming_batch_parity_fuzz(spark, shape):
         for i in range(n):
             ts += rng.randint(1, 4) * 1000
             rows.append((i, rng.choice("xyz"), ts, rng.randint(1, 2)))
-        if shape in ("followed_by", "three_step") and n >= 8:
+        if shape in ("followed_by", "three_step", "four_step") and n >= 8:
             # late in-window x: ts lands between earlier events but the row
             # arrives in the LAST micro-batch
             anchor = rows[n // 2]
