@@ -320,6 +320,9 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
     - ``'chain'``    : ``every e1=A1 -> e2=A2 -> ... -> ek=Ak [within t]``,
       k >= 3, all connectors relaxed (late round 8 — the k-step CQL
       funnel; k=3 landed first, then generalized)
+    - ``'chain_absence'`` : the same chain ending in ``-> not Ak for t``
+      (late round 8 — funnel abandonment; streaming-only dispatch, since
+      batch additionally close-confirms)
 
     or ``None`` when the pattern needs the general per-row NFA. These
     cover the dominant production CEP shapes (the reference's own examples,
@@ -339,9 +342,18 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
         and len(strict_after) == len(elems) - 1
         and every
         and not any(strict_after)
-        and all(_plain(e) for e in elems)
+        and all(_plain(e) for e in elems[:-1])
     ):
-        return "chain"
+        last = elems[-1]
+        if _plain(last):
+            return "chain"
+        if (
+            last.negated
+            and last.for_ms is not None
+            and not last.is_collection
+        ):
+            return "chain_absence"
+        return None
     if len(elems) != 2 or len(strict_after) != 1:
         return None
     a, b = elems
@@ -775,6 +787,167 @@ def run_kernel3(
     return run_kernel_chain(
         ts_vals, [mask_a, mask_b, mask_c], start_idx, init, within_ms
     )
+
+
+def run_kernel_chain_absence(
+    ts_vals,
+    masks: list,
+    start_idx: int,
+    init: dict | None,
+    within_ms: int | None,
+    for_ms: int,
+):
+    """Vectorized NFA for ``every e1=A1 -> ... -> e(k-1)=A(k-1) ->
+    not Ak for t`` — the funnel-ABANDONMENT shape (late round 8: started
+    the chain, then the final event did NOT happen within ``t``).
+    Composes the chain fill with the absence2 resolution, exact
+    ``_run_nfa`` (``at_close=False``) semantics:
+
+    - positive stages capture exactly like :func:`run_kernel_chain`
+      (``within`` gates every capture; an armed-absence partial is never
+      window-evicted — its captured span is already frozen, the round-8
+      `_needs_capture` contract);
+    - once the last positive stage captures at row b (ts_b), the absence
+      arms with deadline ``ts_b + for_ms``: an Ak-row at ``ts <=
+      deadline`` kills the partial; the first row (of ANY kind) with
+      ``ts > deadline`` confirms and emits — streaming never emits at a
+      micro-batch boundary, so confirmation always needs a later event;
+    - pending state: chain-stage partials at ``pos`` j-1, armed-absence
+      partials at ``pos`` k-1 with ``neg_deadline`` set once any row
+      after the arming capture was processed (the row loop's lazy
+      advance), byte-equal to ``_run_nfa``.
+
+    Streaming-only: batch absence semantics additionally confirm at
+    stream close (``at_close=True``), so the batch path keeps the
+    general NFA for this shape."""
+    import numpy as np
+
+    k = len(masks)  # includes the negated final element
+    kp = k - 1      # positive stages
+    n = len(ts_vals)
+    big = np.int64(n)
+    if init is not None:
+        pend = init["partials"]
+        pend_ats = [int(p["first_ts"]) for p in pend]
+        pend_caps = [
+            [int(c[0]) if c else -1 for c in p["captured"][:kp]]
+            for p in pend
+        ]
+        pend_armed = [int(p["pos"]) == kp for p in pend]
+        started = bool(init["started"])
+    else:
+        pend_ats, pend_caps, pend_armed, started = [], [], [], False
+    new_a = (np.nonzero(masks[0][start_idx:])[0] + start_idx).astype(np.int64)
+    n_pend = len(pend_caps)
+    n_a = n_pend + len(new_a)
+    if not n_a:
+        return [], {
+            "partials": [], "spawners": [],
+            "started": started, "done": False,
+        }
+    a_ts = np.concatenate(
+        [np.asarray(pend_ats, dtype=np.int64), ts_vals[new_a]]
+    )
+    cap = np.full((kp, n_a), -1, dtype=np.int64)
+    for i, caps in enumerate(pend_caps):
+        for s, c in enumerate(caps):
+            cap[s, i] = c
+    cap[0, n_pend:] = new_a
+    # was the partial already at the armed-absence stage when resumed?
+    was_armed = np.zeros(n_a, dtype=bool)
+    was_armed[:n_pend] = np.asarray(pend_armed, dtype=bool)
+    # positive-stage fill, identical to run_kernel_chain
+    for s in range(1, kp):
+        need = (cap[s] < 0) & (cap[s - 1] >= 0)
+        if not need.any():
+            continue
+        new_s = (
+            np.nonzero(masks[s][start_idx:])[0] + start_idx
+        ).astype(np.int64)
+        if not len(new_s):
+            continue
+        si = np.searchsorted(new_s, cap[s - 1][need], side="right")
+        has = si < len(new_s)
+        cand = new_s[np.minimum(si, len(new_s) - 1)]
+        if within_ms is not None:
+            has &= (
+                ts_vals[np.where(has, cand, 0)] - a_ts[need]
+            ) <= within_ms
+        cap[s, need] = np.where(has, cand, -1)
+    armed = cap[kp - 1] >= 0
+    last_pos = cap[kp - 1]
+    # absence resolution (the absence2 machinery, from the arming row):
+    # first row each armed partial gets to see — resumed armed partials
+    # scan from start_idx, newly-armed from the row after their capture
+    safe_last = np.where(armed, last_pos, 0)
+    deadline = ts_vals[safe_last] + for_ms
+    lo = np.where(
+        was_armed, np.int64(start_idx),
+        np.maximum(safe_last + 1, start_idx),
+    )
+    # jc: first row with ts > deadline (confirms the absence)
+    jc = np.searchsorted(ts_vals, deadline, side="right")
+    jc = np.maximum(jc, lo)
+    jc = np.where(jc < n, jc, big)
+    # jk: first Ak-row at position >= lo with ts <= deadline (kills)
+    neg_pos = np.nonzero(masks[k - 1])[0].astype(np.int64)
+    if len(neg_pos):
+        bi = np.searchsorted(neg_pos, lo, side="left")
+        has_b = bi < len(neg_pos)
+        candk = neg_pos[np.minimum(bi, len(neg_pos) - 1)]
+        kill_ok = has_b & (
+            ts_vals[np.where(has_b, candk, 0)] <= deadline
+        )
+        jk = np.where(kill_ok, candk, big)
+    else:
+        jk = np.full(n_a, big)
+    match_ok = armed & (jc < big) & (jk == big)
+    waiting = armed & (jc == big) & (jk == big)
+    matches: list = []
+    oi = np.nonzero(match_ok)[0]
+    if len(oi):
+        # emission order mirrors the row loop: by confirming row, then
+        # by partial age
+        order = np.lexsort((oi, jc[oi]))
+        for i in oi[order]:
+            matches.append(
+                [[int(cap[s, i])] for s in range(kp)] + [[]]
+            )
+    # survivors: chain-stage partials still inside the window, plus
+    # armed-absence partials with no kill/confirm yet (never
+    # window-evicted — their captures are frozen)
+    chain_keep = ~armed & (cap[0] >= 0)
+    if within_ms is not None and n:
+        chain_keep &= (int(ts_vals[-1]) - a_ts) <= within_ms
+    partials = []
+    for i in np.nonzero(chain_keep | waiting)[0]:
+        filled = int(np.count_nonzero(cap[:, i] >= 0))
+        if waiting[i]:
+            # armed: pos advances to the absence step (deadline set) as
+            # soon as ANY row after the arming was processed — the row
+            # loop's lazy advance (the absence2 rule)
+            seen_row = lo[i] < n or was_armed[i]
+            pos = kp if seen_row else kp - 1
+            nd = int(deadline[i]) if seen_row else None
+        else:
+            pos = filled - 1
+            nd = None
+        partials.append({
+            "pos": pos,
+            "captured": [
+                [int(cap[s, i])] if cap[s, i] >= 0 else []
+                for s in range(kp)
+            ] + [[]],
+            "first_ts": int(a_ts[i]),
+            "last_ts": int(ts_vals[cap[filled - 1, i]]),
+            "neg_deadline": nd,
+        })
+    return matches, {
+        "partials": partials,
+        "spawners": [],
+        "started": started or bool(n_a),
+        "done": False,
+    }
 
 
 def validate_every_at(p: "A.PatternInput") -> None:

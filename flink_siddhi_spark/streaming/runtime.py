@@ -69,6 +69,7 @@ from ..operators.pattern import (
     run_kernel2_absence,
     run_kernel2_nonevery,
     run_kernel_chain,
+    run_kernel_chain_absence,
 )
 
 # Streaming #window.sort / #window.frequent emit per-micro-batch SNAPSHOTS of
@@ -1528,6 +1529,11 @@ class StreamingPlanner(BatchPlanner):
             elif shape2 == "chain":
                 found, nfa_st = run_kernel_chain(
                     ts_arr, masks, start_idx, init, within_ms,
+                )
+            elif shape2 == "chain_absence":
+                found, nfa_st = run_kernel_chain_absence(
+                    ts_arr, masks, start_idx, init, within_ms,
+                    elems_c[-1].for_ms,
                 )
             else:
                 found, nfa_st = _run_nfa(

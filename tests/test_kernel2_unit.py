@@ -151,8 +151,13 @@ def test_kernel2_shape_classifier():
     assert kernel2_shape(e3, True, None, [False, True]) is None
     assert kernel2_shape(e3, False, None, [False, False]) is None
     assert kernel2_shape(e3, True, 1, [False, False]) is None
+    # chain ending in `not X for t` = chain_absence (funnel abandonment);
+    # without for_ms, or quantified, still the general NFA
     n3 = e2 + [A.PatternElem(stream="s", alias="c", negated=True, for_ms=500)]
-    assert kernel2_shape(n3, True, None, [False, False]) is None
+    assert kernel2_shape(n3, True, None, [False, False]) == "chain_absence"
+    n3b = e2 + [A.PatternElem(stream="s", alias="c", negated=True)]
+    assert kernel2_shape(n3b, True, None, [False, False]) is None
+    assert kernel2_shape(n3, False, None, [False, False]) is None
     q3 = e2 + [A.PatternElem(stream="s", alias="c", min_count=1, max_count=2)]
     assert kernel2_shape(q3, True, None, [False, False]) is None
 
@@ -410,3 +415,88 @@ def test_kernel_chain_state_interops_with_general_nfa():
             trial, k, ts.tolist(), [m.tolist() for m in masks], within,
         )
         assert _state_key_full(k_st2) == _state_key_full(g_st2), (trial, k)
+
+
+def _elems_abs_k(k, for_ms):
+    return [A.PatternElem(stream="s", alias=f"e{i}") for i in range(k - 1)] + [
+        A.PatternElem(stream="s", alias="nx", negated=True, for_ms=for_ms)
+    ]
+
+
+def _run_general_abs_k(ts, masks, k, for_ms, start, init, within):
+    rows = pd.DataFrame({TS_COL: ts})
+    return _run_nfa(
+        rows, masks, _elems_abs_k(k, for_ms), [False] * (k - 1), True,
+        within, at_close=False, start_idx=start, init=init,
+        return_state=True,
+    )
+
+
+def test_kernel_chain_absence_matches_general_nfa_randomized():
+    """chain_absence: ``every A -> B [-> C] -> not X for t [within w]`` —
+    the funnel-abandonment shape. Kernel vs general NFA on randomized
+    feeds (k=3 and k=4), exact emission order and full state equality
+    across chain-stage AND armed-absence partials."""
+    from flink_siddhi_spark.operators.pattern import run_kernel_chain_absence
+
+    rng = random.Random(43)
+    for trial in range(400):
+        k = rng.choice([3, 4])
+        n = rng.randint(0, 32)
+        ts = np.sort(
+            np.array([rng.randint(0, 40) * 100 for _ in range(n)], np.int64)
+        )
+        masks = [
+            np.array([rng.random() < 0.35 for _ in range(n)], bool)
+            for _ in range(k)
+        ]
+        within = rng.choice([None, 850, 1650])
+        for_ms = rng.choice([0, 250, 750, 1500])
+        got_m, got_st = run_kernel_chain_absence(
+            ts, masks, 0, None, within, for_ms
+        )
+        want_m, want_st = _run_general_abs_k(
+            ts, masks, k, for_ms, 0, None, within
+        )
+        assert got_m == want_m, (trial, k, for_ms, within, ts.tolist(),
+                                 [m.tolist() for m in masks])
+        assert _state_key_full(got_st) == _state_key_full(want_st), (
+            trial, k, for_ms, within, ts.tolist(),
+            [m.tolist() for m in masks],
+        )
+
+
+def test_kernel_chain_absence_state_interops_with_general_nfa():
+    from flink_siddhi_spark.operators.pattern import run_kernel_chain_absence
+
+    rng = random.Random(44)
+    for trial in range(200):
+        k = rng.choice([3, 4])
+        n1, n2 = rng.randint(1, 14), rng.randint(1, 14)
+        t1 = np.sort(np.array([rng.randint(0, 20) * 100 for _ in range(n1)], np.int64))
+        t2 = np.sort(np.array(
+            [int(t1[-1]) + 100 + rng.randint(0, 20) * 100 for _ in range(n2)],
+            np.int64,
+        ))
+        ts = np.concatenate([t1, t2])
+        masks = [
+            np.array([rng.random() < 0.4 for _ in range(n1 + n2)], bool)
+            for _ in range(k)
+        ]
+        within = rng.choice([None, 1050])
+        for_ms = rng.choice([0, 350, 950])
+        m1 = [m[:n1] for m in masks]
+        k1, k_st = run_kernel_chain_absence(ts[:n1], m1, 0, None, within, for_ms)
+        g1, g_st = _run_general_abs_k(ts[:n1], m1, k, for_ms, 0, None, within)
+        assert k1 == g1, (trial, k, for_ms)
+        assert _state_key_full(k_st) == _state_key_full(g_st), (trial, k, for_ms)
+        # batch 2: each engine continues the OTHER's state
+        k2, k_st2 = run_kernel_chain_absence(ts, masks, n1, g_st, within, for_ms)
+        g2, g_st2 = _run_general_abs_k(ts, masks, k, for_ms, n1, k_st, within)
+        assert k2 == g2, (
+            trial, k, for_ms, within, ts.tolist(),
+            [m.tolist() for m in masks],
+        )
+        assert _state_key_full(k_st2) == _state_key_full(g_st2), (
+            trial, k, for_ms,
+        )

@@ -207,3 +207,61 @@ def test_streaming_nonevery_done_seal(spark):
     assert sorted(
         (r.a_id, r.b_id) for r in _batch_collect(spark, rows, NONEVERY_CQL)
     ) == [(0, 1)]
+
+
+CHAIN_ABSENCE_CQL = (
+    "partition with (price of s) begin "
+    "from every a = s[name == 'x'] -> b = s[name == 'y'] "
+    "-> not s[name == 'z'] for 3500 milliseconds "
+    "within 9500 milliseconds "
+    "select a.price as u, a.id as a_id, b.id as b_id "
+    "insert into Out; end"
+)
+
+
+def test_streaming_chain_absence_parity_fuzz(spark):
+    """late round 8: `every A -> B -> not C for t within w` — the
+    funnel-abandonment shape on the chain_absence kernel. 10 randomized
+    2-key feeds across 3 micro-batches with per-key tail sentinels (so
+    every waiting absence resolves before close), row-for-row equal to
+    the batch operator; on even trials a LATE in-window x arrives
+    out-of-order in the last batch (full-rerun fallback, kernel resumes
+    the general NFA's state)."""
+    import random
+
+    from .test_property_patterns_r7 import _run_streaming
+
+    rng = random.Random(808)
+    for trial in range(10):
+        n = rng.randint(8, 16)
+        rows, ts = [], 0
+        for i in range(n):
+            ts += rng.randint(1, 5) * 1000
+            rows.append((i, rng.choice("xxyzz"), ts, rng.randint(1, 2)))
+        gmax = rows[-1][2]
+        tails = [(900, "w", gmax + 4500, 1), (901, "w", gmax + 5500, 2)]
+        if trial % 2 == 0 and n >= 10:
+            prev_max = rows[3 * n // 4 - 1][2]
+            late = [(1000 + trial, "x", max(prev_max - 4000, 1000),
+                     rng.randint(1, 2))]
+        else:
+            late = []
+        batches = [
+            rows[: n // 2],
+            rows[n // 2: 3 * n // 4],
+            rows[3 * n // 4:] + tails + late,
+        ]
+        all_rows = rows + tails + late
+        root = tempfile.mkdtemp(prefix="chabs_")
+        try:
+            got = sorted(
+                (int(r.u), r.a_id, r.b_id)
+                for r in _run_streaming(spark, batches, CHAIN_ABSENCE_CQL, root)
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        want = sorted(
+            (int(r.u), r.a_id, r.b_id)
+            for r in _batch_collect(spark, all_rows, CHAIN_ABSENCE_CQL)
+        )
+        assert got == want, (trial, all_rows)
