@@ -149,6 +149,46 @@ def main() -> int:
         print(json.dumps({"cep_pattern_absence": out["cep_pattern_absence"]}),
               file=sys.stderr)
 
+        # 1c. 3-step chain kernel (late round 8: view -> click -> purchase
+        # within 1h as a CQL pattern, run_kernel_chain)
+        cep_c = SiddhiCEP(spark)
+        cep_c.register_stream(
+            "events", stream(), "event_id", "user_id", "event_type",
+            "value", "ts_ms", ts_field="ts_ms",
+        )
+        chn = cep_c.from_("events").cql(
+            "partition with (user_id of events) begin "
+            "from every v = events[event_type == 'view'] "
+            "  -> k = events[event_type == 'click'] "
+            "  -> p = events[event_type == 'purchase'] within 1 hour "
+            "select v.user_id as user_id, p.event_id as purchase_id "
+            "insert into Out; end"
+        ).returns("Out")
+        out["cep_pattern_chain3"] = _drain(chn, root, "chn3", N_EVENTS)
+        print(json.dumps({"cep_pattern_chain3": out["cep_pattern_chain3"]}),
+              file=sys.stderr)
+
+        # 1d. chain-absence kernel (late round 8: funnel abandonment —
+        # view -> click -> not purchase for 5 min, run_kernel_chain_absence)
+        cep_ca = SiddhiCEP(spark)
+        cep_ca.register_stream(
+            "events", stream(), "event_id", "user_id", "event_type",
+            "value", "ts_ms", ts_field="ts_ms",
+        )
+        chab = cep_ca.from_("events").cql(
+            "partition with (user_id of events) begin "
+            "from every v = events[event_type == 'view'] "
+            "  -> k = events[event_type == 'click'] "
+            "  -> not events[event_type == 'purchase'] for 5 min "
+            "within 1 hour "
+            "select v.user_id as user_id, k.event_id as click_id "
+            "insert into Out; end"
+        ).returns("Out")
+        out["cep_pattern_chain_absence"] = _drain(chab, root, "chab", N_EVENTS)
+        print(json.dumps(
+            {"cep_pattern_chain_absence": out["cep_pattern_chain_absence"]}
+        ), file=sys.stderr)
+
         # 2. funnel twin (view -> click -> purchase within 1h)
         fun = funnel_stream(
             stream(), ("view", "click", "purchase"),
