@@ -340,15 +340,15 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
     if (
         len(elems) >= 3
         and len(strict_after) == len(elems) - 1
-        and every
         and not any(strict_after)
         and all(_plain(e) for e in elems[:-1])
     ):
         last = elems[-1]
         if _plain(last):
-            return "chain"
+            return "chain" if every else "plain_chain"
         if (
-            last.negated
+            every
+            and last.negated
             and last.for_ms is not None
             and not last.is_collection
         ):
@@ -787,6 +787,88 @@ def run_kernel3(
     return run_kernel_chain(
         ts_vals, [mask_a, mask_b, mask_c], start_idx, init, within_ms
     )
+
+
+def run_kernel_chain_nonevery(
+    ts_vals,
+    masks: list,
+    start_idx: int,
+    init: dict | None,
+    within_ms: int | None,
+):
+    """Vectorized NFA for ``e1=A1 -> ... -> ek=Ak [within t]`` WITHOUT
+    ``every`` (late round 8) — the arm-once first-attempt contract
+    (PARITY.md, the round-7 fuzz-found semantics) generalized to k-step
+    chains: the single partial arms at the FIRST A1-match ever and
+    captures the first eligible row per stage; if the within-window
+    closes before the chain completes there is NO match ever (dead:
+    empty partials, ``started`` stays True so nothing re-arms). At most
+    one match per key, then ``done``.
+
+    Scalar logic (one partial) with one ``searchsorted`` per remaining
+    stage; state byte-equal to ``_run_nfa`` (tests/test_kernel2_unit.py)."""
+    import numpy as np
+
+    k = len(masks)
+    n = len(ts_vals)
+    if init is not None:
+        started = bool(init["started"])
+        done = bool(init["done"])
+        parts = init["partials"]
+    else:
+        started, done, parts = False, False, []
+
+    def _state(partials, started, done):
+        return {
+            "partials": partials, "spawners": [],
+            "started": started, "done": done,
+        }
+
+    if done:
+        return [], _state([dict(p) for p in parts], started, True)
+    if parts:
+        caps = [int(c[0]) if c else -1 for c in parts[0]["captured"]]
+        fa = int(parts[0]["first_ts"])
+    elif started:
+        # dead: the first attempt already failed — no match ever
+        return [], _state([], True, False)
+    else:
+        new_a = np.nonzero(masks[0][start_idx:])[0]
+        if not len(new_a):
+            return [], _state([], False, False)
+        caps = [-1] * k
+        caps[0] = int(new_a[0]) + start_idx
+        fa = int(ts_vals[caps[0]])
+    filled = sum(1 for c in caps if c >= 0)
+    prev = caps[filled - 1]
+    complete = True
+    for s in range(filled, k):
+        new_s = np.nonzero(masks[s][start_idx:])[0] + start_idx
+        j = int(np.searchsorted(new_s, prev, side="right"))
+        if j >= len(new_s):
+            complete = False
+            break
+        cand = int(new_s[j])
+        if within_ms is not None and int(ts_vals[cand]) - fa > within_ms:
+            # the candidate row itself sits beyond the window — the row
+            # loop evicts the partial there: dead, no match ever
+            return [], _state([], True, False)
+        caps[s] = cand
+        prev = cand
+    if complete:
+        return [[[c] for c in caps]], _state([], True, True)
+    # incomplete: the window closing on the buffer tail kills the attempt
+    if within_ms is not None and n and int(ts_vals[-1]) - fa > within_ms:
+        return [], _state([], True, False)
+    filled = sum(1 for c in caps if c >= 0)
+    pend = [{
+        "pos": filled - 1,  # the row loop's lazy advance
+        "captured": [[c] if c >= 0 else [] for c in caps],
+        "first_ts": fa,
+        "last_ts": int(ts_vals[caps[filled - 1]]),
+        "neg_deadline": None,
+    }]
+    return [], _state(pend, True, False)
 
 
 def run_kernel_chain_absence(
@@ -1388,6 +1470,10 @@ def compile_pattern(planner, q: A.Query):
             masks.append(m)
         if batch_shape == "chain":
             found, _ = run_kernel_chain(
+                pdf[TS_COL].to_numpy(), masks, 0, None, within_ms,
+            )
+        elif batch_shape == "plain_chain":
+            found, _ = run_kernel_chain_nonevery(
                 pdf[TS_COL].to_numpy(), masks, 0, None, within_ms,
             )
         else:

@@ -70,6 +70,7 @@ from ..operators.pattern import (
     run_kernel2_nonevery,
     run_kernel_chain,
     run_kernel_chain_absence,
+    run_kernel_chain_nonevery,
 )
 
 # Streaming #window.sort / #window.frequent emit per-micro-batch SNAPSHOTS of
@@ -1528,6 +1529,10 @@ class StreamingPlanner(BatchPlanner):
                 )
             elif shape2 == "chain":
                 found, nfa_st = run_kernel_chain(
+                    ts_arr, masks, start_idx, init, within_ms,
+                )
+            elif shape2 == "plain_chain":
+                found, nfa_st = run_kernel_chain_nonevery(
                     ts_arr, masks, start_idx, init, within_ms,
                 )
             elif shape2 == "chain_absence":

@@ -149,7 +149,10 @@ def test_kernel2_shape_classifier():
     assert kernel2_shape(e4, True, None, [False] * 3) == "chain"
     assert kernel2_shape(e3, True, None, [True, False]) is None
     assert kernel2_shape(e3, True, None, [False, True]) is None
-    assert kernel2_shape(e3, False, None, [False, False]) is None
+    # arm-once relaxed chain = plain_chain (late round 8)
+    assert kernel2_shape(e3, False, None, [False, False]) == "plain_chain"
+    assert kernel2_shape(e4, False, None, [False] * 3) == "plain_chain"
+    assert kernel2_shape(e3, False, None, [True, False]) is None
     assert kernel2_shape(e3, True, 1, [False, False]) is None
     # chain ending in `not X for t` = chain_absence (funnel abandonment);
     # without for_ms, or quantified, still the general NFA
@@ -500,3 +503,69 @@ def test_kernel_chain_absence_state_interops_with_general_nfa():
         assert _state_key_full(k_st2) == _state_key_full(g_st2), (
             trial, k, for_ms,
         )
+
+
+def _run_general_plain_k(ts, masks, k, start, init, within):
+    rows = pd.DataFrame({TS_COL: ts})
+    return _run_nfa(
+        rows, masks, _elems_k(k), [False] * (k - 1), False, within,
+        at_close=False, start_idx=start, init=init, return_state=True,
+    )
+
+
+def test_kernel_chain_nonevery_matches_general_nfa_randomized():
+    """plain_chain: the arm-once first-attempt contract generalized to
+    k-step chains (k=3/4) — kernel vs general NFA, full state equality
+    incl. started/done and the dead state (failed attempt, no re-arm)."""
+    from flink_siddhi_spark.operators.pattern import run_kernel_chain_nonevery
+
+    rng = random.Random(45)
+    for trial in range(400):
+        k = rng.choice([3, 4])
+        n = rng.randint(0, 30)
+        ts = np.sort(
+            np.array([rng.randint(0, 40) * 100 for _ in range(n)], np.int64)
+        )
+        masks = [
+            np.array([rng.random() < 0.35 for _ in range(n)], bool)
+            for _ in range(k)
+        ]
+        within = rng.choice([None, 850, 1650])
+        got_m, got_st = run_kernel_chain_nonevery(ts, masks, 0, None, within)
+        want_m, want_st = _run_general_plain_k(ts, masks, k, 0, None, within)
+        assert got_m == want_m, (trial, k, within, ts.tolist(),
+                                 [m.tolist() for m in masks])
+        assert _state_key_full(got_st) == _state_key_full(want_st), (
+            trial, k, within, ts.tolist(), [m.tolist() for m in masks],
+        )
+
+
+def test_kernel_chain_nonevery_state_interops_with_general_nfa():
+    from flink_siddhi_spark.operators.pattern import run_kernel_chain_nonevery
+
+    rng = random.Random(46)
+    for trial in range(200):
+        k = rng.choice([3, 4])
+        n1, n2 = rng.randint(1, 14), rng.randint(1, 14)
+        t1 = np.sort(np.array([rng.randint(0, 20) * 100 for _ in range(n1)], np.int64))
+        t2 = np.sort(np.array(
+            [int(t1[-1]) + 100 + rng.randint(0, 20) * 100 for _ in range(n2)],
+            np.int64,
+        ))
+        ts = np.concatenate([t1, t2])
+        masks = [
+            np.array([rng.random() < 0.4 for _ in range(n1 + n2)], bool)
+            for _ in range(k)
+        ]
+        within = rng.choice([None, 1050])
+        m1 = [m[:n1] for m in masks]
+        k1, k_st = run_kernel_chain_nonevery(ts[:n1], m1, 0, None, within)
+        g1, g_st = _run_general_plain_k(ts[:n1], m1, k, 0, None, within)
+        assert k1 == g1, (trial, k)
+        assert _state_key_full(k_st) == _state_key_full(g_st), (trial, k)
+        k2, k_st2 = run_kernel_chain_nonevery(ts, masks, n1, g_st, within)
+        g2, g_st2 = _run_general_plain_k(ts, masks, k, n1, k_st, within)
+        assert k2 == g2, (
+            trial, k, within, ts.tolist(), [m.tolist() for m in masks],
+        )
+        assert _state_key_full(k_st2) == _state_key_full(g_st2), (trial, k)

@@ -265,3 +265,47 @@ def test_streaming_chain_absence_parity_fuzz(spark):
             for r in _batch_collect(spark, all_rows, CHAIN_ABSENCE_CQL)
         )
         assert got == want, (trial, all_rows)
+
+
+PLAIN_CHAIN_CQL = (
+    "partition with (price of s) begin "
+    "from a = s[name == 'x'] -> b = s[name == 'y'] -> c = s[name == 'z'] "
+    "within 5500 milliseconds "
+    "select a.price as u, a.id as a_id, c.id as c_id "
+    "insert into Out; end"
+)
+
+
+def test_streaming_plain_chain_first_attempt_across_batches(spark):
+    """late round 8 (plain_chain kernel): the arm-once 3-step contract
+    across micro-batches — key 1's first x window-expires mid-chain (x,y
+    captured but no z inside 5.5s -> dead, NO match ever despite a later
+    full x,y,z run); key 2 completes across batch boundaries and seals."""
+    rows = [
+        (0, "x", 1_000, 1),   # key 1 arms
+        (1, "y", 2_000, 1),   # stage 2 captured
+        (10, "x", 1_000, 2),  # key 2 arms
+        (2, "w", 9_000, 1),   # key 1 window (5.5s) expires -> dead
+        (11, "y", 4_000, 2),
+        (3, "x", 10_000, 1),  # would re-arm only if the contract broke
+        (4, "y", 11_000, 1),
+        (12, "z", 6_000, 2),  # key 2 completes (span 5s <= 5.5s)
+        (5, "z", 12_000, 1),
+        (13, "x", 20_000, 2), (14, "y", 21_000, 2), (15, "z", 22_000, 2),
+    ]
+    batches = [rows[:4], rows[4:8], rows[8:]]
+    root = tempfile.mkdtemp(prefix="pc3_")
+    try:
+        got = sorted(
+            (int(r.u), r.a_id, r.c_id)
+            for r in _run_streaming(spark, batches, PLAIN_CHAIN_CQL, root)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    assert got == [(2, 10, 12)], got
+    # batch operator (plain_chain kernel on the batch path) agrees
+    want = sorted(
+        (int(r.u), r.a_id, r.c_id)
+        for r in _batch_collect(spark, rows, PLAIN_CHAIN_CQL)
+    )
+    assert got == want, want
