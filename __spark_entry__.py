@@ -1627,73 +1627,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates queries() in dict order and records
-# only the FIRST 50 entries, so the window is ROTATED each round. Round 8
-# (VERDICT r7 asks #2/#3; leads frozen in ROUND7_NOTES.md §'Round-8 window
-# leads'): positions 1-3 are the round-7 family consolidations that have
-# never had a driver row; position 4 is the new sequence_family (ask #3 —
-# the fuzz-found first-attempt shape must get a driver-gated oracle row
-# this round, so it takes one of the two fill slots the frozen plan gave
-# to r6-stale entries); 5-49 are the forty-five entries whose latest
-# driver row is r5, in registration order; position 50 fills with the
-# stalest r6 entry. sequence_strict no longer registers individually — it
-# is the every_strict variant inside sequence_family's combined oracle.
+# only the FIRST 50 entries, so the window is ROTATED each round. Round 9
+# (VERDICT r8 asks #2/#6; leads frozen in ROUND8_NOTES.md §'Round-9 window
+# leads'): positions 1-48 are ALL forty-eight entries whose latest driver
+# row is r6, in registration order starting at `projection_expressions`
+# exactly as the frozen lead names; the two remaining fill slots go to the
+# trained-ANN pair VERDICT r8 ask #6 requires under the gate this round
+# (`ann_pq_trained_topk`, `ann_ivfpq_residual` — last gated r7, rewritten
+# in round 8 by the fused Lloyd trainer and the join-free residual path).
 # After this round no registered entry's latest driver row is older than
-# r6. The r6/r7-green entries outside the window are still value-checked
+# r7. The r7/r8-green entries outside the window are still value-checked
 # by the builder's full local mirror (scripts/verify_oracle.py) each round.
-_R8_WINDOW = [
-    # 1-4: never driver-gated (r7 families + the round-8 sequence family)
-    "window_cron_family",
-    "join_outer_family",
-    "join_windowed_family",
-    "sequence_family",
-    # 5-49: latest driver row is r5 (registration order)
-    "window_time_batch",
-    "window_length_batch",
-    "window_session",
-    "window_sliding_length",
-    "window_sliding_time",
-    "window_external_time",
-    "window_external_time_batch",
-    "window_sort",
-    "window_frequent",
-    "window_unique",
-    "window_delay",
-    "window_time_length",
-    "window_lossy_frequent",
-    "join_stream_table",
-    "join_theta",
-    "topk_per_group",
-    "incremental_agg_day",
-    "incremental_agg_within",
-    "table_upsert_last",
-    "table_dml_delete",
-    "output_rate_last",
-    "chained_queries",
-    "multimodal_metadata",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "pattern_mid_every",
-    "asof_join",
-    "text_classifier",
-    "pipeline_interleave",
-    "tpch_q6_forecast",
-    "dedup_minhash_sig",
-    "dedup_simhash",
-    "dedup_embedding",
-    "text_token_count",
-    "text_fingerprint",
-    "pipeline_chunk_overlap",
-    "pipeline_sample",
-    "pipeline_split",
-    "pipeline_domain_quota",
-    "pipeline_shuffle",
-    "ann_range_search",
-    "text_entropy",
-    "ann_knn_graph",
-    "text_readability",
-    # 50: stalest r6 entry (registration order)
-    "filter_projection",
+_R9_WINDOW = [
+    # 1-48: latest driver row is r6 (registration order)
+    "projection_expressions",
+    "group_agg",
+    "having_filter",
+    "order_limit",
+    "order_limit_offset",
+    "distinct_count",
+    "stddev_agg",
+    "forever_aggregates",
+    "scalar_functions",
+    "json_functions",
+    "union_fan_in",
+    "tpch_q12ish_priority",
+    "dedup_semantic",
+    "events_sessionize",
+    "events_retention",
+    "pipeline_mixture_weights",
+    "text_zipf",
+    "events_funnel",
+    "events_active_rolling",
+    "events_interval_join",
+    "events_zscore",
+    "pipeline_stratified_sample",
+    "text_source_rollup",
+    "events_transitions",
+    "text_bigram_pmi",
+    "text_textrank",
+    "events_hll_users",
+    "text_hll_shingles",
+    "text_cms_heavyhitters",
+    "dedup_substring_spans",
+    "pipeline_bloom_contamination",
+    "text_gopher_rules",
+    "pipeline_dsir_weights",
+    "events_topk_paths",
+    "text_inverted_index",
+    "text_source_kl",
+    "events_rfm",
+    "events_cooccurrence",
+    "multimodal_image_neardup",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "pipeline_dsir_resample",
+    "ann_sq_topk",
+    "text_dataset_card",
+    "events_attribution",
+    "dedup_cluster_sizes",
+    "pipeline_exact_k_sample",
+    "pipeline_quality_budget",
+    # 49-50: VERDICT r8 ask #6 — the round-8-rewritten trained-ANN pair
+    "ann_pq_trained_topk",
+    "ann_ivfpq_residual",
 ]
 
 
@@ -1775,7 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q5ish_revenue": q_tpch_q5ish_revenue,
         # strict-sequence variants consolidated into sequence_family
-        # (round 8, VERDICT r7 ask #3 — gated in the _R8_WINDOW above)
+        # (round 8, VERDICT r7 ask #3 — driver-gated green in r8)
         "sequence_family": q_sequence_family,
         "dedup_exact": q_dedup_exact,
         "custom_udaf": q_custom_udaf,
@@ -1868,7 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_residual": q_ann_ivfpq_residual,
         "pipeline_cluster_balanced": q_pipeline_cluster_balanced,
         # --- round 7: variant-family consolidations (VERDICT r6 ask #2;
-        # gated in the _R8_WINDOW above — they led the round-8
+        # driver-gated green in r8 — they led the round-8
         # rotation). Each replaces its variants' individual registrations;
         # the tag column keeps every variant value-asserted in one oracle.
         "window_cron_family": q_window_cron_family,
@@ -1877,12 +1874,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
-    if len(_R8_WINDOW) != 50 or not set(_R8_WINDOW) <= set(q):
+    if len(_R9_WINDOW) != 50 or not set(_R9_WINDOW) <= set(q):
         raise RuntimeError(
-            f"driver window invariant violated: {len(_R8_WINDOW)} entries, "
-            f"unknown: {sorted(set(_R8_WINDOW) - set(q))}"
+            f"driver window invariant violated: {len(_R9_WINDOW)} entries, "
+            f"unknown: {sorted(set(_R9_WINDOW) - set(q))}"
         )
-    ordered = {k: q[k] for k in _R8_WINDOW}
+    ordered = {k: q[k] for k in _R9_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 

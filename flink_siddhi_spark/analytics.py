@@ -797,6 +797,12 @@ def funnel_stream(
             if state.exists
             else [[] for _ in steps]
         )
+        # state written by pre-round-8 code was arrival-ordered; a resumed
+        # key whose first visit is a timeout fire (no new rows → dirty
+        # never set) must not bisect an unsorted buffer. Timsort on the
+        # already-sorted post-r8 state is ~O(n).
+        for b in buf:
+            b.sort()
         if not state.hasTimedOut:
             dirty = False
             for pdf in pdfs:

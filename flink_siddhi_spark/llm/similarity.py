@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -974,6 +976,15 @@ def pq_encode(
         corpus, n_codes, emb_col, id_col
     )
     kept = [c for c in (keep or ()) if c != id_col]
+    bad = [
+        c for c in kept
+        if c in ("codes", "recon") or _re.fullmatch(r"__c\d+", c)
+    ]
+    if bad:
+        raise ValueError(
+            f"pq_encode: keep column(s) {bad} collide with the output "
+            "columns 'codes'/'recon' or the internal __c<j> temporaries"
+        )
     if engine == "auto":
         engine = "numpy" if _integral_ids(corpus, id_col) else "expr"
     if engine == "numpy":

@@ -686,7 +686,6 @@ def run_kernel_chain(
 
     k = len(masks)
     n = len(ts_vals)
-    big = np.int64(n)  # sentinel: "no such row yet"
     if init is not None:
         pend = init["partials"]
         pend_ats = [int(p["first_ts"]) for p in pend]

@@ -339,6 +339,19 @@ def test_pq_encode_keep_passthrough(spark):
         assert cols == ["vec_id", "codes", "recon", "embedding"], cols
 
 
+def test_pq_encode_keep_collision_rejected(spark):
+    # keep names that collide with the output columns or the expr engine's
+    # __c<j> temporaries would produce duplicate/ambiguous columns
+    import pytest
+
+    from flink_siddhi_spark.llm.similarity import pq_encode
+
+    embs = _embs_df(spark)
+    for bad in ("codes", "recon", "__c0", "__c7"):
+        with pytest.raises(ValueError, match="collide"):
+            pq_encode(embs.withColumn(bad, embs.vec_id), keep=(bad,))
+
+
 def test_pq_codebook_vectors_encode_to_themselves(spark):
     # seed vector c has distance 0 to codebook entry c in every subspace
     from flink_siddhi_spark.llm.similarity import pq_encode
