@@ -40,7 +40,8 @@ from .siddhiql.parser import parse
 class SiddhiCEP:
     """Engine environment: stream catalog + extensions (SiddhiCEP.java:56-230)."""
 
-    def __init__(self, spark: SparkSession, watermark_delay: str = "10 seconds"):
+    def __init__(self, spark: SparkSession, watermark_delay: str = "10 seconds",
+                 pattern_key_buckets: Optional[int] = None):
         self.spark = spark
         self.catalog: dict[str, StreamSchema] = {}
         self.extensions: dict[str, Callable] = {}
@@ -52,6 +53,11 @@ class SiddhiCEP:
         # inputs) — the knob the reference lacks (it drains on Flink
         # watermarks, AbstractSiddhiOperator.java:237-247)
         self.watermark_delay = watermark_delay
+        # round 9: streaming patterns group by pmod(xxhash64(key), N)
+        # instead of the raw key when set, amortizing the fixed per-key-
+        # visit cost over ~keys/N keys per Arrow group. Set for key-heavy
+        # workloads (>=10^5 active keys); see README "operating envelope".
+        self.pattern_key_buckets = pattern_key_buckets
 
     # -------------------------------------------------------------- registry
     def register_stream(
@@ -233,6 +239,7 @@ class ExecutionSiddhiStream:
                 self.cep.catalog, self.cep.extensions,
                 watermark_delay=self.cep.watermark_delay,
                 aggregations=self.cep.aggregations,
+                pattern_key_buckets=self.cep.pattern_key_buckets,
             )
         else:
             planner = BatchPlanner(

@@ -168,10 +168,24 @@ class StreamingPlanner(BatchPlanner):
     """
 
     def __init__(self, catalog, extensions=None, watermark_delay: str = "10 seconds",
-                 max_buffer_per_key: int = 100_000, aggregations=None):
+                 max_buffer_per_key: int = 100_000, aggregations=None,
+                 pattern_key_buckets: Optional[int] = None):
         super().__init__(catalog, extensions, aggregations)
         self.watermark_delay = watermark_delay
         self.max_buffer_per_key = max_buffer_per_key
+        # key-heavy amortization (round 9): when set, pattern queries group
+        # by pmod(xxhash64(key), N) instead of the raw key, multiplexing
+        # ~keys/N keys through ONE Arrow group + GroupState visit per
+        # micro-batch. The per-key compute is unchanged (the same _key_step
+        # runs per key inside the bucket); what's amortized is the fixed
+        # per-key-VISIT machinery (~280us/visit measured: Arrow group slice,
+        # GroupState proto round-trip) that dominates drains over 10^5 keys.
+        # Checkpoint state formats differ between modes — pick at plan time.
+        if pattern_key_buckets is not None and pattern_key_buckets < 1:
+            raise SiddhiPlannerException(
+                f"pattern_key_buckets must be >= 1, got {pattern_key_buckets}"
+            )
+        self.pattern_key_buckets = pattern_key_buckets
 
     # ------------------------------------------------------------------ utils
     def _event_time_col(self, schema) -> Optional[str]:
@@ -1363,44 +1377,33 @@ class StreamingPlanner(BatchPlanner):
             for c in ref_cols
         }
 
-        def proc(
-            key, pdfs: Iterator[pd.DataFrame], state: GroupState
-        ) -> Iterator[pd.DataFrame]:
+        def _key_step(seen, buf_json, nfa_json, new_rows, wm):
+            """ONE key's state transition for one micro-batch: merge decoded
+            new rows into the sorted buffer, watermark-evict, run the
+            kernel/NFA, dedup emissions. Returns
+            ``(seen, buf_json, nfa_json, rows, new_caps, changed)``.
+
+            This is the only compute in the stateful pattern operator —
+            shared verbatim by the per-key and bucketed (multi-key Arrow
+            group) modes, so cross-mode parity is structural, not tested-in.
+            """
             import hashlib as _hashlib
             import json as _json
 
             import numpy as _np
 
-            if state.exists:
-                seen, buf_json, nfa_json = state.get
-                seen = list(seen)
+            if buf_json is None:
+                nfa, rows = None, []
+            else:
                 rows = _json.loads(buf_json)
                 nfa = _json.loads(nfa_json)
-            else:
-                seen, nfa = [], None
-                rows = []
             if not multi and nfa is not None and nfa["st"]["done"]:
                 # sealed: an arm-once pattern emits at most one match ever;
                 # once emitted the buffer is dead weight and late arrivals
                 # cannot retract the emission — drop everything, keep the
                 # done marker so every later batch is a no-op
-                for _ in pdfs:
-                    pass
-                if buf_json != "[]":
-                    state.update((seen, "[]", nfa_json))
-                return
+                return seen, "[]", nfa_json, [], [], buf_json != "[]"
             n_old = len(rows)
-            # the buffer lives as a sorted LIST OF ROW ARRAYS — no pandas in
-            # the per-key hot path (a pandas multi-column sort alone costs
-            # ~1.3ms FIXED per call; at 100k keys/batch that dominated the
-            # round-7 streaming probe)
-            new_rows = []
-            loads = _json.loads
-            for pdf in pdfs:
-                if len(pdf):
-                    for s in pdf["__row"].tolist():
-                        d = loads(s)
-                        new_rows.append([d[k] for k in pack_keys])
             n_new = len(new_rows)
             # in-order fast path: every new row strictly after the processed
             # high-water mark -> sort just the new suffix and RESUME the NFA
@@ -1428,7 +1431,6 @@ class StreamingPlanner(BatchPlanner):
             ts_arr = _np.fromiter(
                 (r[0] for r in rows), dtype=_np.int64, count=len(rows)
             )
-            wm = state.getCurrentWatermarkMs()
             if can_evict and wm > 0:
                 # rows below (watermark - within) can never join a NEW match:
                 # late arrivals below the watermark were already dropped
@@ -1442,7 +1444,7 @@ class StreamingPlanner(BatchPlanner):
                 # partial (deadline passed, next event pending) must keep its
                 # captured rows until it resolves, so the floor drops by
                 # max(for_ms) and clamps to min(first_ts) over live partials
-                # (ROUND7_NOTES §Known future work, landed this round).
+                # (ROUND7_NOTES §Known future work, landed round 8).
                 stale_floor = wm - (within_ms or 0)
                 floor = stale_floor - neg_for_max
                 if has_neg and nfa is not None:
@@ -1571,13 +1573,17 @@ class StreamingPlanner(BatchPlanner):
                 if n_total
                 else (nfa["hwm"] if nfa is not None else None)
             )
-            state.update((
+            return (
                 seen,
                 _json.dumps(rows),
                 _json.dumps({"hwm": hwm, "st": nfa_st}),
-            ))
-            if not new_caps:
-                return  # no output build for no-match keys (the common case)
+                rows,
+                new_caps,
+                True,
+            )
+
+        def _emit_into(data, new_caps, rows):
+            """Append the new matches' output cells into the accumulator."""
             import datetime as _dt
 
             def _cell(fname: str, j: int):
@@ -1590,7 +1596,6 @@ class StreamingPlanner(BatchPlanner):
                     return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
                 return v
 
-            data = {n: [] for n in out_names}
             for cap in new_caps:
                 for ei, e in enumerate(elems_c):
                     if e.negated:
@@ -1602,11 +1607,160 @@ class StreamingPlanner(BatchPlanner):
                             data[cname].append(vals)
                         else:
                             data[cname].append(vals[0] if vals else None)
+
+        def proc(
+            key, pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            import json as _json
+
+            if state.exists:
+                seen, buf_json, nfa_json = state.get
+                seen = list(seen)
+            else:
+                seen, buf_json, nfa_json = [], None, None
+            if not multi and nfa_json is not None:
+                # peek the seal BEFORE decoding the batch: a sealed key's
+                # later batches must stay no-ops (no per-row json work)
+                if _json.loads(nfa_json)["st"]["done"]:
+                    for _ in pdfs:
+                        pass
+                    if buf_json != "[]":
+                        state.update((seen, "[]", nfa_json))
+                    return
+            # the buffer lives as a sorted LIST OF ROW ARRAYS — no pandas in
+            # the per-key hot path (a pandas multi-column sort alone costs
+            # ~1.3ms FIXED per call; at 100k keys/batch that dominated the
+            # round-7 streaming probe)
+            new_rows = []
+            loads = _json.loads
+            for pdf in pdfs:
+                if len(pdf):
+                    for s in pdf["__row"].tolist():
+                        d = loads(s)
+                        new_rows.append([d[k] for k in pack_keys])
+            wm = state.getCurrentWatermarkMs()
+            seen, buf2, nfa2, rows, new_caps, changed = _key_step(
+                seen, buf_json, nfa_json, new_rows, wm
+            )
+            if changed:
+                state.update((seen, buf2, nfa2))
+            if not new_caps:
+                return  # no output build for no-match keys (the common case)
+            data = {n: [] for n in out_names}
+            _emit_into(data, new_caps, rows)
             yield pd.DataFrame(data, columns=out_names, dtype=object)
 
-        result = df.groupBy(PK_COL).applyInPandasWithState(
-            proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
-        )
+        n_buckets = self.pattern_key_buckets
+        if n_buckets:
+            # ---- bucketed mode (round 9, VERDICT r8 ask #1): group by
+            # pmod(xxhash64(key), N) and demultiplex the member keys inside
+            # ONE Arrow group. Each key still runs the identical _key_step;
+            # the ~280us fixed per-key-VISIT machinery (Arrow slice +
+            # GroupState proto round-trip, the profiled floor on 10^5-key
+            # drains) is paid once per BUCKET instead of once per key.
+            # Bucket state = four parallel string arrays (pks are
+            # json-encoded scalars); untouched keys' blobs pass through
+            # with ZERO json work.
+            if pk:
+                pk_t = field_types.get(pk[stream])
+                if not isinstance(pk_t, _NUM_T + (T.StringType, T.BooleanType)):
+                    raise UnsupportedFeatureException(
+                        f"pattern_key_buckets: partition key '{pk[stream]}' "
+                        f"of type {pk_t.simpleString()} — bucketed keys must "
+                        "be numeric/string/boolean"
+                    )
+            bucket_state_schema = T.StructType(
+                [
+                    T.StructField("pks", T.ArrayType(T.StringType())),
+                    T.StructField("seens", T.ArrayType(T.StringType())),
+                    T.StructField("bufs", T.ArrayType(T.StringType())),
+                    T.StructField("nfas", T.ArrayType(T.StringType())),
+                ]
+            )
+
+            def proc_bucket(
+                key, pdfs: Iterator[pd.DataFrame], state: GroupState
+            ) -> Iterator[pd.DataFrame]:
+                import json as _json
+
+                import numpy as _np
+
+                if state.exists:
+                    pks, seens, bufs, nfas = state.get
+                    st = {
+                        k: [s, b, nf]
+                        for k, s, b, nf in zip(pks, seens, bufs, nfas)
+                    }
+                else:
+                    st = {}
+                loads = _json.loads
+                # group arriving packed rows by their TRUE key, preserving
+                # per-key arrival order (stable argsort over factorize codes
+                # — no per-row python until the decode the per-key mode pays
+                # anyway)
+                per_key: dict = {}
+                for pdf in pdfs:
+                    if not len(pdf):
+                        continue
+                    codes, uniq = pd.factorize(
+                        pdf[PK_COL], use_na_sentinel=False
+                    )
+                    strs = pdf["__row"].to_numpy()
+                    order = _np.argsort(codes, kind="stable")
+                    bounds = _np.searchsorted(
+                        codes[order], _np.arange(len(uniq) + 1)
+                    )
+                    keys_py = uniq.tolist()
+                    for i in range(len(keys_py)):
+                        lst = per_key.setdefault(
+                            _json.dumps(keys_py[i]), []
+                        )
+                        for s in strs[order[bounds[i]:bounds[i + 1]]].tolist():
+                            d = loads(s)
+                            lst.append([d[k] for k in pack_keys])
+                wm = state.getCurrentWatermarkMs()
+                data = None
+                for kenc, new_rows in per_key.items():
+                    prev = st.get(kenc)
+                    if prev is None:
+                        seen, buf_json, nfa_json = [], None, None
+                    else:
+                        seen = loads(prev[0])
+                        buf_json, nfa_json = prev[1], prev[2]
+                    seen, buf2, nfa2, rows, new_caps, changed = _key_step(
+                        seen, buf_json, nfa_json, new_rows, wm
+                    )
+                    if changed or prev is None:
+                        st[kenc] = [_json.dumps(seen), buf2, nfa2]
+                    if new_caps:
+                        if data is None:
+                            data = {n: [] for n in out_names}
+                        _emit_into(data, new_caps, rows)
+                ks = list(st)
+                state.update(
+                    (
+                        ks,
+                        [st[k][0] for k in ks],
+                        [st[k][1] for k in ks],
+                        [st[k][2] for k in ks],
+                    )
+                )
+                if data is not None:
+                    yield pd.DataFrame(data, columns=out_names, dtype=object)
+
+            df = df.withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64(F.col(PK_COL)), F.lit(n_buckets)),
+            )
+            result = df.groupBy("__bucket").applyInPandasWithState(
+                proc_bucket, out_schema, bucket_state_schema, "append",
+                GroupStateTimeout.NoTimeout,
+            )
+        else:
+            result = df.groupBy(PK_COL).applyInPandasWithState(
+                proc, out_schema, state_schema, "append",
+                GroupStateTimeout.NoTimeout,
+            )
 
         singles = [e for e in elems if not e.negated]
 

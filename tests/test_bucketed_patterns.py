@@ -1,0 +1,191 @@
+"""Round-9 bucketed pattern grouping (VERDICT r8 ask #1b): streaming
+patterns with ``pattern_key_buckets=N`` group by pmod(xxhash64(key), N) and
+demultiplex member keys inside one Arrow group, amortizing the profiled
+~280us fixed per-key-visit machinery over the bucket. The per-key compute
+is the SAME ``_key_step`` closure the per-key mode runs, so these tests pin
+the multiplexing layer: key grouping, per-key arrival order, bucket-state
+round-trip across micro-batches, and emission accumulation across keys.
+
+Reference semantics: same SiddhiQL patterns as the per-key tests
+(README.md:70-96 of /root/reference); bucketing is a Spark-side physical
+choice invisible to query semantics.
+"""
+
+import random
+import shutil
+import tempfile
+
+import pytest
+
+from flink_siddhi_spark import SiddhiCEP
+from flink_siddhi_spark.errors import UnsupportedFeatureException
+
+from .test_property_patterns_r7 import SCHEMA, _run_streaming
+
+CQLS = {
+    # every2 numpy kernel
+    "followed_by": (
+        "partition with (price of s) begin "
+        "from every a = s[name == 'x'] -> b = s[name == 'y'] "
+        "within 8500 milliseconds "
+        "select a.price as u, a.id as a_id, b.id as b_id "
+        "insert into Out; end"
+    ),
+    # absence2 kernel + absence-aware watermark eviction
+    "absence": (
+        "partition with (price of s) begin "
+        "from every a = s[name == 'x'] -> not s[name == 'y'] "
+        "for 3500 milliseconds within 9500 milliseconds "
+        "select a.price as u, a.id as a_id, a.id as b_id "
+        "insert into Out; end"
+    ),
+    # chain kernel (k=3)
+    "three_step": (
+        "partition with (price of s) begin "
+        "from every a = s[name == 'x'] -> b = s[name == 'y'] "
+        "-> c = s[name == 'z'] within 8500 milliseconds "
+        "select a.price as u, a.id as a_id, c.id as b_id "
+        "insert into Out; end"
+    ),
+    # general NFA (quantified first step)
+    "quantifier": (
+        "partition with (price of s) begin "
+        "from every a = s[name == 'x']<1:2> -> b = s[name == 'y'] "
+        "within 9500 milliseconds "
+        "select a.price as u, a[0].id as a_id, b.id as b_id "
+        "insert into Out; end"
+    ),
+    # plain2 arm-once kernel (first-attempt contract + done-seal)
+    "plain2": (
+        "partition with (price of s) begin "
+        "from a = s[name == 'x'] -> b = s[name == 'y'] "
+        "select a.price as u, a.id as a_id, b.id as b_id "
+        "insert into Out; end"
+    ),
+}
+
+
+def _batch_rows(spark, all_rows, cql):
+    cep = SiddhiCEP(spark)
+    df = spark.createDataFrame(
+        [(i, nm, float(u), t) for i, nm, t, u in all_rows], SCHEMA
+    )
+    cep.define("s", df, "id", "name", "price", "timestamp",
+               ts_field="timestamp")
+    return cep.from_("s").cql(cql).returns("Out").collect()
+
+
+def _feed(rng, shape, trial):
+    """Randomized 5-key feed split across 3 micro-batches; absence gets
+    per-key tail sentinels (streaming never emits at a batch boundary) and
+    even trials of kernel shapes inject a late in-window arrival."""
+    n = rng.randint(10, 18)
+    rows, ts = [], 0
+    for i in range(n):
+        ts += rng.randint(1, 4) * 1000
+        rows.append((i, rng.choice("xyz"), ts, rng.randint(1, 5)))
+    extra = []
+    if shape == "absence":
+        gmax = rows[-1][2]
+        extra = [(900 + k, "z", gmax + 4500 + k * 700, k)
+                 for k in range(1, 6)]
+    elif shape in ("followed_by", "three_step") and trial % 2 == 0:
+        anchor = rows[n // 2]
+        extra = [(1000 + trial, "x", anchor[2] + 500, rng.randint(1, 5))]
+    batches = [rows[: n // 2], rows[n // 2: 3 * n // 4],
+               rows[3 * n // 4:] + extra]
+    return batches, rows + extra
+
+
+@pytest.mark.parametrize("shape", sorted(CQLS))
+def test_bucketed_streaming_batch_parity_fuzz(spark, shape):
+    """8 randomized 5-key feeds per shape through 2 buckets (so each bucket
+    genuinely multiplexes keys), row-for-row equal to the batch operator."""
+    rng = random.Random(0x900D + hash(shape) % 1000)
+    cql = CQLS[shape]
+    for trial in range(8):
+        batches, all_rows = _feed(rng, shape, trial)
+        root = tempfile.mkdtemp(prefix="bktfuzz_")
+        try:
+            got = sorted(
+                (int(r.u), r.a_id, r.b_id)
+                for r in _run_streaming(
+                    spark, batches, cql, root, pattern_key_buckets=2
+                )
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        want = sorted(
+            (int(r.u), r.a_id, r.b_id)
+            for r in _batch_rows(spark, all_rows, cql)
+        )
+        assert got == want, (shape, trial, all_rows)
+
+
+def test_bucketed_equals_per_key_streaming(spark):
+    """The two group modes are output-identical on the same feed (the
+    bucketed mode runs the same _key_step; this pins the plumbing)."""
+    rng = random.Random(41)
+    batches, _ = _feed(rng, "followed_by", 0)
+    outs = []
+    for kwargs in ({}, {"pattern_key_buckets": 2},
+                   {"pattern_key_buckets": 1}):
+        root = tempfile.mkdtemp(prefix="bkteq_")
+        try:
+            outs.append(sorted(
+                (int(r.u), r.a_id, r.b_id)
+                for r in _run_streaming(
+                    spark, batches, CQLS["followed_by"], root, **kwargs
+                )
+            ))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_bucketed_string_keys(spark):
+    """String partition keys json-encode stably across micro-batches."""
+    cql = (
+        "partition with (name of s) begin "
+        "from every a = s[price > 1.5] -> b = s[price < 0.5] "
+        "select a.name as u, a.id as a_id, b.id as b_id "
+        "insert into Out; end"
+    )
+    rows = [(0, "k1", 1000, 2), (1, "k2", 2000, 3), (2, "k1", 3000, 0),
+            (3, "k2", 4000, 0), (4, "k3", 5000, 2), (5, "k3", 6000, 0)]
+    batches = [rows[:3], rows[3:]]
+    root = tempfile.mkdtemp(prefix="bktstr_")
+    try:
+        got = sorted(
+            (r.u, r.a_id, r.b_id)
+            for r in _run_streaming(
+                spark, batches, cql, root, pattern_key_buckets=2
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    assert got == [("k1", 0, 2), ("k2", 1, 3), ("k3", 4, 5)]
+
+
+def test_bucketed_rejects_unsupported_key_type(spark):
+    """A timestamp-typed partition key cannot json-encode as a bucket-state
+    key — fail at plan time, not inside a worker."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(
+            F.col("value").alias("id"),
+            F.col("timestamp").alias("tkey"),
+            F.col("value").cast("double").alias("price"),
+            (F.col("value") * 1000).alias("ts"),
+        )
+    )
+    cep = SiddhiCEP(spark, pattern_key_buckets=4)
+    cep.register_stream("s", df, "id", "tkey", "price", "ts", ts_field="ts")
+    with pytest.raises(UnsupportedFeatureException, match="bucketed keys"):
+        cep.from_("s").cql(
+            "partition with (tkey of s) begin "
+            "from every a = s[price > 1] -> b = s[price > 2] "
+            "select a.id as a_id insert into Out; end"
+        ).returns("Out")

@@ -230,9 +230,10 @@ def test_random_partitioned_pattern(spark, names, users, gaps, within_s):
 
 
 # ------------------------------------- streaming == batch parity fuzz
-def _run_streaming(spark, batches, cql, tmp_root):
+def _run_streaming(spark, batches, cql, tmp_root, **cep_kwargs):
     """Drain the batches through the StreamingPlanner NFA (one file per
-    micro-batch) into a memory sink; returns collected rows."""
+    micro-batch) into a memory sink; returns collected rows. Extra kwargs
+    reach the SiddhiCEP constructor (e.g. pattern_key_buckets)."""
     import uuid
 
     d = os.path.join(tmp_root, "in")
@@ -246,7 +247,7 @@ def _run_streaming(spark, batches, cql, tmp_root):
         spark.readStream.format("parquet").schema(schema_df.schema)
         .option("maxFilesPerTrigger", 1).load(d)
     )
-    cep = SiddhiCEP(spark)
+    cep = SiddhiCEP(spark, **cep_kwargs)
     cep.register_stream(
         "s", stream, "id", "name", "price", "timestamp", ts_field="timestamp"
     )
