@@ -1183,18 +1183,28 @@ class StreamingPlanner(BatchPlanner):
 
     def compile_query(self, q: A.Query) -> DataFrame:
         if isinstance(q.input, A.PatternInput):
-            streams = {e.stream for e in q.input.elems}
+            streams = {
+                e.stream
+                for s in q.input.elems
+                for e in (s.elems if isinstance(s, A.PatternGroup) else [s])
+            }
             if any(self.stream_schema(s).df.isStreaming for s in streams):
                 return self._streaming_pattern(q)
         return super().compile_query(q)
 
     def _streaming_pattern(self, q: A.Query) -> DataFrame:
         """Per-key NFA over state-buffered rows (applyInPandasWithState)."""
-        from ..operators.pattern import validate_every_at
+        from ..operators.pattern import normalize_steps, validate_every_at
 
         p: A.PatternInput = q.input
         validate_every_at(p)
-        elems = p.elems
+        raw_steps = p.elems
+        # flatten and/or groups exactly as batch compile_pattern does (round
+        # 9 — the andor3 parity fuzz arm found streaming groups crashed at
+        # plan time): captures, masks, and output columns are per FLAT
+        # element; the NFA consumes the raw step list for group semantics
+        _, elems = normalize_steps(raw_steps)
+        has_group = len(elems) != len(raw_steps)
         used = set()
         for i, e in enumerate(elems):
             if e.alias is None:
@@ -1250,6 +1260,7 @@ class StreamingPlanner(BatchPlanner):
             ]
         )
         elems_c = elems
+        raw_steps_c = raw_steps
         every, within_ms = p.every, p.within_ms
         every_at = p.every_at
         filters = [(e.stream, e.filter) for e in elems]
@@ -1352,7 +1363,10 @@ class StreamingPlanner(BatchPlanner):
         )
 
         # vectorizable 2-step shape -> numpy kernel instead of the row loop
-        shape2 = kernel2_shape(elems_c, every, every_at, strict_after)
+        shape2 = (
+            None if has_group
+            else kernel2_shape(elems_c, every, every_at, strict_after)
+        )
 
         class _ColView(dict):
             """Minimal pdf-like over numpy column arrays for ``_vec``."""
@@ -1544,7 +1558,7 @@ class StreamingPlanner(BatchPlanner):
                 )
             else:
                 found, nfa_st = _run_nfa(
-                    None, masks, elems_c, strict_after, every, within_ms,
+                    None, masks, raw_steps_c, strict_after, every, within_ms,
                     at_close=False, every_at=every_at,
                     start_idx=start_idx, init=init, return_state=True,
                     ts_vals=ts_arr,

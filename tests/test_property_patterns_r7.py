@@ -266,7 +266,8 @@ def _run_streaming(spark, batches, cql, tmp_root, **cep_kwargs):
 
 @pytest.mark.parametrize(
     "shape", ["followed_by", "strict", "quantifier", "three_step",
-              "four_step"]
+              "four_step", "strict_chain3", "strict_chain4",
+              "quant_chain3", "quant_chain4", "andor3"]
 )
 def test_streaming_batch_parity_fuzz(spark, shape):
     """20 randomized feeds per shape, split across 3 micro-batches, streamed
@@ -276,7 +277,18 @@ def test_streaming_batch_parity_fuzz(spark, shape):
     (in-window, out-of-order across batches) — the one late-arrival class
     whose eager emission is order-independent, exercising the full-rerun
     fallback (and, for three_step, the round-8 kernel3 resume of
-    general-NFA state)."""
+    general-NFA state).
+
+    Round 9 (VERDICT r8 ask #5) extends the sweep to the k>=3 shapes that
+    fall to the GENERAL NFA (no vectorized kernel): strict chains
+    (`a , b , c[, d]`), quantified chains (`a<1:2> -> b -> c[ -> d]` — the
+    4-step one quantified at TWO stages with an overlapping predicate), and
+    an and-group prefix (`a and b -> c`). All carry `within` so watermark
+    eviction is active mid-feed (spans are ~6x the window); they stay
+    in-order across batches (strict/quantified semantics are
+    order-DEPENDENT under eager emission — PARITY.md deviation 17 — so late
+    injection would assert a contract the engine intentionally does not
+    make), exercising the general NFA's cross-batch resume at k>=3."""
     import random
 
     rng = random.Random(hash(shape) & 0xFFFF)
@@ -317,6 +329,44 @@ def test_streaming_batch_parity_fuzz(spark, shape):
             "-> c = s[name == 'x'] -> d = s[name == 'z'] "
             "within 9500 milliseconds "
             "select a.price as u, c.id as a_id, d.id as b_id "
+            "insert into Out; end"
+        ),
+        # ---- round-9 general-NFA arms (no kernel classifies these) ----
+        "strict_chain3": (
+            "partition with (price of s) begin "
+            "from every a = s[name == 'x'] , b = s[name == 'y'] "
+            ", c = s[name == 'z'] within 9500 milliseconds "
+            "select a.price as u, a.id as a_id, c.id as b_id "
+            "insert into Out; end"
+        ),
+        "strict_chain4": (
+            "partition with (price of s) begin "
+            "from every a = s[name == 'x'] , b = s[name == 'y'] "
+            ", c = s[name == 'x'] , d = s[name == 'z'] "
+            "within 9500 milliseconds "
+            "select a.price as u, c.id as a_id, d.id as b_id "
+            "insert into Out; end"
+        ),
+        "quant_chain3": (
+            "partition with (price of s) begin "
+            "from every a = s[name == 'x']<1:2> -> b = s[name == 'y'] "
+            "-> c = s[name == 'z'] within 9500 milliseconds "
+            "select a.price as u, a[0].id as a_id, c.id as b_id "
+            "insert into Out; end"
+        ),
+        "quant_chain4": (
+            "partition with (price of s) begin "
+            "from every a = s[name == 'x']<1:2> -> b = s[name == 'y'] "
+            "-> c = s[name == 'x']<1:2> -> d = s[name == 'z'] "
+            "within 9500 milliseconds "
+            "select a.price as u, c[0].id as a_id, d.id as b_id "
+            "insert into Out; end"
+        ),
+        "andor3": (
+            "partition with (price of s) begin "
+            "from every a = s[name == 'x'] and b = s[name == 'y'] "
+            "-> c = s[name == 'z'] within 9500 milliseconds "
+            "select a.price as u, a.id as a_id, c.id as b_id "
             "insert into Out; end"
         ),
     }
