@@ -719,6 +719,7 @@ def funnel_stream(
     ts_col: str = "ts",
     type_col: str = "event_type",
     watermark: str = "0 seconds",
+    key_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Streaming twin of :func:`funnel` for CONTINUOUS event logs: one
     append row ``(user, step_idx, step, t_ms)`` per step the user reached
@@ -753,7 +754,14 @@ def funnel_stream(
     next month should get a fresh funnel, not be frozen to their
     first-ever view). ``funnel_from_steps``'s count-distinct collapses
     repeat episodes, so per-step counts read "users with >= 1 completing
-    episode"."""
+    episode".
+
+    ``key_buckets`` (round 9): group by pmod(xxhash64(user), N) instead of
+    the raw user, running the same per-key cycle for every member key
+    inside one Arrow group — amortizes the fixed per-key-visit machinery
+    on key-heavy streams (>= 10^5 active users). Episode content is
+    unchanged (advancement is watermark-determined); checkpoint state
+    formats differ between modes, so pick at query creation."""
     import json as _json
 
     from typing import Iterator
@@ -787,6 +795,36 @@ def funnel_stream(
     def _advance(key, buf, wm):
         return _funnel_advance(key, buf, wm, steps, horizon)
 
+    def _key_cycle(key, buf, idx, ms, wm):
+        """One key's visit: merge new (step_idx, ms) arrays into the sorted
+        buffer, advance episodes at the watermark. Returns
+        ``(rows, buf, next_fire_ms | None)`` — None means the key's state
+        is drained. Shared by the per-key and bucketed group modes."""
+        if idx is not None and len(idx):
+            dirty = False
+            for i in range(len(steps)):
+                sel = idx == i
+                if sel.any():
+                    buf[i].extend(ms[sel].tolist())
+                    dirty = True
+            if dirty:
+                # _advance bisects: sorted is the state invariant. Stored
+                # state is already sorted, so timsort sees two runs — ~O(n)
+                for b in buf:
+                    b.sort()
+        rows, buf = _advance(key, buf, wm)
+        if not any(buf):
+            return rows, buf, None
+        if buf[0]:
+            # fire when the watermark passes the open episode's horizon
+            # (clamped above the current watermark — SS rejects a timeout
+            # at or below it; the clamped timer fires on the next trigger)
+            fire = max(min(buf[0]) + horizon + 1, wm + 1)
+        else:
+            # anchorless events: dead once the watermark passes them
+            fire = max(max(x for b in buf for x in b) + 1, wm + 1)
+        return rows, buf, fire
+
     def proc(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -803,44 +841,25 @@ def funnel_stream(
         # already-sorted post-r8 state is ~O(n).
         for b in buf:
             b.sort()
+        idx = ms = None
         if not state.hasTimedOut:
-            dirty = False
+            # events arrive pre-decoded JVM-side as (step_idx, ms) — no
+            # pd.to_datetime / per-row dict in the per-key path (the
+            # round-7 profiling: per-key-visit pandas machinery is the
+            # streaming floor)
+            idxs, mss = [], []
             for pdf in pdfs:
-                if not len(pdf):
-                    continue
-                # events arrive pre-decoded JVM-side as (step_idx, ms) —
-                # no pd.to_datetime / per-row dict in the per-key path
-                # (the round-7 profiling: per-key-visit pandas machinery
-                # is the streaming floor)
-                idx = pdf["__i"].to_numpy()
-                ms = pdf["__m"].to_numpy()
-                for i in range(len(steps)):
-                    sel = idx == i
-                    if sel.any():
-                        buf[i].extend(ms[sel].tolist())
-                        dirty = True
-            if dirty:
-                # _advance bisects: sorted is the state invariant. Stored
-                # state is already sorted, so timsort sees two runs — ~O(n)
-                for b in buf:
-                    b.sort()
+                if len(pdf):
+                    idxs.append(pdf["__i"].to_numpy())
+                    mss.append(pdf["__m"].to_numpy())
+            if idxs:
+                idx = _np.concatenate(idxs) if len(idxs) > 1 else idxs[0]
+                ms = _np.concatenate(mss) if len(mss) > 1 else mss[0]
         wm = state.getCurrentWatermarkMs()
-        rows, buf = _advance(key, buf, wm)
-        if any(buf):
+        rows, buf, fire = _key_cycle(key, buf, idx, ms, wm)
+        if fire is not None:
             state.update((_json.dumps(buf),))
-            if buf[0]:
-                # fire when the watermark passes the open episode's horizon
-                # (clamped above the current watermark — SS rejects a
-                # timeout at or below it; the clamped timer fires on the
-                # next trigger)
-                state.setTimeoutTimestamp(
-                    max(min(buf[0]) + horizon + 1, wm + 1)
-                )
-            else:
-                # anchorless events: dead once the watermark passes them
-                state.setTimeoutTimestamp(
-                    max(max(x for b in buf for x in b) + 1, wm + 1)
-                )
+            state.setTimeoutTimestamp(fire)
         elif state.exists:
             state.remove()
         if rows:
@@ -848,10 +867,96 @@ def funnel_stream(
                 rows, columns=[user_col, "step_idx", "step", "t_ms"]
             )
 
+    bucket_state_schema = T.StructType(
+        [
+            T.StructField("pks", T.ArrayType(T.StringType())),
+            T.StructField("bufs", T.ArrayType(T.StringType())),
+            T.StructField("fires", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def proc_bucket(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Bucketed mode (round 9): one GroupState visit serves every
+        member key — keys with new rows plus stored keys whose own fire
+        time passed the watermark. Advancement is watermark-determined, so
+        visiting a key at a sibling's trigger emits the same rows it would
+        have emitted on its own timer. The bucket timer is the min over
+        member fire times; untouched keys' buffers pass through unparsed.
+        """
+        import numpy as _np
+
+        if state.exists:
+            pks, bufs, fires = state.get
+            st = {k: [b, f] for k, b, f in zip(pks, bufs, fires)}
+        else:
+            st = {}
+        per_key: dict = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            codes, uniq = pd.factorize(pdf[user_col], use_na_sentinel=False)
+            idx_all = pdf["__i"].to_numpy()
+            ms_all = pdf["__m"].to_numpy()
+            order = _np.argsort(codes, kind="stable")
+            bounds = _np.searchsorted(
+                codes[order], _np.arange(len(uniq) + 1)
+            )
+            keys_py = uniq.tolist()
+            for i in range(len(keys_py)):
+                sl = order[bounds[i]:bounds[i + 1]]
+                kenc = _json.dumps(keys_py[i])
+                prev = per_key.get(kenc)
+                if prev is None:
+                    per_key[kenc] = [idx_all[sl], ms_all[sl]]
+                else:
+                    prev[0] = _np.concatenate([prev[0], idx_all[sl]])
+                    prev[1] = _np.concatenate([prev[1], ms_all[sl]])
+        wm = state.getCurrentWatermarkMs()
+        due = [
+            k for k, v in st.items()
+            if v[1] <= wm and k not in per_key
+        ]
+        out_rows = []
+        for kenc in [*per_key, *due]:
+            arr = per_key.get(kenc)
+            prev = st.get(kenc)
+            buf = (
+                _json.loads(prev[0]) if prev is not None
+                else [[] for _ in steps]
+            )
+            rows, buf, fire = _key_cycle(
+                (_json.loads(kenc),), buf,
+                arr[0] if arr is not None else None,
+                arr[1] if arr is not None else None, wm,
+            )
+            out_rows.extend(rows)
+            if fire is None:
+                st.pop(kenc, None)
+            else:
+                st[kenc] = [_json.dumps(buf), int(fire)]
+        if st:
+            ks = list(st)
+            state.update((
+                ks,
+                [st[k][0] for k in ks],
+                [st[k][1] for k in ks],
+            ))
+            state.setTimeoutTimestamp(
+                max(min(st[k][1] for k in ks), wm + 1)
+            )
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=[user_col, "step_idx", "step", "t_ms"]
+            )
+
     idx_expr = F.lit(None).cast("int")
     for i, s in reversed(list(enumerate(steps))):
         idx_expr = F.when(F.col(type_col) == s, F.lit(i)).otherwise(idx_expr)
-    return (
+    base = (
         df.withWatermark(ts_col, watermark)
         .filter(F.col(type_col).isin(steps))
         .select(
@@ -860,11 +965,32 @@ def funnel_stream(
             idx_expr.alias("__i"),
             F.unix_millis(F.col(ts_col).cast("timestamp")).alias("__m"),
         )
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            proc, out_schema, state_schema, "append",
-            GroupStateTimeout.EventTimeTimeout,
+    )
+    if key_buckets:
+        if not isinstance(
+            user_t,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.StringType, T.BooleanType),
+        ):
+            raise ValueError(
+                f"key_buckets: user column '{user_col}' of type "
+                f"{user_t.simpleString()} — bucketed keys must be "
+                "numeric/string/boolean"
+            )
+        return (
+            base.withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64(F.col(user_col)), F.lit(key_buckets)),
+            )
+            .groupBy("__bucket")
+            .applyInPandasWithState(
+                proc_bucket, out_schema, bucket_state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
         )
+    return base.groupBy(user_col).applyInPandasWithState(
+        proc, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

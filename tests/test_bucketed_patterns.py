@@ -167,6 +167,129 @@ def test_bucketed_string_keys(spark):
     assert got == [("k1", 0, 2), ("k2", 1, 3), ("k3", 4, 5)]
 
 
+def test_bucketed_funnel_matches_batch_and_per_key(spark, tmp_path):
+    """funnel_stream(key_buckets=N) reproduces the batch funnel AND the
+    per-key streaming output on the round-6 parity feed (>= 2 micro-
+    batches, out-of-order arrival, horizon expiry), including the
+    timer path: user 2's episode finalizes with NO new data for its key
+    (the bucket visit advances due members)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from flink_siddhi_spark.analytics import (
+        funnel, funnel_from_steps, funnel_stream,
+    )
+    from .test_streaming import _two_batch_stream
+    from flink_siddhi_spark.sources.streams import to_memory
+
+    def ts(m):
+        return dt.datetime(2026, 3, 1, 10, 0, 0) + dt.timedelta(minutes=m)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    steps = ("view", "click", "purchase")
+    within = 30 * 60 * 1000
+    rows1 = [
+        (1, ts(0), 1, "view"), (2, ts(5), 1, "click"),
+        (3, ts(0), 2, "view"),
+        (4, ts(0), 3, "click"),
+        (5, ts(1), 4, "click"),
+    ]
+    rows2 = [
+        (6, ts(10), 1, "purchase"),
+        (7, ts(40), 2, "click"),
+        (8, ts(0.5), 4, "view"),
+        (99, ts(3 * 24 * 60), 999, "view"),  # watermark sentinel
+    ]
+    outs = {}
+    for tag, kb in (("perkey", None), ("bucketed", 2), ("one", 1)):
+        stream = _two_batch_stream(
+            spark, tmp_path / f"in_bf_{tag}", rows1, rows2, schema
+        )
+        out = funnel_stream(
+            stream, steps, within, watermark="1 hour", key_buckets=kb
+        )
+        q = to_memory(out, f"m_bf_{tag}",
+                      checkpoint=str(tmp_path / f"ck_bf_{tag}"),
+                      output_mode="append")
+        q.awaitTermination(120)
+        outs[tag] = sorted(
+            (r.user_id, r.step_idx, r.step, r.t_ms)
+            for r in spark.sql(f"SELECT * FROM m_bf_{tag}").collect()
+        )
+    assert outs["perkey"] == outs["bucketed"] == outs["one"]
+    reached = spark.sql("SELECT * FROM m_bf_bucketed")
+    got = {(r.step_idx, r.step): r.n_users
+           for r in funnel_from_steps(reached, steps).collect()}
+    batch_df = spark.createDataFrame(rows1 + rows2, schema).filter(
+        "user_id != 999")
+    want = {(r.step_idx, r.step): r.n_users
+            for r in funnel(batch_df, steps, within).collect()}
+    assert got == want and want[(0, "view")] == 3
+
+
+def test_bucketed_funnel_fuzz_matches_per_key(spark, tmp_path):
+    """Randomized multi-user feeds across 3 micro-batches: bucketed and
+    per-key funnel_stream emit identical row sets (episode horizons
+    straddle batch boundaries so the due-key timer path is exercised)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from flink_siddhi_spark.analytics import funnel_stream
+    from flink_siddhi_spark.sources.streams import to_memory
+
+    rng = random.Random(909)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    base = dt.datetime(2026, 4, 1, 8, 0, 0)
+    for trial in range(4):
+        rows = []
+        for i in range(rng.randint(20, 34)):
+            rows.append((
+                i,
+                base + dt.timedelta(seconds=i * rng.randint(40, 90)),
+                rng.randint(1, 7),
+                rng.choice(("view", "click", "purchase", "other")),
+            ))
+        rows.append((999, base + dt.timedelta(days=3), 999, "view"))
+        thirds = [rows[:len(rows) // 3], rows[len(rows) // 3: 2 * len(rows) // 3],
+                  rows[2 * len(rows) // 3:]]
+        outs = []
+        for tag, kb in (("pk", None), ("bk", 3)):
+            d = tmp_path / f"in_ff{trial}_{tag}"
+            for third in thirds:
+                spark.createDataFrame(third, schema).coalesce(1) \
+                    .write.mode("append").parquet(str(d))
+            stream = (
+                spark.readStream.format("parquet").schema(schema)
+                .option("maxFilesPerTrigger", 1).load(str(d))
+            )
+            out = funnel_stream(
+                stream, ("view", "click", "purchase"), 10 * 60 * 1000,
+                watermark="5 minutes", key_buckets=kb,
+            )
+            q = to_memory(out, f"m_ff{trial}_{tag}",
+                          checkpoint=str(tmp_path / f"ck_ff{trial}_{tag}"),
+                          output_mode="append")
+            q.awaitTermination(120)
+            outs.append(sorted(
+                (r.user_id, r.step_idx, r.step, r.t_ms)
+                for r in spark.sql(
+                    f"SELECT * FROM m_ff{trial}_{tag}").collect()
+            ))
+        assert outs[0] == outs[1], (trial, rows)
+
+
 def test_bucketed_rejects_unsupported_key_type(spark):
     """A timestamp-typed partition key cannot json-encode as a bucket-state
     key — fail at plan time, not inside a worker."""
