@@ -460,13 +460,13 @@ def _streaming_throughput_bench(spark, sf_dir: str) -> dict:
         n_amp = spark.read.parquet(amp_src).count()
         amp_schema = spark.read.parquet(amp_src).schema
 
-        def amp_cql_plan(text):
+        def amp_cql_plan(text, buckets=None):
             stream = (
                 spark.readStream.format("parquet").schema(amp_schema)
                 .load(amp_src)
                 .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
             )
-            cep = SiddhiCEP(spark)
+            cep = SiddhiCEP(spark, pattern_key_buckets=buckets)
             cep.register_stream(
                 "events", stream, "event_id", "user_id", "event_type",
                 "value", "ts_ms", ts_field="ts_ms",
@@ -513,6 +513,24 @@ def _streaming_throughput_bench(spark, sf_dir: str) -> dict:
             "funnel_stream_10x": lambda: funnel_stream(
                 amp_plain_stream(), ("view", "click", "purchase"),
                 within_ms=3_600_000, watermark="1 hour",
+            ),
+            # round 9 (VERDICT r8 asks #1/#4): the bucketed key-grouping
+            # configs — one GroupState visit per key BUCKET instead of per
+            # key, amortizing the fixed per-key-visit floor. Same operator
+            # semantics (parity-pinned); the per-key rows above stay for
+            # round-over-round continuity.
+            "cep_pattern_3step_bucketed_10x": lambda: amp_cql_plan(
+                "partition with (user_id of events) begin "
+                "from every v = events[event_type == 'view'] "
+                "  -> k = events[event_type == 'click'] "
+                "  -> p = events[event_type == 'purchase'] within 1 hour "
+                "select v.user_id as user_id, p.event_id as purchase_id "
+                "insert into Out; end",
+                buckets=1024,
+            ),
+            "funnel_stream_bucketed_10x": lambda: funnel_stream(
+                amp_plain_stream(), ("view", "click", "purchase"),
+                within_ms=3_600_000, watermark="1 hour", key_buckets=1024,
             ),
         }
         for name, build in sustained.items():
