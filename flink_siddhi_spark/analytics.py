@@ -1026,12 +1026,18 @@ def attribution_stream(
     type_col: str = "event_type",
     id_col: str = "event_id",
     watermark: str = "0 seconds",
+    key_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Streaming twin of :func:`last_touch_attribution`: the same one-row-
     per-conversion table, emitted in append mode once a conversion is
     FINAL — i.e. the watermark has passed its event time, so no touch at
     or before it can still arrive (late rows beyond the watermark are
     dropped by the stateful operator itself).
+
+    ``key_buckets`` (round 9): bucketed key grouping, same contract as
+    :func:`funnel_stream` — one GroupState visit per pmod(xxhash64(user),
+    N) bucket running the identical per-key cycle; emission content is
+    watermark-determined so it is unchanged.
 
     Per-user state: touches inside ``horizon_ms`` of the watermark (older
     ones can never attribute a future conversion) plus not-yet-final
@@ -1081,38 +1087,26 @@ def attribution_stream(
     ]
     state_schema = T.StructType([T.StructField("buf", T.StringType())])
 
-    def proc(
-        key, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
+    def _key_cycle(key_val, touches, pending, new_rows, wm):
+        """One key's visit: ingest decoded event dicts, credit every
+        finalized conversion, prune stale touches. Returns
+        ``(rows, touches, pending, fire | None)`` — None means drained.
+        Shared by the per-key and bucketed group modes."""
         import bisect as _bisect
 
-        if state.exists:
-            t_raw, p_raw = _json.loads(state.get[0])
-            # tuples, not lists: bisect compares the probe tuple against
-            # entries, and a 3-tuple equal to the 2-tuple probe in (ts, id)
-            # sorts AFTER it — exactly the strictly-below contract
-            touches = [tuple(t) for t in t_raw]
-            pending = [tuple(c) for c in p_raw]
-        else:
-            touches, pending = [], []
-        if not state.hasTimedOut:
-            loads = _json.loads
+        if new_rows:
             new_t = []
-            for pdf in pdfs:
-                if len(pdf):
-                    for s in pdf["__row"].tolist():
-                        d = loads(s)
-                        tp = d["t"]
-                        # ids ride json natively (int/str), keeping the
-                        # batch twin's lexicographic (ts, id) tie-break
-                        if tp in touch_set:
-                            new_t.append((d["m"], d["i"], tp))
-                        elif tp == conversion_type:
-                            pending.append((d["m"], d["i"]))
+            for d in new_rows:
+                tp = d["t"]
+                # ids ride json natively (int/str), keeping the batch
+                # twin's lexicographic (ts, id) tie-break
+                if tp in touch_set:
+                    new_t.append((d["m"], d["i"], tp))
+                elif tp == conversion_type:
+                    pending.append((d["m"], d["i"]))
             if new_t:
                 touches.extend(new_t)
                 touches.sort()
-        wm = state.getCurrentWatermarkMs()
         rows, still = [], []
         for cms, cid in pending:
             if cms >= wm:  # a touch at this exact ts could still arrive
@@ -1127,7 +1121,7 @@ def attribution_stream(
                 best = None
             rows.append(
                 (
-                    cid, key[0], pd.Timestamp(cms, unit="ms"),
+                    cid, key_val, pd.Timestamp(cms, unit="ms"),
                     best[1] if best else None,
                     best[2] if best else None,
                     (cms - best[0]) if best else None,
@@ -1141,26 +1135,123 @@ def attribution_stream(
             k = _bisect.bisect_left(touches, (wm - horizon,))
             if k:
                 touches = touches[k:]
-        if pending or touches:
+        if not (pending or touches):
+            return rows, touches, pending, None
+        if pending:
+            # fire when the watermark passes the earliest pending
+            # conversion, finalizing it (clamped above the watermark —
+            # SS rejects a timeout at or below it)
+            fire = max(min(c for c, _ in pending) + 1, wm + 1)
+        else:
+            # touches alone: dead once the horizon passes them all
+            fire = max(touches[-1][0] + horizon + 1, wm + 1)
+        return rows, touches, pending, fire
+
+    def proc(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            t_raw, p_raw = _json.loads(state.get[0])
+            # tuples, not lists: bisect compares the probe tuple against
+            # entries, and a 3-tuple equal to the 2-tuple probe in (ts, id)
+            # sorts AFTER it — exactly the strictly-below contract
+            touches = [tuple(t) for t in t_raw]
+            pending = [tuple(c) for c in p_raw]
+        else:
+            touches, pending = [], []
+        new_rows = []
+        if not state.hasTimedOut:
+            loads = _json.loads
+            for pdf in pdfs:
+                if len(pdf):
+                    new_rows.extend(
+                        loads(s) for s in pdf["__row"].tolist()
+                    )
+        wm = state.getCurrentWatermarkMs()
+        rows, touches, pending, fire = _key_cycle(
+            key[0], touches, pending, new_rows, wm
+        )
+        if fire is not None:
             state.update((_json.dumps([touches, pending]),))
-            if pending:
-                # fire when the watermark passes the earliest pending
-                # conversion, finalizing it (clamped above the watermark —
-                # SS rejects a timeout at or below it)
-                state.setTimeoutTimestamp(
-                    max(min(c for c, _ in pending) + 1, wm + 1)
-                )
-            else:
-                # touches alone: dead once the horizon passes them all
-                state.setTimeoutTimestamp(
-                    max(touches[-1][0] + horizon + 1, wm + 1)
-                )
+            state.setTimeoutTimestamp(fire)
         elif state.exists:
             state.remove()
         if rows:
             yield pd.DataFrame(rows, columns=out_cols)
 
-    return (
+    bucket_state_schema = T.StructType(
+        [
+            T.StructField("pks", T.ArrayType(T.StringType())),
+            T.StructField("bufs", T.ArrayType(T.StringType())),
+            T.StructField("fires", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def proc_bucket(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        if state.exists:
+            pks, bufs, fires = state.get
+            st = {k: [b, f] for k, b, f in zip(pks, bufs, fires)}
+        else:
+            st = {}
+        loads = _json.loads
+        per_key: dict = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            codes, uniq = pd.factorize(pdf[user_col], use_na_sentinel=False)
+            strs = pdf["__row"].to_numpy()
+            order = _np.argsort(codes, kind="stable")
+            bounds = _np.searchsorted(
+                codes[order], _np.arange(len(uniq) + 1)
+            )
+            keys_py = uniq.tolist()
+            for i in range(len(keys_py)):
+                lst = per_key.setdefault(_json.dumps(keys_py[i]), [])
+                lst.extend(
+                    loads(s)
+                    for s in strs[order[bounds[i]:bounds[i + 1]]].tolist()
+                )
+        wm = state.getCurrentWatermarkMs()
+        due = [
+            k for k, v in st.items() if v[1] <= wm and k not in per_key
+        ]
+        out_rows = []
+        for kenc in [*per_key, *due]:
+            prev = st.get(kenc)
+            if prev is not None:
+                t_raw, p_raw = loads(prev[0])
+                touches = [tuple(t) for t in t_raw]
+                pending = [tuple(c) for c in p_raw]
+            else:
+                touches, pending = [], []
+            rows, touches, pending, fire = _key_cycle(
+                loads(kenc), touches, pending, per_key.get(kenc, []), wm
+            )
+            out_rows.extend(rows)
+            if fire is None:
+                st.pop(kenc, None)
+            else:
+                st[kenc] = [_json.dumps([touches, pending]), int(fire)]
+        if st:
+            ks = list(st)
+            state.update((
+                ks,
+                [st[k][0] for k in ks],
+                [st[k][1] for k in ks],
+            ))
+            state.setTimeoutTimestamp(
+                max(min(st[k][1] for k in ks), wm + 1)
+            )
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=out_cols)
+
+    base = (
         df.withWatermark(ts_col, watermark)
         .filter(
             F.col(type_col).isin(list(touch_set) + [conversion_type])
@@ -1177,11 +1268,32 @@ def attribution_stream(
                 {"ignoreNullFields": "false"},
             ).alias("__row"),
         )
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            proc, out_schema, state_schema, "append",
-            GroupStateTimeout.EventTimeTimeout,
+    )
+    if key_buckets:
+        if not isinstance(
+            user_t,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.StringType, T.BooleanType),
+        ):
+            raise ValueError(
+                f"key_buckets: user column '{user_col}' of type "
+                f"{user_t.simpleString()} — bucketed keys must be "
+                "numeric/string/boolean"
+            )
+        return (
+            base.withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64(F.col(user_col)), F.lit(key_buckets)),
+            )
+            .groupBy("__bucket")
+            .applyInPandasWithState(
+                proc_bucket, out_schema, bucket_state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
         )
+    return base.groupBy(user_col).applyInPandasWithState(
+        proc, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

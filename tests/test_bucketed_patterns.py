@@ -290,6 +290,72 @@ def test_bucketed_funnel_fuzz_matches_per_key(spark, tmp_path):
         assert outs[0] == outs[1], (trial, rows)
 
 
+def test_bucketed_attribution_matches_batch_and_per_key(spark, tmp_path):
+    """attribution_stream(key_buckets=N) reproduces batch
+    last_touch_attribution and the per-key streaming output on the
+    round-6 feed (same-ts tie-break, out-of-order touch, organic
+    conversion past the horizon, quiet-key timer finalization)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from flink_siddhi_spark.analytics import (
+        attribution_stream, last_touch_attribution,
+    )
+    from flink_siddhi_spark.sources.streams import to_memory
+    from .test_streaming import _two_batch_stream
+
+    def ts(m):
+        return dt.datetime(2026, 3, 2, 9, 0, 0) + dt.timedelta(minutes=m)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    rows1 = [
+        (1, ts(0), 1, "click"), (2, ts(5), 1, "view"),
+        (10, ts(0), 2, "click"),
+        (11, ts(0), 2, "purchase"),
+        (20, ts(10), 3, "purchase"),
+    ]
+    rows2 = [
+        (3, ts(10), 1, "purchase"),
+        (4, ts(130), 1, "purchase"),
+        (21, ts(9), 3, "click"),
+        (99, ts(3 * 24 * 60), 999, "click"),
+    ]
+    outs = {}
+    for tag, kb in (("pk", None), ("bk", 2)):
+        stream = _two_batch_stream(
+            spark, tmp_path / f"in_ba_{tag}", rows1, rows2, schema
+        )
+        out = attribution_stream(
+            stream, horizon_ms=3_600_000, watermark="1 hour",
+            key_buckets=kb,
+        )
+        q = to_memory(out, f"m_ba_{tag}",
+                      checkpoint=str(tmp_path / f"ck_ba_{tag}"),
+                      output_mode="append")
+        q.awaitTermination(120)
+        outs[tag] = sorted(
+            (r.conversion_id, r.user_id, r.touch_id, r.touch_type,
+             r.ms_since_touch)
+            for r in spark.sql(f"SELECT * FROM m_ba_{tag}").collect()
+        )
+    assert outs["pk"] == outs["bk"]
+    batch_df = spark.createDataFrame(rows1 + rows2, schema).filter(
+        "user_id != 999")
+    want = sorted(
+        (r.conversion_id, r.user_id, r.touch_id, r.touch_type,
+         r.ms_since_touch)
+        for r in last_touch_attribution(
+            batch_df, horizon_ms=3_600_000).collect()
+    )
+    assert outs["bk"] == want
+
+
 def test_bucketed_rejects_unsupported_key_type(spark):
     """A timestamp-typed partition key cannot json-encode as a bucket-state
     key — fail at plan time, not inside a worker."""
