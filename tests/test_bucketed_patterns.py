@@ -356,6 +356,53 @@ def test_bucketed_attribution_matches_batch_and_per_key(spark, tmp_path):
     assert outs["bk"] == want
 
 
+def test_bucketed_checkpoint_restart(spark, tmp_path):
+    """Bucket state survives a full query STOP + RESTART from the
+    checkpoint: arm partials in run 1, complete them in run 2 (new
+    StreamingQuery object, same checkpoint), output equals batch."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("timestamp", T.LongType()),
+    ])
+    d = str(tmp_path / "in_ckpt")
+    ck = str(tmp_path / "ck_ckpt")
+    sink = str(tmp_path / "out_ckpt")
+    rows1 = [(0, "x", 1.0, 1000), (1, "x", 2.0, 2000), (2, "y", 3.0, 3000)]
+    rows2 = [(3, "y", 1.0, 5000), (4, "y", 2.0, 6000), (5, "z", 1.0, 7000)]
+
+    def run_once(batch_rows):
+        spark.createDataFrame(batch_rows, schema).coalesce(1) \
+            .write.mode("append").parquet(d)
+        cep = SiddhiCEP(spark, pattern_key_buckets=2)
+        stream = spark.readStream.format("parquet").schema(schema).load(d)
+        cep.register_stream("s", stream, "id", "name", "price",
+                            "timestamp", ts_field="timestamp")
+        out = cep.from_("s").cql(CQLS["followed_by"]).returns("Out")
+        q = (out.writeStream.format("json")
+             .option("path", sink)
+             .option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        q.stop()
+        return out.schema
+
+    run_once(rows1)            # arms x-partials for keys 1.0/2.0
+    out_schema = run_once(rows2)  # completes them after restart
+    sunk = spark.read.schema(out_schema).json(sink)
+    got = sorted((int(r.u), r.a_id, r.b_id) for r in sunk.collect())
+    want = sorted(
+        (int(r.u), r.a_id, r.b_id)
+        for r in _batch_rows(spark, [
+            (i, nm, t, int(u)) for i, nm, u, t in rows1 + rows2
+        ], CQLS["followed_by"])
+    )
+    assert got == want and got, (got, want)
+
+
 def test_bucketed_rejects_unsupported_key_type(spark):
     """A timestamp-typed partition key cannot json-encode as a bucket-state
     key — fail at plan time, not inside a worker."""
