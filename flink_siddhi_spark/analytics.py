@@ -1347,6 +1347,7 @@ def transitions_stream(
     type_col: str = "event_type",
     id_col: str = "event_id",
     watermark: str = "0 seconds",
+    key_buckets: Optional[int] = None,
 ) -> DataFrame:
     """Streaming half of the :func:`event_transitions` twin: one append row
     per consecutive (from_type, to_type) step of a user's event-time-ordered
@@ -1361,7 +1362,11 @@ def transitions_stream(
     from. The anchor makes state O(#active users) after the buffer drains,
     the same per-key-row bound as ``#window.unique``'s streaming form.
     Out-of-order arrivals inside the watermark re-sort in state before
-    pairing, so arrival order cannot change the emitted pairs."""
+    pairing, so arrival order cannot change the emitted pairs.
+
+    ``key_buckets`` (round 9): bucketed key grouping, same contract as
+    :func:`funnel_stream` (PARITY.md deviation 18); anchor-only keys
+    carry a no-timer sentinel so they are revisited on data only."""
     import json as _json
 
     from typing import Iterator
@@ -1381,6 +1386,32 @@ def transitions_stream(
         ]
     )
     state_schema = T.StructType([T.StructField("buf", T.StringType())])
+    # "no timer" sentinel for the bucketed fires array: an anchor-only key
+    # is revisited on new data only, never due by time
+    _NO_FIRE = (1 << 62)
+
+    def _key_cycle(key_val, anchor, buf, wm):
+        """One key's visit: sort the merged buffer, finalize the prefix
+        below the watermark, chain pairs from the anchor. Returns
+        ``(rows, anchor, rest, fire_ms | None)`` — None means no timer
+        (anchor-only state, revisited on data only). Shared by both group
+        modes."""
+        buf.sort(key=lambda e: (e[0], e[1]))
+        rows = []
+        rest = []
+        for e in buf:
+            if e[0] < wm and not rest:
+                # final: ordered after every already-final event, and no
+                # future arrival can precede it
+                if anchor is not None:
+                    rows.append((key_val, anchor[2], e[2], e[0], e[1]))
+                anchor = e
+            else:
+                rest.append(e)
+        fire = (
+            max(max(e[0] for e in rest) + 1, wm + 1) if rest else None
+        )
+        return rows, anchor, rest, fire
 
     def proc(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -1400,28 +1431,90 @@ def transitions_stream(
                     d = loads(s)
                     buf.append((d["m"], d["i"], d["t"]))
         wm = state.getCurrentWatermarkMs()
-        buf.sort(key=lambda e: (e[0], e[1]))
-        rows = []
-        rest = []
-        for e in buf:
-            if e[0] < wm and not rest:
-                # final: ordered after every already-final event, and no
-                # future arrival can precede it
-                if anchor is not None:
-                    rows.append((key[0], anchor[2], e[2], e[0], e[1]))
-                anchor = e
-            else:
-                rest.append(e)
+        rows, anchor, rest, fire = _key_cycle(key[0], anchor, buf, wm)
         state.update((_json.dumps([anchor, rest]),))
-        if rest:
-            state.setTimeoutTimestamp(max(max(e[0] for e in rest) + 1, wm + 1))
+        if fire is not None:
+            state.setTimeoutTimestamp(fire)
         if rows:
             yield pd.DataFrame(
                 rows,
                 columns=[user_col, "from_type", "to_type", "to_ms", "to_id"],
             )
 
-    return (
+    bucket_state_schema = T.StructType(
+        [
+            T.StructField("pks", T.ArrayType(T.StringType())),
+            T.StructField("bufs", T.ArrayType(T.StringType())),
+            T.StructField("fires", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def proc_bucket(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        if state.exists:
+            pks, bufs, fires = state.get
+            st = {k: [b, f] for k, b, f in zip(pks, bufs, fires)}
+        else:
+            st = {}
+        loads = _json.loads
+        per_key: dict = {}
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            codes, uniq = pd.factorize(pdf[user_col], use_na_sentinel=False)
+            strs = pdf["__row"].to_numpy()
+            order = _np.argsort(codes, kind="stable")
+            bounds = _np.searchsorted(
+                codes[order], _np.arange(len(uniq) + 1)
+            )
+            keys_py = uniq.tolist()
+            for i in range(len(keys_py)):
+                lst = per_key.setdefault(_json.dumps(keys_py[i]), [])
+                for s in strs[order[bounds[i]:bounds[i + 1]]].tolist():
+                    d = loads(s)
+                    lst.append((d["m"], d["i"], d["t"]))
+        wm = state.getCurrentWatermarkMs()
+        due = [
+            k for k, v in st.items() if v[1] <= wm and k not in per_key
+        ]
+        out_rows = []
+        for kenc in [*per_key, *due]:
+            prev = st.get(kenc)
+            if prev is not None:
+                anchor, buf = loads(prev[0])
+            else:
+                anchor, buf = None, []
+            buf.extend(per_key.get(kenc, []))
+            rows, anchor, rest, fire = _key_cycle(
+                loads(kenc), anchor, buf, wm
+            )
+            out_rows.extend(rows)
+            st[kenc] = [
+                _json.dumps([anchor, rest]),
+                _NO_FIRE if fire is None else int(fire),
+            ]
+        if st:
+            ks = list(st)
+            state.update((
+                ks,
+                [st[k][0] for k in ks],
+                [st[k][1] for k in ks],
+            ))
+            real = [st[k][1] for k in ks if st[k][1] != _NO_FIRE]
+            if real:
+                state.setTimeoutTimestamp(max(min(real), wm + 1))
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[user_col, "from_type", "to_type", "to_ms", "to_id"],
+            )
+
+    base = (
         df.withWatermark(ts_col, watermark)
         .select(
             F.col(user_col),
@@ -1435,11 +1528,33 @@ def transitions_stream(
                 {"ignoreNullFields": "false"},
             ).alias("__row"),
         )
-        .groupBy(user_col)
-        .applyInPandasWithState(
-            proc, out_schema, state_schema, "append",
-            GroupStateTimeout.EventTimeTimeout,
+    )
+    if key_buckets:
+        user_t = df.schema[user_col].dataType
+        if not isinstance(
+            user_t,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.StringType, T.BooleanType),
+        ):
+            raise ValueError(
+                f"key_buckets: user column '{user_col}' of type "
+                f"{user_t.simpleString()} — bucketed keys must be "
+                "numeric/string/boolean"
+            )
+        return (
+            base.withColumn(
+                "__bucket",
+                F.pmod(F.xxhash64(F.col(user_col)), F.lit(key_buckets)),
+            )
+            .groupBy("__bucket")
+            .applyInPandasWithState(
+                proc_bucket, out_schema, bucket_state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout,
+            )
         )
+    return base.groupBy(user_col).applyInPandasWithState(
+        proc, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

@@ -403,6 +403,66 @@ def test_bucketed_checkpoint_restart(spark, tmp_path):
     assert got == want and got, (got, want)
 
 
+def test_bucketed_transitions_matches_batch_and_per_key(spark, tmp_path):
+    """transitions_stream(key_buckets=N) reproduces batch
+    event_transitions and the per-key streaming output on the round-6
+    feed (out-of-order in-watermark event re-sorting in state), including
+    anchor-only keys riding the no-timer sentinel."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from flink_siddhi_spark.analytics import (
+        event_transitions, transitions_from_steps, transitions_stream,
+    )
+    from flink_siddhi_spark.sources.streams import to_memory
+    from .test_streaming import _two_batch_stream
+
+    def ts(m):
+        return dt.datetime(2026, 3, 3, 8, 0, 0) + dt.timedelta(minutes=m)
+
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+    rows1 = [
+        (1, ts(0), 1, "a"), (2, ts(5), 1, "b"),
+        (10, ts(0), 2, "a"),
+    ]
+    rows2 = [
+        (3, ts(10), 1, "c"),
+        (4, ts(2), 1, "x"),
+        (11, ts(3), 2, "b"),
+        (99, ts(3 * 24 * 60), 999, "a"),
+    ]
+    outs = {}
+    for tag, kb in (("pk", None), ("bk", 2)):
+        stream = _two_batch_stream(
+            spark, tmp_path / f"in_bt_{tag}", rows1, rows2, schema
+        )
+        out = transitions_stream(stream, watermark="1 hour", key_buckets=kb)
+        q = to_memory(out, f"m_bt_{tag}",
+                      checkpoint=str(tmp_path / f"ck_bt_{tag}"),
+                      output_mode="append")
+        q.awaitTermination(120)
+        outs[tag] = sorted(
+            (r.user_id, r.from_type, r.to_type, r.to_ms, r.to_id)
+            for r in spark.sql(
+                f"SELECT * FROM m_bt_{tag} WHERE user_id != 999").collect()
+        )
+    assert outs["pk"] == outs["bk"]
+    steps = spark.sql("SELECT * FROM m_bt_bk WHERE user_id != 999")
+    got = {(r.from_type, r.to_type): (r.n, r.p)
+           for r in transitions_from_steps(steps).collect()}
+    batch_df = spark.createDataFrame(rows1 + rows2, schema).filter(
+        "user_id != 999")
+    want = {(r.from_type, r.to_type): (r.n, r.p)
+            for r in event_transitions(batch_df).collect()}
+    assert got == want and ("a", "x") in want
+
+
 def test_bucketed_rejects_unsupported_key_type(spark):
     """A timestamp-typed partition key cannot json-encode as a bucket-state
     key — fail at plan time, not inside a worker."""
