@@ -869,6 +869,7 @@ def funnel_stream(
 
     bucket_state_schema = T.StructType(
         [
+            T.StructField("n", T.LongType()),
             T.StructField("pks", T.ArrayType(T.StringType())),
             T.StructField("bufs", T.ArrayType(T.StringType())),
             T.StructField("fires", T.ArrayType(T.LongType())),
@@ -888,7 +889,17 @@ def funnel_stream(
         import numpy as _np
 
         if state.exists:
-            pks, bufs, fires = state.get
+            stored_n, pks, bufs, fires = state.get
+            if stored_n != key_buckets:
+                # key->bucket routing changed: old state would sit in
+                # buckets its keys no longer hash to — silent wrong
+                # results. Fail loudly instead.
+                raise RuntimeError(
+                    f"key_buckets changed across restart (checkpoint has "
+                    f"{stored_n}, query asks {key_buckets}); bucket count "
+                    "is fixed at the checkpoint's creation — use a new "
+                    "checkpoint"
+                )
             st = {k: [b, f] for k, b, f in zip(pks, bufs, fires)}
         else:
             st = {}
@@ -939,6 +950,7 @@ def funnel_stream(
         if st:
             ks = list(st)
             state.update((
+                key_buckets,
                 ks,
                 [st[k][0] for k in ks],
                 [st[k][1] for k in ks],
@@ -1181,6 +1193,7 @@ def attribution_stream(
 
     bucket_state_schema = T.StructType(
         [
+            T.StructField("n", T.LongType()),
             T.StructField("pks", T.ArrayType(T.StringType())),
             T.StructField("bufs", T.ArrayType(T.StringType())),
             T.StructField("fires", T.ArrayType(T.LongType())),
@@ -1193,7 +1206,17 @@ def attribution_stream(
         import numpy as _np
 
         if state.exists:
-            pks, bufs, fires = state.get
+            stored_n, pks, bufs, fires = state.get
+            if stored_n != key_buckets:
+                # key->bucket routing changed: old state would sit in
+                # buckets its keys no longer hash to — silent wrong
+                # results. Fail loudly instead.
+                raise RuntimeError(
+                    f"key_buckets changed across restart (checkpoint has "
+                    f"{stored_n}, query asks {key_buckets}); bucket count "
+                    "is fixed at the checkpoint's creation — use a new "
+                    "checkpoint"
+                )
             st = {k: [b, f] for k, b, f in zip(pks, bufs, fires)}
         else:
             st = {}
@@ -1239,6 +1262,7 @@ def attribution_stream(
         if st:
             ks = list(st)
             state.update((
+                key_buckets,
                 ks,
                 [st[k][0] for k in ks],
                 [st[k][1] for k in ks],
@@ -1443,6 +1467,7 @@ def transitions_stream(
 
     bucket_state_schema = T.StructType(
         [
+            T.StructField("n", T.LongType()),
             T.StructField("pks", T.ArrayType(T.StringType())),
             T.StructField("bufs", T.ArrayType(T.StringType())),
             T.StructField("fires", T.ArrayType(T.LongType())),
@@ -1455,7 +1480,17 @@ def transitions_stream(
         import numpy as _np
 
         if state.exists:
-            pks, bufs, fires = state.get
+            stored_n, pks, bufs, fires = state.get
+            if stored_n != key_buckets:
+                # key->bucket routing changed: old state would sit in
+                # buckets its keys no longer hash to — silent wrong
+                # results. Fail loudly instead.
+                raise RuntimeError(
+                    f"key_buckets changed across restart (checkpoint has "
+                    f"{stored_n}, query asks {key_buckets}); bucket count "
+                    "is fixed at the checkpoint's creation — use a new "
+                    "checkpoint"
+                )
             st = {k: [b, f] for k, b, f in zip(pks, bufs, fires)}
         else:
             st = {}
@@ -1499,6 +1534,7 @@ def transitions_stream(
         if st:
             ks = list(st)
             state.update((
+                key_buckets,
                 ks,
                 [st[k][0] for k in ks],
                 [st[k][1] for k in ks],

@@ -1685,6 +1685,7 @@ class StreamingPlanner(BatchPlanner):
                     )
             bucket_state_schema = T.StructType(
                 [
+                    T.StructField("n", T.LongType()),
                     T.StructField("pks", T.ArrayType(T.StringType())),
                     T.StructField("seens", T.ArrayType(T.StringType())),
                     T.StructField("bufs", T.ArrayType(T.StringType())),
@@ -1700,7 +1701,17 @@ class StreamingPlanner(BatchPlanner):
                 import numpy as _np
 
                 if state.exists:
-                    pks, seens, bufs, nfas = state.get
+                    stored_n, pks, seens, bufs, nfas = state.get
+                    if stored_n != n_buckets:
+                        # key->bucket routing changed: old state would sit
+                        # in buckets its keys no longer hash to — silent
+                        # wrong results. Fail loudly instead.
+                        raise RuntimeError(
+                            f"pattern_key_buckets changed across restart "
+                            f"(checkpoint has {stored_n}, query asks "
+                            f"{n_buckets}); bucket count is fixed at the "
+                            "checkpoint's creation — use a new checkpoint"
+                        )
                     st = {
                         k: [s, b, nf]
                         for k, s, b, nf in zip(pks, seens, bufs, nfas)
@@ -1753,6 +1764,7 @@ class StreamingPlanner(BatchPlanner):
                 ks = list(st)
                 state.update(
                     (
+                        n_buckets,
                         ks,
                         [st[k][0] for k in ks],
                         [st[k][1] for k in ks],

@@ -463,6 +463,46 @@ def test_bucketed_transitions_matches_batch_and_per_key(spark, tmp_path):
     assert got == want and ("a", "x") in want
 
 
+def test_bucketed_count_change_fails_loudly(spark, tmp_path):
+    """Restarting a bucketed query with a DIFFERENT bucket count re-routes
+    keys to buckets that do not hold their state — silent wrong results.
+    The stored bucket count is validated on every state load; the restart
+    must fail with a clear message, not emit garbage."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.IntegerType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("timestamp", T.LongType()),
+    ])
+    d = str(tmp_path / "in_nchg")
+    ck = str(tmp_path / "ck_nchg")
+    sink = str(tmp_path / "out_nchg")
+
+    def run_once(batch_rows, buckets):
+        spark.createDataFrame(batch_rows, schema).coalesce(1) \
+            .write.mode("append").parquet(d)
+        cep = SiddhiCEP(spark, pattern_key_buckets=buckets)
+        stream = spark.readStream.format("parquet").schema(schema).load(d)
+        cep.register_stream("s", stream, "id", "name", "price",
+                            "timestamp", ts_field="timestamp")
+        out = cep.from_("s").cql(CQLS["followed_by"]).returns("Out")
+        q = (out.writeStream.format("json")
+             .option("path", sink)
+             .option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    run_once([(0, "x", 1.0, 1000), (1, "x", 2.0, 2000)], 2)
+    with pytest.raises(StreamingQueryException, match="buckets changed"):
+        run_once([(2, "y", 1.0, 3000), (3, "y", 2.0, 4000)], 4)
+
+
 def test_bucketed_rejects_unsupported_key_type(spark):
     """A timestamp-typed partition key cannot json-encode as a bucket-state
     key — fail at plan time, not inside a worker."""
