@@ -207,6 +207,29 @@ def main() -> int:
         out["attribution_stream"] = _drain(att, root, "attr", N_EVENTS)
         print(json.dumps({"attribution_stream": out["attribution_stream"]}),
               file=sys.stderr)
+
+        # 4. round-9 bucketed twin configs (key_buckets=1024): same
+        # semantics, per-key-visit machinery paid per BUCKET
+        from flink_siddhi_spark.analytics import transitions_stream
+
+        bucketed = {
+            "funnel_stream_bucketed": lambda: funnel_stream(
+                stream(), ("view", "click", "purchase"),
+                within_ms=3_600_000, watermark="10 seconds",
+                key_buckets=1024,
+            ),
+            "attribution_stream_bucketed": lambda: attribution_stream(
+                stream(), touch_types=("view", "click"),
+                conversion_type="purchase", horizon_ms=3_600_000,
+                watermark="10 seconds", key_buckets=1024,
+            ),
+            "transitions_stream_bucketed": lambda: transitions_stream(
+                stream(), watermark="10 seconds", key_buckets=1024,
+            ),
+        }
+        for tag, build in bucketed.items():
+            out[tag] = _drain(build(), root, tag, N_EVENTS)
+            print(json.dumps({tag: out[tag]}), file=sys.stderr)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
