@@ -39,6 +39,14 @@ CHAIN3_CQL = (
     "insert into Out; end"
 )
 
+ABSENCE_CQL = (
+    "partition with (user_id of events) begin "
+    "from every e = events[event_type == 'error'] "
+    "  -> not events[event_type == 'purchase'] for 5 min "
+    "select e.user_id as user_id, e.event_id as error_id "
+    "insert into Out; end"
+)
+
 # quantified pattern -> the GENERAL per-row NFA (no kernel classifies it).
 # Anchored on errors (5% of the stream, same arming density as the absence
 # probe) — the general NFA iterates partials per row, so arming density is
@@ -143,6 +151,9 @@ def main() -> int:
             # must hold >=100k ev/s on the hot-key generator
             ("quant_perkey_4batch", 8, None, QUANT_CQL),
             (f"quant_bucket{BUCKETS}_4batch", 8, BUCKETS, QUANT_CQL),
+            # absence2 kernel under the same matrix (fresh-session rows)
+            ("absence_perkey_4batch", 8, None, ABSENCE_CQL),
+            (f"absence_bucket{BUCKETS}_4batch", 8, BUCKETS, ABSENCE_CQL),
         ]
         only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
         for tag, fpt, bk, cql in cells:
