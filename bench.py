@@ -688,6 +688,13 @@ def main() -> int:
         # Janino compilation (observed as broad 1.5-3x noise that grew with
         # the query count)
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # round 9: the bench drains ~12 stateful queries in ONE session;
+        # the default state store retains 100 on-heap versions of every
+        # state map, so later drains inherit GC pressure from earlier ones
+        # (measured 3.4x on the second drain — SCALE.md §Round-9). This is
+        # the documented operational setting for key-heavy sessions; with
+        # it the streaming rows measure the operator, not the artifact.
+        .config("spark.sql.streaming.minBatchesToRetain", "2")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

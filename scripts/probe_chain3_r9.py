@@ -133,6 +133,7 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "24g")
+        .config("spark.sql.streaming.minBatchesToRetain", "2")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
