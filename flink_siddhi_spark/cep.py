@@ -41,7 +41,8 @@ class SiddhiCEP:
     """Engine environment: stream catalog + extensions (SiddhiCEP.java:56-230)."""
 
     def __init__(self, spark: SparkSession, watermark_delay: str = "10 seconds",
-                 pattern_key_buckets: Optional[int] = None):
+                 pattern_key_buckets: Optional[int] = None,
+                 window_key_buckets: Optional[int] = None):
         self.spark = spark
         self.catalog: dict[str, StreamSchema] = {}
         self.extensions: dict[str, Callable] = {}
@@ -57,7 +58,11 @@ class SiddhiCEP:
         # instead of the raw key when set, amortizing the fixed per-key-
         # visit cost over ~keys/N keys per Arrow group. Set for key-heavy
         # workloads (>=10^5 active keys); see README "operating envelope".
+        # window_key_buckets does the same for the per-key stateful window
+        # lowerings (length/lengthBatch/timeLength/time/unique) via the
+        # generic adapter in streaming/bucketing.py.
         self.pattern_key_buckets = pattern_key_buckets
+        self.window_key_buckets = window_key_buckets
 
     # -------------------------------------------------------------- registry
     def register_stream(
@@ -240,6 +245,7 @@ class ExecutionSiddhiStream:
                 watermark_delay=self.cep.watermark_delay,
                 aggregations=self.cep.aggregations,
                 pattern_key_buckets=self.cep.pattern_key_buckets,
+                window_key_buckets=self.cep.window_key_buckets,
             )
         else:
             planner = BatchPlanner(

@@ -169,7 +169,8 @@ class StreamingPlanner(BatchPlanner):
 
     def __init__(self, catalog, extensions=None, watermark_delay: str = "10 seconds",
                  max_buffer_per_key: int = 100_000, aggregations=None,
-                 pattern_key_buckets: Optional[int] = None):
+                 pattern_key_buckets: Optional[int] = None,
+                 window_key_buckets: Optional[int] = None):
         super().__init__(catalog, extensions, aggregations)
         self.watermark_delay = watermark_delay
         self.max_buffer_per_key = max_buffer_per_key
@@ -186,6 +187,15 @@ class StreamingPlanner(BatchPlanner):
                 f"pattern_key_buckets must be >= 1, got {pattern_key_buckets}"
             )
         self.pattern_key_buckets = pattern_key_buckets
+        # same lever for the per-key stateful WINDOW lowerings
+        # (length/lengthBatch/timeLength/time/unique) via the generic
+        # adapter in streaming/bucketing.py — the per-key procs run
+        # unchanged against a per-key GroupState shim inside the bucket
+        if window_key_buckets is not None and window_key_buckets < 1:
+            raise SiddhiPlannerException(
+                f"window_key_buckets must be >= 1, got {window_key_buckets}"
+            )
+        self.window_key_buckets = window_key_buckets
 
     # ------------------------------------------------------------------ utils
     def _event_time_col(self, schema) -> Optional[str]:
@@ -329,6 +339,13 @@ class StreamingPlanner(BatchPlanner):
             state.update((_json.dumps(cand_ord),))
             yield rows.iloc[[cand]]
 
+        if self.window_key_buckets:
+            from .bucketing import bucketed_stateful
+
+            return bucketed_stateful(
+                df, keys, self.window_key_buckets, proc, out_schema,
+                GroupStateTimeout.NoTimeout,
+            )
         return df.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
             proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
@@ -894,6 +911,13 @@ class StreamingPlanner(BatchPlanner):
             if out:
                 yield pd.DataFrame(out, columns=[f.name for f in out_fields])
 
+        if key_names and self.window_key_buckets:
+            from .bucketing import bucketed_stateful
+
+            return bucketed_stateful(
+                df, key_names, self.window_key_buckets, proc, out_schema,
+                GroupStateTimeout.NoTimeout,
+            )
         if key_names:
             grouped = df.groupBy(*[F.col(k) for k in key_names])
         else:
@@ -988,6 +1012,13 @@ class StreamingPlanner(BatchPlanner):
             if out:
                 yield pd.DataFrame(out, columns=out_names)
 
+        if key_names and self.window_key_buckets:
+            from .bucketing import bucketed_stateful
+
+            return bucketed_stateful(
+                df, key_names, self.window_key_buckets, proc, out_schema,
+                GroupStateTimeout.NoTimeout,
+            )
         if key_names:
             grouped = df.groupBy(*[F.col(k) for k in key_names])
         else:
@@ -1077,6 +1108,13 @@ class StreamingPlanner(BatchPlanner):
             if out:
                 yield pd.DataFrame(out, columns=out_names)
 
+        if key_names and self.window_key_buckets:
+            from .bucketing import bucketed_stateful
+
+            return bucketed_stateful(
+                df, key_names, self.window_key_buckets, proc, out_schema,
+                GroupStateTimeout.NoTimeout,
+            )
         if key_names:
             grouped = df.groupBy(*[F.col(k) for k in key_names])
         else:
