@@ -1627,70 +1627,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates queries() in dict order and records
-# only the FIRST 50 entries, so the window is ROTATED each round. Round 9
-# (VERDICT r8 asks #2/#6; leads frozen in ROUND8_NOTES.md §'Round-9 window
-# leads'): positions 1-48 are ALL forty-eight entries whose latest driver
-# row is r6, in registration order starting at `projection_expressions`
-# exactly as the frozen lead names; the two remaining fill slots go to the
-# trained-ANN pair VERDICT r8 ask #6 requires under the gate this round
-# (`ann_pq_trained_topk`, `ann_ivfpq_residual` — last gated r7, rewritten
-# in round 8 by the fused Lloyd trainer and the join-free residual path).
-# After this round no registered entry's latest driver row is older than
-# r7. The r7/r8-green entries outside the window are still value-checked
-# by the builder's full local mirror (scripts/verify_oracle.py) each round.
-_R9_WINDOW = [
-    # 1-48: latest driver row is r6 (registration order)
-    "projection_expressions",
-    "group_agg",
-    "having_filter",
-    "order_limit",
-    "order_limit_offset",
-    "distinct_count",
-    "stddev_agg",
-    "forever_aggregates",
-    "scalar_functions",
-    "json_functions",
-    "union_fan_in",
-    "tpch_q12ish_priority",
-    "dedup_semantic",
-    "events_sessionize",
-    "events_retention",
-    "pipeline_mixture_weights",
-    "text_zipf",
-    "events_funnel",
-    "events_active_rolling",
-    "events_interval_join",
-    "events_zscore",
-    "pipeline_stratified_sample",
-    "text_source_rollup",
-    "events_transitions",
-    "text_bigram_pmi",
-    "text_textrank",
-    "events_hll_users",
-    "text_hll_shingles",
-    "text_cms_heavyhitters",
-    "dedup_substring_spans",
-    "pipeline_bloom_contamination",
-    "text_gopher_rules",
-    "pipeline_dsir_weights",
-    "events_topk_paths",
-    "text_inverted_index",
-    "text_source_kl",
-    "events_rfm",
-    "events_cooccurrence",
-    "multimodal_image_neardup",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "pipeline_dsir_resample",
-    "ann_sq_topk",
-    "text_dataset_card",
-    "events_attribution",
-    "dedup_cluster_sizes",
-    "pipeline_exact_k_sample",
-    "pipeline_quality_budget",
-    # 49-50: VERDICT r8 ask #6 — the round-8-rewritten trained-ANN pair
-    "ann_pq_trained_topk",
-    "ann_ivfpq_residual",
+# only the FIRST 50 entries, so the window is ROTATED each round. Round 10
+# (VERDICT r9 ask #2; leads frozen in ROUND9_NOTES.md §'Round-10 window
+# leads'): positions 1-47 are ALL forty-seven entries whose latest driver
+# row is r7, in registration order starting at `pipeline_fuzzy_contamination`
+# (the r7-gated 49 minus the trained-ANN pair re-gated in the r9 window);
+# the three remaining fill slots go to the family entries the frozen lead
+# names (`window_cron_family`, `join_outer_family`, `join_windowed_family`
+# — the entries carrying the most variants per row). After this round no
+# registered entry's latest driver row is older than r8. The r8/r9-green
+# entries outside the window are still value-checked by the builder's full
+# local mirror (scripts/verify_oracle.py) each round.
+_R10_WINDOW = [
+    # 1-47: latest driver row is r7 (registration order)
+    "pipeline_fuzzy_contamination",
+    "text_length_percentiles",
+    "tpch_q10ish_returns",
+    "pipeline_quality_topfrac",
+    "custom_stream_fn",
+    "custom_window",
+    "text_dedup_stats",
+    "pipeline_embed",
+    "pipeline_contamination_gate",
+    "tpch_q18ish_bigorders",
+    "tpch_q1_pricing",
+    "pattern_followed_by",
+    "tpch_q3_shipping",
+    "tpch_q5ish_revenue",
+    "dedup_exact",
+    "custom_udaf",
+    "pattern_first_match",
+    "pattern_within",
+    "pattern_absence",
+    "sequence_quantifier",
+    "ann_cosine_topk",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_verified",
+    "dedup_clusters",
+    "dedup_fuzzy_keep",
+    "pipeline_cdc_chunks",
+    "dedup_containment",
+    "dedup_simhash_hamming",
+    "text_pii_scrub",
+    "text_boilerplate_ngrams",
+    "text_tfidf_top_terms",
+    "text_lm_score",
+    "text_source_stats",
+    "text_quality",
+    "text_language_id",
+    "text_repetition",
+    "pipeline_novelty",
+    "pipeline_curate",
+    "pipeline_weighted_sample",
+    "pipeline_contamination",
+    "pipeline_pack",
+    "pipeline_chunk_dedup",
+    "ann_ivf_topk",
+    "ann_kmeans_clusters",
+    "ann_ivfsq_topk",
+    "pipeline_cluster_balanced",
+    # 48-50: VERDICT r9 ask #2 fill — the frozen lead's family entries
+    "window_cron_family",
+    "join_outer_family",
+    "join_windowed_family",
 ]
 
 
@@ -1874,12 +1874,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
-    if len(_R9_WINDOW) != 50 or not set(_R9_WINDOW) <= set(q):
+    if len(_R10_WINDOW) != 50 or not set(_R10_WINDOW) <= set(q):
         raise RuntimeError(
-            f"driver window invariant violated: {len(_R9_WINDOW)} entries, "
-            f"unknown: {sorted(set(_R9_WINDOW) - set(q))}"
+            f"driver window invariant violated: {len(_R10_WINDOW)} entries, "
+            f"unknown: {sorted(set(_R10_WINDOW) - set(q))}"
         )
-    ordered = {k: q[k] for k in _R9_WINDOW}
+    ordered = {k: q[k] for k in _R10_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
