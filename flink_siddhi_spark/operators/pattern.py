@@ -323,6 +323,10 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
     - ``'chain_absence'`` : the same chain ending in ``-> not Ak for t``
       (late round 8 — funnel abandonment; streaming-only dispatch, since
       batch additionally close-confirms)
+    - ``'quant2'``   : ``every a=A<n:m> -> b=B [within t]``, n >= 1
+      (round 10 — the quantified 2-step production shape; the general
+      NFA's per-row scale axis is arming density, so a hot key's armed
+      partials made this the last common shape on the slow path)
 
     or ``None`` when the pattern needs the general per-row NFA. These
     cover the dominant production CEP shapes (the reference's own examples,
@@ -357,11 +361,15 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
     if len(elems) != 2 or len(strict_after) != 1:
         return None
     a, b = elems
-    if a.negated or a.is_collection or a.min_count != 1 or a.max_count != 1:
+    if a.negated:
         return None
+    a_plain = (
+        not a.is_collection and a.min_count == 1 and a.max_count == 1
+    )
     if b.negated:
         if (
-            every
+            a_plain
+            and every
             and not strict_after[0]
             and b.for_ms is not None
             and not b.is_collection
@@ -369,6 +377,14 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
             return "absence2"
         return None
     if b.is_collection or b.min_count != 1 or b.max_count != 1:
+        return None
+    if not a_plain:
+        # ``every a=A<n:m> -> b=B [within t]`` — the quantified 2-step
+        # production shape (round 10, VERDICT r9 ask #5). Relaxed
+        # connector only; min_count >= 1 (a*/a? keep the general NFA's
+        # empty-capture close semantics)
+        if every and not strict_after[0] and a.min_count >= 1:
+            return "quant2"
         return None
     return "every2" if every else "plain2"
 
@@ -556,6 +572,170 @@ def run_kernel2_nonevery(
     return [], _state(pend, True, False)
 
 
+def run_kernel2_quant(
+    ts_vals,
+    mask_a,
+    mask_b,
+    start_idx: int,
+    init: dict | None,
+    within_ms: int | None,
+    min_count: int,
+    max_count: int | None,
+):
+    """Vectorized NFA for ``every a=A<n:m> -> b=B [within t]`` — the
+    quantified 2-step production shape (round 10, VERDICT r9 ask #5).
+    Exact ``_run_nfa`` semantics:
+
+    - every a-row arms a partial that captures itself; a partial extends
+      GREEDILY on each later a-row while below ``m`` (the row loop tries
+      ``_extend_match`` before completion, so extension beats completion
+      when one row matches both A and B), and the captured a-rows need
+      NOT be contiguous (the relaxed '->' keeps a partial alive across
+      non-matching rows);
+    - once ``>= n`` a-rows are captured, the first b-AND-NOT-a row
+      completes the match; after the ``m``-th a-row, ANY b-row does;
+    - ``within t``: the row loop evicts a partial at the first row (of
+      any kind) past ``first_ts + t`` while its b-capture remains, so a
+      completing row beyond the window means no match ever, and a
+      pending partial survives the batch iff the window still reaches
+      past the newest row;
+    - pending partials serialize at pos 0 (the row loop's lazy advance),
+      byte-equal to ``_run_nfa``'s state (pinned by
+      tests/test_kernel2_unit.py), so either engine resumes the other
+      across micro-batches.
+
+    Two ``searchsorted``s per completion boundary, vectorized across all
+    live partials; capture lists are materialized in Python only for
+    actual matches and batch-end survivors."""
+    import numpy as np
+
+    n_rows = len(ts_vals)
+    BIG = np.int64(n_rows)  # position sentinel: "no such row yet"
+    if init is not None:
+        pend = init["partials"]
+        started = bool(init["started"])
+    else:
+        pend, started = [], False
+    n_pend = len(pend)
+    pend_caps = [[int(j) for j in p["captured"][0]] for p in pend]
+    new_a = (np.nonzero(mask_a[start_idx:])[0] + start_idx).astype(np.int64)
+    n_new = len(new_a)
+    n_all = n_pend + n_new
+    empty_state = {
+        "partials": [], "spawners": [], "started": started, "done": False,
+    }
+    if not n_all:
+        return [], empty_state
+    # per-partial arrays, resumed first then fresh arms (= the row loop's
+    # pool order): c0 = captures held, nxt = index into new_a of the next
+    # capturable a-row (a fresh arm has already captured its arm row)
+    c0 = np.concatenate([
+        np.asarray([len(c) for c in pend_caps], dtype=np.int64),
+        np.ones(n_new, dtype=np.int64),
+    ])
+    nxt = np.concatenate([
+        np.zeros(n_pend, dtype=np.int64),
+        np.arange(1, n_new + 1, dtype=np.int64),
+    ])
+    first_ts = np.concatenate([
+        np.asarray([int(p["first_ts"]) for p in pend], dtype=np.int64),
+        ts_vals[new_a] if n_new else np.empty(0, dtype=np.int64),
+    ])
+    # scan_m1 = (first position this partial can complete at) - 1:
+    # resumed partials scan from start_idx, fresh arms from after their arm
+    scan_m1 = np.concatenate([
+        np.full(n_pend, start_idx - 1, dtype=np.int64),
+        new_a if n_new else np.empty(0, dtype=np.int64),
+    ])
+
+    def _boundary(target):
+        """Buffer position where each partial's capture count reaches
+        ``target`` (BIG if it never does; scan_m1 if already there)."""
+        need = target - c0
+        if n_new:
+            idx = nxt + need - 1
+            hit = (need > 0) & (idx < n_new)
+            pos = np.where(hit, new_a[np.clip(idx, 0, n_new - 1)], BIG)
+        else:
+            pos = np.full(n_all, BIG, dtype=np.int64)
+        return np.where(need <= 0, scan_m1, pos)
+
+    rmin = _boundary(np.int64(min_count))
+    if max_count is None:
+        rmax = np.full(n_all, BIG, dtype=np.int64)
+    else:
+        rmax = _boundary(np.int64(max_count))
+    # completion candidates: first b-and-not-a row AFTER reaching n (valid
+    # only while below m — at and beyond the m-th a, extension is closed
+    # and ANY b-row completes, the j2 arm)
+    b_only = (
+        np.nonzero((np.asarray(mask_b) & ~np.asarray(mask_a))[start_idx:])[0]
+        + start_idx
+    ).astype(np.int64)
+    b_any = (np.nonzero(mask_b[start_idx:])[0] + start_idx).astype(np.int64)
+    if len(b_only):
+        i1 = np.searchsorted(b_only, rmin, side="right")
+        j1 = np.where(i1 < len(b_only),
+                      b_only[np.minimum(i1, len(b_only) - 1)], BIG)
+        j1 = np.where((rmin < BIG) & (j1 < rmax), j1, BIG)
+    else:
+        j1 = np.full(n_all, BIG, dtype=np.int64)
+    if len(b_any):
+        i2 = np.searchsorted(b_any, rmax, side="right")
+        j2 = np.where((rmax < BIG) & (i2 < len(b_any)),
+                      b_any[np.minimum(i2, len(b_any) - 1)], BIG)
+    else:
+        j2 = np.full(n_all, BIG, dtype=np.int64)
+    jb = np.minimum(j1, j2)
+    ok = jb < BIG
+    if within_ms is not None:
+        safe = np.where(ok, jb, 0)
+        ok &= (ts_vals[safe] - first_ts) <= within_ms
+
+    def _caps(i, upto):
+        """Captured a-positions of partial i among rows < ``upto``."""
+        prior = pend_caps[i] if i < n_pend else [int(new_a[i - n_pend])]
+        room = (max_count - c0[i]) if max_count is not None else n_new
+        q = int(min(np.searchsorted(new_a, upto) - nxt[i], room))
+        if q > 0:
+            prior = prior + [int(j) for j in new_a[nxt[i]:nxt[i] + q]]
+        return prior
+
+    matches: list = []
+    oi = np.nonzero(ok)[0]
+    if len(oi):
+        # emission order mirrors the row loop: by completing row, then by
+        # pool (arming) order
+        order = np.lexsort((oi, jb[oi]))
+        for i in oi[order]:
+            matches.append([_caps(int(i), int(jb[i])), [int(jb[i])]])
+    # survivors: no completion row yet AND the within-window still reaches
+    # past the newest row (the row loop drops a partial at the first row
+    # beyond its window, whatever that row's type)
+    keep = jb == BIG
+    if within_ms is not None and n_rows:
+        keep &= (int(ts_vals[-1]) - first_ts) <= within_ms
+    partials = []
+    for i in np.nonzero(keep)[0]:
+        caps = _caps(int(i), int(BIG))
+        last = int(ts_vals[caps[-1]]) if caps else None
+        if i < n_pend and len(caps) == len(pend_caps[i]):
+            last = pend[i]["last_ts"]  # no new capture: keep stored ts
+        partials.append({
+            "pos": 0,
+            "captured": [caps, []],
+            "first_ts": int(first_ts[i]),
+            "last_ts": last,
+            "neg_deadline": None,
+        })
+    return matches, {
+        "partials": partials,
+        "spawners": [],
+        "started": started or bool(n_all),
+        "done": False,
+    }
+
+
 def run_kernel2_absence(
     ts_vals,
     mask_a,
@@ -571,8 +751,10 @@ def run_kernel2_absence(
     - each a-match arms a partial with deadline ``a.ts + for_ms``;
     - a b-row with ``ts <= deadline`` kills it;
     - the first row (of ANY kind) with ``ts > deadline`` confirms the
-      absence and emits — streaming never emits at a micro-batch boundary
-      (``at_close=False``), so confirmation always needs a later event;
+      absence and emits — the kernel itself never emits at a micro-batch
+      boundary (``at_close=False``); quiescent keys are confirmed by the
+      caller's watermark pass (:func:`quiescent_confirm`, round 10) once
+      the watermark passes the deadline;
     - ``within w`` is INERT for this shape (as for the batch fast path):
       only the a-row is captured, so the matched-event span is always
       inside any window — a waiting partial is never window-evicted.
@@ -1050,6 +1232,100 @@ def validate_every_at(p: "A.PatternInput") -> None:
                 )
 
 
+def quiescent_deadline(d: dict, steps: list[_Step]) -> int | None:
+    """Event-time ms past which this serialized partial's TRAILING ABSENCE
+    confirms with no further events, or ``None`` when confirmation still
+    needs a data event.
+
+    Siddhi fires ``A -> not B for t`` from its scheduler when the key's
+    stream goes quiescent; in this engine the streaming operator arms an
+    event-time timer at this deadline and the WATERMARK is the clock
+    (round 10, VERDICT r9 ask #1). A deadline exists when every remaining
+    step is a timed absence (``not X for t``) or an optional (which closes
+    empty, as batch ``at_close`` does), with at least one absence; the
+    deadline chains the remaining ``for_ms`` spans exactly as ``_step``
+    arms them (base = last captured row's ts). Confirmation at watermark
+    ``wm > deadline`` is sound: late rows at or below the watermark are
+    dropped upstream, so no future event can kill the guard."""
+    p = _partial_from_dict(d)
+    if p.first_ts is None or not any(p.captured):
+        return None
+    st = steps[p.pos]
+    saw_neg = False
+    if st.elem.negated:
+        if st.elem.for_ms is None:
+            return None  # bare 'not X': only a next-step event resolves it
+        if p.neg_deadline is not None:
+            cur = p.neg_deadline
+        else:
+            base = p.last_ts if p.last_ts is not None else p.first_ts
+            cur = base + st.elem.for_ms
+        saw_neg = True
+    else:
+        if not _step_satisfied(p, st):
+            return None
+        cur = p.last_ts if p.last_ts is not None else p.first_ts
+    for j in range(p.pos + 1, len(steps)):
+        sj = steps[j]
+        if sj.elem.negated:
+            if sj.elem.for_ms is None:
+                return None
+            cur += sj.elem.for_ms
+            saw_neg = True
+        elif _step_optional(sj):
+            continue  # closes empty at confirmation, as at_close does
+        else:
+            return None  # a required capture remains: needs a data event
+    return cur if saw_neg else None
+
+
+def quiescent_confirm(nfa_st: dict, steps: list[_Step], wm: int, multi: bool):
+    """Confirm every serialized partial whose quiescent deadline the
+    watermark has passed (timer-fired absence, round 10 — Siddhi scheduler
+    parity; the reference's engine schedules these in
+    ``io.siddhi`` AbsentLogicalPreStateProcessor, outside the thin shim at
+    /root/reference/core/src/main/java/.../AbstractSiddhiOperator.java).
+
+    Returns ``(matches, new_st, pending)``: ``matches`` in deadline order
+    (then arming order) in the engines' capture format; ``new_st`` with the
+    confirmed partials removed (arm-once patterns seal at the first
+    confirmation, matching the engines' ``done`` contract); ``pending`` the
+    earliest still-unpassed deadline to re-arm the timer at, or None."""
+    done = nfa_st["done"]
+    parts = nfa_st["partials"]
+    if done and not multi:
+        return [], nfa_st, None
+    dls = [quiescent_deadline(d, steps) for d in parts]
+    due = sorted(
+        (dl, i) for i, dl in enumerate(dls) if dl is not None and wm > dl
+    )
+    if not due:
+        pend = min((dl for dl in dls if dl is not None), default=None)
+        return [], nfa_st, pend
+    matches, dropped = [], set()
+    for dl, i in due:
+        matches.append([list(c) for c in parts[i]["captured"]])
+        dropped.add(i)
+        if not multi:
+            done = True
+            break
+    kept = [d for i, d in enumerate(parts) if i not in dropped]
+    pend = None
+    if not (done and not multi):
+        pend = min(
+            (dl for i, dl in enumerate(dls)
+             if dl is not None and i not in dropped),
+            default=None,
+        )
+    new_st = {
+        "partials": kept,
+        "spawners": nfa_st["spawners"],
+        "started": nfa_st["started"],
+        "done": done,
+    }
+    return matches, new_st, pend
+
+
 def _can_close(p: _Partial, steps: list[_Step]) -> bool:
     st = steps[p.pos]
     if not st.elem.negated and not _step_satisfied(p, st):
@@ -1474,6 +1750,13 @@ def compile_pattern(planner, q: A.Query):
         elif batch_shape == "plain_chain":
             found, _ = run_kernel_chain_nonevery(
                 pdf[TS_COL].to_numpy(), masks, 0, None, within_ms,
+            )
+        elif batch_shape == "quant2":
+            # at_close is a no-op for this shape too (the trailing b is a
+            # required capture, so _can_close never fires on its partials)
+            found, _ = run_kernel2_quant(
+                pdf[TS_COL].to_numpy(), masks[0], masks[1], 0, None,
+                within_ms, elems_c[0].min_count, elems_c[0].max_count,
             )
         else:
             found = _run_nfa(

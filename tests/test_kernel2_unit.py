@@ -18,6 +18,7 @@ from flink_siddhi_spark.operators.pattern import (
     run_kernel2,
     run_kernel2_absence,
     run_kernel2_nonevery,
+    run_kernel2_quant,
     run_kernel3,
 )
 from flink_siddhi_spark.siddhiql import ast as A
@@ -138,9 +139,29 @@ def test_kernel2_shape_classifier():
     assert kernel2_shape(_abs_elems(None), True, None, [False]) is None
     assert kernel2_shape(ab, False, None, [False]) is None
     assert kernel2_shape(e2, True, 1, [False]) is None
+    # quantified first element = quant2 (round 10): every + relaxed only,
+    # min_count >= 1; strict / non-every / a* / a? keep the general NFA
     q = [A.PatternElem(stream="s", alias="a", min_count=1, max_count=2),
          A.PatternElem(stream="s", alias="b")]
-    assert kernel2_shape(q, True, None, [False]) is None
+    assert kernel2_shape(q, True, None, [False]) == "quant2"
+    qp = [A.PatternElem(stream="s", alias="a", min_count=2, max_count=None),
+          A.PatternElem(stream="s", alias="b")]
+    assert kernel2_shape(qp, True, None, [False]) == "quant2"
+    assert kernel2_shape(q, True, None, [True]) is None
+    assert kernel2_shape(q, False, None, [False]) is None
+    q0 = [A.PatternElem(stream="s", alias="a", min_count=0, max_count=2),
+          A.PatternElem(stream="s", alias="b")]
+    assert kernel2_shape(q0, True, None, [False]) is None
+    qopt = [A.PatternElem(stream="s", alias="a", min_count=0, max_count=1),
+            A.PatternElem(stream="s", alias="b")]
+    assert kernel2_shape(qopt, True, None, [False]) is None
+    # quantified a with a QUANTIFIED or negated b stays on the NFA
+    qq = [A.PatternElem(stream="s", alias="a", min_count=1, max_count=2),
+          A.PatternElem(stream="s", alias="b", min_count=1, max_count=2)]
+    assert kernel2_shape(qq, True, None, [False]) is None
+    qn = [A.PatternElem(stream="s", alias="a", min_count=1, max_count=2),
+          A.PatternElem(stream="s", alias="b", negated=True, for_ms=500)]
+    assert kernel2_shape(qn, True, None, [False]) is None
     # k-step relaxed every = chain (late round 8); strict / non-every /
     # negated / quantified chains still fall to the general NFA
     e3 = e2 + [A.PatternElem(stream="s", alias="c")]
@@ -569,3 +590,80 @@ def test_kernel_chain_nonevery_state_interops_with_general_nfa():
             trial, k, within, ts.tolist(), [m.tolist() for m in masks],
         )
         assert _state_key_full(k_st2) == _state_key_full(g_st2), (trial, k)
+
+
+# ------------------------------------------------- round-10 quant2 shape
+def _q_elems(n, m):
+    return [
+        A.PatternElem(stream="s", alias="a", min_count=n, max_count=m),
+        A.PatternElem(stream="s", alias="b"),
+    ]
+
+
+def _run_general_quant(ts, ma, mb, start, init, within, n, m):
+    rows = pd.DataFrame({TS_COL: ts})
+    return _run_nfa(
+        rows, [ma, mb], _q_elems(n, m), [False], True, within,
+        at_close=False, start_idx=start, init=init, return_state=True,
+    )
+
+
+def test_kernel2_quant_matches_general_nfa_randomized():
+    """quant2 (`every a<n:m> -> b [within t]`, round 10): kernel vs general
+    NFA on 600 randomized feeds with OVERLAPPING a/b masks (greedy
+    extension beats completion when one row matches both), full state
+    equality including last_ts. Exact match lists, not sorted — emission
+    order is part of the contract."""
+    rng = random.Random(11)
+    for trial in range(600):
+        nr = rng.randint(0, 28)
+        ts = np.sort(
+            np.array([rng.randint(0, 40) * 100 for _ in range(nr)], np.int64)
+        )
+        ma = np.array([rng.random() < 0.35 for _ in range(nr)], bool)
+        mb = np.array([rng.random() < 0.35 for _ in range(nr)], bool)
+        within = rng.choice([None, 550, 1250])
+        n = rng.randint(1, 3)
+        m = rng.choice([n, n + 1, n + 2, None])
+        got_m, got_st = run_kernel2_quant(ts, ma, mb, 0, None, within, n, m)
+        want_m, want_st = _run_general_quant(ts, ma, mb, 0, None, within, n, m)
+        assert got_m == want_m, (
+            trial, n, m, within, ts.tolist(), ma.tolist(), mb.tolist(),
+        )
+        assert _state_key_full(got_st) == _state_key_full(want_st), (
+            trial, n, m, within,
+        )
+
+
+def test_kernel2_quant_state_interops_with_general_nfa():
+    """Batch 1 through one engine, batch 2 through the OTHER — the shared
+    partial format continues identically (the streaming out-of-order
+    fallback relies on it)."""
+    rng = random.Random(23)
+    for trial in range(400):
+        n1, n2 = rng.randint(1, 14), rng.randint(1, 14)
+        t1 = np.sort(
+            np.array([rng.randint(0, 20) * 100 for _ in range(n1)], np.int64)
+        )
+        t2 = np.sort(np.array(
+            [int(t1[-1]) + 100 + rng.randint(0, 20) * 100 for _ in range(n2)],
+            np.int64,
+        ))
+        ts = np.concatenate([t1, t2])
+        ma = np.array([rng.random() < 0.4 for _ in range(n1 + n2)], bool)
+        mb = np.array([rng.random() < 0.4 for _ in range(n1 + n2)], bool)
+        within = rng.choice([None, 750, 1500])
+        n = rng.randint(1, 3)
+        m = rng.choice([n, n + 2, None])
+        k1, k_st = run_kernel2_quant(ts[:n1], ma[:n1], mb[:n1], 0, None,
+                                     within, n, m)
+        g1, g_st = _run_general_quant(ts[:n1], ma[:n1], mb[:n1], 0, None,
+                                      within, n, m)
+        assert k1 == g1, (trial, n, m)
+        assert _state_key_full(k_st) == _state_key_full(g_st), (trial, n, m)
+        k2, k_st2 = run_kernel2_quant(ts, ma, mb, n1, g_st, within, n, m)
+        g2, g_st2 = _run_general_quant(ts, ma, mb, n1, k_st, within, n, m)
+        assert k2 == g2, (
+            trial, n, m, within, ts.tolist(), ma.tolist(), mb.tolist(),
+        )
+        assert _state_key_full(k_st2) == _state_key_full(g_st2), (trial, n, m)

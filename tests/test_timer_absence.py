@@ -1,0 +1,72 @@
+"""Timer-fired absence confirmation (round 10, VERDICT r9 ask #1).
+
+Siddhi fires ``A -> not B for t`` from its scheduler (the engine inside the
+reference's ``io.siddhi:siddhi-core`` dependency; the shim at
+core/src/main/java/.../AbstractSiddhiOperator.java feeds it events but the
+timer is the engine's own) — a key whose stream goes silent still confirms
+its pending absences. Before round 10 this engine only confirmed on the
+key's (or bucket's) next data visit; the CQL pattern operator now runs under
+``EventTimeTimeout`` with the timer armed at the earliest pending absence
+deadline, so the WATERMARK (advanced by other keys' traffic) is the clock.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from .test_patterns_r8 import ABSENCE_CQL
+from .test_property_patterns_r7 import _run_streaming
+
+# key 1 arms at ts=1000 (deadline 4500) then goes SILENT; key 2's traffic
+# drives the watermark (delay 10s) far past the deadline. No key-1 row ever
+# arrives after the arm — only the event-time timer can confirm.
+QUIET_ROWS = [
+    (0, "x", 1_000, 1),     # key 1 arms; no key-1 row ever again
+    (1, "z", 2_000, 2),
+    (2, "z", 30_000, 2),    # after this batch wm = 20s > deadline 4.5s
+    (3, "z", 31_000, 2),
+    (4, "z", 60_000, 2),
+    (5, "z", 61_000, 2),
+]
+QUIET_BATCHES = [QUIET_ROWS[:2], QUIET_ROWS[2:4], QUIET_ROWS[4:]]
+
+
+@pytest.mark.parametrize("kwargs", [{}, {"pattern_key_buckets": 4}],
+                         ids=["per_key", "bucketed"])
+def test_quiescent_key_absence_confirms(spark, kwargs):
+    root = tempfile.mkdtemp(prefix="timerabs_")
+    try:
+        got = sorted(
+            (int(r.u), r.a_id)
+            for r in _run_streaming(spark, QUIET_BATCHES, ABSENCE_CQL, root,
+                                    **kwargs)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    assert got == [(1, 0)]
+
+
+def test_quiescent_confirm_exactly_once(spark):
+    """The timer confirmation must not re-emit when later traffic on the
+    same key triggers the full-rerun path (content-hash dedup) — key 1 gets
+    a very late row AFTER the timer already confirmed."""
+    rows = [
+        (0, "x", 1_000, 1),
+        (1, "z", 2_000, 2),
+        (2, "z", 30_000, 2),   # wm -> 20s: timer confirms key 1
+        (3, "z", 31_000, 2),
+        (4, "z", 40_000, 1),   # key 1 revisited after the timer confirm
+        (5, "z", 60_000, 2),
+    ]
+    batches = [rows[:2], rows[2:4], rows[4:]]
+    root = tempfile.mkdtemp(prefix="timerabs1x_")
+    try:
+        got = sorted(
+            (int(r.u), r.a_id)
+            for r in _run_streaming(spark, batches, ABSENCE_CQL, root)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    assert got == [(1, 0)]
