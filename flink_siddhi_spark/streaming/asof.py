@@ -46,10 +46,19 @@ def streaming_asof_enrich(
     right_ts: str,
     payload: list[str] | None = None,
     max_history: int = 64,
+    key_buckets: int | None = None,
 ) -> DataFrame:
     """Enrich streaming ``left`` with the latest ``right`` row whose
     ``right_ts <= left_ts`` per ``on`` key. Returns the left columns plus
-    the (nullable) payload columns."""
+    the (nullable) payload columns.
+
+    ``key_buckets=N`` (round 10, VERDICT r9 ask #3) runs the UNCHANGED
+    per-key proc through the generic bucketed adapter
+    (streaming/bucketing.py — the pickled history rides the adapter's
+    base64 wrapper): one Arrow group + GroupState visit serves ~keys/N
+    keys, amortizing the fixed per-key-visit machinery on
+    high-cardinality key spaces; semantics-invisible (PARITY.md
+    deviation 18)."""
     if payload is None:
         payload = [c for c in right.columns if c not in (on, right_ts)]
 
@@ -118,6 +127,13 @@ def streaming_asof_enrich(
             out[c] = [vals.iloc[i] if i >= 0 else None for i in idx]
         yield out
 
+    if key_buckets:
+        from .bucketing import bucketed_stateful
+
+        return bucketed_stateful(
+            u, [on], key_buckets, proc, out_schema,
+            GroupStateTimeout.NoTimeout,
+        )
     return u.groupBy(F.col(on)).applyInPandasWithState(
         proc, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )

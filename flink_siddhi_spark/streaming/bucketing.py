@@ -18,10 +18,12 @@ away from their state — fail loudly, never silently).
 
 from __future__ import annotations
 
+import base64 as _b64
 import json as _json
 from typing import Callable, Iterator
 
 import pandas as pd
+from pyspark.errors import PySparkRuntimeError
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -48,6 +50,20 @@ BUCKET_STATE_SCHEMA = T.StructType(
 )
 
 
+def _enc(v):
+    """json-encode one state-tuple field; bytes ride as base64 (round 10 —
+    lets binary-state procs like the streaming as-of join run bucketed)."""
+    if isinstance(v, (bytes, bytearray)):
+        return {"__b64": _b64.b64encode(bytes(v)).decode("ascii")}
+    return v
+
+
+def _dec(v):
+    if isinstance(v, dict) and "__b64" in v:
+        return _b64.b64decode(v["__b64"])
+    return v
+
+
 class _KeyState:
     """GroupState shim for ONE member key of a bucket.
 
@@ -55,7 +71,8 @@ class _KeyState:
     ``exists`` / ``get`` / ``update`` / ``remove`` / ``hasTimedOut`` /
     ``getCurrentWatermarkMs`` / ``setTimeoutTimestamp``. State rides as a
     json blob (the procs' state tuples are json-serializable by
-    construction: strings, string arrays, ints)."""
+    construction — strings, string arrays, ints — plus bytes via a tagged
+    base64 wrapper)."""
 
     __slots__ = ("exists", "blob", "fire", "dirty", "removed",
                  "_wm", "_timed_out")
@@ -71,7 +88,7 @@ class _KeyState:
 
     @property
     def get(self):
-        return tuple(_json.loads(self.blob))
+        return tuple(_dec(x) for x in _json.loads(self.blob))
 
     @property
     def hasTimedOut(self):
@@ -81,7 +98,7 @@ class _KeyState:
         return self._wm
 
     def update(self, t):
-        self.blob = _json.dumps(list(t))
+        self.blob = _json.dumps([_enc(x) for x in t])
         self.exists = True
         self.dirty = True
         self.removed = False
@@ -151,7 +168,12 @@ def bucketed_stateful(
                     per_key[kenc] = (kt, [sub])
                 else:
                     prev[1].append(sub)
-        wm = state.getCurrentWatermarkMs()
+        try:
+            wm = state.getCurrentWatermarkMs()
+        except PySparkRuntimeError:
+            # stream has no watermark (NoTimeout procs that never read the
+            # clock, e.g. the as-of join) — expose 0 like Spark does pre-wm
+            wm = 0
         due = (
             [k_ for k_, v in st.items()
              if v[1] <= wm and k_ not in per_key]
