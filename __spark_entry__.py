@@ -318,6 +318,53 @@ def q_join_right_outer(spark, sf_dir):
     ).returns("Out")
 
 
+def q_window_bucketed_stream(spark, sf_dir):
+    """`#window.time(t)` through the STREAMING planner with
+    `window_key_buckets=32` (round 10, VERDICT r9 ask #6): the generic
+    bucketed adapter (streaming/bucketing.py) runs the unchanged per-key
+    time-window proc for ~users/32 users per Arrow group. The events table
+    is staged to a temp dir, drained availableNow through the bucketed
+    lowering into a memory sink, and the per-event trailing-window count is
+    oracle-checked against DuckDB's RANGE frame — the driver-visible
+    correctness artifact for the bucketed window lowering (every other
+    window entry runs the BATCH planner). (user_id, ts) is unique at every
+    SF, so the per-arrival emission is order-deterministic."""
+    import tempfile
+    import uuid
+
+    from flink_siddhi_spark.schema import StreamSchema
+    from flink_siddhi_spark.siddhiql.parser import parse as _parse
+    from flink_siddhi_spark.sources.streams import to_memory
+    from flink_siddhi_spark.streaming.runtime import StreamingPlanner
+
+    feed = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id", "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="wb_feed_")
+    feed.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.format("parquet").schema(feed.schema).load(d)
+    catalog = {
+        "E": StreamSchema(
+            "E", stream, ["event_id", "user_id", "ts_ms"], ts_field="ts_ms"
+        )
+    }
+    planner = StreamingPlanner(
+        catalog, watermark_delay="0 seconds", window_key_buckets=32
+    )
+    df = planner.compile_query(_parse(
+        "from E#window.time(300000) select event_id, user_id, "
+        "count() as n_win group by user_id insert into Out;"
+    ).queries[0])
+    name = f"m_wbucket_{uuid.uuid4().hex[:8]}"
+    q = to_memory(df, name, checkpoint=tempfile.mkdtemp(prefix="ck_wb_"))
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def q_window_cron_family(spark, sf_dir):
     """Tagged union of the five cron-window variants (round-7 consolidation,
     VERDICT r6 ask #2): every-10-min, weekly calendar (MON 09:30), weekday
@@ -1869,6 +1916,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation). Each replaces its variants' individual registrations;
         # the tag column keeps every variant value-asserted in one oracle.
         "window_cron_family": q_window_cron_family,
+        # round 10 (VERDICT r9 ask #6): the bucketed STREAMING window
+        # lowering under the driver oracle (registered post-window; joins
+        # the r11 rotation)
+        "window_bucketed_stream": q_window_bucketed_stream,
         "join_outer_family": q_join_outer_family,
         "join_windowed_family": q_join_windowed_family,
     }
@@ -2476,6 +2527,11 @@ def oracle_sql() -> dict[str, str]:
         "window_sliding_time": (
             f"SELECT event_id, count(*) OVER (PARTITION BY user_id ORDER BY {_EMS} "
             "RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW) n FROM events"
+        ),
+        "window_bucketed_stream": (
+            f"SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id "
+            f"ORDER BY {_EMS} RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) "
+            "AS n_win FROM events"
         ),
         "window_sort": (
             "SELECT event_id, value FROM events "
