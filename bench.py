@@ -144,6 +144,10 @@ HEADLINE = [
     "ann_ivfsq_topk",
     "ann_ivfpq_residual",
     "pipeline_cluster_balanced",
+    # round 10 (VERDICT r9 ask #6): the bucketed STREAMING window lowering
+    # under the headline ledger (92nd row — note the +1 when comparing
+    # totals to the r9 map)
+    "window_bucketed_stream",
 ]
 
 _TRAINED_ARTIFACTS: dict[str, dict] = {}
@@ -531,6 +535,18 @@ def _streaming_throughput_bench(spark, sf_dir: str) -> dict:
             "funnel_stream_bucketed_10x": lambda: funnel_stream(
                 amp_plain_stream(), ("view", "click", "purchase"),
                 within_ms=3_600_000, watermark="1 hour", key_buckets=1024,
+            ),
+            # round 10 (VERDICT r9 ask #5): the quantified 2-step shape now
+            # dispatches the vectorized quant2 kernel instead of the
+            # general per-row NFA (same CQL as the round-9 general-NFA
+            # probe; the absence row above also exercises the round-10
+            # EventTimeTimeout timer path)
+            "cep_pattern_quant_10x": lambda: amp_cql_plan(
+                "partition with (user_id of events) begin "
+                "from every e = events[event_type == 'error']<1:2> "
+                "  -> p = events[event_type == 'purchase'] within 10 min "
+                "select e[0].user_id as user_id, p.event_id as purchase_id "
+                "insert into Out; end"
             ),
         }
         for name, build in sustained.items():
