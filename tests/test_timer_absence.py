@@ -16,7 +16,7 @@ import tempfile
 
 import pytest
 
-from .test_patterns_r8 import ABSENCE_CQL
+from .test_patterns_r8 import ABSENCE_CQL, _batch_collect
 from .test_property_patterns_r7 import _run_streaming
 
 # key 1 arms at ts=1000 (deadline 4500) then goes SILENT; key 2's traffic
@@ -70,3 +70,45 @@ def test_quiescent_confirm_exactly_once(spark):
     finally:
         shutil.rmtree(root, ignore_errors=True)
     assert got == [(1, 0)]
+
+
+def test_quiescent_absence_parity_fuzz(spark):
+    """12 randomized 2-key feeds with NO per-key tail sentinels — every
+    pending absence must resolve from the TIMER (the pre-round-10 engine
+    emitted nothing for these keys). A single far-future sentinel on a
+    third key in the last batch pushes the final watermark past every
+    deadline, and Spark's final no-data batch fires the due timers, so
+    streaming == batch (whose at_close confirms the same partials)
+    row-for-row."""
+    import random
+
+    rng = random.Random(104)
+    for trial in range(12):
+        n = rng.randint(8, 16)
+        rows, ts = [], 0
+        for i in range(n):
+            ts += rng.randint(2, 6) * 1000
+            rows.append((i, rng.choice("xyzz"), ts, rng.randint(1, 2)))
+        gmax = rows[-1][2]
+        # one sentinel on key 3 only: wm_final = gmax + 30s - 10s delay
+        # > every deadline (a.ts + 3.5s); keys 1/2 stay QUIESCENT
+        sentinel = [(900, "z", gmax + 30_000, 3)]
+        batches = [
+            rows[: n // 2],
+            rows[n // 2: 3 * n // 4],
+            rows[3 * n // 4:] + sentinel,
+        ]
+        all_rows = rows + sentinel
+        root = tempfile.mkdtemp(prefix="quietfuzz_")
+        try:
+            got = sorted(
+                (int(r.u), r.a_id)
+                for r in _run_streaming(spark, batches, ABSENCE_CQL, root)
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        want = sorted(
+            (int(r.u), r.a_id)
+            for r in _batch_collect(spark, all_rows, ABSENCE_CQL)
+        )
+        assert got == want, (trial, all_rows)
