@@ -1404,6 +1404,13 @@ class StreamingPlanner(BatchPlanner):
         can_evict = every and every_at is None and (
             within_ms is not None or has_neg
         )
+        # EventTimeTimeout serves two jobs (round 10): absence confirmation
+        # (has_neg) and state GC for evictable every-patterns — a key whose
+        # buffer AND partials empty out can be REMOVED (nothing is
+        # re-derivable, and the watermark bars older arrivals), so state
+        # rows track ACTIVE keys, not lifetime keys (session-id churn at
+        # scale). Arm-once patterns keep their seal tombstone.
+        use_timeout = has_neg or can_evict
 
         # vectorizable 2-step shape -> numpy kernel instead of the row loop
         shape2 = (
@@ -1440,9 +1447,13 @@ class StreamingPlanner(BatchPlanner):
             kernel/NFA, confirm watermark-passed trailing absences
             (timer-fired, round 10 — Siddhi scheduler parity), dedup
             emissions. Returns ``(seen, buf_json, nfa_json, rows,
-            new_caps, changed, pend)`` where ``pend`` is the earliest
-            still-pending absence deadline (ms) to arm the event-time
-            timer at, or None.
+            new_caps, changed, timer, removable)``: ``timer`` is the
+            event-time ms to arm the timeout at (earliest pending absence
+            confirmation or GC horizon), or None; ``removable`` means the
+            key's state can be DROPPED — empty buffer and no live
+            partials, so nothing is re-derivable and the watermark bars
+            older arrivals (state rows then track active keys, not
+            lifetime keys).
 
             This is the only compute in the stateful pattern operator —
             shared verbatim by the per-key and bucketed (multi-key Arrow
@@ -1463,7 +1474,10 @@ class StreamingPlanner(BatchPlanner):
                 # once emitted the buffer is dead weight and late arrivals
                 # cannot retract the emission — drop everything, keep the
                 # done marker so every later batch is a no-op
-                return seen, "[]", nfa_json, [], [], buf_json != "[]", None
+                return (
+                    seen, "[]", nfa_json, [], [], buf_json != "[]",
+                    None, False,
+                )
             n_old = len(rows)
             n_new = len(new_rows)
             # in-order fast path: every new row strictly after the processed
@@ -1656,6 +1670,20 @@ class StreamingPlanner(BatchPlanner):
                 if n_total
                 else (nfa["hwm"] if nfa is not None else None)
             )
+            # timer = earliest actionable watermark instant: pending absence
+            # confirmation (wm > pend), then the GC horizon — the instant
+            # past which the whole buffer is evictable and every live
+            # partial stale, so the timed-out visit drains the key to
+            # removable. removable = nothing re-derivable now (empty buffer
+            # implies empty partials: eviction retains live partials' rows).
+            removable = (
+                multi and can_evict and not rows
+                and not nfa_st["partials"] and not nfa_st["spawners"]
+            )
+            timer = None if pend is None else pend + 1
+            if multi and can_evict and rows:
+                horizon = hwm + (within_ms or 0) + neg_for_max + 1
+                timer = horizon if timer is None else min(timer, horizon)
             return (
                 seen,
                 _json.dumps(rows),
@@ -1663,7 +1691,8 @@ class StreamingPlanner(BatchPlanner):
                 rows,
                 new_caps,
                 True,
-                pend,
+                timer,
+                removable,
             )
 
         def _emit_into(data, new_caps, rows):
@@ -1723,19 +1752,25 @@ class StreamingPlanner(BatchPlanner):
                         d = loads(s)
                         new_rows.append([d[k] for k in pack_keys])
             # a timer-fired visit (key quiescent, watermark passed a pending
-            # absence deadline) carries no rows; _key_step's quiescent pass
-            # does the confirmation work
+            # absence deadline or the GC horizon) carries no rows;
+            # _key_step's quiescent pass does the confirmation/drain work
             wm = state.getCurrentWatermarkMs()
-            seen, buf2, nfa2, rows, new_caps, changed, pend = _key_step(
-                seen, buf_json, nfa_json, new_rows, wm
+            seen, buf2, nfa2, rows, new_caps, changed, timer, removable = (
+                _key_step(seen, buf_json, nfa_json, new_rows, wm)
             )
-            if changed:
-                state.update((seen, buf2, nfa2))
-            if pend is not None:
-                # Siddhi-scheduler parity: wake this key when the watermark
-                # passes the earliest pending absence deadline, even if its
-                # stream goes silent (confirm requires wm > pend, hence +1)
-                state.setTimeoutTimestamp(pend + 1)
+            if removable:
+                if state.exists:
+                    state.remove()
+            else:
+                if changed:
+                    state.update((seen, buf2, nfa2))
+                if timer is not None:
+                    # Siddhi-scheduler parity + state GC: wake this key when
+                    # the watermark passes the earliest pending absence
+                    # deadline or the eviction horizon, even if its stream
+                    # goes silent (a timestamp at/below the watermark is
+                    # rejected, hence the clamp)
+                    state.setTimeoutTimestamp(max(timer, wm + 1))
             if not new_caps:
                 return  # no output build for no-match keys (the common case)
             data = {n: [] for n in out_names}
@@ -1768,9 +1803,10 @@ class StreamingPlanner(BatchPlanner):
                     T.StructField("seens", T.ArrayType(T.StringType())),
                     T.StructField("bufs", T.ArrayType(T.StringType())),
                     T.StructField("nfas", T.ArrayType(T.StringType())),
-                    # per-key earliest pending absence deadline (ms; -1 =
-                    # none) — a parallel long array like the funnel twins'
-                    # fire-times, so due keys are found with zero json work
+                    # per-key next action instant (ms; -1 = none): earliest
+                    # pending absence confirmation or GC horizon — a
+                    # parallel long array like the funnel twins' fire-times,
+                    # so due keys are found with zero json work
                     T.StructField("deads", T.ArrayType(T.LongType())),
                 ]
             )
@@ -1836,55 +1872,67 @@ class StreamingPlanner(BatchPlanner):
                     else:
                         seen = loads(prev[0])
                         buf_json, nfa_json = prev[1], prev[2]
-                    seen, buf2, nfa2, rows, new_caps, changed, pend = (
-                        _key_step(seen, buf_json, nfa_json, new_rows, wm)
+                    (seen, buf2, nfa2, rows, new_caps, changed, timer,
+                     removable) = _key_step(
+                        seen, buf_json, nfa_json, new_rows, wm
                     )
-                    if changed or prev is None:
+                    if removable:
+                        st.pop(kenc, None)
+                    elif changed or prev is None:
                         st[kenc] = [
                             _json.dumps(seen), buf2, nfa2,
-                            -1 if pend is None else pend,
+                            -1 if timer is None else timer,
                         ]
                     if new_caps:
                         if data is None:
                             data = {n: [] for n in out_names}
                         _emit_into(data, new_caps, rows)
-                if has_neg and wm > 0:
-                    # timer-fired absence sweep (round 10): member keys the
-                    # batch did NOT visit but whose earliest pending absence
-                    # deadline the watermark has passed — the deads array
-                    # finds them without touching any other key's blobs
-                    for kenc, rec in st.items():
-                        if kenc in per_key or rec[3] < 0 or wm <= rec[3]:
-                            continue
-                        seen, buf2, nfa2, rows, new_caps, changed, pend = (
-                            _key_step(loads(rec[0]), rec[1], rec[2], [], wm)
+                if use_timeout and wm > 0:
+                    # timer-fired sweep (round 10): member keys the batch
+                    # did NOT visit but whose next action instant (absence
+                    # confirmation or GC horizon) the watermark has passed —
+                    # the deads array finds them with zero blob parsing
+                    for kenc in [
+                        k for k, rec in st.items()
+                        if k not in per_key and rec[3] >= 0 and wm >= rec[3]
+                    ]:
+                        rec = st[kenc]
+                        (seen, buf2, nfa2, rows, new_caps, changed, timer,
+                         removable) = _key_step(
+                            loads(rec[0]), rec[1], rec[2], [], wm
                         )
-                        st[kenc] = [
-                            _json.dumps(seen), buf2, nfa2,
-                            -1 if pend is None else pend,
-                        ]
+                        if removable:
+                            st.pop(kenc, None)
+                        else:
+                            st[kenc] = [
+                                _json.dumps(seen), buf2, nfa2,
+                                -1 if timer is None else timer,
+                            ]
                         if new_caps:
                             if data is None:
                                 data = {n: [] for n in out_names}
                             _emit_into(data, new_caps, rows)
-                ks = list(st)
-                state.update(
-                    (
-                        n_buckets,
-                        ks,
-                        [st[k][0] for k in ks],
-                        [st[k][1] for k in ks],
-                        [st[k][2] for k in ks],
-                        [st[k][3] for k in ks],
+                if st:
+                    ks = list(st)
+                    state.update(
+                        (
+                            n_buckets,
+                            ks,
+                            [st[k][0] for k in ks],
+                            [st[k][1] for k in ks],
+                            [st[k][2] for k in ks],
+                            [st[k][3] for k in ks],
+                        )
                     )
-                )
-                if has_neg:
-                    bucket_pend = min(
-                        (st[k][3] for k in ks if st[k][3] >= 0),
-                        default=None,
-                    )
-                    if bucket_pend is not None:
-                        state.setTimeoutTimestamp(bucket_pend + 1)
+                    if use_timeout:
+                        bucket_t = min(
+                            (st[k][3] for k in ks if st[k][3] >= 0),
+                            default=None,
+                        )
+                        if bucket_t is not None:
+                            state.setTimeoutTimestamp(max(bucket_t, wm + 1))
+                elif state.exists:
+                    state.remove()  # every member key drained: drop the row
                 if data is not None:
                     yield pd.DataFrame(data, columns=out_names, dtype=object)
 
@@ -1892,19 +1940,21 @@ class StreamingPlanner(BatchPlanner):
                 "__bucket",
                 F.pmod(F.xxhash64(F.col(PK_COL)), F.lit(n_buckets)),
             )
-            # absence patterns run under EventTimeTimeout so a quiescent
-            # key's (or bucket's) pending 'not X for t' confirms from the
-            # timer once the watermark passes the deadline — Siddhi fires
-            # these from its scheduler (round 10, VERDICT r9 ask #1)
+            # absence patterns and evictable every-patterns run under
+            # EventTimeTimeout: quiescent keys confirm 'not X for t' from
+            # the timer once the watermark passes the deadline (Siddhi
+            # fires these from its scheduler — round 10, VERDICT r9 ask
+            # #1), and drained keys are GC'd at the eviction horizon so
+            # state tracks active keys, not lifetime keys
             result = df.groupBy("__bucket").applyInPandasWithState(
                 proc_bucket, out_schema, bucket_state_schema, "append",
-                GroupStateTimeout.EventTimeTimeout if has_neg
+                GroupStateTimeout.EventTimeTimeout if use_timeout
                 else GroupStateTimeout.NoTimeout,
             )
         else:
             result = df.groupBy(PK_COL).applyInPandasWithState(
                 proc, out_schema, state_schema, "append",
-                GroupStateTimeout.EventTimeTimeout if has_neg
+                GroupStateTimeout.EventTimeTimeout if use_timeout
                 else GroupStateTimeout.NoTimeout,
             )
 

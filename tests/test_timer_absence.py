@@ -112,3 +112,78 @@ def test_quiescent_absence_parity_fuzz(spark):
             for r in _batch_collect(spark, all_rows, ABSENCE_CQL)
         )
         assert got == want, (trial, all_rows)
+
+
+def _state_rows(progress):
+    rows = []
+    for p in progress:
+        ops = p.get("stateOperators") or []
+        if isinstance(p, dict):
+            rows.append(sum(o.get("numRowsTotal", 0) for o in ops))
+    return rows
+
+
+@pytest.mark.parametrize("kwargs", [{}, {"pattern_key_buckets": 4}],
+                         ids=["per_key", "bucketed"])
+def test_evictable_pattern_state_gc(spark, kwargs):
+    """Round-10 state GC: an `every A -> B within t` key whose buffer and
+    partials drain past the eviction horizon is REMOVED from the state
+    store (state rows track ACTIVE keys, not lifetime keys — the session-id
+    churn bound at scale). Key 1 speaks only in batch 1; key 2's later
+    traffic advances the watermark past key 1's horizon; the total state
+    row count must DROP after the GC timer fires. Output parity is pinned
+    by the unchanged fuzz suites; this test pins the state-size contract."""
+    import json as _json
+    import uuid
+
+    from flink_siddhi_spark import SiddhiCEP
+
+    from .test_property_patterns_r7 import SCHEMA
+
+    rows_b1 = [(0, "x", 1.0, 1_000), (1, "y", 1.0, 1_500)]  # key 1: match
+    rows_b2 = [(2, "z", 2.0, 40_000)]
+    rows_b3 = [(3, "z", 2.0, 80_000), (4, "z", 2.0, 81_000)]
+    cql = (
+        "partition with (price of s) begin "
+        "from every a = s[name == 'x'] -> b = s[name == 'y'] "
+        "within 2000 milliseconds "
+        "select a.id as a_id, b.id as b_id insert into Out; end"
+    )
+    root = tempfile.mkdtemp(prefix="gc_")
+    try:
+        d = os.path.join(root, "in")
+        for b in (rows_b1, rows_b2, rows_b3):
+            spark.createDataFrame(b, SCHEMA).coalesce(1) \
+                .write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.format("parquet").schema(
+                spark.read.parquet(d).schema
+            ).option("maxFilesPerTrigger", 1).load(d)
+        )
+        cep = SiddhiCEP(spark, **kwargs)
+        cep.register_stream(
+            "s", stream, "id", "name", "price", "timestamp",
+            ts_field="timestamp",
+        )
+        name = f"m_gc_{uuid.uuid4().hex[:8]}"
+        q = (
+            cep.from_("s").cql(cql).returns("Out")
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ck"))
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.a_id, r.b_id)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        assert got == [(0, 1)]
+        prog = [_json.loads(p.json) for p in q.recentProgress]
+        counts = _state_rows(prog)
+        # key 1's state existed after batch 1 and is GONE at the end: the
+        # final batches' row count must drop below the peak (key 2's own
+        # live state may remain — strictly fewer rows than the peak)
+        assert max(counts) >= 2 and counts[-1] < max(counts), counts
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
