@@ -42,7 +42,8 @@ class SiddhiCEP:
 
     def __init__(self, spark: SparkSession, watermark_delay: str = "10 seconds",
                  pattern_key_buckets: Optional[int] = None,
-                 window_key_buckets: Optional[int] = None):
+                 window_key_buckets: Optional[int] = None,
+                 pattern_state_purge: bool = False):
         self.spark = spark
         self.catalog: dict[str, StreamSchema] = {}
         self.extensions: dict[str, Callable] = {}
@@ -63,6 +64,14 @@ class SiddhiCEP:
         # generic adapter in streaming/bucketing.py.
         self.pattern_key_buckets = pattern_key_buckets
         self.window_key_buckets = window_key_buckets
+        # round 10: opt-in state GC for evictable every-patterns — remove a
+        # key's state once its buffer and live partials drain past the
+        # eviction horizon, so state rows track ACTIVE keys under key churn
+        # (Siddhi's partition state likewise lives forever unless its
+        # @purge annotation enables purging; this is that knob). Bounded
+        # drains pay one timed-out visit per drained key at the horizon,
+        # hence opt-in. PARITY.md deviation 20.
+        self.pattern_state_purge = pattern_state_purge
 
     # -------------------------------------------------------------- registry
     def register_stream(
@@ -246,6 +255,7 @@ class ExecutionSiddhiStream:
                 aggregations=self.cep.aggregations,
                 pattern_key_buckets=self.cep.pattern_key_buckets,
                 window_key_buckets=self.cep.window_key_buckets,
+                pattern_state_purge=self.cep.pattern_state_purge,
             )
         else:
             planner = BatchPlanner(

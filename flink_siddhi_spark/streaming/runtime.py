@@ -171,10 +171,22 @@ class StreamingPlanner(BatchPlanner):
     def __init__(self, catalog, extensions=None, watermark_delay: str = "10 seconds",
                  max_buffer_per_key: int = 100_000, aggregations=None,
                  pattern_key_buckets: Optional[int] = None,
-                 window_key_buckets: Optional[int] = None):
+                 window_key_buckets: Optional[int] = None,
+                 pattern_state_purge: bool = False):
         super().__init__(catalog, extensions, aggregations)
         self.watermark_delay = watermark_delay
         self.max_buffer_per_key = max_buffer_per_key
+        # state GC for evictable every-patterns (round 10): arm an
+        # event-time timer at each key's eviction horizon and REMOVE keys
+        # whose buffer and live partials drained — state rows then track
+        # ACTIVE keys, not lifetime keys (bounded under session-id churn).
+        # OPT-IN, mirroring the reference engine's @purge annotation
+        # (Siddhi partition state also lives forever unless purging is
+        # enabled): the horizon sweep pays one timed-out visit per drained
+        # key, which bounded-drain benchmarks would otherwise book as
+        # throughput loss. Keys that drain AT a data visit are removed for
+        # free in either mode.
+        self.pattern_state_purge = pattern_state_purge
         # key-heavy amortization (round 9): when set, pattern queries group
         # by pmod(xxhash64(key), N) instead of the raw key, multiplexing
         # ~keys/N keys through ONE Arrow group + GroupState visit per
@@ -1405,12 +1417,14 @@ class StreamingPlanner(BatchPlanner):
             within_ms is not None or has_neg
         )
         # EventTimeTimeout serves two jobs (round 10): absence confirmation
-        # (has_neg) and state GC for evictable every-patterns — a key whose
-        # buffer AND partials empty out can be REMOVED (nothing is
-        # re-derivable, and the watermark bars older arrivals), so state
-        # rows track ACTIVE keys, not lifetime keys (session-id churn at
-        # scale). Arm-once patterns keep their seal tombstone.
-        use_timeout = has_neg or can_evict
+        # (has_neg, always on — the Siddhi scheduler-parity semantics) and
+        # opt-in state GC for evictable every-patterns (purge — see the
+        # constructor note): a key whose buffer AND partials empty out is
+        # REMOVED (nothing is re-derivable, and the watermark bars older
+        # arrivals), so state rows track ACTIVE keys, not lifetime keys.
+        # Arm-once patterns keep their seal tombstone.
+        purge = self.pattern_state_purge and multi and can_evict
+        use_timeout = has_neg or purge
 
         # vectorizable 2-step shape -> numpy kernel instead of the row loop
         shape2 = (
@@ -1681,7 +1695,7 @@ class StreamingPlanner(BatchPlanner):
                 and not nfa_st["partials"] and not nfa_st["spawners"]
             )
             timer = None if pend is None else pend + 1
-            if multi and can_evict and rows:
+            if purge and rows:
                 horizon = hwm + (within_ms or 0) + neg_for_max + 1
                 timer = horizon if timer is None else min(timer, horizon)
             return (
@@ -1726,6 +1740,15 @@ class StreamingPlanner(BatchPlanner):
         ) -> Iterator[pd.DataFrame]:
             import json as _json
 
+            if state.hasTimedOut and not has_neg:
+                # purge timer fired: the last-armed horizon guarantees the
+                # whole buffer evictable and every partial stale — drop the
+                # key without decoding anything (for non-absence patterns a
+                # timed-out visit can never emit)
+                for _ in pdfs:
+                    pass
+                state.remove()
+                return
             if state.exists:
                 seen, buf_json, nfa_json = state.get
                 seen = list(seen)
@@ -1887,7 +1910,16 @@ class StreamingPlanner(BatchPlanner):
                         if data is None:
                             data = {n: [] for n in out_names}
                         _emit_into(data, new_caps, rows)
-                if use_timeout and wm > 0:
+                if use_timeout and wm > 0 and not has_neg:
+                    # purge-only sweep: a passed horizon means the member
+                    # key is drained — drop its arrays entry with zero
+                    # decode work (non-absence timed-out visits never emit)
+                    for kenc in [
+                        k for k, rec in st.items()
+                        if k not in per_key and 0 <= rec[3] <= wm
+                    ]:
+                        st.pop(kenc, None)
+                elif use_timeout and wm > 0:
                     # timer-fired sweep (round 10): member keys the batch
                     # did NOT visit but whose next action instant (absence
                     # confirmation or GC horizon) the watermark has passed —

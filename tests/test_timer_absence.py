@@ -123,16 +123,24 @@ def _state_rows(progress):
     return rows
 
 
-@pytest.mark.parametrize("kwargs", [{}, {"pattern_key_buckets": 4}],
-                         ids=["per_key", "bucketed"])
+@pytest.mark.parametrize(
+    "kwargs",
+    [{"pattern_state_purge": True},
+     {"pattern_state_purge": True, "pattern_key_buckets": 4},
+     {}],
+    ids=["per_key", "bucketed", "default_off"],
+)
 def test_evictable_pattern_state_gc(spark, kwargs):
-    """Round-10 state GC: an `every A -> B within t` key whose buffer and
-    partials drain past the eviction horizon is REMOVED from the state
-    store (state rows track ACTIVE keys, not lifetime keys — the session-id
-    churn bound at scale). Key 1 speaks only in batch 1; key 2's later
-    traffic advances the watermark past key 1's horizon; the total state
-    row count must DROP after the GC timer fires. Output parity is pinned
-    by the unchanged fuzz suites; this test pins the state-size contract."""
+    """Round-10 OPT-IN state GC (`pattern_state_purge=True` — Siddhi's
+    partition state likewise lives forever unless @purge enables purging):
+    an `every A -> B within t` key whose buffer and partials drain past
+    the eviction horizon is REMOVED from the state store (state rows track
+    ACTIVE keys, not lifetime keys — the session-id churn bound at scale).
+    Key 1 speaks only in batch 1; key 2's later traffic advances the
+    watermark past key 1's horizon; with purge the total state row count
+    must DROP after the GC timer fires; with the default (off) it must
+    NOT. Output parity is pinned by the unchanged fuzz suites; this test
+    pins the state-size contract."""
     import json as _json
     import uuid
 
@@ -180,10 +188,14 @@ def test_evictable_pattern_state_gc(spark, kwargs):
         assert got == [(0, 1)]
         prog = [_json.loads(p.json) for p in q.recentProgress]
         counts = _state_rows(prog)
-        # key 1's state existed after batch 1 and is GONE at the end: the
-        # final batches' row count must drop below the peak (key 2's own
-        # live state may remain — strictly fewer rows than the peak)
-        assert max(counts) >= 2 and counts[-1] < max(counts), counts
+        if kwargs.get("pattern_state_purge"):
+            # key 1's state existed after batch 1 and is GONE at the end:
+            # the final row count must drop below the peak (key 2's own
+            # live state may remain — strictly fewer rows than the peak)
+            assert max(counts) >= 2 and counts[-1] < max(counts), counts
+        else:
+            # default: no purge timers — lifetime keys keep their row
+            assert counts[-1] == max(counts) >= 2, counts
         spark.catalog.dropTempView(name)
     finally:
         shutil.rmtree(root, ignore_errors=True)
