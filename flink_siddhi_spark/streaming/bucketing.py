@@ -4,12 +4,20 @@ The pattern/funnel/attribution/transitions operators got bespoke bucketed
 modes (their per-key state formats are hot paths worth hand-packing); the
 remaining per-key stateful operators — the CQL count/time window lowerings
 — share one adapter instead: the UNCHANGED per-key ``proc`` runs against a
-:class:`_KeyState` shim whose backing store is one json blob per member
+:class:`_KeyState` shim whose backing store is one pickled blob per member
 key inside the bucket's real GroupState. One Arrow group + GroupState
 visit then serves ~keys/N keys, amortizing the fixed ~280µs per-key-visit
 machinery exactly as the bespoke modes do (SCALE.md §Round-9), at the
-price of a generic json round-trip per VISITED key (untouched keys' blobs
-pass through untouched).
+price of a generic pickle round-trip per VISITED key (untouched keys'
+blobs pass through untouched).
+
+The blob format was json through round 10's probes; the window/ring procs
+store their rows as json STRINGS inside the state tuple, so the outer
+json encode re-escaped every inner character (a full scan per visited key
+per batch — at full key-density that scan ate the whole visit-amortization
+win: 140.3k vs 134.2k ev/s at 10M, SCALE.md §Round-10). Pickle protocol 5
+writes the inner strings length-prefixed with no escaping, and carries the
+as-of join's bytes history natively (no base64 wrapper).
 
 Semantics-invisible per PARITY.md deviation 18; the bucket count is
 stored in the state and validated on load (a changed count re-routes keys
@@ -18,8 +26,8 @@ away from their state — fail loudly, never silently).
 
 from __future__ import annotations
 
-import base64 as _b64
 import json as _json
+import pickle as _pickle
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -44,24 +52,10 @@ BUCKET_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
         T.StructField("pks", T.ArrayType(T.StringType())),
-        T.StructField("blobs", T.ArrayType(T.StringType())),
+        T.StructField("blobs", T.ArrayType(T.BinaryType())),
         T.StructField("fires", T.ArrayType(T.LongType())),
     ]
 )
-
-
-def _enc(v):
-    """json-encode one state-tuple field; bytes ride as base64 (round 10 —
-    lets binary-state procs like the streaming as-of join run bucketed)."""
-    if isinstance(v, (bytes, bytearray)):
-        return {"__b64": _b64.b64encode(bytes(v)).decode("ascii")}
-    return v
-
-
-def _dec(v):
-    if isinstance(v, dict) and "__b64" in v:
-        return _b64.b64decode(v["__b64"])
-    return v
 
 
 class _KeyState:
@@ -70,9 +64,8 @@ class _KeyState:
     Mirrors the pyspark GroupState surface the per-key procs use:
     ``exists`` / ``get`` / ``update`` / ``remove`` / ``hasTimedOut`` /
     ``getCurrentWatermarkMs`` / ``setTimeoutTimestamp``. State rides as a
-    json blob (the procs' state tuples are json-serializable by
-    construction — strings, string arrays, ints — plus bytes via a tagged
-    base64 wrapper)."""
+    pickled blob (the procs' state tuples are plain-data by construction —
+    strings, string arrays, ints, bytes)."""
 
     __slots__ = ("exists", "blob", "fire", "dirty", "removed",
                  "_wm", "_timed_out")
@@ -88,7 +81,7 @@ class _KeyState:
 
     @property
     def get(self):
-        return tuple(_dec(x) for x in _json.loads(self.blob))
+        return _pickle.loads(self.blob)
 
     @property
     def hasTimedOut(self):
@@ -98,7 +91,7 @@ class _KeyState:
         return self._wm
 
     def update(self, t):
-        self.blob = _json.dumps([_enc(x) for x in t])
+        self.blob = _pickle.dumps(tuple(t), protocol=5)
         self.exists = True
         self.dirty = True
         self.removed = False
