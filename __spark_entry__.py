@@ -628,6 +628,24 @@ def q_sequence_quantifier(spark, sf_dir):
     ).returns("Out")
 
 
+def q_sequence_quant_chain(spark, sf_dir):
+    # late round 10: quantified INTERIOR stage in a relaxed every-chain —
+    # dispatches the run_kernel_chain_quant kernel (operators/pattern.py).
+    # Greedy <1:2>: the first click after each view is always captured, the
+    # second iff it precedes the completing purchase; the purchase that
+    # completes is the first one after the FIRST click (min reached at 1).
+    return _cep(spark, sf_dir).from_("events").cql(
+        "partition with (user_id of events) begin "
+        "from every a = events[event_type == 'view'] "
+        "-> b = events[event_type == 'click']<1:2> "
+        "-> c = events[event_type == 'purchase'] within 4 days "
+        "select a.user_id as user_id, a.event_id as view_id, "
+        "b[0].event_id as click1, b[1].event_id as click2, "
+        "c.event_id as purchase_id "
+        "insert into Out; end"
+    ).returns("Out")
+
+
 def q_tpch_q1_pricing(spark, sf_dir):
     return _cep_tpch(spark, sf_dir).from_("lineitem").cql(
         "from lineitem[l_shipdate <= '1998-09-02 00:00:00'] "
@@ -1922,6 +1940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_bucketed_stream": q_window_bucketed_stream,
         "join_outer_family": q_join_outer_family,
         "join_windowed_family": q_join_windowed_family,
+        # late round 10: the one-quant chain kernel's driver gate
+        # (registered post-window; joins the r11 rotation)
+        "sequence_quant_chain": q_sequence_quant_chain,
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
@@ -2532,6 +2553,35 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id "
             f"ORDER BY {_EMS} RANGE BETWEEN 300000 PRECEDING AND CURRENT ROW) "
             "AS n_win FROM events"
+        ),
+        "sequence_quant_chain": (
+            # every view -> click<1:2> -> purchase within 1h. Greedy <1:2>
+            # with disjoint stage masks: click1 = first click after the
+            # view, the completing purchase = first purchase after click1
+            # (min reached at count 1; a purchase between click1 and click2
+            # would have completed first), click2 captured iff it precedes
+            # that purchase in the engine's (ts, event_id) total order.
+            "WITH a AS (SELECT user_id, event_id, ts FROM events "
+            "WHERE event_type = 'view'), "
+            "m AS (SELECT a.user_id, a.event_id AS view_id, a.ts AS a_ts, "
+            "k1.event_id AS click1, k1.kts AS k1_ts "
+            "FROM a, LATERAL (SELECT event_id, ts AS kts FROM events k "
+            "WHERE k.user_id = a.user_id AND k.event_type = 'click' "
+            "AND (k.ts > a.ts OR (k.ts = a.ts AND k.event_id > a.event_id)) "
+            "ORDER BY k.ts, k.event_id LIMIT 1) k1), "
+            "mc AS (SELECT m.*, c.event_id AS purchase_id, c.cts AS c_ts "
+            "FROM m, LATERAL (SELECT event_id, ts AS cts FROM events c "
+            "WHERE c.user_id = m.user_id AND c.event_type = 'purchase' "
+            "AND (c.ts > m.k1_ts OR (c.ts = m.k1_ts AND c.event_id > m.click1)) "
+            "ORDER BY c.ts, c.event_id LIMIT 1) c) "
+            "SELECT user_id, view_id, click1, "
+            "(SELECT k2.event_id FROM events k2 "
+            "WHERE k2.user_id = mc.user_id AND k2.event_type = 'click' "
+            "AND (k2.ts > mc.k1_ts OR (k2.ts = mc.k1_ts AND k2.event_id > mc.click1)) "
+            "AND (k2.ts < mc.c_ts OR (k2.ts = mc.c_ts AND k2.event_id < mc.purchase_id)) "
+            "ORDER BY k2.ts, k2.event_id LIMIT 1) AS click2, "
+            "purchase_id FROM mc "
+            "WHERE epoch_ms(c_ts) - epoch_ms(a_ts) <= 345600000"
         ),
         "window_sort": (
             "SELECT event_id, value FROM events "

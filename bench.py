@@ -548,6 +548,17 @@ def _streaming_throughput_bench(spark, sf_dir: str) -> dict:
                 "select e[0].user_id as user_id, p.event_id as purchase_id "
                 "insert into Out; end"
             ),
+            # late round 10: one quantified INTERIOR stage in a k>=3 chain
+            # now dispatches run_kernel_chain_quant (this CQL ran the
+            # general per-row NFA before)
+            "cep_pattern_quantchain_10x": lambda: amp_cql_plan(
+                "partition with (user_id of events) begin "
+                "from every e = events[event_type == 'error'] "
+                "  -> k = events[event_type == 'click']<1:2> "
+                "  -> p = events[event_type == 'purchase'] within 10 min "
+                "select e.user_id as user_id, p.event_id as purchase_id "
+                "insert into Out; end"
+            ),
         }
         for name, build in sustained.items():
             t0 = time.time()

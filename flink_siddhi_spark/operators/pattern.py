@@ -327,6 +327,10 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
       (round 10 — the quantified 2-step production shape; the general
       NFA's per-row scale axis is arming density, so a hot key's armed
       partials made this the last common shape on the slow path)
+    - ``'chain_quant'`` : a k>=3 relaxed every-chain with exactly ONE
+      quantified interior element (``every a -> b<n:m> -> c``, quant at
+      any stage but the last; late round 10 — generalizes quant2 along
+      the same arming-density axis)
 
     or ``None`` when the pattern needs the general per-row NFA. These
     cover the dominant production CEP shapes (the reference's own examples,
@@ -345,18 +349,27 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
         len(elems) >= 3
         and len(strict_after) == len(elems) - 1
         and not any(strict_after)
-        and all(_plain(e) for e in elems[:-1])
     ):
         last = elems[-1]
-        if _plain(last):
-            return "chain" if every else "plain_chain"
-        if (
-            every
-            and last.negated
-            and last.for_ms is not None
-            and not last.is_collection
-        ):
-            return "chain_absence"
+        if all(_plain(e) for e in elems[:-1]):
+            if _plain(last):
+                return "chain" if every else "plain_chain"
+            if (
+                every
+                and last.negated
+                and last.for_ms is not None
+                and not last.is_collection
+            ):
+                return "chain_absence"
+            return None
+        if every and _plain(last):
+            # exactly one quantified interior element, the rest plain ->
+            # the one-quant chain kernel (late round 10)
+            nonplain = [i for i, e in enumerate(elems) if not _plain(e)]
+            if len(nonplain) == 1:
+                qe = elems[nonplain[0]]
+                if not qe.negated and qe.min_count >= 1:
+                    return "chain_quant"
         return None
     if len(elems) != 2 or len(strict_after) != 1:
         return None
@@ -949,6 +962,239 @@ def run_kernel_chain(
         "partials": partials,
         "spawners": [],
         "started": started or bool(n_a),
+        "done": False,
+    }
+
+
+def run_kernel_chain_quant(
+    ts_vals,
+    masks: list,
+    qpos: int,
+    start_idx: int,
+    init: dict | None,
+    within_ms: int | None,
+    min_count: int,
+    max_count: int | None,
+):
+    """Vectorized NFA for a k-step relaxed ``every`` chain with exactly ONE
+    quantified interior stage:
+    ``every e1=A1 -> ... -> q=Q<n:m> -> ... -> ek=Ak [within t]``
+    (late round 10 — generalizes :func:`run_kernel2_quant`, which is the
+    k=2 / qpos=0 case, to quantifiers anywhere but the LAST stage; a
+    trailing quantifier waits on stream close and keeps the general NFA).
+    Exact ``_run_nfa`` semantics:
+
+    - each A1-row arms a partial (for ``qpos == 0`` the arm row is the
+      first quantified capture); plain stages before the quant capture the
+      FIRST later matching row each, exactly like :func:`run_kernel_chain`;
+    - at the quant stage the partial extends GREEDILY on each later Q-row
+      while below ``m`` (non-contiguous — the relaxed '->' keeps it alive
+      across non-matching rows), and extension beats advancing when one
+      row matches both Q and the next stage; once ``>= n`` Q-rows are
+      held, the first next-stage-AND-NOT-Q row advances; after the
+      ``m``-th Q-row, ANY next-stage row does;
+    - plain stages after that capture first-match-after-prev again, and
+      the final stage's row emits;
+    - ``within t``: the row loop evicts a partial at the first row (of any
+      kind) beyond ``first_ts + t`` while a required capture remains —
+      the buffer is ts-sorted, so a candidate beyond the window stays
+      uncaptured and the survivor rule (``ts[-1] - first_ts <= t``)
+      agrees;
+    - pending partials serialize with ``pos`` = the last stage holding a
+      capture (the row loop's lazy advance), byte-equal to ``_run_nfa``
+      and resumable by either engine across micro-batches (pinned by
+      tests/test_kernel2_unit.py).
+
+    One ``searchsorted`` per plain stage plus two per quant completion
+    boundary, vectorized across every live partial."""
+    import numpy as np
+
+    k = len(masks)
+    n_rows = len(ts_vals)
+    BIG = np.int64(n_rows)
+    cm = qpos + 1  # the stage whose capture closes the quant run
+    if init is not None:
+        pend = init["partials"]
+        started = bool(init["started"])
+    else:
+        pend, started = [], False
+    n_pend = len(pend)
+    new_arm = (np.nonzero(masks[0][start_idx:])[0] + start_idx).astype(np.int64)
+    n_new = len(new_arm)
+    n_all = n_pend + n_new
+    if not n_all:
+        return [], {
+            "partials": [], "spawners": [],
+            "started": started, "done": False,
+        }
+    first_ts = np.concatenate([
+        np.asarray([int(p["first_ts"]) for p in pend], dtype=np.int64),
+        ts_vals[new_arm] if n_new else np.empty(0, dtype=np.int64),
+    ])
+    # cap[s, i] = buffer position captured for PLAIN stage s by partial i
+    # (-1 = not captured); the quant stage's captures live in ``qprior``
+    # (resumed runs) + a contiguous slice of ``new_q`` (this batch's greedy
+    # extension), materialized lazily per match/survivor.
+    cap = np.full((k, n_all), -1, dtype=np.int64)
+    qprior: list[list[int]] = [[] for _ in range(n_all)]
+    for i, p in enumerate(pend):
+        for s, caps in enumerate(p["captured"]):
+            if s == qpos:
+                qprior[i] = [int(x) for x in caps]
+            elif caps:
+                cap[s, i] = int(caps[0])
+    if n_new:
+        if qpos == 0:
+            for j in range(n_new):
+                qprior[n_pend + j] = [int(new_arm[j])]
+        else:
+            cap[0, n_pend:] = new_arm
+    qc0 = np.asarray([len(q) for q in qprior], dtype=np.int64)
+
+    def _fill_stage(s):
+        """First stage-s match strictly after the stage s-1 capture, among
+        new rows, gated by the within window (run_kernel_chain's fill)."""
+        need = (cap[s] < 0) & (cap[s - 1] >= 0)
+        if not need.any():
+            return
+        new_s = (
+            np.nonzero(masks[s][start_idx:])[0] + start_idx
+        ).astype(np.int64)
+        if not len(new_s):
+            return
+        si = np.searchsorted(new_s, cap[s - 1][need], side="right")
+        has = si < len(new_s)
+        cand = new_s[np.minimum(si, len(new_s) - 1)]
+        if within_ms is not None:
+            has &= (
+                ts_vals[np.where(has, cand, 0)] - first_ts[need]
+            ) <= within_ms
+        cap[s, need] = np.where(has, cand, -1)
+
+    for s in range(1, qpos):
+        _fill_stage(s)
+
+    # quant stage: completion-boundary race, vectorized across partials
+    new_q = (
+        np.nonzero(masks[qpos][start_idx:])[0] + start_idx
+    ).astype(np.int64)
+    last_q = np.asarray(
+        [q[-1] if q else -1 for q in qprior], dtype=np.int64
+    )
+    if qpos > 0:
+        base = np.where(qc0 > 0, last_q, cap[qpos - 1])
+    else:
+        base = last_q
+    active = base >= 0  # reached the quant stage (not stuck in the prefix)
+    nxt = np.searchsorted(new_q, np.where(active, base, -1), side="right")
+
+    def _boundary(target):
+        """Buffer position where the quant count reaches ``target`` (BIG
+        if never; ``base`` when already there — any boundary value below
+        start_idx searches identically, all candidates being >= start_idx)."""
+        need = target - qc0
+        if len(new_q):
+            idx = nxt + need - 1
+            hit = active & (need > 0) & (idx < len(new_q))
+            pos = np.where(hit, new_q[np.clip(idx, 0, len(new_q) - 1)], BIG)
+        else:
+            pos = np.full(n_all, BIG, dtype=np.int64)
+        return np.where(active & (need <= 0), base, pos)
+
+    rmin = _boundary(np.int64(min_count))
+    if max_count is None:
+        rmax = np.full(n_all, BIG, dtype=np.int64)
+    else:
+        rmax = _boundary(np.int64(max_count))
+    race = active & (cap[cm] < 0)  # resumed partials past cm skip the race
+    c_only = (
+        np.nonzero(
+            (np.asarray(masks[cm]) & ~np.asarray(masks[qpos]))[start_idx:]
+        )[0] + start_idx
+    ).astype(np.int64)
+    c_any = (
+        np.nonzero(masks[cm][start_idx:])[0] + start_idx
+    ).astype(np.int64)
+    if len(c_only):
+        i1 = np.searchsorted(c_only, rmin, side="right")
+        j1 = np.where(i1 < len(c_only),
+                      c_only[np.minimum(i1, len(c_only) - 1)], BIG)
+        j1 = np.where((rmin < BIG) & (j1 < rmax), j1, BIG)
+    else:
+        j1 = np.full(n_all, BIG, dtype=np.int64)
+    if len(c_any):
+        i2 = np.searchsorted(c_any, rmax, side="right")
+        j2 = np.where((rmax < BIG) & (i2 < len(c_any)),
+                      c_any[np.minimum(i2, len(c_any) - 1)], BIG)
+    else:
+        j2 = np.full(n_all, BIG, dtype=np.int64)
+    jb = np.where(race, np.minimum(j1, j2), BIG)
+    okc = jb < BIG
+    if within_ms is not None:
+        safe = np.where(okc, jb, 0)
+        okc &= (ts_vals[safe] - first_ts) <= within_ms
+    cap[cm] = np.where(okc, jb, cap[cm])
+
+    for s in range(cm + 1, k):
+        _fill_stage(s)
+
+    def _qcaps(i):
+        """Quant-stage captures of partial i: prior runs + this batch's
+        contiguous new_q slice, stopping at the cm capture (race close)
+        and at ``m`` total."""
+        if not active[i]:
+            return list(qprior[i])
+        upto = int(cap[cm, i]) if cap[cm, i] >= 0 else int(BIG)
+        room = (
+            (max_count - int(qc0[i])) if max_count is not None
+            else len(new_q)
+        )
+        cnt = int(min(np.searchsorted(new_q, upto) - nxt[i], room))
+        caps = list(qprior[i])
+        if cnt > 0:
+            caps += [int(x) for x in new_q[nxt[i]:nxt[i] + cnt]]
+        return caps
+
+    ok = cap[k - 1] >= 0
+    matches: list = []
+    oi = np.nonzero(ok)[0]
+    if len(oi):
+        # emission order mirrors the row loop: by completing row, then by
+        # pool (arming) order — resumed partials first, then fresh arms
+        order = np.lexsort((oi, cap[k - 1][oi]))
+        for i in oi[order]:
+            matches.append([
+                _qcaps(int(i)) if s == qpos else [int(cap[s, i])]
+                for s in range(k)
+            ])
+    keep = ~ok
+    if within_ms is not None and n_rows:
+        # the row loop drops a partial at the first row beyond its window,
+        # whatever that row's type
+        keep &= (int(ts_vals[-1]) - first_ts) <= within_ms
+    partials = []
+    for i in np.nonzero(keep)[0]:
+        caps_full = [
+            _qcaps(int(i)) if s == qpos
+            else ([int(cap[s, i])] if cap[s, i] >= 0 else [])
+            for s in range(k)
+        ]
+        filled = max(s for s in range(k) if caps_full[s])
+        last_pos = caps_full[filled][-1]
+        partials.append({
+            "pos": filled,  # the row loop's lazy advance
+            "captured": caps_full,
+            "first_ts": int(first_ts[i]),
+            "last_ts": (
+                int(ts_vals[last_pos]) if last_pos >= start_idx
+                else pend[i]["last_ts"]  # no new capture: keep stored ts
+            ),
+            "neg_deadline": None,
+        })
+    return matches, {
+        "partials": partials,
+        "spawners": [],
+        "started": started or bool(n_all),
         "done": False,
     }
 
@@ -1758,6 +2004,15 @@ def compile_pattern(planner, q: A.Query):
                 pdf[TS_COL].to_numpy(), masks[0], masks[1], 0, None,
                 within_ms, elems_c[0].min_count, elems_c[0].max_count,
             )
+        elif batch_shape == "chain_quant":
+            qp = next(
+                i for i, e in enumerate(elems_c)
+                if e.min_count != 1 or e.max_count != 1
+            )
+            found, _ = run_kernel_chain_quant(
+                pdf[TS_COL].to_numpy(), masks, qp, 0, None, within_ms,
+                elems_c[qp].min_count, elems_c[qp].max_count,
+            )
         else:
             found = _run_nfa(
                 pdf, masks, raw_steps_c, strict_after, every, within_ms,
@@ -1799,14 +2054,16 @@ def compile_pattern(planner, q: A.Query):
             c = F.col(col_of[key])
             if collection.get(ref.stream, False):
                 idx = ref.index if ref.index is not None else 0
-                return c.getItem(idx)
+                # F.get: null past the captured count (Siddhi returns null
+                # for an absent indexed binding; ANSI getItem would throw)
+                return F.get(c, idx)
             if ref.index is not None:
                 raise SiddhiPlannerException(f"{ref.stream} is not a collection")
             return c
         for e in singles:
             if ref.name in field_names[e.alias]:
                 c = F.col(col_of[(e.alias, ref.name)])
-                return c.getItem(0) if collection[e.alias] else c
+                return F.get(c, 0) if collection[e.alias] else c
         raise SiddhiPlannerException(f"unknown column '{ref.name}' after pattern")
 
     return result, resolve, out_names

@@ -70,6 +70,7 @@ from ..operators.pattern import (
     run_kernel2_nonevery,
     run_kernel2_quant,
     run_kernel_chain,
+    run_kernel_chain_quant,
     run_kernel_chain_absence,
     run_kernel_chain_nonevery,
 )
@@ -1603,35 +1604,60 @@ class StreamingPlanner(BatchPlanner):
                 if zpad is not None:
                     m = _np.concatenate([zpad, m])
                 masks.append(m)
-            if shape2 == "every2":
+            # visit-size hybrid for the QUANT kernels (late round 10):
+            # their boundary-race pipelines carry a ~100-130µs fixed numpy
+            # cost per invocation, so on a small visit (few new rows ×
+            # few live partials/arms) the general row loop is cheaper —
+            # measured crossover ≈ 128 row·partial units (the cheap
+            # every2/absence kernels always win and stay unconditional).
+            # Engine states are byte-equal (tests/test_kernel2_unit.py
+            # interop), so the choice is free to vary per visit.
+            run_shape = shape2
+            if shape2 in ("quant2", "chain_quant"):
+                n_pend_ = len(init["partials"]) if init else 0
+                n_arms_ = int(masks[0][start_idx:].sum())
+                if (
+                    (n_total - start_idx) * (1 + n_pend_ + n_arms_) < 128
+                ):
+                    run_shape = None  # row loop
+            if run_shape == "every2":
                 found, nfa_st = run_kernel2(
                     ts_arr, masks[0], masks[1], start_idx, init, within_ms,
                     strict_after[0],
                 )
-            elif shape2 == "plain2":
+            elif run_shape == "plain2":
                 found, nfa_st = run_kernel2_nonevery(
                     ts_arr, masks[0], masks[1], start_idx, init, within_ms,
                     strict_after[0],
                 )
-            elif shape2 == "quant2":
+            elif run_shape == "quant2":
                 found, nfa_st = run_kernel2_quant(
                     ts_arr, masks[0], masks[1], start_idx, init, within_ms,
                     elems_c[0].min_count, elems_c[0].max_count,
                 )
-            elif shape2 == "absence2":
+            elif run_shape == "chain_quant":
+                qp = next(
+                    i for i, e in enumerate(elems_c)
+                    if e.min_count != 1 or e.max_count != 1
+                )
+                found, nfa_st = run_kernel_chain_quant(
+                    ts_arr, masks, qp, start_idx, init, within_ms,
+                    elems_c[qp].min_count, elems_c[qp].max_count,
+                )
+            elif run_shape == "absence2":
                 found, nfa_st = run_kernel2_absence(
                     ts_arr, masks[0], masks[1], start_idx, init, within_ms,
                     elems_c[1].for_ms,
                 )
-            elif shape2 == "chain":
+            elif run_shape == "chain":
                 found, nfa_st = run_kernel_chain(
                     ts_arr, masks, start_idx, init, within_ms,
                 )
-            elif shape2 == "plain_chain":
+            elif run_shape == "plain_chain":
                 found, nfa_st = run_kernel_chain_nonevery(
                     ts_arr, masks, start_idx, init, within_ms,
                 )
-            elif shape2 == "chain_absence":
+            elif run_shape == "chain_absence":
                 found, nfa_st = run_kernel_chain_absence(
                     ts_arr, masks, start_idx, init, within_ms,
                     elems_c[-1].for_ms,
@@ -1999,12 +2025,13 @@ class StreamingPlanner(BatchPlanner):
                     raise SiddhiPlannerException(f"unknown pattern reference {ref.stream}.{ref.name}")
                 c = F.col(col_of[key])
                 if collection.get(ref.stream, False):
-                    return c.getItem(ref.index if ref.index is not None else 0)
+                    # F.get: null past the captured count (Siddhi semantics)
+                    return F.get(c, ref.index if ref.index is not None else 0)
                 return c
             for e in singles:
                 if ref.name in field_names[e.alias]:
                     c = F.col(col_of[(e.alias, ref.name)])
-                    return c.getItem(0) if collection[e.alias] else c
+                    return F.get(c, 0) if collection[e.alias] else c
             raise SiddhiPlannerException(f"unknown column '{ref.name}' after pattern")
 
         return self._select_rowwise(result, q, resolve, out_names)

@@ -182,8 +182,46 @@ def test_kernel2_shape_classifier():
     n3b = e2 + [A.PatternElem(stream="s", alias="c", negated=True)]
     assert kernel2_shape(n3b, True, None, [False, False]) is None
     assert kernel2_shape(n3, False, None, [False, False]) is None
+    # a TRAILING quantifier still falls to the general NFA (its completion
+    # waits on stream close), but one quantified INTERIOR element in a
+    # k>=3 relaxed every-chain = chain_quant (late round 10)
     q3 = e2 + [A.PatternElem(stream="s", alias="c", min_count=1, max_count=2)]
     assert kernel2_shape(q3, True, None, [False, False]) is None
+    cq_mid = [
+        A.PatternElem(stream="s", alias="a"),
+        A.PatternElem(stream="s", alias="b", min_count=1, max_count=2),
+        A.PatternElem(stream="s", alias="c"),
+    ]
+    assert kernel2_shape(cq_mid, True, None, [False, False]) == "chain_quant"
+    cq_first = [
+        A.PatternElem(stream="s", alias="a", min_count=2, max_count=None),
+        A.PatternElem(stream="s", alias="b"),
+        A.PatternElem(stream="s", alias="c"),
+    ]
+    assert kernel2_shape(cq_first, True, None, [False, False]) == "chain_quant"
+    cq4 = [
+        A.PatternElem(stream="s", alias="a"),
+        A.PatternElem(stream="s", alias="b"),
+        A.PatternElem(stream="s", alias="q", min_count=1, max_count=3),
+        A.PatternElem(stream="s", alias="d"),
+    ]
+    assert kernel2_shape(cq4, True, None, [False] * 3) == "chain_quant"
+    # strict / non-every / min 0 / two quantified / mid-every keep the NFA
+    assert kernel2_shape(cq_mid, True, None, [True, False]) is None
+    assert kernel2_shape(cq_mid, False, None, [False, False]) is None
+    cq_opt = [
+        A.PatternElem(stream="s", alias="a"),
+        A.PatternElem(stream="s", alias="b", min_count=0, max_count=2),
+        A.PatternElem(stream="s", alias="c"),
+    ]
+    assert kernel2_shape(cq_opt, True, None, [False, False]) is None
+    cq_two = [
+        A.PatternElem(stream="s", alias="a", min_count=1, max_count=2),
+        A.PatternElem(stream="s", alias="b", min_count=1, max_count=2),
+        A.PatternElem(stream="s", alias="c"),
+    ]
+    assert kernel2_shape(cq_two, True, None, [False, False]) is None
+    assert kernel2_shape(cq_mid, True, 1, [False, False]) is None
 
 
 def _run_general_ne(ts, ma, mb, start, init, within, strict):
@@ -667,3 +705,113 @@ def test_kernel2_quant_state_interops_with_general_nfa():
             trial, n, m, within, ts.tolist(), ma.tolist(), mb.tolist(),
         )
         assert _state_key_full(k_st2) == _state_key_full(g_st2), (trial, n, m)
+
+
+# -------------------------------------------- late-round-10 chain_quant
+def _cq_elems(k, qpos, n, m):
+    elems = [A.PatternElem(stream="s", alias=f"e{i}") for i in range(k)]
+    elems[qpos] = A.PatternElem(
+        stream="s", alias=f"e{qpos}", min_count=n, max_count=m
+    )
+    return elems
+
+
+def _run_general_chainq(ts, masks, k, qpos, n, m, start, init, within):
+    rows = pd.DataFrame({TS_COL: ts})
+    return _run_nfa(
+        rows, masks, _cq_elems(k, qpos, n, m), [False] * (k - 1), True,
+        within, at_close=False, start_idx=start, init=init,
+        return_state=True,
+    )
+
+
+def test_kernel_chain_quant_matches_general_nfa_randomized():
+    """chain_quant (`every e1 -> ... -> q<n:m> -> ... -> ek [within t]`,
+    late round 10): kernel vs general NFA on 600 randomized feeds with
+    OVERLAPPING masks (extension beats advancing when a row matches both
+    the quant stage and the next), every qpos in [0, k-2], full state
+    equality including last_ts. Exact match lists — emission order is
+    part of the contract."""
+    from flink_siddhi_spark.operators.pattern import run_kernel_chain_quant
+
+    rng = random.Random(61)
+    for trial in range(600):
+        k = rng.choice([3, 3, 4])
+        qpos = rng.randint(0, k - 2)
+        nr = rng.randint(0, 30)
+        ts = np.sort(
+            np.array([rng.randint(0, 40) * 100 for _ in range(nr)], np.int64)
+        )
+        masks = [
+            np.array([rng.random() < 0.35 for _ in range(nr)], bool)
+            for _ in range(k)
+        ]
+        within = rng.choice([None, 850, 1650])
+        n = rng.randint(1, 3)
+        m = rng.choice([n, n + 1, n + 2, None])
+        got_m, got_st = run_kernel_chain_quant(
+            ts, masks, qpos, 0, None, within, n, m
+        )
+        want_m, want_st = _run_general_chainq(
+            ts, masks, k, qpos, n, m, 0, None, within
+        )
+        assert got_m == want_m, (
+            trial, k, qpos, n, m, within, ts.tolist(),
+            [mk.tolist() for mk in masks],
+        )
+        assert _state_key_full(got_st) == _state_key_full(want_st), (
+            trial, k, qpos, n, m, within, ts.tolist(),
+            [mk.tolist() for mk in masks],
+        )
+
+
+def test_kernel_chain_quant_state_interops_with_general_nfa():
+    """Batch 1 through one engine, batch 2 through the OTHER — the shared
+    partial format continues identically across resumed prefix-stage,
+    mid-quant, and suffix-stage partials."""
+    from flink_siddhi_spark.operators.pattern import run_kernel_chain_quant
+
+    rng = random.Random(62)
+    for trial in range(400):
+        k = rng.choice([3, 3, 4])
+        qpos = rng.randint(0, k - 2)
+        n1, n2 = rng.randint(1, 14), rng.randint(1, 14)
+        t1 = np.sort(
+            np.array([rng.randint(0, 20) * 100 for _ in range(n1)], np.int64)
+        )
+        t2 = np.sort(np.array(
+            [int(t1[-1]) + 100 + rng.randint(0, 20) * 100 for _ in range(n2)],
+            np.int64,
+        ))
+        ts = np.concatenate([t1, t2])
+        masks = [
+            np.array([rng.random() < 0.4 for _ in range(n1 + n2)], bool)
+            for _ in range(k)
+        ]
+        within = rng.choice([None, 1050, 2250])
+        n = rng.randint(1, 3)
+        m = rng.choice([n, n + 2, None])
+        m1 = [mk[:n1] for mk in masks]
+        k1, k_st = run_kernel_chain_quant(
+            ts[:n1], m1, qpos, 0, None, within, n, m
+        )
+        g1, g_st = _run_general_chainq(
+            ts[:n1], m1, k, qpos, n, m, 0, None, within
+        )
+        assert k1 == g1, (trial, k, qpos, n, m)
+        assert _state_key_full(k_st) == _state_key_full(g_st), (
+            trial, k, qpos, n, m,
+        )
+        k2, k_st2 = run_kernel_chain_quant(
+            ts, masks, qpos, n1, g_st, within, n, m
+        )
+        g2, g_st2 = _run_general_chainq(
+            ts, masks, k, qpos, n, m, n1, k_st, within
+        )
+        assert k2 == g2, (
+            trial, k, qpos, n, m, within, ts.tolist(),
+            [mk.tolist() for mk in masks],
+        )
+        assert _state_key_full(k_st2) == _state_key_full(g_st2), (
+            trial, k, qpos, n, m,
+        )

@@ -223,3 +223,27 @@ def test_three_step_every_batch_kernel(cep, spark):
         .cql(q.format(W="within 3500 milliseconds")).returns("Out").collect()
     )
     assert got_w == [(2, 3, 5)], got_w
+
+
+def test_chain_quant_mid_kernel_and_null_index(cep, spark):
+    # late round 10: one quantified INTERIOR stage dispatches
+    # run_kernel_chain_quant on the batch path. Two arms per 'a':
+    #  a1 (id=1@1s): b@2s captured, completion c@3s -> one b, b[1] NULL
+    #  a2 (id=1@4s): b@5s and b@6s captured (greedy below m=2), c@7s
+    # b[1] past the captured count must be NULL (Siddhi semantics; was an
+    # ANSI ArrayIndexOutOfBounds via getItem — found by the
+    # sequence_quant_chain oracle).
+    rows = [
+        (1, "a1", 1.0, 1000), (2, "b1", 1.0, 2000), (3, "c1", 1.0, 3000),
+        (1, "a2", 1.0, 4000), (2, "b2", 1.0, 5000), (2, "b3", 1.0, 6000),
+        (3, "c2", 1.0, 7000),
+    ]
+    cep.define("s", make_events(spark, rows), "id", "name", "price",
+               "timestamp", ts_field="timestamp")
+    out = cep.from_("s").cql(
+        "from every a = s[id == 1] -> b = s[id == 2]<1:2> -> c = s[id == 3] "
+        "select a.name as an, b[0].name as b0, b[1].name as b1, "
+        "c.name as cn insert into Out"
+    ).returns("Out")
+    got = sorted((r.an, r.b0, r.b1, r.cn) for r in out.collect())
+    assert got == [("a1", "b1", None, "c1"), ("a2", "b2", "b3", "c2")]
