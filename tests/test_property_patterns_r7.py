@@ -267,7 +267,7 @@ def _run_streaming(spark, batches, cql, tmp_root, **cep_kwargs):
 @pytest.mark.parametrize(
     "shape", ["followed_by", "strict", "quantifier", "three_step",
               "four_step", "strict_chain3", "strict_chain4",
-              "quant_chain3", "quant_chain4", "andor3"]
+              "quant_chain3", "quant_chain4", "quant_mid3", "andor3"]
 )
 def test_streaming_batch_parity_fuzz(spark, shape):
     """20 randomized feeds per shape, split across 3 micro-batches, streamed
@@ -360,6 +360,17 @@ def test_streaming_batch_parity_fuzz(spark, shape):
             "-> c = s[name == 'x']<1:2> -> d = s[name == 'z'] "
             "within 9500 milliseconds "
             "select a.price as u, c[0].id as a_id, d.id as b_id "
+            "insert into Out; end"
+        ),
+        # late round 10: quantified MIDDLE stage with an overlapping
+        # completer predicate (y vs z both present) -> the chain_quant
+        # kernel (qpos=1) on big visits, the row loop on small ones (the
+        # visit-size hybrid) — this arm exercises both plus the switch
+        "quant_mid3": (
+            "partition with (price of s) begin "
+            "from every a = s[name == 'x'] -> b = s[name == 'y']<1:2> "
+            "-> c = s[name == 'z'] within 9500 milliseconds "
+            "select a.price as u, b[0].id as a_id, c.id as b_id "
             "insert into Out; end"
         ),
         "andor3": (
