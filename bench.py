@@ -148,6 +148,8 @@ HEADLINE = [
     # under the headline ledger (92nd row — note the +1 when comparing
     # totals to the r9 map)
     "window_bucketed_stream",
+    # late round 10: the one-quant chain kernel's batch entry (93rd row)
+    "sequence_quant_chain",
 ]
 
 _TRAINED_ARTIFACTS: dict[str, dict] = {}

@@ -2035,11 +2035,26 @@ def compile_pattern(planner, q: A.Query):
         # default-constructed empty frame would be float64 -> timestamp cast error)
         return pd.DataFrame(data, columns=out_names, dtype=object)
 
-    result = (
-        fast
-        if fast is not None
-        else u.groupBy(PK_COL).applyInPandas(match_group, schema=out_schema)
-    )
+    if fast is not None:
+        result = fast
+    else:
+        # EXPLICIT repartition by the partition key (late round 10): AQE's
+        # size-based partition coalescing sees a few MB of events and
+        # collapses the exchange to 1-2 partitions — but this stage's cost
+        # is Python NFA compute per GROUP, not bytes, so coalescing
+        # serializes every key through one worker (measured 5.9x on the
+        # sf0.1 pattern entries: 10.4s -> 1.8s). AQE leaves user-specified
+        # repartitions with an explicit partition count alone, and
+        # groupBy on the same key reuses the exchange, so large-cluster
+        # plans are unchanged (shuffle.partitions tasks either way).
+        n_shuffle = int(u.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"
+        ))
+        result = (
+            u.repartition(n_shuffle, PK_COL)
+            .groupBy(PK_COL)
+            .applyInPandas(match_group, schema=out_schema)
+        )
 
     # resolver for select over the match table
     singles = [e for e in elems if not e.negated]

@@ -160,7 +160,10 @@ def _split_at(args: list[Column], raw: list) -> Column:
     if not isinstance(raw[1], str):
         raise SiddhiPlannerException("str:split needs a literal regex")
     idx = raw[2] if len(raw) > 2 and isinstance(raw[2], int) else 0
-    return F.split(args[0], raw[1]).getItem(idx)
+    # F.get, not getItem: an index past the split count yields null instead
+    # of an ANSI ArrayIndexOutOfBounds killing the whole scan on one bad
+    # row (same decision as the pattern resolvers' indexed bindings)
+    return F.get(F.split(args[0], raw[1]), idx)
 
 
 def lookup_scalar(ns: str | None, name: str):
