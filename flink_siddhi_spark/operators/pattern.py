@@ -363,13 +363,17 @@ def kernel2_shape(elems, every: bool, every_at, strict_after) -> str | None:
                 return "chain_absence"
             return None
         if every and _plain(last):
-            # exactly one quantified interior element, the rest plain ->
-            # the one-quant chain kernel (late round 10)
+            # one or more quantified interior elements, no two adjacent,
+            # the rest plain -> the quant chain kernel (late round 10;
+            # adjacent quants would race each other's extension, a case
+            # the boundary logic does not model — general NFA)
             nonplain = [i for i, e in enumerate(elems) if not _plain(e)]
-            if len(nonplain) == 1:
-                qe = elems[nonplain[0]]
-                if not qe.negated and qe.min_count >= 1:
-                    return "chain_quant"
+            if (
+                all(not elems[i].negated and elems[i].min_count >= 1
+                    for i in nonplain)
+                and all(b - a >= 2 for a, b in zip(nonplain, nonplain[1:]))
+            ):
+                return "chain_quant"
         return None
     if len(elems) != 2 or len(strict_after) != 1:
         return None
@@ -966,44 +970,39 @@ def run_kernel_chain(
     }
 
 
-def run_kernel_chain_quant(
+def run_kernel_chain_quants(
     ts_vals,
     masks: list,
-    qpos: int,
+    quants: list,
     start_idx: int,
     init: dict | None,
     within_ms: int | None,
-    min_count: int,
-    max_count: int | None,
 ):
-    """Vectorized NFA for a k-step relaxed ``every`` chain with exactly ONE
-    quantified interior stage:
+    """Vectorized NFA for a k-step relaxed ``every`` chain with one OR MORE
+    quantified interior stages, no two adjacent:
     ``every e1=A1 -> ... -> q=Q<n:m> -> ... -> ek=Ak [within t]``
-    (late round 10 — generalizes :func:`run_kernel2_quant`, which is the
-    k=2 / qpos=0 case, to quantifiers anywhere but the LAST stage; a
-    trailing quantifier waits on stream close and keeps the general NFA).
-    Exact ``_run_nfa`` semantics:
+    (late round 10; the multi-quant generalization covers shapes like
+    ``a<1:2> -> b -> c<1:2> -> d`` — each quantified stage runs its own
+    completion-boundary race against the plain stage that follows it).
+    ``quants`` is ``[(qpos, min_count, max_count), ...]`` sorted by qpos,
+    every qpos in [0, k-2], qpos+1 never quantified. Exact ``_run_nfa``
+    semantics per stage:
 
-    - each A1-row arms a partial (for ``qpos == 0`` the arm row is the
-      first quantified capture); plain stages before the quant capture the
-      FIRST later matching row each, exactly like :func:`run_kernel_chain`;
-    - at the quant stage the partial extends GREEDILY on each later Q-row
-      while below ``m`` (non-contiguous — the relaxed '->' keeps it alive
-      across non-matching rows), and extension beats advancing when one
-      row matches both Q and the next stage; once ``>= n`` Q-rows are
-      held, the first next-stage-AND-NOT-Q row advances; after the
-      ``m``-th Q-row, ANY next-stage row does;
-    - plain stages after that capture first-match-after-prev again, and
-      the final stage's row emits;
-    - ``within t``: the row loop evicts a partial at the first row (of any
-      kind) beyond ``first_ts + t`` while a required capture remains —
-      the buffer is ts-sorted, so a candidate beyond the window stays
-      uncaptured and the survivor rule (``ts[-1] - first_ts <= t``)
-      agrees;
+    - each A1-row arms a partial (a quantified stage 0 counts the arm row
+      as its first capture); plain stages whose predecessor is plain
+      capture the FIRST later matching row (:func:`run_kernel_chain`'s
+      fill);
+    - at a quant stage the partial extends GREEDILY on each later Q-row
+      while below ``m`` (non-contiguous), and extension beats advancing
+      when one row matches both Q and the next stage; once ``>= n``
+      Q-rows are held, the first next-stage-AND-NOT-Q row advances; after
+      the ``m``-th, ANY next-stage row does;
+    - ``within t`` evicts exactly as the row loop does (candidate beyond
+      the window stays uncaptured; survivors need the window to reach
+      past the newest row);
     - pending partials serialize with ``pos`` = the last stage holding a
-      capture (the row loop's lazy advance), byte-equal to ``_run_nfa``
-      and resumable by either engine across micro-batches (pinned by
-      tests/test_kernel2_unit.py).
+      capture, byte-equal to ``_run_nfa`` and resumable by either engine
+      across micro-batches (pinned by tests/test_kernel2_unit.py).
 
     One ``searchsorted`` per plain stage plus two per quant completion
     boundary, vectorized across every live partial."""
@@ -1012,7 +1011,7 @@ def run_kernel_chain_quant(
     k = len(masks)
     n_rows = len(ts_vals)
     BIG = np.int64(n_rows)
-    cm = qpos + 1  # the stage whose capture closes the quant run
+    qset = {q[0]: (q[1], q[2]) for q in quants}
     if init is not None:
         pend = init["partials"]
         started = bool(init["started"])
@@ -1032,24 +1031,38 @@ def run_kernel_chain_quant(
         ts_vals[new_arm] if n_new else np.empty(0, dtype=np.int64),
     ])
     # cap[s, i] = buffer position captured for PLAIN stage s by partial i
-    # (-1 = not captured); the quant stage's captures live in ``qprior``
-    # (resumed runs) + a contiguous slice of ``new_q`` (this batch's greedy
-    # extension), materialized lazily per match/survivor.
+    # (-1 = not captured); each quant stage's captures live in its
+    # ``prior`` lists (resumed runs) + a contiguous slice of its matching
+    # rows (this batch's greedy extension), materialized lazily.
     cap = np.full((k, n_all), -1, dtype=np.int64)
-    qprior: list[list[int]] = [[] for _ in range(n_all)]
+    qst = {
+        qpos: {"prior": [[] for _ in range(n_all)]}
+        for qpos in qset
+    }
     for i, p in enumerate(pend):
         for s, caps in enumerate(p["captured"]):
-            if s == qpos:
-                qprior[i] = [int(x) for x in caps]
+            if s in qset:
+                qst[s]["prior"][i] = [int(x) for x in caps]
             elif caps:
                 cap[s, i] = int(caps[0])
     if n_new:
-        if qpos == 0:
+        if 0 in qset:
+            pr = qst[0]["prior"]
             for j in range(n_new):
-                qprior[n_pend + j] = [int(new_arm[j])]
+                pr[n_pend + j] = [int(new_arm[j])]
         else:
             cap[0, n_pend:] = new_arm
-    qc0 = np.asarray([len(q) for q in qprior], dtype=np.int64)
+    for qpos in qset:
+        st = qst[qpos]
+        st["c0"] = np.asarray(
+            [len(c) for c in st["prior"]], dtype=np.int64
+        )
+        st["new"] = (
+            np.nonzero(masks[qpos][start_idx:])[0] + start_idx
+        ).astype(np.int64)
+        st["last"] = np.asarray(
+            [c[-1] if c else -1 for c in st["prior"]], dtype=np.int64
+        )
 
     def _fill_stage(s):
         """First stage-s match strictly after the stage s-1 capture, among
@@ -1071,86 +1084,93 @@ def run_kernel_chain_quant(
             ) <= within_ms
         cap[s, need] = np.where(has, cand, -1)
 
-    for s in range(1, qpos):
-        _fill_stage(s)
-
-    # quant stage: completion-boundary race, vectorized across partials
-    new_q = (
-        np.nonzero(masks[qpos][start_idx:])[0] + start_idx
-    ).astype(np.int64)
-    last_q = np.asarray(
-        [q[-1] if q else -1 for q in qprior], dtype=np.int64
-    )
-    if qpos > 0:
-        base = np.where(qc0 > 0, last_q, cap[qpos - 1])
-    else:
-        base = last_q
-    active = base >= 0  # reached the quant stage (not stuck in the prefix)
-    nxt = np.searchsorted(new_q, np.where(active, base, -1), side="right")
-
-    def _boundary(target):
-        """Buffer position where the quant count reaches ``target`` (BIG
-        if never; ``base`` when already there — any boundary value below
-        start_idx searches identically, all candidates being >= start_idx)."""
-        need = target - qc0
-        if len(new_q):
-            idx = nxt + need - 1
-            hit = active & (need > 0) & (idx < len(new_q))
-            pos = np.where(hit, new_q[np.clip(idx, 0, len(new_q) - 1)], BIG)
+    def _race(s, qpos):
+        """Capture PLAIN stage s for partials at quant stage ``qpos`` =
+        s-1: the quant completion-boundary race (extension beats
+        advancing below m; >= n then first s-and-not-q row; past the m-th
+        q-row any s-row)."""
+        st = qst[qpos]
+        min_count, max_count = qset[qpos]
+        new_q, c0 = st["new"], st["c0"]
+        if qpos > 0:
+            base = np.where(c0 > 0, st["last"], cap[qpos - 1])
         else:
-            pos = np.full(n_all, BIG, dtype=np.int64)
-        return np.where(active & (need <= 0), base, pos)
+            base = st["last"]
+        active = base >= 0  # reached the quant stage
+        nxt = np.searchsorted(new_q, np.where(active, base, -1),
+                              side="right")
+        st["base"], st["active"], st["nxt"] = base, active, nxt
 
-    rmin = _boundary(np.int64(min_count))
-    if max_count is None:
-        rmax = np.full(n_all, BIG, dtype=np.int64)
-    else:
-        rmax = _boundary(np.int64(max_count))
-    race = active & (cap[cm] < 0)  # resumed partials past cm skip the race
-    c_only = (
-        np.nonzero(
-            (np.asarray(masks[cm]) & ~np.asarray(masks[qpos]))[start_idx:]
-        )[0] + start_idx
-    ).astype(np.int64)
-    c_any = (
-        np.nonzero(masks[cm][start_idx:])[0] + start_idx
-    ).astype(np.int64)
-    if len(c_only):
-        i1 = np.searchsorted(c_only, rmin, side="right")
-        j1 = np.where(i1 < len(c_only),
-                      c_only[np.minimum(i1, len(c_only) - 1)], BIG)
-        j1 = np.where((rmin < BIG) & (j1 < rmax), j1, BIG)
-    else:
-        j1 = np.full(n_all, BIG, dtype=np.int64)
-    if len(c_any):
-        i2 = np.searchsorted(c_any, rmax, side="right")
-        j2 = np.where((rmax < BIG) & (i2 < len(c_any)),
-                      c_any[np.minimum(i2, len(c_any) - 1)], BIG)
-    else:
-        j2 = np.full(n_all, BIG, dtype=np.int64)
-    jb = np.where(race, np.minimum(j1, j2), BIG)
-    okc = jb < BIG
-    if within_ms is not None:
-        safe = np.where(okc, jb, 0)
-        okc &= (ts_vals[safe] - first_ts) <= within_ms
-    cap[cm] = np.where(okc, jb, cap[cm])
+        def _boundary(target):
+            need = target - c0
+            if len(new_q):
+                idx = nxt + need - 1
+                hit = active & (need > 0) & (idx < len(new_q))
+                pos = np.where(
+                    hit, new_q[np.clip(idx, 0, len(new_q) - 1)], BIG
+                )
+            else:
+                pos = np.full(n_all, BIG, dtype=np.int64)
+            return np.where(active & (need <= 0), base, pos)
 
-    for s in range(cm + 1, k):
-        _fill_stage(s)
+        rmin = _boundary(np.int64(min_count))
+        if max_count is None:
+            rmax = np.full(n_all, BIG, dtype=np.int64)
+        else:
+            rmax = _boundary(np.int64(max_count))
+        race = active & (cap[s] < 0)  # resumed past s skip the race
+        c_only = (
+            np.nonzero(
+                (np.asarray(masks[s]) & ~np.asarray(masks[qpos]))[start_idx:]
+            )[0] + start_idx
+        ).astype(np.int64)
+        c_any = (
+            np.nonzero(masks[s][start_idx:])[0] + start_idx
+        ).astype(np.int64)
+        if len(c_only):
+            i1 = np.searchsorted(c_only, rmin, side="right")
+            j1 = np.where(i1 < len(c_only),
+                          c_only[np.minimum(i1, len(c_only) - 1)], BIG)
+            j1 = np.where((rmin < BIG) & (j1 < rmax), j1, BIG)
+        else:
+            j1 = np.full(n_all, BIG, dtype=np.int64)
+        if len(c_any):
+            i2 = np.searchsorted(c_any, rmax, side="right")
+            j2 = np.where((rmax < BIG) & (i2 < len(c_any)),
+                          c_any[np.minimum(i2, len(c_any) - 1)], BIG)
+        else:
+            j2 = np.full(n_all, BIG, dtype=np.int64)
+        jb = np.where(race, np.minimum(j1, j2), BIG)
+        okc = jb < BIG
+        if within_ms is not None:
+            safe = np.where(okc, jb, 0)
+            okc &= (ts_vals[safe] - first_ts) <= within_ms
+        cap[s] = np.where(okc, jb, cap[s])
 
-    def _qcaps(i):
+    for s in range(1, k):
+        if s in qset:
+            continue  # quant captures are implicit (prior + new_q slice)
+        if (s - 1) in qset:
+            _race(s, s - 1)
+        else:
+            _fill_stage(s)
+
+    def _qcaps(i, qpos):
         """Quant-stage captures of partial i: prior runs + this batch's
-        contiguous new_q slice, stopping at the cm capture (race close)
-        and at ``m`` total."""
-        if not active[i]:
-            return list(qprior[i])
-        upto = int(cap[cm, i]) if cap[cm, i] >= 0 else int(BIG)
+        contiguous slice, stopping at the following stage's capture (race
+        close) and at ``m`` total."""
+        st = qst[qpos]
+        if not st["active"][i]:
+            return list(st["prior"][i])
+        nxt, new_q = st["nxt"], st["new"]
+        max_count = qset[qpos][1]
+        upto = int(cap[qpos + 1, i]) if cap[qpos + 1, i] >= 0 else int(BIG)
         room = (
-            (max_count - int(qc0[i])) if max_count is not None
+            (max_count - int(st["c0"][i])) if max_count is not None
             else len(new_q)
         )
         cnt = int(min(np.searchsorted(new_q, upto) - nxt[i], room))
-        caps = list(qprior[i])
+        caps = list(st["prior"][i])
         if cnt > 0:
             caps += [int(x) for x in new_q[nxt[i]:nxt[i] + cnt]]
         return caps
@@ -1164,7 +1184,7 @@ def run_kernel_chain_quant(
         order = np.lexsort((oi, cap[k - 1][oi]))
         for i in oi[order]:
             matches.append([
-                _qcaps(int(i)) if s == qpos else [int(cap[s, i])]
+                _qcaps(int(i), s) if s in qset else [int(cap[s, i])]
                 for s in range(k)
             ])
     keep = ~ok
@@ -1175,7 +1195,7 @@ def run_kernel_chain_quant(
     partials = []
     for i in np.nonzero(keep)[0]:
         caps_full = [
-            _qcaps(int(i)) if s == qpos
+            _qcaps(int(i), s) if s in qset
             else ([int(cap[s, i])] if cap[s, i] >= 0 else [])
             for s in range(k)
         ]
@@ -1197,6 +1217,25 @@ def run_kernel_chain_quant(
         "started": started or bool(n_all),
         "done": False,
     }
+
+
+def run_kernel_chain_quant(
+    ts_vals,
+    masks: list,
+    qpos: int,
+    start_idx: int,
+    init: dict | None,
+    within_ms: int | None,
+    min_count: int,
+    max_count: int | None,
+):
+    """Single-quant entry point (the shape that landed first — kept as the
+    named API the unit pins and single-quant dispatch use); delegates to
+    :func:`run_kernel_chain_quants`."""
+    return run_kernel_chain_quants(
+        ts_vals, masks, [(qpos, min_count, max_count)], start_idx, init,
+        within_ms,
+    )
 
 
 def run_kernel3(
@@ -2005,13 +2044,13 @@ def compile_pattern(planner, q: A.Query):
                 within_ms, elems_c[0].min_count, elems_c[0].max_count,
             )
         elif batch_shape == "chain_quant":
-            qp = next(
-                i for i, e in enumerate(elems_c)
+            qs_ = [
+                (i, e.min_count, e.max_count)
+                for i, e in enumerate(elems_c)
                 if e.min_count != 1 or e.max_count != 1
-            )
-            found, _ = run_kernel_chain_quant(
-                pdf[TS_COL].to_numpy(), masks, qp, 0, None, within_ms,
-                elems_c[qp].min_count, elems_c[qp].max_count,
+            ]
+            found, _ = run_kernel_chain_quants(
+                pdf[TS_COL].to_numpy(), masks, qs_, 0, None, within_ms,
             )
         else:
             found = _run_nfa(

@@ -70,7 +70,7 @@ from ..operators.pattern import (
     run_kernel2_nonevery,
     run_kernel2_quant,
     run_kernel_chain,
-    run_kernel_chain_quant,
+    run_kernel_chain_quants,
     run_kernel_chain_absence,
     run_kernel_chain_nonevery,
 )
@@ -1636,13 +1636,13 @@ class StreamingPlanner(BatchPlanner):
                     elems_c[0].min_count, elems_c[0].max_count,
                 )
             elif run_shape == "chain_quant":
-                qp = next(
-                    i for i, e in enumerate(elems_c)
+                qs_ = [
+                    (i, e.min_count, e.max_count)
+                    for i, e in enumerate(elems_c)
                     if e.min_count != 1 or e.max_count != 1
-                )
-                found, nfa_st = run_kernel_chain_quant(
-                    ts_arr, masks, qp, start_idx, init, within_ms,
-                    elems_c[qp].min_count, elems_c[qp].max_count,
+                ]
+                found, nfa_st = run_kernel_chain_quants(
+                    ts_arr, masks, qs_, start_idx, init, within_ms,
                 )
             elif run_shape == "absence2":
                 found, nfa_st = run_kernel2_absence(

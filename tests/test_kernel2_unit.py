@@ -222,6 +222,15 @@ def test_kernel2_shape_classifier():
     ]
     assert kernel2_shape(cq_two, True, None, [False, False]) is None
     assert kernel2_shape(cq_mid, True, 1, [False, False]) is None
+    # multiple NON-adjacent quants = chain_quant too (multi-quant kernel);
+    # adjacency (cq_two above) keeps the NFA
+    cq_multi = [
+        A.PatternElem(stream="s", alias="a", min_count=1, max_count=2),
+        A.PatternElem(stream="s", alias="b"),
+        A.PatternElem(stream="s", alias="c", min_count=2, max_count=None),
+        A.PatternElem(stream="s", alias="d"),
+    ]
+    assert kernel2_shape(cq_multi, True, None, [False] * 3) == "chain_quant"
 
 
 def _run_general_ne(ts, ma, mb, start, init, within, strict):
@@ -814,4 +823,125 @@ def test_kernel_chain_quant_state_interops_with_general_nfa():
         )
         assert _state_key_full(k_st2) == _state_key_full(g_st2), (
             trial, k, qpos, n, m,
+        )
+
+
+# ----------------------------------------- late-round-10 multi-quant chain
+def _mq_elems(k, quants):
+    elems = [A.PatternElem(stream="s", alias=f"e{i}") for i in range(k)]
+    for qpos, n, m in quants:
+        elems[qpos] = A.PatternElem(
+            stream="s", alias=f"e{qpos}", min_count=n, max_count=m
+        )
+    return elems
+
+
+def _run_general_mq(ts, masks, k, quants, start, init, within):
+    rows = pd.DataFrame({TS_COL: ts})
+    return _run_nfa(
+        rows, masks, _mq_elems(k, quants), [False] * (k - 1), True,
+        within, at_close=False, start_idx=start, init=init,
+        return_state=True,
+    )
+
+
+def _rand_quants(rng, k):
+    """1-2 quantified interior stages, no two adjacent, none last."""
+    qpos1 = rng.randint(0, k - 2)
+    quants = [(qpos1, rng.randint(1, 2),
+               rng.choice([1, 2, 3, None]) or None)]
+    if quants[0][2] is not None and quants[0][2] < quants[0][1]:
+        quants[0] = (qpos1, quants[0][1], quants[0][1])
+    others = [p for p in range(k - 1) if abs(p - qpos1) >= 2]
+    if others and rng.random() < 0.7:
+        qpos2 = rng.choice(others)
+        n2 = rng.randint(1, 2)
+        m2 = rng.choice([n2, n2 + 1, None])
+        quants.append((qpos2, n2, m2))
+    return sorted(quants)
+
+
+def test_kernel_chain_multiquant_matches_general_nfa_randomized():
+    """Multi-quant chains (`a<1:2> -> b -> c<1:2> -> d` and friends):
+    kernel vs general NFA on 600 randomized feeds with overlapping
+    masks, 1-2 non-adjacent quant stages over k in {4,5}, full state
+    equality including last_ts."""
+    from flink_siddhi_spark.operators.pattern import run_kernel_chain_quants
+
+    rng = random.Random(71)
+    for trial in range(600):
+        k = rng.choice([4, 4, 5])
+        quants = _rand_quants(rng, k)
+        nr = rng.randint(0, 30)
+        ts = np.sort(
+            np.array([rng.randint(0, 40) * 100 for _ in range(nr)], np.int64)
+        )
+        masks = [
+            np.array([rng.random() < 0.35 for _ in range(nr)], bool)
+            for _ in range(k)
+        ]
+        within = rng.choice([None, 1250, 2450])
+        got_m, got_st = run_kernel_chain_quants(
+            ts, masks, quants, 0, None, within
+        )
+        want_m, want_st = _run_general_mq(
+            ts, masks, k, quants, 0, None, within
+        )
+        assert got_m == want_m, (
+            trial, k, quants, within, ts.tolist(),
+            [mk.tolist() for mk in masks],
+        )
+        assert _state_key_full(got_st) == _state_key_full(want_st), (
+            trial, k, quants, within, ts.tolist(),
+            [mk.tolist() for mk in masks],
+        )
+
+
+def test_kernel_chain_multiquant_state_interops_with_general_nfa():
+    """Batch 1 through one engine, batch 2 through the OTHER, across
+    resumed prefix / mid-quant-1 / between-quants / mid-quant-2 / suffix
+    partial states."""
+    from flink_siddhi_spark.operators.pattern import run_kernel_chain_quants
+
+    rng = random.Random(72)
+    for trial in range(400):
+        k = rng.choice([4, 4, 5])
+        quants = _rand_quants(rng, k)
+        n1, n2 = rng.randint(1, 14), rng.randint(1, 14)
+        t1 = np.sort(
+            np.array([rng.randint(0, 20) * 100 for _ in range(n1)], np.int64)
+        )
+        t2 = np.sort(np.array(
+            [int(t1[-1]) + 100 + rng.randint(0, 20) * 100 for _ in range(n2)],
+            np.int64,
+        ))
+        ts = np.concatenate([t1, t2])
+        masks = [
+            np.array([rng.random() < 0.4 for _ in range(n1 + n2)], bool)
+            for _ in range(k)
+        ]
+        within = rng.choice([None, 1450, 2850])
+        m1 = [mk[:n1] for mk in masks]
+        k1, k_st = run_kernel_chain_quants(
+            ts[:n1], m1, quants, 0, None, within
+        )
+        g1, g_st = _run_general_mq(
+            ts[:n1], m1, k, quants, 0, None, within
+        )
+        assert k1 == g1, (trial, k, quants)
+        assert _state_key_full(k_st) == _state_key_full(g_st), (
+            trial, k, quants,
+        )
+        k2, k_st2 = run_kernel_chain_quants(
+            ts, masks, quants, n1, g_st, within
+        )
+        g2, g_st2 = _run_general_mq(
+            ts, masks, k, quants, n1, k_st, within
+        )
+        assert k2 == g2, (
+            trial, k, quants, within, ts.tolist(),
+            [mk.tolist() for mk in masks],
+        )
+        assert _state_key_full(k_st2) == _state_key_full(g_st2), (
+            trial, k, quants,
         )
