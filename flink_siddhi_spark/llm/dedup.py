@@ -718,12 +718,82 @@ def embedding_dup_pairs(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+def _cc_fused_fn(max_iterations: int):
+    """Single-task min-label propagation over the whole pair table — the
+    optimization-round fast path of :func:`dedup_clusters` (guide §1.2).
+    Runs the IDENTICAL algorithm the distributed loop runs (per-round
+    min over own + incoming-neighbor labels, change-tracked convergence,
+    same round budget), so labels AND the non-convergence condition are
+    equal by construction; the raise itself happens on the driver (a task
+    exception would surface as PythonException, not the documented
+    RuntimeError), signalled through the constant ``__exceeded`` column."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        e = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        ids_a, ids_b = e["id_a"].to_numpy(), e["id_b"].to_numpy()
+        codes, uniq = pd.factorize(np.concatenate([ids_a, ids_b]))
+        n_pairs = len(e)
+        # both edge directions, like the distributed union
+        src = np.concatenate([codes[:n_pairs], codes[n_pairs:]])
+        dst = np.concatenate([codes[n_pairs:], codes[:n_pairs]])
+        order = np.argsort(dst, kind="stable")
+        src_d, dst_d = src[order], dst[order]
+        starts = np.flatnonzero(np.r_[True, dst_d[1:] != dst_d[:-1]])
+        seg_nodes = dst_d[starts]
+        n = len(uniq)
+        # node's own id as its initial label; propagate FACTORIZED indices
+        # ordered by the true id order so min-of-index == min-of-id
+        rank_of = np.empty(n, dtype=np.int64)
+        rank_of[np.argsort(uniq, kind="stable")] = np.arange(n)
+        labels = rank_of.copy()
+        converged = False
+        changed_last = False
+        for it in range(max_iterations):
+            incoming = np.minimum.reduceat(labels[src_d], starts)
+            new = labels.copy()
+            # seg_nodes are the distinct destinations (one per segment), so
+            # plain fancy-index assignment is safe — no duplicate indices
+            new[seg_nodes] = np.minimum(new[seg_nodes], incoming)
+            changed_last = bool((new != labels).any())
+            labels = new
+            if it > 0 and not changed_last:
+                converged = True
+                break
+        exceeded = (not converged) and changed_last
+        id_by_rank = uniq[np.argsort(uniq, kind="stable")]
+        out = pd.DataFrame({"node": uniq, "label": id_by_rank[labels]})
+        out["__exceeded"] = exceeded
+        yield out
+
+    return run
+
+
+def dedup_clusters(
+    pairs: DataFrame, max_iterations: int = 20, fused: bool = True
+) -> DataFrame:
     """Connected components over a duplicate-pair graph: each doc maps to the
     minimum id reachable through pair edges (the cluster's canonical id).
 
     Input: (id_a, id_b) pair rows (e.g. from minhash_lsh_pairs). Output:
     (doc_id, cluster_id).
+
+    ``fused=True`` (default since the optimization round): the whole
+    propagation loop runs in ONE Arrow task over the pair table — the pair
+    graph is |near-dup pairs|-bounded (a small fraction of the corpus under
+    LSH banding + caps), so the per-round Spark machinery (edges⋈labels
+    join, groupBy-min, eager localCheckpoint, convergence-probe count = ~3
+    jobs x rounds) costs far more than the propagation itself. The fused
+    task runs the identical per-round min-label algorithm (numpy segment
+    mins), so labels and the non-convergence raise are equal by
+    construction; one job materializes it, one trivial probe reads the
+    convergence flag. ``fused=False`` keeps the distributed loop for pair
+    graphs beyond one task's memory:
 
     Distributed shape: iterative min-label propagation — each round joins
     labels across edges and keeps the per-node min; converges in O(graph
@@ -742,6 +812,29 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         # identity labels (every node its own cluster)
         raise ValueError(
             f"max_iterations must be >= 1, got {max_iterations}"
+        )
+    if fused:
+        id_t = dict(pairs.select("id_a", "id_b").dtypes)["id_a"]
+        labeled = (
+            pairs.select("id_a", "id_b")
+            .repartition(1)
+            .mapInPandas(
+                _cc_fused_fn(max_iterations),
+                f"node {id_t}, label {id_t}, __exceeded boolean",
+            )
+            .localCheckpoint(eager=True)
+        )
+        probe = labeled.select("__exceeded").first()
+        if probe is not None and probe["__exceeded"]:
+            raise RuntimeError(
+                f"dedup_clusters did not converge in max_iterations="
+                f"{max_iterations} rounds: the pair graph has a component of "
+                f"diameter > {max_iterations} (labels still changed in the "
+                "last round). Raise max_iterations — each extra round costs "
+                "one edges-join + groupBy-min."
+            )
+        return labeled.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
         )
     p = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     edges = (

@@ -460,6 +460,97 @@ def bigram_pmi(
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_n)
 
 
+def _textrank_fused_fn(damping: float, n_iter: int):
+    """One-task PageRank loop over the pruned bigram edge table — the
+    optimization-round replacement for the driver-sequenced per-iteration
+    join/checkpoint jobs (guide §1.2: fix the distributed algorithm first;
+    §4.2: whole batches through numpy).
+
+    Bit-exact replication of the distributed loop's determinism contract:
+
+    - Spark's ``round(x, 12)`` on a double is
+      ``BigDecimal.valueOf(x).setScale(12, HALF_UP)`` — HALF_UP applied to
+      the SHORTEST decimal representation of x (``Double.toString`` ==
+      Python ``repr``). Vectorized here as ``floor(x*1e12 + 0.5)`` with an
+      exact ``Decimal(repr(x))`` slow path for the ~1e-3 fraction of
+      elements whose scaled fractional part lies within 1e-3 of .5 (the
+      float error budget of the scaling is < 5e-4, so every element
+      outside that band provably rounds identically; all values are
+      non-negative, so HALF_UP == floor(x+0.5)).
+    - The per-edge contributions are exact multiples of 1e-12; the
+      distributed loop sums them through DECIMAL(38,12). Summing their
+      int64 1e-12-unit representation is the same exact sum, and
+      ``units.astype(float64)/1e12`` is one correctly-rounded division of
+      two exactly-representable values — identical to Spark's
+      decimal→double cast (``BigDecimal.doubleValue``).
+    - All remaining arithmetic (``(r*n_xy)/wout``, ``teleport + d*s``) is
+      element-wise IEEE float64 in the same evaluation order as the
+      Catalyst expressions.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q12 = Decimal("1e-12")
+
+        def round12_units(x):
+            """int64 units of 1e-12 for round(x, 12), Spark-exact."""
+            y = x * 1e12
+            f = np.floor(y + 0.5)
+            frac = y - np.floor(y)
+            amb = np.abs(frac - 0.5) < 1e-3
+            if amb.any():
+                for i in np.flatnonzero(amb):
+                    f[i] = float(
+                        Decimal(repr(float(x[i]))).quantize(
+                            q12, rounding=ROUND_HALF_UP
+                        )
+                        * 10**12
+                    )
+            return f.astype(np.int64)
+
+        frames = [b for b in batches if len(b)]
+        if not frames:
+            return
+        e = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        codes, words = pd.factorize(
+            np.concatenate([e["w1"].to_numpy(), e["w2"].to_numpy()])
+        )
+        n_edges = len(e)
+        src, dst = codes[:n_edges], codes[n_edges:]
+        n = len(words)
+        nxy = e["n_xy"].to_numpy(np.int64)
+        # wout per source node: exact int64 segment sums (Spark: SUM(bigint))
+        order_s = np.argsort(src, kind="stable")
+        src_s = src[order_s]
+        starts_s = np.flatnonzero(np.r_[True, src_s[1:] != src_s[:-1]])
+        wout = np.zeros(n, dtype=np.float64)
+        wout[src_s[starts_s]] = np.add.reduceat(nxy[order_s], starts_s).astype(
+            np.float64
+        )
+        # edges sorted by destination once; reduceat segments reused per iter
+        order_d = np.argsort(dst, kind="stable")
+        dst_d = dst[order_d]
+        starts_d = np.flatnonzero(np.r_[True, dst_d[1:] != dst_d[:-1]])
+        seg_nodes = dst_d[starts_d]
+        src_d = src[order_d]
+        nxy_d = nxy[order_d].astype(np.float64)
+        wout_d = wout[src_d]
+        teleport = (1.0 - damping) / float(n)
+        r = round12_units(np.full(n, 1.0 / float(n))).astype(np.float64) / 1e12
+        for _ in range(n_iter):
+            c = (r[src_d] * nxy_d) / wout_d
+            units = round12_units(c)
+            s = np.zeros(n, dtype=np.float64)
+            s[seg_nodes] = np.add.reduceat(units, starts_d).astype(np.float64) / 1e12
+            r = round12_units(teleport + damping * s).astype(np.float64) / 1e12
+        yield pd.DataFrame({"w": words, "r": r})
+
+    return run
+
+
 def textrank_keywords(
     df: DataFrame,
     damping: float = 0.85,
@@ -467,6 +558,7 @@ def textrank_keywords(
     min_count: int = 5,
     top_n: int = 50,
     text_col: str = "text",
+    fused: bool = True,
 ) -> DataFrame:
     """Corpus keywords by TextRank: PageRank over the directed bigram
     co-occurrence graph (edge u→v weighted by adjacency count, edges below
@@ -482,13 +574,23 @@ def textrank_keywords(
     iteration is then bit-identical in any engine and any partitioning —
     the DuckDB oracle unrolls the same 10 iterations as chained CTEs.
 
-    Scale shape: the edge table (vocab²-bounded after the min_count cut)
-    builds once and is localCheckpointed; each iteration is one
-    edge⋈ranks join (ranks = |vocab| rows — AQE broadcasts it), a hash
-    aggregate onto the in-neighbor key, and a left join back to the node
-    list; ranks are localCheckpointed per round so the loop's lineage stays
-    flat (same pattern as dedup_clusters' label propagation). Only the
-    scalar node count touches the driver."""
+    Scale shape (``fused=True``, the default since the optimization round):
+    ONE distributed pass builds the pruned bigram edge table (the only
+    corpus-scale work — explode + hash aggregate), then the whole
+    ``n_iter``-round loop runs in a single Arrow task over that edge table
+    (vocab²-bounded after the min_count cut; the distributed loop already
+    assumed the |vocab| rank table broadcasts, and a pruned n_xy>=5 bigram
+    graph is orders of magnitude below task memory at any corpus size —
+    numbers in OPTIMIZATION_r10.md). That replaces ~2 jobs x n_iter of
+    driver-sequenced join/aggregate/localCheckpoint rounds with one job and
+    no driver action at all. Results are bit-identical (see
+    ``_textrank_fused_fn``); ``fused=False`` keeps the distributed
+    per-iteration loop for graphs too large for one task:
+    each iteration is one edge⋈ranks join (ranks = |vocab| rows — AQE
+    broadcasts it), a hash aggregate onto the in-neighbor key, and a left
+    join back to the node list; ranks are localCheckpointed per round so
+    the loop's lineage stays flat (same pattern as dedup_clusters' label
+    propagation). Only the scalar node count touches the driver."""
     words = F.split(F.lower(F.col(text_col)), " ")
     pairs = F.transform(
         F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
@@ -501,6 +603,15 @@ def textrank_keywords(
         .agg(F.count(F.lit(1)).alias("n_xy"))
         .filter(F.col("n_xy") >= min_count)
     )
+    if fused:
+        ranks = bi.repartition(1).mapInPandas(
+            _textrank_fused_fn(damping, n_iter), "w string, r double"
+        )
+        return (
+            ranks.orderBy(F.desc("r"), "w")
+            .limit(top_n)
+            .select(F.col("w").alias("word"), F.col("r").alias("score"))
+        )
     nodes = (
         bi.select(F.col("w1").alias("w"))
         .union(bi.select(F.col("w2").alias("w")))

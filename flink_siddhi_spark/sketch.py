@@ -50,17 +50,27 @@ def _check_prefix(prefix_hex: int) -> int:
     return p
 
 
-def _reg_and_rho(value_col: str, p: int):
-    """(register, rho) column pair for one value: register = first ``p`` md5
-    hex chars; rho = 1 + leading-zero-bits of the remaining 128-4p bits,
-    via portable string ops (4 bits per leading '0' char + the intra-nibble
-    zeros of the first non-zero char)."""
+def _hll_hash(value_col: str):
+    """The md5 hex digest column both register and rho derive from.
+    Materialized ONCE in a projection by the callers (optimization round):
+    the register (grouping key) and rho (aggregate input) sit in different
+    operator slots, so codegen's subexpression elimination cannot share the
+    digest between them — computing it in a Project beforehand halves the
+    md5 work per row with identical results."""
+    return F.md5(F.col(value_col).cast("string").cast("binary"))
+
+
+def _reg_and_rho(hash_col: str, p: int):
+    """(register, rho) column pair reading a precomputed md5-hex column
+    (see :func:`_hll_hash`): register = first ``p`` hex chars; rho = 1 +
+    leading-zero-bits of the remaining 128-4p bits, via portable string ops
+    (4 bits per leading '0' char + the intra-nibble zeros of the first
+    non-zero char)."""
     tail_len = 32 - p
-    h = F.md5(F.col(value_col).cast("string").cast("binary"))
+    h = F.col(hash_col)
     reg = F.substring(h, 1, p)
     trimmed = F.expr(
-        f"trim(LEADING '0' FROM substring(md5(cast(cast({value_col} as string)"
-        f" as binary)), {p + 1}, {tail_len}))"
+        f"trim(LEADING '0' FROM substring({hash_col}, {p + 1}, {tail_len}))"
     )
     first = F.substring(trimmed, 1, 1)
     intra = (
@@ -129,9 +139,10 @@ def hll_distinct(
     """
     p = _check_prefix(prefix_hex)
     gcols = [F.col(c) for c in group_cols]
-    reg, rho = _reg_and_rho(value_col, p)
+    reg, rho = _reg_and_rho("__hll_h", p)
     regs = (
         df.filter(F.col(value_col).isNotNull())
+        .withColumn("__hll_h", _hll_hash(value_col))
         .groupBy(*gcols, reg.alias("__reg"))
         .agg(F.max(rho).alias("__rho"))
     )
@@ -175,10 +186,11 @@ def hll_register_stream(
     window_end_ms, group..., __reg, __rho``.
     """
     p = _check_prefix(prefix_hex)
-    reg, rho = _reg_and_rho(value_col, p)
+    reg, rho = _reg_and_rho("__hll_h", p)
     win = F.window(F.col(ts_col), window_duration)
     return (
         df.filter(F.col(value_col).isNotNull())
+        .withColumn("__hll_h", _hll_hash(value_col))
         .withWatermark(ts_col, watermark)
         .groupBy(win, *[F.col(c) for c in group_cols], reg.alias("__reg"))
         .agg(F.max(rho).alias("__rho"))
