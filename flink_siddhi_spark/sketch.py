@@ -140,18 +140,26 @@ def hll_distinct(
     p = _check_prefix(prefix_hex)
     gcols = [F.col(c) for c in group_cols]
     reg, rho = _reg_and_rho("__hll_h", p)
-    regs = (
+    # ONE corpus pass for both branches (optimization round): registers are
+    # duplicate-insensitive (max-rho over a multiset == over its set) and
+    # n_exact is a count over the same distinct table, so both branches
+    # read the SAME distinct aggregate — its exchange subtree is identical
+    # in the two branches and executes once via ReusedExchange (the old
+    # shape scanned + exploded the input twice: once for the register
+    # aggregate, once for countDistinct)
+    dist = (
         df.filter(F.col(value_col).isNotNull())
-        .withColumn("__hll_h", _hll_hash(value_col))
+        .select(*group_cols, value_col)
+        .distinct()
+    )
+    regs = (
+        dist.withColumn("__hll_h", _hll_hash(value_col))
         .groupBy(*gcols, reg.alias("__reg"))
         .agg(F.max(rho).alias("__rho"))
     )
-    # exact distinct for error inspection — same shuffle key layout, cheap
-    exact = (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*gcols)
-        .agg(F.countDistinct(value_col).alias("n_exact"))
-    )
+    # exact distinct for error inspection — a plain count over the shared
+    # distinct table (== countDistinct on the raw input)
+    exact = dist.groupBy(*gcols).agg(F.count(F.lit(1)).alias("n_exact"))
     out = hll_estimate_from_registers(regs, group_cols, prefix_hex=p)
     if group_cols:
         joined = out.join(exact, list(group_cols))
