@@ -1324,10 +1324,15 @@ def q_text_hll_shingles(spark, sf_dir):
     # round-5 late: corpus-wide distinct 3-gram shingle estimate — the raw
     # HLL branch (16k+ distinct at sf0.01 vs m=256 registers); n_exact rides
     # along so the output exposes the sketch's relative error
-    from flink_siddhi_spark.llm.dedup import shingle_table
+    from flink_siddhi_spark.llm.dedup import _spread, shingle_table
     from flink_siddhi_spark.sketch import hll_distinct
 
-    sh = shingle_table(_docs(spark, sf_dir)).withColumnRenamed("shingle", "sh")
+    # _spread BEFORE the shingle explode (round 10, guide §2.5 input skew):
+    # the sf parquet is one split, so the corpus-scale explode + partial
+    # distinct otherwise runs on a single task
+    sh = shingle_table(_spread(_docs(spark, sf_dir))).withColumnRenamed(
+        "shingle", "sh"
+    )
     return hll_distinct(sh, "sh", [], prefix_hex=2)
 
 
@@ -1345,7 +1350,12 @@ def q_text_cms_heavyhitters(spark, sf_dir):
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
         )
     )
-    occ = _docs(spark, sf_dir).select(F.explode(grams).alias("k"))
+    # _spread BEFORE the gram explode (round 10, guide §2.5 input skew):
+    # one parquet split would otherwise run the corpus-scale explode +
+    # partial count on a single task
+    from flink_siddhi_spark.llm.dedup import _spread
+
+    occ = _spread(_docs(spark, sf_dir)).select(F.explode(grams).alias("k"))
     return cms_heavy_hitters(occ, "k", top_n=50)
 
 

@@ -132,6 +132,7 @@ def cosine_topk(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     engine: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self-matches by id).
 
@@ -161,7 +162,8 @@ def cosine_topk(
         engine = _resolve_auto_engine(corpus, queries, id_col)
     if engine == "numpy":
         return _matmul_topk(corpus, queries, k, emb_col, id_col)
-    dim = _dim_of(corpus, emb_col)
+    if dim is None:
+        dim = _dim_of(corpus, emb_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
         norm(emb_col, dim).alias("q_norm"),
@@ -317,6 +319,7 @@ def ivf_topk(
     centroids: str = "seed",
     kmeans_iters: int = 5,
     engine: str = "numpy",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the n_probe closest centroid buckets.
 
@@ -330,7 +333,8 @@ def ivf_topk(
     JVM per-pair expression path costs ~3-15 us/pair); ``engine="join"``
     keeps the broadcast-join formulation as the cross-validation
     reference (pytest pins the two engines' outputs equal)."""
-    dim = _dim_of(corpus, emb_col)
+    if dim is None:
+        dim = _dim_of(corpus, emb_col)
     if centroids == "kmeans":
         centroids = kmeans_centroids(
             corpus, n_centroids, kmeans_iters, emb_col, id_col, dim
@@ -940,6 +944,7 @@ def pq_encode(
     codebook: list | None = None,
     engine: str = "auto",
     keep: tuple | list | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantize an embedding column: split each vector into ``m``
     subvectors, snap each to its nearest codebook entry (round-6 squared-L2
@@ -966,7 +971,8 @@ def pq_encode(
     7s eval vs ~1s total for numpy at sf0.01). ``engine="expr"`` keeps the
     pure-Catalyst literal projection as the cross-validation reference
     (pytest pins the two engines' outputs equal)."""
-    dim = _dim_of(corpus, emb_col)
+    if dim is None:
+        dim = _dim_of(corpus, emb_col)
     if dim is None:
         raise ValueError("pq: empty corpus — no codebook vectors")
     if dim % m:
@@ -1125,12 +1131,13 @@ def pq_topk(
         codebook = pq_train_codebook(
             corpus, m, n_codes, train_iters, emb_col, id_col
         )
+    dim = _dim_of(corpus, emb_col)
     enc = pq_encode(
         corpus, m, n_codes, emb_col, id_col,
-        codebook=None if codebook == "seed" else codebook,
+        codebook=None if codebook == "seed" else codebook, dim=dim,
     )
     recon = enc.select(F.col(id_col), F.col("recon").alias(emb_col))
-    return cosine_topk(recon, queries, k, emb_col, id_col, engine)
+    return cosine_topk(recon, queries, k, emb_col, id_col, engine, dim=dim)
 
 
 def _residual_base(
@@ -1267,15 +1274,16 @@ def ivfpq_topk(
         )
         return ivf_topk(
             recon, queries, n_centroids, n_probe, k, emb_col, id_col,
-            engine=engine,
+            engine=engine, dim=len(coarse_cb[0]),
         )
     if codebook == "trained":
         codebook = pq_train_codebook(
             corpus, m, n_codes, train_iters, emb_col, id_col
         )
+    dim = _dim_of(corpus, emb_col)
     enc = pq_encode(
         corpus, m, n_codes, emb_col, id_col,
-        codebook=None if codebook == "seed" else codebook,
+        codebook=None if codebook == "seed" else codebook, dim=dim,
     )
     # ivf_topk reads its corpus several times (coarse centroids, bucket
     # assignment, scoring) — materialize the encode pass ONCE
@@ -1284,8 +1292,63 @@ def ivfpq_topk(
     )
     return ivf_topk(
         recon, queries, n_centroids, n_probe, k, emb_col, id_col,
-        engine=engine,
+        engine=engine, dim=dim,
     )
+
+
+def _sq_stats_numpy(corpus: DataFrame, dim: int, emb_col: str):
+    """Per-dimension corpus (min, max) via ONE Arrow-batched partial-stats
+    pass merged on the driver — value-identical to the 2*dim-expression
+    Catalyst aggregate (min/max only SELECT an existing float32-widened
+    value, no arithmetic), but skips analyzing + compiling a 128-wide
+    aggregate, a fixed ~1.3s of driver latency at any scale (round 10,
+    guide §1.2/§4.2). NaN replays Spark's ordering (NaN sorts greatest):
+    max is NaN when any value is, min ignores NaN unless all are."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    def part_stats(batches):
+        import pandas as pd
+
+        mn = mx = has_nan = None
+        for pdf in batches:
+            X = _np_emb_matrix(pdf[emb_col], dim)
+            if not X.shape[0]:
+                continue
+            bn = np.isnan(X).any(axis=0)
+            bmn = np.fmin.reduce(X, axis=0)
+            bmx = np.fmax.reduce(X, axis=0)
+            if mn is None:
+                mn, mx, has_nan = bmn, bmx, bn
+            else:
+                mn, mx, has_nan = np.fmin(mn, bmn), np.fmax(mx, bmx), has_nan | bn
+        if mn is not None:
+            yield pd.DataFrame(
+                {"mn": [list(mn)], "mx": [list(mx)],
+                 "nan": [list(bool(v) for v in has_nan)]}
+            )
+
+    sch = T.StructType(
+        [
+            T.StructField("mn", T.ArrayType(T.DoubleType())),
+            T.StructField("mx", T.ArrayType(T.DoubleType())),
+            T.StructField("nan", T.ArrayType(T.BooleanType())),
+        ]
+    )
+    parts = (
+        corpus.filter(F.col(emb_col).isNotNull())
+        .select(emb_col)
+        .mapInPandas(part_stats, sch)
+        .collect()
+    )
+    if not parts:
+        raise ValueError("sq: empty corpus — no quantization range")
+    mn = np.fmin.reduce(np.asarray([p.mn for p in parts], dtype=np.float64), axis=0)
+    mx = np.fmax.reduce(np.asarray([p.mx for p in parts], dtype=np.float64), axis=0)
+    any_nan = np.asarray([p.nan for p in parts], dtype=bool).any(axis=0)
+    mx = np.where(any_nan, np.nan, mx)
+    return [float(v) for v in mn], [float(v) for v in mx]
 
 
 def sq_encode(
@@ -1293,6 +1356,7 @@ def sq_encode(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     engine: str = "auto",
+    dim: int | None = None,
 ) -> DataFrame:
     """int8 scalar quantization (SQ8): per-DIMENSION affine quantization to
     0..255 against corpus min/max — the other standard ANN compression
@@ -1319,9 +1383,18 @@ def sq_encode(
     cross-validation reference (pytest pins them equal) — at dim=64 its
     64-wide when/floor expression tree runs interpreted at ~1.8 ms/row,
     the same lesson as the PQ encode."""
-    dim = _dim_of(corpus, emb_col)
+    if dim is None:
+        dim = _dim_of(corpus, emb_col)
     if dim is None:
         raise ValueError("sq: empty corpus — no quantization range")
+    if engine == "auto":
+        engine = "numpy" if _integral_ids(corpus, id_col) else "expr"
+    if engine == "numpy":
+        # one partial-stats Arrow pass (value-identical to the Catalyst
+        # aggregate below; see _sq_stats_numpy) — the 2*dim-expression agg
+        # is kept as the expr engine's cross-validation reference
+        mns, mxs = _sq_stats_numpy(corpus, dim, emb_col)
+        return _sq_encode_numpy(corpus, mns, mxs, dim, emb_col, id_col)
     stats = corpus.agg(
         *[
             f(F.col(emb_col)[d].cast("double")).alias(f"__{nm}{d}")
@@ -1329,13 +1402,6 @@ def sq_encode(
             for nm, f in (("mn", F.min), ("mx", F.max))
         ]
     )
-    if engine == "auto":
-        engine = "numpy" if _integral_ids(corpus, id_col) else "expr"
-    if engine == "numpy":
-        row = stats.collect()[0]  # 1 row / 2*dim doubles — broadcast-model
-        mns = [row[f"__mn{d}"] for d in range(dim)]
-        mxs = [row[f"__mx{d}"] for d in range(dim)]
-        return _sq_encode_numpy(corpus, mns, mxs, dim, emb_col, id_col)
     enc = corpus.select(id_col, emb_col).crossJoin(F.broadcast(stats))
     codes, recon = [], []
     for d in range(dim):
@@ -1413,7 +1479,11 @@ def sq_topk(
     Same composition shape as ``pq_topk``; scoring reuses ``cosine_topk``."""
     if engine == "auto":
         engine = _resolve_auto_engine(corpus, queries, id_col)
-    enc = sq_encode(corpus, emb_col, id_col)
+    # probe dim ONCE on the raw corpus (cheap single-row scan) and thread it
+    # through encode + scorer — probing the encoded frame would materialize
+    # the lazy checkpoint just to read one row's width (round 10)
+    dim = _dim_of(corpus, emb_col)
+    enc = sq_encode(corpus, emb_col, id_col, dim=dim)
     # materialize the reconstruction: without the barrier Catalyst collapses
     # the 64-wide recon projection INTO the scorer, and the unrolled dot
     # then re-expands every array element's when/floor expression per term
@@ -1421,7 +1491,7 @@ def sq_topk(
     recon = enc.select(
         F.col(id_col), F.col("recon").alias(emb_col)
     ).localCheckpoint(eager=False)
-    return cosine_topk(recon, queries, k, emb_col, id_col, engine)
+    return cosine_topk(recon, queries, k, emb_col, id_col, engine, dim=dim)
 
 
 def ivfsq_topk(
@@ -1444,11 +1514,12 @@ def ivfsq_topk(
     oracle replays the full index."""
     if engine == "auto":
         engine = _resolve_auto_engine(corpus, queries, id_col)
-    enc = sq_encode(corpus, emb_col, id_col)
+    dim = _dim_of(corpus, emb_col)
+    enc = sq_encode(corpus, emb_col, id_col, dim=dim)
     recon = enc.select(
         F.col(id_col), F.col("recon").alias(emb_col)
     ).localCheckpoint(eager=False)
     return ivf_topk(
         recon, queries, n_centroids, n_probe, k, emb_col, id_col,
-        engine=engine,
+        engine=engine, dim=dim,
     )

@@ -427,8 +427,13 @@ def bigram_pmi(
         F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
         lambda x, i: F.struct(x.alias("w1"), F.get(words, i + 1).alias("w2")),
     )
+    from .dedup import _spread
+
+    # _spread before the corpus-scale explode (round 10, guide §2.5): a
+    # single-split scan otherwise runs the explode + partial aggregate on
+    # one task; at real scale the scan has many splits and this is a no-op
     bi = (
-        df.select(F.explode(pairs).alias("b"))
+        _spread(df.select(text_col)).select(F.explode(pairs).alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_xy"))
@@ -596,8 +601,13 @@ def textrank_keywords(
         F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
         lambda x, i: F.struct(x.alias("w1"), F.get(words, i + 1).alias("w2")),
     )
+    from .dedup import _spread
+
+    # _spread before the corpus-scale explode (round 10, guide §2.5): a
+    # single-split scan otherwise runs the explode + partial aggregate on
+    # one task; at real scale the scan has many splits and this is a no-op
     bi = (
-        df.select(F.explode(pairs).alias("b"))
+        _spread(df.select(text_col)).select(F.explode(pairs).alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_xy"))
@@ -829,8 +839,12 @@ def zipf_table(
     shuffle; only ``top_n`` rows leave the aggregation. Log coordinates
     are per-row arithmetic on exact bigint counts, so both engines round
     the same doubles."""
+    from .dedup import _spread
+
     counts = (
-        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+        # _spread before the corpus-scale explode (round 10, guide §2.5)
+        _spread(df.select(text_col))
+        .select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("term").asc())
@@ -868,7 +882,10 @@ def inverted_index(
     aggregates; the final per-term groupBy reuses that clustering
     (Catalyst plans no further exchange). Posting arrays are ≤cap elements
     by construction before any collect_list runs."""
-    w = df.select(
+    from .dedup import _spread
+
+    # _spread before the corpus-scale explode (round 10, guide §2.5)
+    w = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__t")
     )
     tc = w.groupBy("__t", id_col).agg(F.count(F.lit(1)).alias("__tfd"))
@@ -910,8 +927,12 @@ def source_kl(
     count table; everything after (word totals, source totals, the KL sum)
     re-aggregates that ≤|sources|×|vocab| frame, with the word-marginal
     join planned broadcast-side at vocab scale."""
+    from .dedup import _spread
+
     sw = (
-        df.select(
+        # _spread before the corpus-scale explode (round 10, guide §2.5)
+        _spread(df.select(group_col, text_col))
+        .select(
             F.col(group_col).alias("source"),
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__w"),
         )

@@ -1526,12 +1526,14 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path):
     )
     got = {(r.window_start_ms, r.event_type, r["__reg"]): r["__rho"]
            for r in streamed.collect()}
-    from flink_siddhi_spark.sketch import _reg_and_rho
+    from flink_siddhi_spark.sketch import _hll_hash, _reg_and_rho
 
-    reg, rho = _reg_and_rho("user_id", 2)
+    # round 10: _reg_and_rho reads a pre-materialized digest column (the
+    # operators hash once per row); the test mirrors that contract
+    reg, rho = _reg_and_rho("__hll_h", 2)
     want = {(r.window_start_ms, r.event_type, r.r): r.mx
-            for r in batch.groupBy("window_start_ms", "event_type",
-                                   reg.alias("r"))
+            for r in batch.withColumn("__hll_h", _hll_hash("user_id"))
+            .groupBy("window_start_ms", "event_type", reg.alias("r"))
             .agg(F.max(rho).alias("mx")).collect()}
     assert got == want and len(got) > 0
 
