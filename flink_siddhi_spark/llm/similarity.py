@@ -1152,7 +1152,8 @@ def _residual_base(
     only to re-attach a column the map pass already had in hand. Values
     are identical (the join was 1:1 on a unique id)."""
     enc = pq_encode(corpus, 1, emb_col=emb_col, id_col=id_col,
-                    codebook=coarse_cb, keep=(emb_col,))
+                    codebook=coarse_cb, keep=(emb_col,),
+                    dim=len(coarse_cb[0]))
     return (
         enc.select(id_col, emb_col, F.col("recon").alias("__c"))
         .withColumn(
@@ -1255,7 +1256,7 @@ def ivfpq_topk(
         # old base⋈renc re-attach join was the second corpus-scale shuffle
         # in this path; both are gone (values identical, 1:1 unique-id join)
         renc = pq_encode(base, m, emb_col="__res", id_col=id_col,
-                         codebook=rcb, keep=("__c",))
+                         codebook=rcb, keep=("__c",), dim=len(rcb[0]))
         recon = (
             renc.select(
                 F.col(id_col),

@@ -210,28 +210,37 @@ def add_bucket(
             # the 7 candidate days behind it whose epoch-day residue is in
             # the schedule — 7 codegen'd CASE terms per row, no data
             # movement. Bucket id = the fire's epoch ms (unique per fire).
+            # Round 10: the candidate trees are rendered as ONE SQL string
+            # parsed server-side (same expressions) — building them as
+            # Column ops paid ~6 py4j round-trips per node at plan time
+            # (the dot()/_pq_sqdist_sql lesson).
             residues, tod = arg
-            ems = F.col(ts_col)
-            day = F.floor(ems / F.lit(86_400_000))
+            ems = f"`{ts_col}`"
+            day = f"FLOOR({ems} / 86400000)"
+            res_in = ", ".join(str(r) for r in residues)
 
-            def fire_at(d):
-                return d * 86_400_000 + F.lit(tod)
+            def fire_at(d: str) -> str:
+                return f"({d}) * 86400000 + {tod}"
 
-            cands = [
-                F.when(
-                    ((day - k) % 7).isin(*residues) & (fire_at(day - k) <= ems),
-                    fire_at(day - k),
-                )
+            cands = ", ".join(
+                f"(CASE WHEN (({day}) - {k}) % 7 IN ({res_in}) "
+                f"AND ({fire_at(f'({day}) - {k}')}) <= {ems} "
+                f"THEN {fire_at(f'({day}) - {k}')} END)"
                 for k in range(7)
-            ]
-            out = df.withColumn(BUCKET_COL, F.greatest(*cands).cast("bigint"))
-            fday = F.floor((F.col(BUCKET_COL) - F.lit(tod)) / F.lit(86_400_000))
-            nexts = [
-                F.when(((fday + k) % 7).isin(*residues), fire_at(fday + k))
+            )
+            out = df.withColumn(
+                BUCKET_COL, F.expr(f"CAST(greatest({cands}) AS BIGINT)")
+            )
+            fday = f"FLOOR((`{BUCKET_COL}` - {tod}) / 86400000)"
+            nexts = ", ".join(
+                f"(CASE WHEN (({fday}) + {k}) % 7 IN ({res_in}) "
+                f"THEN {fire_at(f'({fday}) + {k}')} END)"
                 for k in range(1, 8)
-            ]
+            )
             return BucketedWindow(
-                out, F.col(BUCKET_COL), F.least(*nexts).cast("bigint")
+                out,
+                F.col(BUCKET_COL),
+                F.expr(f"CAST(least({nexts}) AS BIGINT)"),
             )
         # monthly 's m h DOM [M...] DOW': fires on each listed day resolver
         # — fixed day-of-month, L / L-n / LW, D#n, DL — at h:m:s, optionally
@@ -244,69 +253,85 @@ def add_bucket(
         # and NULL candidates drop out of greatest/least. The parser sets
         # the lookback ``jback`` (months) from the worst consecutive-skip
         # run of the schedule.
+        # Round 10: the per-month candidate trees are rendered as ONE SQL
+        # string parsed server-side (identical expressions node-for-node) —
+        # the Column form paid ~6 py4j round-trips per expression node at
+        # plan time, ~0.8s for a 2-dayspec schedule (the dot()/_pq_sqdist_sql
+        # lesson; equality pinned by the cron unit suite + the family oracle)
         dayspecs, hh, mm, ss, months, jback = arg
-        ems = F.col(ts_col)
-        t = F.timestamp_millis(ems.cast("bigint"))
-        midx = F.year(t) * 12 + F.month(t) - 1
+        ems = f"`{ts_col}`"
+        t = f"timestamp_millis(CAST({ems} AS BIGINT))"
+        midx = f"(year({t}) * 12 + month({t}) - 1)"
 
-        def fire_of(b, ds):  # epoch ms of ds's fire in month-index b (or null)
-            y = F.floor(b / 12).cast("int")
-            m = (b % 12 + 1).cast("int")
-            first = F.make_date(y, m, F.lit(1))
-            dim = F.dayofmonth(F.last_day(first))
+        def fire_of(b: str, ds) -> str:  # epoch ms of ds's fire in month b
+            y = f"CAST(FLOOR(({b}) / 12) AS INT)"
+            m = f"CAST(({b}) % 12 + 1 AS INT)"
+            first = f"make_date({y}, {m}, 1)"
+            dim = f"dayofmonth(last_day({first}))"
             kind = ds[0]
             if kind == "num":
-                day = F.when(F.lit(ds[1]) <= dim, F.lit(ds[1]))
+                day = f"(CASE WHEN {ds[1]} <= {dim} THEN {ds[1]} END)"
             elif kind == "last":
-                day = F.when(dim - ds[1] >= 1, dim - ds[1])
+                day = f"(CASE WHEN {dim} - {ds[1]} >= 1 THEN {dim} - {ds[1]} END)"
             elif kind == "lastw":
-                ldw = F.dayofweek(F.last_day(first))  # 1=SUN..7=SAT
-                day = dim - F.when(ldw == 7, 1).when(ldw == 1, 2).otherwise(0)
+                ldw = f"dayofweek(last_day({first}))"  # 1=SUN..7=SAT
+                day = (
+                    f"({dim} - (CASE WHEN {ldw} = 7 THEN 1 "
+                    f"WHEN {ldw} = 1 THEN 2 ELSE 0 END))"
+                )
             elif kind == "near_w":
                 # quartz 'dW': nearest weekday to day d, never crossing the
                 # month boundary (d=1 on Sat -> Mon the 3rd; d=dim on Sun ->
                 # Fri before); skip months shorter than d
                 d = ds[1]
-                base = F.when(F.lit(d) <= dim, F.lit(d))
-                bdw = F.dayofweek(F.make_date(y, m, base))
+                base = f"(CASE WHEN {d} <= {dim} THEN {d} END)"
+                bdw = f"dayofweek(make_date({y}, {m}, {base}))"
                 day = (
-                    F.when(bdw == 7, F.when(base == 1, base + 2).otherwise(base - 1))
-                    .when(bdw == 1, F.when(base == dim, base - 2).otherwise(base + 1))
-                    .otherwise(base)
+                    f"(CASE WHEN {bdw} = 7 THEN (CASE WHEN {base} = 1 "
+                    f"THEN {base} + 2 ELSE {base} - 1 END) "
+                    f"WHEN {bdw} = 1 THEN (CASE WHEN {base} = {dim} "
+                    f"THEN {base} - 2 ELSE {base} + 1 END) "
+                    f"ELSE {base} END)"
                 )
             elif kind == "nth_dow":
                 code, n = ds[1], ds[2]
-                first_occ = 1 + (F.lit(code) - F.dayofweek(first) + 7) % 7
-                day = F.when(first_occ + 7 * (n - 1) <= dim,
-                             first_occ + 7 * (n - 1))
-            else:  # last_dow
-                day = dim - (F.dayofweek(F.last_day(first)) - ds[1] + 7) % 7
-            fire = F.unix_millis(
-                F.try_make_timestamp(
-                    years=y, months=m, days=day.cast("int"),
-                    hours=F.lit(hh), mins=F.lit(mm),
-                    secs=F.lit(ss).cast("double"),
+                first_occ = f"(1 + ({code} - dayofweek({first}) + 7) % 7)"
+                day = (
+                    f"(CASE WHEN {first_occ} + 7 * ({n} - 1) <= {dim} "
+                    f"THEN {first_occ} + 7 * ({n} - 1) END)"
                 )
+            else:  # last_dow
+                day = (
+                    f"({dim} - (dayofweek(last_day({first})) - {ds[1]} + 7) % 7)"
+                )
+            fire = (
+                f"unix_millis(try_make_timestamp({y}, {m}, "
+                f"CAST({day} AS INT), {hh}, {mm}, CAST({ss} AS DOUBLE)))"
             )
             if months:
-                return F.when((b % 12 + 1).isin(*sorted(months)), fire)
+                in_list = ", ".join(str(v) for v in sorted(months))
+                return f"(CASE WHEN ({b}) % 12 + 1 IN ({in_list}) THEN {fire} END)"
             return fire
 
-        cands = [
-            F.when(fire_of(midx - j, ds) <= ems, fire_of(midx - j, ds))
+        cands = ", ".join(
+            f"(CASE WHEN {fire_of(f'{midx} - {j}', ds)} <= {ems} "
+            f"THEN {fire_of(f'{midx} - {j}', ds)} END)"
             for j in range(jback + 1)
             for ds in dayspecs
-        ]
-        out = df.withColumn(BUCKET_COL, F.greatest(*cands).cast("bigint"))
-        bt = F.timestamp_millis(F.col(BUCKET_COL))
-        bmidx = F.year(bt) * 12 + F.month(bt) - 1
-        nexts = [
-            F.when(fire_of(bmidx + j, ds) > F.col(BUCKET_COL), fire_of(bmidx + j, ds))
+        )
+        out = df.withColumn(
+            BUCKET_COL, F.expr(f"CAST(greatest({cands}) AS BIGINT)")
+        )
+        bt = f"timestamp_millis(`{BUCKET_COL}`)"
+        bmidx = f"(year({bt}) * 12 + month({bt}) - 1)"
+        nexts = ", ".join(
+            f"(CASE WHEN {fire_of(f'{bmidx} + {j}', ds)} > `{BUCKET_COL}` "
+            f"THEN {fire_of(f'{bmidx} + {j}', ds)} END)"
             for j in range(jback + 1)
             for ds in dayspecs
-        ]
+        )
         return BucketedWindow(
-            out, F.col(BUCKET_COL), F.least(*nexts).cast("bigint")
+            out, F.col(BUCKET_COL), F.expr(f"CAST(least({nexts}) AS BIGINT)")
         )
     if name == "session":
         gap = _arg_ms(spec, 0)
