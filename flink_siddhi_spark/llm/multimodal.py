@@ -466,7 +466,12 @@ def text_to_bmp(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    from .dedup import _spread
+
+    # _spread before the per-row codec pass (round 10, guide §2.5): a
+    # single-split scan otherwise runs encode (and the downstream decode/
+    # ahash passes, which inherit the partitioning) on one task
+    return _spread(df.select(id_col, text_col)).mapInPandas(run, schema)
 
 
 def image_ahash(

@@ -279,7 +279,13 @@ def bloom_contamination(
         return corpus.select(F.col(id_col)).limit(0).withColumn(
             "n_maybe_hits", F.lit(0).cast("bigint")
         )
-    bitmap = F.array([F.lit(wd).cast("long") for wd in words])
+    # ONE server-side parse for the m/64-longs literal (round 10): building
+    # it as F.array of 1024 F.lit columns paid ~6 py4j round-trips per
+    # element (~2.5s of plan-construction latency per call); the SQL literal
+    # array carries the identical values
+    bitmap = F.expr(
+        "array(" + ", ".join(f"{wd}L" for wd in words) + ")"
+    )
     member = lambda p: (  # noqa: E731
         F.element_at(bitmap, (p / 64).cast("int") + 1).bitwiseAND(
             _shl1((p % 64).cast("int"))
