@@ -1158,8 +1158,11 @@ def _residual_base(
         enc.select(id_col, emb_col, F.col("recon").alias("__c"))
         .withColumn(
             "__res",
-            F.zip_with(F.col(emb_col), "__c",
-                       lambda a, b: a.cast("double") - b.cast("double")),
+            # one server-side parse (round 10) — same lambda expression
+            F.expr(
+                f"zip_with(`{emb_col}`, __c, "
+                "(a, b) -> CAST(a AS DOUBLE) - CAST(b AS DOUBLE))"
+            ),
         )
         .localCheckpoint(eager=False)
     )
@@ -1264,11 +1267,9 @@ def ivfpq_topk(
                 # precision can double-round differently across engines;
                 # widen-add-narrow is ONE correctly-rounded sequence both
                 # Spark and DuckDB compute identically (oracle-replayable)
-                F.zip_with(
-                    "__c", "recon",
-                    lambda a, b: (
-                        a.cast("double") + b.cast("double")
-                    ).cast("float"),
+                F.expr(
+                    "zip_with(__c, recon, (a, b) -> "
+                    "CAST(CAST(a AS DOUBLE) + CAST(b AS DOUBLE) AS FLOAT))"
                 ).alias(emb_col),
             )
             .localCheckpoint(eager=False)

@@ -839,12 +839,11 @@ def zipf_table(
     shuffle; only ``top_n`` rows leave the aggregation. Log coordinates
     are per-row arithmetic on exact bigint counts, so both engines round
     the same doubles."""
-    from .dedup import _spread
-
     counts = (
-        # _spread before the corpus-scale explode (round 10, guide §2.5)
-        _spread(df.select(text_col))
-        .select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+        # no _spread here (round 10, measured): the split+explode+count of
+        # this shape runs ~0.2s on one task at bench scale; the round-robin
+        # exchange of the full text payload costs more than it saves
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("term").asc())
@@ -882,10 +881,9 @@ def inverted_index(
     aggregates; the final per-term groupBy reuses that clustering
     (Catalyst plans no further exchange). Posting arrays are ≤cap elements
     by construction before any collect_list runs."""
-    from .dedup import _spread
-
-    # _spread before the corpus-scale explode (round 10, guide §2.5)
-    w = _spread(df.select(id_col, text_col)).select(
+    # no _spread here (round 10, measured): see zipf_table — the exchange
+    # costs more than the light single-task explode saves
+    w = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__t")
     )
     tc = w.groupBy("__t", id_col).agg(F.count(F.lit(1)).alias("__tfd"))
@@ -927,12 +925,10 @@ def source_kl(
     count table; everything after (word totals, source totals, the KL sum)
     re-aggregates that ≤|sources|×|vocab| frame, with the word-marginal
     join planned broadcast-side at vocab scale."""
-    from .dedup import _spread
-
     sw = (
-        # _spread before the corpus-scale explode (round 10, guide §2.5)
-        _spread(df.select(group_col, text_col))
-        .select(
+        # no _spread here (round 10, measured): see zipf_table — the
+        # exchange costs more than the light single-task explode saves
+        df.select(
             F.col(group_col).alias("source"),
             F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("__w"),
         )
