@@ -776,6 +776,71 @@ def _pq_codebook(corpus: DataFrame, n_codes: int, emb_col: str, id_col: str):
     return cb
 
 
+def _pq_assign_partials(X, U, cb64m, m: int, sub: int) -> list:
+    """One Lloyd assignment pass over a row block: per (subspace, code)
+    member counts + exact int64 1e-12-unit sums. Row-independent — the
+    same float64 dimension-order accumulation per (row, code) cell no
+    matter how rows are blocked, so per-Arrow-batch and whole-sample
+    invocations produce identical partials. Shared verbatim by the
+    ``jobs`` and ``fused`` training engines (bit-identity by construction).
+
+    Integer sums are chunked at 8,192 rows (int64-safe at the documented
+    |v| < ~1e6 unit bound) and merged as unbounded python ints — exactly
+    the driver-reduce arithmetic of the ``jobs`` engine."""
+    import numpy as np
+
+    n = X.shape[0]
+    n_cb = cb64m.shape[0]
+    rows = []
+    for j in range(m):
+        acc = np.zeros((n, n_cb))
+        for d in range(sub):
+            i = j * sub + d
+            t = X[:, i:i + 1] - cb64m[:, i][None, :]
+            acc += t * t
+        # argmin takes the FIRST minimum == smaller-code-id ties
+        best_c = np.argmin(_np_round6(acc), axis=1)
+        Uj = U[:, j * sub:(j + 1) * sub]
+        for c in np.unique(best_c):
+            sel = best_c == c
+            Us = Uj[sel]
+            sums = [0] * sub
+            for s in range(0, Us.shape[0], 8_192):
+                part = Us[s:s + 8_192].sum(axis=0)
+                for d in range(sub):
+                    sums[d] += int(part[d])
+            rows.append([j, int(c), int(sel.sum())] + sums)
+    return rows
+
+
+def _pq_reduce_means(partials, cb: list, m: int, sub: int) -> list:
+    """Merge assignment partials (python-int exact) and emit the next
+    codebook under the HALF_UP integer-unit mean contract; codes that lose
+    every member keep their previous centroid. Shared by both engines."""
+    from decimal import Decimal
+
+    agg: dict = {}
+    for r in partials:
+        key = (r[0], r[1])
+        cur = agg.get(key)
+        if cur is None:
+            agg[key] = [int(v) for v in r[2:]]
+        else:
+            for d in range(sub + 1):
+                cur[d] += int(r[d + 2])
+    new_cb = [list(c) for c in cb]  # empty codes keep previous centroid
+    for (j, c), vals in agg.items():
+        cnt = vals[0]
+        for d in range(sub):
+            s_units = vals[d + 1]
+            sign = -1 if s_units < 0 else 1
+            mean_units = sign * ((2 * abs(s_units) + cnt) // (2 * cnt))
+            new_cb[c][j * sub + d] = float(
+                Decimal(mean_units).scaleb(-12)
+            )
+    return new_cb
+
+
 def pq_train_codebook(
     corpus: DataFrame,
     m: int = 8,
@@ -784,6 +849,8 @@ def pq_train_codebook(
     emb_col: str = "embedding",
     id_col: str = "vec_id",
     train_cap: int = 65_536,
+    engine: str = "fused",
+    dim: int | None = None,
 ) -> list:
     """Per-subspace Lloyd k-means codebook training for product
     quantization (round-6 VERDICT ask #4: the seeded 16-entry codebooks
@@ -827,15 +894,26 @@ def pq_train_codebook(
     the kmeans 100x floor 33.2s -> ~11s. Partial sums in exact integer
     units are associative, so the result is bit-identical to the old
     decimal aggregate (pinned by test_llm_ops' oracle gates at both SFs).
-    The full corpus is only read by the later encode pass."""
-    from decimal import Decimal
+    The full corpus is only read by the later encode pass.
 
+    Engines (round 10, guide §1.2 — the fixed-latency cut): the bounded
+    sample is a TakeOrdered result, i.e. ONE partition no matter the corpus
+    size, so the per-iteration Spark jobs were already serial single-task
+    passes paying ~0.15s of driver round-trip each (init collect +
+    n_iter mapInPandas collects, cProfile). ``engine="fused"`` (default)
+    runs init + every Lloyd iteration inside ONE mapInPandas task over
+    that partition and emits the final codebook (n_codes skinny rows, one
+    job total); ``engine="jobs"`` keeps the per-iteration-job loop as the
+    cross-validation reference (pytest pins the engines bit-equal). Both
+    engines share `_pq_assign_partials` / `_pq_reduce_means` verbatim, so
+    the arithmetic is identical by construction."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    dim = _dim_of(corpus, emb_col)
+    if dim is None:
+        dim = _dim_of(corpus, emb_col)
     if dim is None:
         raise ValueError("pq: empty corpus — no codebook vectors")
     if dim % m:
@@ -845,8 +923,46 @@ def pq_train_codebook(
         corpus.select(id_col, emb_col)
         .orderBy(id_col)
         .limit(train_cap)
-        .localCheckpoint(eager=False)
     )
+    if engine == "fused":
+        cb_schema = T.StructType(
+            [
+                T.StructField("c", T.IntegerType()),
+                T.StructField("v", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        def train_all(batches):
+            embs = []
+            ids = []
+            for pdf in batches:
+                if len(pdf):
+                    embs.extend(list(pdf[emb_col]))
+                    ids.extend(pdf[id_col].tolist())
+            if not embs:
+                return
+            order = np.argsort(np.asarray(ids), kind="stable")
+            X = _np_emb_matrix([embs[i] for i in order], dim)
+            # init: first n_codes sample vectors by id — float(np.float64
+            # from the float32 widen) == float(collected array<float> cell)
+            cb = [[float(v) for v in X[i]] for i in range(min(n_codes, X.shape[0]))]
+            U = _np_units12(X)  # exact round-12 units, int64
+            for _ in range(n_iter):
+                cb64m = np.asarray(
+                    [np.asarray(c, dtype=np.float64) for c in cb]
+                )
+                partials = _pq_assign_partials(X, U, cb64m, m, sub)
+                cb = _pq_reduce_means(partials, cb, m, sub)
+            yield pd.DataFrame(
+                {"c": list(range(len(cb))), "v": cb}
+            )
+
+        rows = sample.coalesce(1).mapInPandas(train_all, cb_schema).collect()
+        if not rows:
+            raise ValueError("pq: empty corpus — no codebook vectors")
+        return [list(r["v"]) for r in sorted(rows, key=lambda r: r["c"])]
+
+    sample = sample.localCheckpoint(eager=False)
     cb = [
         [float(v) for v in r[emb_col]]
         for r in sample.orderBy(id_col).limit(n_codes).select(emb_col).collect()
@@ -863,34 +979,14 @@ def pq_train_codebook(
     )
     for _ in range(n_iter):
         cb64m = np.asarray([np.asarray(c, dtype=np.float64) for c in cb])
-        n_cb = len(cb)
 
-        def assign_stats(batches, cb64m=cb64m, n_cb=n_cb):
+        def assign_stats(batches, cb64m=cb64m):
             for pdf in batches:
                 X = _np_emb_matrix(pdf[emb_col], dim)
-                n = X.shape[0]
-                if not n:
+                if not X.shape[0]:
                     continue
                 U = _np_units12(X)  # exact round-12 units, int64
-                rows = []
-                for j in range(m):
-                    # broadcast over codes with DIMENSION-ORDER accumulation:
-                    # bit-identical to the per-code fold (same float64 add
-                    # sequence per element), n_codes x fewer numpy dispatches
-                    acc = np.zeros((n, n_cb))
-                    for d in range(sub):
-                        i = j * sub + d
-                        t = X[:, i:i + 1] - cb64m[:, i][None, :]
-                        acc += t * t
-                    # argmin takes the FIRST minimum == smaller-code-id ties
-                    best_c = np.argmin(_np_round6(acc), axis=1)
-                    Uj = U[:, j * sub:(j + 1) * sub]
-                    for c in np.unique(best_c):
-                        sel = best_c == c
-                        rows.append(
-                            [j, int(c), int(sel.sum())]
-                            + Uj[sel].sum(axis=0).tolist()  # int64-exact
-                        )
+                rows = _pq_assign_partials(X, U, cb64m, m, sub)
                 if rows:
                     yield pd.DataFrame(
                         rows, columns=[f.name for f in part_schema.fields]
@@ -899,27 +995,11 @@ def pq_train_codebook(
         parts = sample.mapInPandas(assign_stats, part_schema).collect()
         # driver reduce over <= partitions * m * n_codes partial rows with
         # unbounded python ints (no float division anywhere)
-        agg: dict = {}
-        for r in parts:
-            key = (r["j"], r["c"])
-            cur = agg.get(key)
-            if cur is None:
-                agg[key] = [int(r["n"])] + [int(r[f"s{d}"]) for d in range(sub)]
-            else:
-                cur[0] += int(r["n"])
-                for d in range(sub):
-                    cur[d + 1] += int(r[f"s{d}"])
-        new_cb = [list(c) for c in cb]  # empty codes keep previous centroid
-        for (j, c), vals in agg.items():
-            cnt = vals[0]
-            for d in range(sub):
-                s_units = vals[d + 1]
-                sign = -1 if s_units < 0 else 1
-                mean_units = sign * ((2 * abs(s_units) + cnt) // (2 * cnt))
-                new_cb[c][j * sub + d] = float(
-                    Decimal(mean_units).scaleb(-12)
-                )
-        cb = new_cb
+        cb = _pq_reduce_means(
+            [[r["j"], r["c"], r["n"]] + [r[f"s{d}"] for d in range(sub)]
+             for r in parts],
+            cb, m, sub,
+        )
     return cb
 
 
@@ -1127,11 +1207,11 @@ def pq_topk(
         # row count, but probing the encoded frame would execute the whole
         # encode pass once just to count it
         engine = _resolve_auto_engine(corpus, queries, id_col)
+    dim = _dim_of(corpus, emb_col)
     if codebook == "trained":
         codebook = pq_train_codebook(
-            corpus, m, n_codes, train_iters, emb_col, id_col
+            corpus, m, n_codes, train_iters, emb_col, id_col, dim=dim
         )
-    dim = _dim_of(corpus, emb_col)
     enc = pq_encode(
         corpus, m, n_codes, emb_col, id_col,
         codebook=None if codebook == "seed" else codebook, dim=dim,
@@ -1191,7 +1271,8 @@ def ivfpq_train(
         pq_train_codebook(corpus, 1, n_centroids, train_iters, emb_col, id_col)
     )
     base = _residual_base(corpus, coarse, emb_col, id_col)
-    rcb = pq_train_codebook(base, m, n_codes, train_iters, "__res", id_col)
+    rcb = pq_train_codebook(base, m, n_codes, train_iters, "__res", id_col,
+                            dim=len(coarse[0]))
     return {"coarse": coarse, "residual": rcb}
 
 
@@ -1253,7 +1334,8 @@ def ivfpq_topk(
         )
         base = _residual_base(corpus, coarse_cb, emb_col, id_col)
         rcb = residual_codebook if residual_codebook is not None else (
-            pq_train_codebook(base, m, n_codes, train_iters, "__res", id_col)
+            pq_train_codebook(base, m, n_codes, train_iters, "__res", id_col,
+                              dim=len(coarse_cb[0]))
         )
         # round 8: ``__c`` rides through the residual encode (keep=) — the
         # old base⋈renc re-attach join was the second corpus-scale shuffle
@@ -1278,11 +1360,11 @@ def ivfpq_topk(
             recon, queries, n_centroids, n_probe, k, emb_col, id_col,
             engine=engine, dim=len(coarse_cb[0]),
         )
+    dim = _dim_of(corpus, emb_col)
     if codebook == "trained":
         codebook = pq_train_codebook(
-            corpus, m, n_codes, train_iters, emb_col, id_col
+            corpus, m, n_codes, train_iters, emb_col, id_col, dim=dim
         )
-    dim = _dim_of(corpus, emb_col)
     enc = pq_encode(
         corpus, m, n_codes, emb_col, id_col,
         codebook=None if codebook == "seed" else codebook, dim=dim,

@@ -352,6 +352,32 @@ def test_pq_encode_keep_collision_rejected(spark):
             pq_encode(embs.withColumn(bad, embs.vec_id), keep=(bad,))
 
 
+def test_pq_train_engines_bit_identical(spark):
+    """Round-10 optimization: the fused single-job trainer (init + every
+    Lloyd iteration in one task over the single-partition bounded sample)
+    must match the per-iteration-job loop bit-for-bit — same init, same
+    assignment partials, same HALF_UP integer-unit means, same empty-code
+    keep-previous, same n_codes>rows truncation, same empty-corpus raise."""
+    from flink_siddhi_spark.llm.similarity import pq_train_codebook
+
+    embs = _four_cluster_embs(spark, n_per=25)
+    for m, nc, it in [(8, 32, 2), (1, 8, 3)]:
+        a = pq_train_codebook(embs, m, nc, it, engine="jobs")
+        b = pq_train_codebook(embs, m, nc, it, engine="fused")
+        assert a == b, (m, nc, it)
+    # sample smaller than n_codes: codebook truncates identically
+    tiny = embs.filter("vec_id < 5")
+    assert (
+        pq_train_codebook(tiny, 1, 8, 2, engine="jobs")
+        == pq_train_codebook(tiny, 1, 8, 2, engine="fused")
+    )
+    # both engines raise the documented error on an empty corpus
+    empty = embs.filter("vec_id < 0")
+    for eng in ("jobs", "fused"):
+        with pytest.raises(ValueError, match="empty"):
+            pq_train_codebook(empty, 1, 4, 1, engine=eng)
+
+
 def test_pq_codebook_vectors_encode_to_themselves(spark):
     # seed vector c has distance 0 to codebook entry c in every subspace
     from flink_siddhi_spark.llm.similarity import pq_encode
