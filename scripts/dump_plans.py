@@ -35,9 +35,15 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = dict(entrymod.queries())
+    import contextlib
+    import io
+
     for name in names:
         df = qs[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString("formatted")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
         path = os.path.join(out_dir, f"{name}_{tag}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
