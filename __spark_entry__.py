@@ -1702,70 +1702,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate evaluates queries() in dict order and records
-# only the FIRST 50 entries, so the window is ROTATED each round. Round 10
-# (VERDICT r9 ask #2; leads frozen in ROUND9_NOTES.md §'Round-10 window
-# leads'): positions 1-47 are ALL forty-seven entries whose latest driver
-# row is r7, in registration order starting at `pipeline_fuzzy_contamination`
-# (the r7-gated 49 minus the trained-ANN pair re-gated in the r9 window);
-# the three remaining fill slots go to the family entries the frozen lead
-# names (`window_cron_family`, `join_outer_family`, `join_windowed_family`
-# — the entries carrying the most variants per row). After this round no
-# registered entry's latest driver row is older than r8. The r8/r9-green
-# entries outside the window are still value-checked by the builder's full
-# local mirror (scripts/verify_oracle.py) each round.
-_R10_WINDOW = [
-    # 1-47: latest driver row is r7 (registration order)
-    "pipeline_fuzzy_contamination",
-    "text_length_percentiles",
-    "tpch_q10ish_returns",
-    "pipeline_quality_topfrac",
-    "custom_stream_fn",
-    "custom_window",
-    "text_dedup_stats",
-    "pipeline_embed",
-    "pipeline_contamination_gate",
-    "tpch_q18ish_bigorders",
-    "tpch_q1_pricing",
-    "pattern_followed_by",
-    "tpch_q3_shipping",
-    "tpch_q5ish_revenue",
-    "dedup_exact",
-    "custom_udaf",
-    "pattern_first_match",
-    "pattern_within",
-    "pattern_absence",
-    "sequence_quantifier",
-    "ann_cosine_topk",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_verified",
-    "dedup_clusters",
-    "dedup_fuzzy_keep",
-    "pipeline_cdc_chunks",
-    "dedup_containment",
-    "dedup_simhash_hamming",
-    "text_pii_scrub",
-    "text_boilerplate_ngrams",
-    "text_tfidf_top_terms",
-    "text_lm_score",
-    "text_source_stats",
-    "text_quality",
-    "text_language_id",
-    "text_repetition",
-    "pipeline_novelty",
-    "pipeline_curate",
-    "pipeline_weighted_sample",
-    "pipeline_contamination",
-    "pipeline_pack",
-    "pipeline_chunk_dedup",
-    "ann_ivf_topk",
-    "ann_kmeans_clusters",
-    "ann_ivfsq_topk",
-    "pipeline_cluster_balanced",
-    # 48-50: VERDICT r9 ask #2 fill — the frozen lead's family entries
-    "window_cron_family",
-    "join_outer_family",
-    "join_windowed_family",
+# only the FIRST 50 entries, so the window is ROTATED each round. Round 11
+# (VERDICT r10 'Next round' item 1 — it explicitly OVERRIDES the rotation
+# plan frozen in ROUND10_NOTES.md §'Round-11 window leads'): positions 1-15
+# are every entry the round-10 optimization pass numerically rewrote
+# (textrank fused PageRank, HLL shared-distinct, CMS/bloom/neardup spread,
+# SQ numpy stats, the fused PQ trainer family) plus the two entries
+# registered in round 10 that have never been driver-gated
+# (`window_bucketed_stream`, `sequence_quant_chain`); positions 16-50 are
+# the first 35 of the 47 r8-stale entries in registration order (lead:
+# `filter_projection`). The 12 r8-stale entries that do not fit
+# (`dedup_embedding` .. `text_readability`) remain covered by the builder's
+# full local mirror (scripts/verify_oracle.py) each round.
+_R11_WINDOW = [
+    # 1-13: round-10 optimization rewrites (VERDICT r10 item 1 list)
+    "text_textrank",
+    "text_hll_shingles",
+    "events_hll_users",
+    "text_cms_heavyhitters",
+    "pipeline_bloom_contamination",
+    "multimodal_image_neardup",
+    "ann_sq_topk",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_trained_topk",
+    "ann_ivfpq_residual",
+    "dedup_cluster_sizes",
+    "pipeline_dsir_resample",
+    # 14-15: registered in round 10, never driver-gated
+    "window_bucketed_stream",
+    "sequence_quant_chain",
+    # 16-50: r8-stale fill (registration order)
+    "filter_projection",
+    "window_time_batch",
+    "window_length_batch",
+    "window_session",
+    "window_sliding_length",
+    "window_sliding_time",
+    "window_external_time",
+    "window_external_time_batch",
+    "window_sort",
+    "window_frequent",
+    "window_unique",
+    "window_delay",
+    "window_time_length",
+    "window_lossy_frequent",
+    "join_stream_table",
+    "join_theta",
+    "topk_per_group",
+    "incremental_agg_day",
+    "incremental_agg_within",
+    "table_upsert_last",
+    "table_dml_delete",
+    "output_rate_last",
+    "chained_queries",
+    "multimodal_metadata",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "pattern_mid_every",
+    "asof_join",
+    "text_classifier",
+    "pipeline_interleave",
+    "tpch_q6_forecast",
+    "sequence_family",
+    "dedup_minhash_sig",
+    "dedup_simhash",
 ]
 
 
@@ -1956,12 +1958,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # hard invariant (NOT a bare assert: python -O would strip it and a
     # malformed window list would silently mis-rotate the correctness gate)
-    if len(_R10_WINDOW) != 50 or not set(_R10_WINDOW) <= set(q):
+    if len(_R11_WINDOW) != 50 or not set(_R11_WINDOW) <= set(q):
         raise RuntimeError(
-            f"driver window invariant violated: {len(_R10_WINDOW)} entries, "
-            f"unknown: {sorted(set(_R10_WINDOW) - set(q))}"
+            f"driver window invariant violated: {len(_R11_WINDOW)} entries, "
+            f"unknown: {sorted(set(_R11_WINDOW) - set(q))}"
         )
-    ordered = {k: q[k] for k in _R10_WINDOW}
+    ordered = {k: q[k] for k in _R11_WINDOW}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 

@@ -393,6 +393,45 @@ def _streaming_throughput_bench(spark, sf_dir: str) -> dict:
     schema = spark.read.parquet(src).schema
     root = tempfile.mkdtemp(prefix="spark_graft_stream_")
 
+    # untimed warmup (round 11, VERDICT r10 item 6): the section now runs
+    # FIRST in its own fresh session, so the first timed drain would
+    # otherwise absorb the one-time JVM/Python-worker/codegen startup that
+    # the old last-in-session placement paid invisibly. One tiny
+    # availableNow drain through the same stateful operator class warms
+    # exactly those paths; sf0.001 keeps it sub-second of real work.
+    warm_sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_sf):
+        warm_sf = sf_dir
+    try:
+        warm_src = f"{warm_sf}/events.parquet"
+        warm_schema = spark.read.parquet(warm_src).schema
+        warm_stream = (
+            spark.readStream.format("parquet").schema(warm_schema)
+            .option("pathGlobFilter", "events.parquet").load(warm_sf)
+            .withColumn("ts_ms", F.unix_millis(F.col("ts").cast("timestamp")))
+        )
+        wcep = SiddhiCEP(spark)
+        wcep.register_stream(
+            "events", warm_stream, "event_id", "user_id", "event_type",
+            "value", "ts_ms", ts_field="ts_ms",
+        )
+        wq = (
+            wcep.from_("events").cql(
+                "partition with (user_id of events) begin "
+                "from every e = events[event_type == 'error'] "
+                "  -> not events[event_type == 'purchase'] for 10 min "
+                "select e.user_id as user_id, e.event_id as error_id "
+                "insert into Out; end"
+            ).returns("Out")
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(root, "ck_warm"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        wq.awaitTermination(300)
+    except Exception as ex:  # warmup must never fail the section
+        print(f"# streaming warmup failed: {ex}", file=sys.stderr)
+
     def _read_stream():
         # the file stream source needs a DIRECTORY basePath; sf tables are
         # single files, so stream the parent dir with a glob filter
@@ -700,10 +739,7 @@ def _control_lifecycle_bench(spark, n_plans: int = 10) -> dict:
     return phases
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+def _make_session(cpus: str):
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("flink-siddhi-spark-bench")
@@ -729,6 +765,34 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # Sustained streaming section FIRST, in its OWN SparkSession (round 11,
+    # VERDICT r10 item 6): when this section ran last, its rows inherited
+    # whatever heap/contention state ~90 batch queries left behind, and two
+    # driver runs measured pure-JVM paths 3-5x apart. A dedicated session
+    # at process start gives the rows a reproducible environment; the
+    # per-query warmup inside the section covers the cold-start delta, and
+    # the batch sections below get their own fresh session exactly like
+    # before (their warmup layers are unchanged). Timing methodology,
+    # queries, and output format are unchanged — only the session the
+    # section runs in.
+    streaming_result = None
+    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
+        try:
+            stream_spark = _make_session(cpus)
+            streaming_result = _streaming_throughput_bench(stream_spark, sf_dir)
+            stream_spark.stop()
+        except Exception as ex:  # must never fail the bench
+            print(f"# streaming bench failed: {ex}", file=sys.stderr)
+
+    spark = _make_session(cpus)
 
     import __spark_entry__ as entrymod
 
@@ -924,17 +988,14 @@ def main() -> int:
             sys.stdout.flush()
         except Exception as ex:  # must never fail the bench
             print(f"# control bench failed: {ex}", file=sys.stderr)
-    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
-        try:
-            out["streaming_throughput"] = _streaming_throughput_bench(
-                spark, sf_dir
-            )
-            print(json.dumps(
-                {"streaming_throughput": out["streaming_throughput"]}
-            ))
-            sys.stdout.flush()
-        except Exception as ex:  # must never fail the bench
-            print(f"# streaming bench failed: {ex}", file=sys.stderr)
+    if streaming_result is not None:
+        # measured in the fresh first session above; emitted here so the
+        # stdout line order (and the driver's tail parse) is unchanged
+        out["streaming_throughput"] = streaming_result
+        print(json.dumps(
+            {"streaming_throughput": out["streaming_throughput"]}
+        ))
+        sys.stdout.flush()
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_LOCAL.json"), "w") as fh:

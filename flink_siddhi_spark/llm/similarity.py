@@ -784,9 +784,12 @@ def _pq_assign_partials(X, U, cb64m, m: int, sub: int) -> list:
     invocations produce identical partials. Shared verbatim by the
     ``jobs`` and ``fused`` training engines (bit-identity by construction).
 
-    Integer sums are chunked at 8,192 rows (int64-safe at the documented
-    |v| < ~1e6 unit bound) and merged as unbounded python ints — exactly
-    the driver-reduce arithmetic of the ``jobs`` engine."""
+    Integer sums are chunked at 8,192 rows and merged as unbounded python
+    ints — exactly the driver-reduce arithmetic of the ``jobs`` engine.
+    int64 safety: a chunk sum is <= 8,192 * |v| * 1e12 units, so the safe
+    bound is |v| < ~1e3 per coordinate (int64 max ~9.2e18) — ample for
+    O(1)-normalized embeddings, and the same bound the pre-chunking
+    whole-batch numpy sum carried."""
     import numpy as np
 
     n = X.shape[0]
@@ -912,6 +915,9 @@ def pq_train_codebook(
 
     from pyspark.sql import types as T
 
+    if engine not in ("fused", "jobs"):
+        raise ValueError(f"pq: unknown training engine {engine!r} "
+                         "(expected 'fused' or 'jobs')")
     if dim is None:
         dim = _dim_of(corpus, emb_col)
     if dim is None:
@@ -943,9 +949,15 @@ def pq_train_codebook(
                 return
             order = np.argsort(np.asarray(ids), kind="stable")
             X = _np_emb_matrix([embs[i] for i in order], dim)
-            # init: first n_codes sample vectors by id — float(np.float64
-            # from the float32 widen) == float(collected array<float> cell)
-            cb = [[float(v) for v in X[i]] for i in range(min(n_codes, X.shape[0]))]
+            # init: first n_codes sample vectors by id, from the RAW
+            # collected values — matching the jobs engine's exact-double
+            # collect. Building from X would narrow array<double> inputs
+            # through float32, and a code that stays empty through the
+            # last iteration emits its init centroid verbatim.
+            cb = [
+                [float(v) for v in embs[order[i]]]
+                for i in range(min(n_codes, X.shape[0]))
+            ]
             U = _np_units12(X)  # exact round-12 units, int64
             for _ in range(n_iter):
                 cb64m = np.asarray(

@@ -1495,6 +1495,11 @@ class StreamingPlanner(BatchPlanner):
                 )
             n_old = len(rows)
             n_new = len(new_rows)
+            # tracks whether the buffer's CONTENT changed this visit (new
+            # rows, watermark eviction, or the hard cap) — a timer-fired
+            # visit that only confirms/re-arms leaves it False so the
+            # caller can skip the state re-encode (round 11)
+            buf_mutated = n_new > 0
             # in-order fast path: every new row strictly after the processed
             # high-water mark -> sort just the new suffix and RESUME the NFA
             # over it (O(new) per batch). Ties with the hwm fall back (a
@@ -1548,6 +1553,7 @@ class StreamingPlanner(BatchPlanner):
                         floor = min(floor, min(live))
                 k = int(_np.searchsorted(ts_arr, floor))
                 if k > 0:
+                    buf_mutated = True
                     rows = rows[k:]
                     ts_arr = ts_arr[k:]
                     if init is not None:
@@ -1570,105 +1576,117 @@ class StreamingPlanner(BatchPlanner):
             if len(rows) > max_buffer:
                 # hard cap: evict the oldest event-time rows and resync with
                 # a full re-run (the seen-set suppresses re-emissions)
+                buf_mutated = True
                 rows = rows[len(rows) - max_buffer:]
                 ts_arr = ts_arr[len(ts_arr) - max_buffer:]
                 start_idx, init = 0, None
             n_total = len(rows)
-            # masks over the scanned region only (rows[start_idx:]); the old
-            # prefix is only indexed via partials' captured positions, never
-            # re-tested, so it pads as False
-            region = rows[start_idx:] if start_idx else rows
-            masks = []
-            if any(filt is not None for _, filt in filters):
-                view = {}
-                for c, p_ in ref_pos:
-                    vals = [r[p_] for r in region]
-                    if ref_numeric[c]:
-                        try:
-                            arr = _np.asarray(vals, dtype=_np.int64)
-                        except (TypeError, ValueError):
-                            arr = _np.asarray(vals, dtype=_np.float64)
-                    else:
-                        arr = _np.asarray(vals, dtype=object)
-                    view[c] = arr
-                view = _ColView(view)
-            base = _np.ones(len(region), dtype=bool)
-            zpad = (
-                _np.zeros(start_idx, dtype=bool) if start_idx else None
-            )
-            for _, filt in filters:
-                if filt is None:
-                    m = base
-                else:
-                    m = base & _mask_bool(_vec(filt, view))
-                if zpad is not None:
-                    m = _np.concatenate([zpad, m])
-                masks.append(m)
-            # visit-size hybrid for the QUANT kernels (late round 10):
-            # their boundary-race pipelines carry a ~100-130µs fixed numpy
-            # cost per invocation, so on a small visit (few new rows ×
-            # few live partials/arms) the general row loop is cheaper —
-            # measured crossover ≈ 128 row·partial units (the cheap
-            # every2/absence kernels always win and stay unconditional).
-            # Engine states are byte-equal (tests/test_kernel2_unit.py
-            # interop), so the choice is free to vary per visit.
-            run_shape = shape2
-            if shape2 in ("quant2", "chain_quant"):
-                n_pend_ = len(init["partials"]) if init else 0
-                n_arms_ = int(masks[0][start_idx:].sum())
-                if (
-                    (n_total - start_idx) * (1 + n_pend_ + n_arms_) < 128
-                ):
-                    run_shape = None  # row loop
-            if run_shape == "every2":
-                found, nfa_st = run_kernel2(
-                    ts_arr, masks[0], masks[1], start_idx, init, within_ms,
-                    strict_after[0],
-                )
-            elif run_shape == "plain2":
-                found, nfa_st = run_kernel2_nonevery(
-                    ts_arr, masks[0], masks[1], start_idx, init, within_ms,
-                    strict_after[0],
-                )
-            elif run_shape == "quant2":
-                found, nfa_st = run_kernel2_quant(
-                    ts_arr, masks[0], masks[1], start_idx, init, within_ms,
-                    elems_c[0].min_count, elems_c[0].max_count,
-                )
-            elif run_shape == "chain_quant":
-                qs_ = [
-                    (i, e.min_count, e.max_count)
-                    for i, e in enumerate(elems_c)
-                    if e.min_count != 1 or e.max_count != 1
-                ]
-                found, nfa_st = run_kernel_chain_quants(
-                    ts_arr, masks, qs_, start_idx, init, within_ms,
-                )
-            elif run_shape == "absence2":
-                found, nfa_st = run_kernel2_absence(
-                    ts_arr, masks[0], masks[1], start_idx, init, within_ms,
-                    elems_c[1].for_ms,
-                )
-            elif run_shape == "chain":
-                found, nfa_st = run_kernel_chain(
-                    ts_arr, masks, start_idx, init, within_ms,
-                )
-            elif run_shape == "plain_chain":
-                found, nfa_st = run_kernel_chain_nonevery(
-                    ts_arr, masks, start_idx, init, within_ms,
-                )
-            elif run_shape == "chain_absence":
-                found, nfa_st = run_kernel_chain_absence(
-                    ts_arr, masks, start_idx, init, within_ms,
-                    elems_c[-1].for_ms,
-                )
+            region_identity = init is not None and start_idx >= n_total
+            if region_identity:
+                # empty-region fast path (round 11, VERDICT r10 item 2): a
+                # timer-fired/quiescent visit carries no new rows, so every
+                # kernel/NFA run is the identity on `init` (no row past
+                # start_idx means no transition; serialized state round-trips
+                # byte-equal) — skip mask construction and the engine call;
+                # the quiescent pass below does the visit's real work
+                found, nfa_st = [], init
             else:
-                found, nfa_st = _run_nfa(
-                    None, masks, raw_steps_c, strict_after, every, within_ms,
-                    at_close=False, every_at=every_at,
-                    start_idx=start_idx, init=init, return_state=True,
-                    ts_vals=ts_arr,
+                # masks over the scanned region only (rows[start_idx:]); the
+                # old prefix is only indexed via partials' captured
+                # positions, never re-tested, so it pads as False
+                region = rows[start_idx:] if start_idx else rows
+                masks = []
+                if any(filt is not None for _, filt in filters):
+                    view = {}
+                    for c, p_ in ref_pos:
+                        vals = [r[p_] for r in region]
+                        if ref_numeric[c]:
+                            try:
+                                arr = _np.asarray(vals, dtype=_np.int64)
+                            except (TypeError, ValueError):
+                                arr = _np.asarray(vals, dtype=_np.float64)
+                        else:
+                            arr = _np.asarray(vals, dtype=object)
+                        view[c] = arr
+                    view = _ColView(view)
+                base = _np.ones(len(region), dtype=bool)
+                zpad = (
+                    _np.zeros(start_idx, dtype=bool) if start_idx else None
                 )
+                for _, filt in filters:
+                    if filt is None:
+                        m = base
+                    else:
+                        m = base & _mask_bool(_vec(filt, view))
+                    if zpad is not None:
+                        m = _np.concatenate([zpad, m])
+                    masks.append(m)
+                # visit-size hybrid for the QUANT kernels (late round 10):
+                # their boundary-race pipelines carry a ~100-130µs fixed
+                # numpy cost per invocation, so on a small visit (few new
+                # rows × few live partials/arms) the general row loop is
+                # cheaper — measured crossover ≈ 128 row·partial units (the
+                # cheap every2/absence kernels always win and stay
+                # unconditional). Engine states are byte-equal
+                # (tests/test_kernel2_unit.py interop), so the choice is
+                # free to vary per visit.
+                run_shape = shape2
+                if shape2 in ("quant2", "chain_quant"):
+                    n_pend_ = len(init["partials"]) if init else 0
+                    n_arms_ = int(masks[0][start_idx:].sum())
+                    if (
+                        (n_total - start_idx) * (1 + n_pend_ + n_arms_) < 128
+                    ):
+                        run_shape = None  # row loop
+                if run_shape == "every2":
+                    found, nfa_st = run_kernel2(
+                        ts_arr, masks[0], masks[1], start_idx, init,
+                        within_ms, strict_after[0],
+                    )
+                elif run_shape == "plain2":
+                    found, nfa_st = run_kernel2_nonevery(
+                        ts_arr, masks[0], masks[1], start_idx, init,
+                        within_ms, strict_after[0],
+                    )
+                elif run_shape == "quant2":
+                    found, nfa_st = run_kernel2_quant(
+                        ts_arr, masks[0], masks[1], start_idx, init,
+                        within_ms, elems_c[0].min_count, elems_c[0].max_count,
+                    )
+                elif run_shape == "chain_quant":
+                    qs_ = [
+                        (i, e.min_count, e.max_count)
+                        for i, e in enumerate(elems_c)
+                        if e.min_count != 1 or e.max_count != 1
+                    ]
+                    found, nfa_st = run_kernel_chain_quants(
+                        ts_arr, masks, qs_, start_idx, init, within_ms,
+                    )
+                elif run_shape == "absence2":
+                    found, nfa_st = run_kernel2_absence(
+                        ts_arr, masks[0], masks[1], start_idx, init,
+                        within_ms, elems_c[1].for_ms,
+                    )
+                elif run_shape == "chain":
+                    found, nfa_st = run_kernel_chain(
+                        ts_arr, masks, start_idx, init, within_ms,
+                    )
+                elif run_shape == "plain_chain":
+                    found, nfa_st = run_kernel_chain_nonevery(
+                        ts_arr, masks, start_idx, init, within_ms,
+                    )
+                elif run_shape == "chain_absence":
+                    found, nfa_st = run_kernel_chain_absence(
+                        ts_arr, masks, start_idx, init, within_ms,
+                        elems_c[-1].for_ms,
+                    )
+                else:
+                    found, nfa_st = _run_nfa(
+                        None, masks, raw_steps_c, strict_after, every,
+                        within_ms, at_close=False, every_at=every_at,
+                        start_idx=start_idx, init=init, return_state=True,
+                        ts_vals=ts_arr,
+                    )
 
             # timer-fired absence (round 10, VERDICT r9 ask #1): a partial
             # whose trailing 'not X for t' deadline the WATERMARK has passed
@@ -1678,6 +1696,7 @@ class StreamingPlanner(BatchPlanner):
             # or below the watermark are dropped upstream, so no future
             # event can kill the guard.
             pend = None
+            confirmed = False
             if has_neg:
                 # wm=0 (no watermark yet) confirms nothing but still
                 # surfaces the pending deadline so the timer arms in batch 1
@@ -1685,6 +1704,7 @@ class StreamingPlanner(BatchPlanner):
                     nfa_st, steps_norm, wm, multi
                 )
                 if extra:
+                    confirmed = True
                     found = list(found) + extra
 
             # identity = the captured rows' CONTENT (buffer positions shift
@@ -1724,6 +1744,14 @@ class StreamingPlanner(BatchPlanner):
             if purge and rows:
                 horizon = hwm + (within_ms or 0) + neg_for_max + 1
                 timer = horizon if timer is None else min(timer, horizon)
+            if region_identity and not buf_mutated and not confirmed:
+                # nothing changed this visit (no rows, no eviction, no
+                # confirmation): hand back the ORIGINAL encodings so the
+                # caller skips the state write and the json re-encode
+                return (
+                    seen, buf_json, nfa_json, rows, new_caps, False,
+                    timer, removable,
+                )
             return (
                 seen,
                 _json.dumps(rows),

@@ -376,6 +376,32 @@ def test_pq_train_engines_bit_identical(spark):
     for eng in ("jobs", "fused"):
         with pytest.raises(ValueError, match="empty"):
             pq_train_codebook(empty, 1, 4, 1, engine=eng)
+    # unknown engine values must not silently fall through to "jobs"
+    with pytest.raises(ValueError, match="engine"):
+        pq_train_codebook(embs, 1, 4, 1, engine="fuse")
+
+
+def test_pq_train_engines_bit_identical_double_empty_code(spark):
+    """ADVICE r10 high: array<double> inputs with a code that stays EMPTY
+    through the last iteration emit the init centroid verbatim — the fused
+    engine must build that init from the raw collected doubles, not the
+    float32-narrowed numpy matrix (the __res residual column of the IVF-PQ
+    path is array<double>). Vector 0 is duplicated as vector 1 so init
+    entry 1 never wins an assignment and survives to the output."""
+    from flink_siddhi_spark.llm.similarity import pq_train_codebook
+
+    # values chosen to NOT be float32-representable
+    v0 = [0.020409191213851825, 1.7231900716182893]
+    v2 = [3.141592653589793, -2.718281828459045]
+    df = spark.createDataFrame(
+        [(0, v0), (1, v0), (2, v2)],
+        "vec_id bigint, embedding array<double>",
+    )
+    a = pq_train_codebook(df, 1, 2, 1, engine="jobs")
+    b = pq_train_codebook(df, 1, 2, 1, engine="fused")
+    assert a == b
+    # the empty code's centroid is the EXACT double init value
+    assert b[1] == v0
 
 
 def test_pq_codebook_vectors_encode_to_themselves(spark):
