@@ -465,7 +465,7 @@ def bigram_pmi(
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_n)
 
 
-def _textrank_fused_fn(damping: float, n_iter: int):
+def _textrank_fused_fn(damping: float, n_iter: int, edge_limit: int):
     """One-task PageRank loop over the pruned bigram edge table — the
     optimization-round replacement for the driver-sequenced per-iteration
     join/checkpoint jobs (guide §1.2: fix the distributed algorithm first;
@@ -516,7 +516,22 @@ def _textrank_fused_fn(damping: float, n_iter: int):
                     )
             return f.astype(np.int64)
 
-        frames = [b for b in batches if len(b)]
+        frames = []
+        n_rows = 0
+        for b in batches:
+            if not len(b):
+                continue
+            n_rows += len(b)
+            if n_rows > edge_limit:
+                # size guard (round 11): abort before buffering an edge
+                # table beyond one task's memory — stop consuming, emit
+                # the overflow sentinel, let the driver re-route to the
+                # distributed loop
+                yield pd.DataFrame(
+                    {"w": [None], "r": [None], "__overflow": [True]}
+                )
+                return
+            frames.append(b)
         if not frames:
             return
         e = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
@@ -551,9 +566,20 @@ def _textrank_fused_fn(damping: float, n_iter: int):
             s = np.zeros(n, dtype=np.float64)
             s[seg_nodes] = np.add.reduceat(units, starts_d).astype(np.float64) / 1e12
             r = round12_units(teleport + damping * s).astype(np.float64) / 1e12
-        yield pd.DataFrame({"w": words, "r": r})
+        yield pd.DataFrame({"w": words, "r": r, "__overflow": False})
 
     return run
+
+
+# Size guard for the fused single-task PageRank loop (round 11, VERDICT
+# r10 item 4): above this many pruned bigram EDGES textrank_keywords falls
+# back to the distributed per-iteration loop. One task holds the edge
+# table plus a handful of transient arrays over |vocab| nodes and |E|
+# edges (~100 B/edge with two short word strings): 5M edges ≈ 0.5-1 GB —
+# far above any min_count>=5-pruned natural-language bigram graph, but a
+# hard stop before a pathological corpus funnels an unbounded table
+# through repartition(1).
+FUSED_TEXTRANK_EDGE_LIMIT = 5_000_000
 
 
 def textrank_keywords(
@@ -589,8 +615,12 @@ def textrank_keywords(
     numbers in OPTIMIZATION_r10.md). That replaces ~2 jobs x n_iter of
     driver-sequenced join/aggregate/localCheckpoint rounds with one job and
     no driver action at all. Results are bit-identical (see
-    ``_textrank_fused_fn``); ``fused=False`` keeps the distributed
-    per-iteration loop for graphs too large for one task:
+    ``_textrank_fused_fn``). The fused engine is size-guarded (round 11):
+    the task aborts past ``FUSED_TEXTRANK_EDGE_LIMIT`` arriving edges
+    with an ``__overflow`` sentinel (bounding its memory and read volume)
+    and the call re-routes to the distributed loop automatically;
+    ``fused=False`` forces the distributed per-iteration loop for graphs
+    too large for one task:
     each iteration is one edge⋈ranks join (ranks = |vocab| rows — AQE
     broadcasts it), a hash aggregate onto the in-neighbor key, and a left
     join back to the node list; ranks are localCheckpointed per round so
@@ -614,14 +644,26 @@ def textrank_keywords(
         .filter(F.col("n_xy") >= min_count)
     )
     if fused:
+        # size guard (round 11, VERDICT r10 item 4): the fused task
+        # aborts past FUSED_TEXTRANK_EDGE_LIMIT arriving edges with an
+        # __overflow sentinel (it stops consuming and never buffers the
+        # over-limit table); the driver probes the one-row flag off the
+        # checkpointed result and re-routes to the distributed loop. In
+        # the common case the count rides rows the task read anyway —
+        # the only added cost is the probe's checkpoint scan.
         ranks = bi.repartition(1).mapInPandas(
-            _textrank_fused_fn(damping, n_iter), "w string, r double"
-        )
-        return (
-            ranks.orderBy(F.desc("r"), "w")
-            .limit(top_n)
-            .select(F.col("w").alias("word"), F.col("r").alias("score"))
-        )
+            _textrank_fused_fn(damping, n_iter, FUSED_TEXTRANK_EDGE_LIMIT),
+            "w string, r double, __overflow boolean",
+        ).localCheckpoint(eager=True)
+        probe = ranks.select("__overflow").first()
+        if probe is not None and probe["__overflow"]:
+            fused = False
+        else:
+            return (
+                ranks.orderBy(F.desc("r"), "w")
+                .limit(top_n)
+                .select(F.col("w").alias("word"), F.col("r").alias("score"))
+            )
     nodes = (
         bi.select(F.col("w1").alias("w"))
         .union(bi.select(F.col("w2").alias("w")))
