@@ -240,9 +240,41 @@ def minhash_lsh_pairs(
     # duplicate density because the expansion runs on the interpreted
     # expression path, and a viral bucket materializes as a single in-memory
     # array, a memory cliff the join shape does not have.)
-    band_structs = _band_structs(sig_cols, bands, rpb)
-    ex = sig.select(
-        F.col(id_col).alias("id"), *sig_cols, F.explode(band_structs).alias("b")
+    #
+    # Signature narrowing (round 11, VERDICT r10 item 7 / guide §2.3
+    # "narrower types"): strictly INSIDE this function the 8-hex-char sig
+    # strings become bigints via conv(sig,16,10) — fixed-width lowercase
+    # hex is order- and equality-isomorphic to its numeric value, so the
+    # agreement count (and est_jaccard) is unchanged while each shuffled
+    # sig cell drops from ~20 B (string) to 8 B. The band bucket becomes a
+    # struct of the band's narrowed sig VALUES instead of an md5 over the
+    # hex concat: bucket equality is then EXACT tuple equality (the LSH
+    # definition md5 merely approximated), ~16 B vs a 32-hex string, and
+    # the per-row md5-per-band disappears. All-null signatures (shingle-
+    # less docs) behave identically: null slots count 0 matches either
+    # way. The hex output contract of minhash_signatures/dedup_minhash_sig
+    # is untouched.
+    nsig = sig.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.conv(F.col(c), 16, 10).cast("bigint").alias(c)
+            for c in sig_cols
+        ],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                *[
+                    F.col(sig_cols[bnd * rpb + i]).alias(f"k{i}")
+                    for i in range(rpb)
+                ],
+            )
+            for bnd in range(bands)
+        ]
+    )
+    ex = nsig.select(
+        F.col("id"), *sig_cols, F.explode(band_structs).alias("b")
     )
     if max_bucket is not None:
         # per-(band, bucket) size + min id: oversize buckets keep only the
