@@ -481,10 +481,13 @@ def dot(x, y, dim: Optional[int] = None) -> Column:
     but whole-stage-codegen'd; the array higher-order form runs on the
     interpreted path, ~10x slower per element.
 
-    ``x``/``y`` may be column *names* (preferred with ``dim``): the unrolled
-    sum is then rendered as ONE SQL string parsed server-side by a single
-    ``F.expr`` call, instead of ~6 py4j round-trips per dimension — at
-    dim=64 that removes ~2s of driver-side plan-construction latency."""
+    ``x``/``y`` may be column *names* (preferred): the unrolled sum (with
+    ``dim``) or the interpreted fold (without) is then rendered as ONE SQL
+    string parsed server-side by a single ``F.expr`` call, instead of ~6
+    py4j round-trips per dimension (or per lambda node) — at dim=64 the
+    unrolled form removes ~2s of driver-side plan-construction latency,
+    and the fold form cuts the lambda-tree construction the same way
+    (round 11)."""
     if dim is not None:
         if isinstance(x, str) and isinstance(y, str):
             terms = "".join(
@@ -496,6 +499,17 @@ def dot(x, y, dim: Optional[int] = None) -> Column:
         for i in range(dim):
             acc = acc + x[i].cast("double") * y[i].cast("double")
         return acc
+    if (
+        isinstance(x, str) and isinstance(y, str)
+        and "." not in x and "." not in y
+    ):
+        # same fold, one server-side parse (HOF SQL syntax analyzes to the
+        # identical ArrayAggregate/ZipWith the python-lambda API builds)
+        return F.expr(
+            f"aggregate(zip_with(`{x}`, `{y}`, "
+            "(u, v) -> CAST(u AS DOUBLE) * CAST(v AS DOUBLE)), "
+            "0.0D, (acc, v) -> acc + v)"
+        )
     if isinstance(x, str):
         x = F.col(x)
     if isinstance(y, str):

@@ -347,12 +347,12 @@ def ivf_topk(
     assigned = assign_centroids(corpus, centroids, emb_col, id_col, None)
     # probe lists per query
     c = centroids.select(F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("cent_emb"))
-    c = c.withColumn("cent_norm", norm(F.col("cent_emb")))
+    c = c.withColumn("cent_norm", norm("cent_emb"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
                        norm(emb_col, dim).alias("q_norm"))
     qprobe = q.join(F.broadcast(c)).withColumn(
         "cos_c",
-        F.round(safe_div(dot(F.col("q_emb"), F.col("cent_emb")),
+        F.round(safe_div(dot("q_emb", "cent_emb"),
                          F.col("q_norm") * F.col("cent_norm")), 6),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("cos_c").desc(), F.col("centroid_id").asc())
@@ -722,14 +722,14 @@ def knn_graph(
     assigned = assign_centroids(corpus, centroids, emb_col, id_col, None)
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(emb_col).alias("cent_emb")
-    ).withColumn("cent_norm", norm(F.col("cent_emb")))
+    ).withColumn("cent_norm", norm("cent_emb"))
     q = corpus.select(
         F.col(id_col).alias("query_id"), F.col(emb_col).alias("q_emb"),
         norm(emb_col, dim).alias("q_norm"),
     )
     qprobe = q.join(F.broadcast(c)).withColumn(
         "cos_c",
-        F.round(safe_div(dot(F.col("q_emb"), F.col("cent_emb")),
+        F.round(safe_div(dot("q_emb", "cent_emb"),
                          F.col("q_norm") * F.col("cent_norm")), 6),
     )
     # top-n_probe buckets per vector as ONE hash aggregate: the struct sort
@@ -1392,14 +1392,18 @@ def ivfpq_topk(
     )
 
 
-def _sq_stats_numpy(corpus: DataFrame, dim: int, emb_col: str):
+def _sq_stats_numpy(corpus: DataFrame, dim, emb_col: str):
     """Per-dimension corpus (min, max) via ONE Arrow-batched partial-stats
     pass merged on the driver — value-identical to the 2*dim-expression
     Catalyst aggregate (min/max only SELECT an existing float32-widened
     value, no arithmetic), but skips analyzing + compiling a 128-wide
     aggregate, a fixed ~1.3s of driver latency at any scale (round 10,
     guide §1.2/§4.2). NaN replays Spark's ordering (NaN sorts greatest):
-    max is NaN when any value is, min ignores NaN unless all are."""
+    max is NaN when any value is, min ignores NaN unless all are.
+
+    ``dim`` may be None (round 11, VERDICT r10 item 9): the width falls
+    out of the collected stats row (len(mn)), so callers no longer need
+    the separate one-row ``_dim_of`` probe job before this pass."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -1409,7 +1413,7 @@ def _sq_stats_numpy(corpus: DataFrame, dim: int, emb_col: str):
 
         mn = mx = has_nan = None
         for pdf in batches:
-            X = _np_emb_matrix(pdf[emb_col], dim)
+            X = _np_emb_matrix(pdf[emb_col], dim or 0)
             if not X.shape[0]:
                 continue
             bn = np.isnan(X).any(axis=0)
@@ -1562,6 +1566,21 @@ def _sq_encode_numpy(
     return corpus.select(id_col, emb_col).mapInPandas(run, schema)
 
 
+def _sq_encode_with_dim(corpus: DataFrame, emb_col: str, id_col: str):
+    """``sq_encode`` plus the encoded width in ONE stats job (round 11,
+    VERDICT r10 item 9 — job-count cut on the composed chains): on the
+    numpy engine the width falls out of the stats row itself, so the
+    separate one-row ``_dim_of`` probe job disappears; the expr engine
+    (non-integral ids) keeps the probe, which its Catalyst aggregate
+    needs up front anyway."""
+    if _integral_ids(corpus, id_col):
+        mns, mxs = _sq_stats_numpy(corpus, None, emb_col)
+        dim = len(mns)
+        return _sq_encode_numpy(corpus, mns, mxs, dim, emb_col, id_col), dim
+    dim = _dim_of(corpus, emb_col)
+    return sq_encode(corpus, emb_col, id_col, engine="expr", dim=dim), dim
+
+
 def sq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1575,11 +1594,10 @@ def sq_topk(
     Same composition shape as ``pq_topk``; scoring reuses ``cosine_topk``."""
     if engine == "auto":
         engine = _resolve_auto_engine(corpus, queries, id_col)
-    # probe dim ONCE on the raw corpus (cheap single-row scan) and thread it
-    # through encode + scorer — probing the encoded frame would materialize
-    # the lazy checkpoint just to read one row's width (round 10)
-    dim = _dim_of(corpus, emb_col)
-    enc = sq_encode(corpus, emb_col, id_col, dim=dim)
+    # ONE stats job yields the encoder AND the width (round 11) — probing
+    # dim separately cost a driver job, and probing the encoded frame
+    # would materialize the lazy checkpoint just to read one row's width
+    enc, dim = _sq_encode_with_dim(corpus, emb_col, id_col)
     # materialize the reconstruction: without the barrier Catalyst collapses
     # the 64-wide recon projection INTO the scorer, and the unrolled dot
     # then re-expands every array element's when/floor expression per term
@@ -1610,8 +1628,7 @@ def ivfsq_topk(
     oracle replays the full index."""
     if engine == "auto":
         engine = _resolve_auto_engine(corpus, queries, id_col)
-    dim = _dim_of(corpus, emb_col)
-    enc = sq_encode(corpus, emb_col, id_col, dim=dim)
+    enc, dim = _sq_encode_with_dim(corpus, emb_col, id_col)
     recon = enc.select(
         F.col(id_col), F.col("recon").alias(emb_col)
     ).localCheckpoint(eager=False)
