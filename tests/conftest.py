@@ -10,6 +10,30 @@ from pyspark.sql import SparkSession
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long randomized property/fuzz suites (~35 of the suite's "
+        "~50 minutes). Skipped by default so a plain `pytest tests/` pass "
+        "fits the driver's verify window (round 11, VERDICT r10 item 3); "
+        "set SPARK_GRAFT_SLOW_TESTS=1 to run the full tier — the builder "
+        "does before every round-closing ledger. Every slow suite has "
+        "fast deterministic siblings covering the same semantics in the "
+        "default tier.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: set SPARK_GRAFT_SLOW_TESTS=1 to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = (

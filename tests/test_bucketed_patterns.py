@@ -98,6 +98,7 @@ def _feed(rng, shape, trial):
 
 
 @pytest.mark.parametrize("shape", sorted(CQLS))
+@pytest.mark.slow
 def test_bucketed_streaming_batch_parity_fuzz(spark, shape):
     """8 randomized 5-key feeds per shape through 2 buckets (so each bucket
     genuinely multiplexes keys), row-for-row equal to the batch operator."""
@@ -233,6 +234,7 @@ def test_bucketed_funnel_matches_batch_and_per_key(spark, tmp_path):
     assert got == want and want[(0, "view")] == 3
 
 
+@pytest.mark.slow
 def test_bucketed_funnel_fuzz_matches_per_key(spark, tmp_path):
     """Randomized multi-user feeds across 3 micro-batches: bucketed and
     per-key funnel_stream emit identical row sets (episode horizons

@@ -25,6 +25,7 @@ import tempfile
 from flink_siddhi_spark import SiddhiCEP
 
 from .test_property_patterns_r7 import SCHEMA, _run_streaming
+import pytest
 
 ABSENCE_CQL = (
     "partition with (price of s) begin "
@@ -43,6 +44,7 @@ def _batch_collect(spark, all_rows, cql):
     return cep.from_("s").cql(cql).returns("Out").collect()
 
 
+@pytest.mark.slow
 def test_streaming_absence_parity_fuzz(spark):
     """12 randomized 2-key feeds with spans well past within+for (eviction
     fires on in-order batches), per-key tail sentinels so every pending
@@ -219,6 +221,7 @@ CHAIN_ABSENCE_CQL = (
 )
 
 
+@pytest.mark.slow
 def test_streaming_chain_absence_parity_fuzz(spark):
     """late round 8: `every A -> B -> not C for t within w` — the
     funnel-abandonment shape on the chain_absence kernel. 10 randomized

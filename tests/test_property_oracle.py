@@ -11,6 +11,9 @@ from hypothesis import strategies as st
 
 from flink_siddhi_spark import SiddhiCEP
 
+# long randomized fuzz suite: slow tier (round 11, VERDICT r10 item 3)
+pytestmark = pytest.mark.slow
+
 NUM_COLS = ["value", "user_id", "event_id"]
 CMP_OPS = ["<", "<=", ">", ">=", "==", "!="]
 AGGS = ["sum", "count", "min", "max", "avg"]

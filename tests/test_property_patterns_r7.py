@@ -21,6 +21,9 @@ from hypothesis import strategies as st
 
 from flink_siddhi_spark import SiddhiCEP
 
+# long randomized fuzz suite: slow tier (round 11, VERDICT r10 item 3)
+pytestmark = pytest.mark.slow
+
 SCHEMA = "id int, name string, price double, timestamp long"
 
 

@@ -72,6 +72,7 @@ def test_quiescent_confirm_exactly_once(spark):
     assert got == [(1, 0)]
 
 
+@pytest.mark.slow
 def test_quiescent_absence_parity_fuzz(spark):
     """12 randomized 2-key feeds with NO per-key tail sentinels — every
     pending absence must resolve from the TIMER (the pre-round-10 engine

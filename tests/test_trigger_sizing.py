@@ -24,6 +24,10 @@ import time
 from pyspark.sql import functions as F
 
 from flink_siddhi_spark import SiddhiCEP
+import pytest
+
+# long randomized fuzz suite: slow tier (round 11, VERDICT r10 item 3)
+pytestmark = pytest.mark.slow
 
 N_KEYS = 15_000
 N_EVENTS = 60_000
